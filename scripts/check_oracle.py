@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate: runs graft.Verify,
+then executes each oracle_sql.json entry in DuckDB over the same parquet
+tables and compares (schema-insensitively: columns sorted by name, rows
+sorted, values hashed). Usage: check_oracle.py [sfdir] [outdir] [--skip-verify]
+"""
+import json, sys, subprocess, glob, os
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
+    if r.returncode != 0:
+        print(tail); sys.exit(1)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"MISSING  {name} (no spark output)"); fail += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{files[0]}'").df()
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fail += 1; continue
+    g = got[sorted(got.columns)]
+    e = exp[sorted(exp.columns)]
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"SCHEMA   {name}: spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
+        fail += 1; continue
+    gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+    es = e.sort_values(by=list(e.columns)).reset_index(drop=True)
+    if len(gs) != len(es):
+        print(f"ROWS     {name}: spark={len(gs)} oracle={len(es)}"); fail += 1; continue
+    # value compare via string render (the driver hashes values; this is
+    # the strict analogue)
+    import pandas as pd
+    try:
+        pd.testing.assert_frame_equal(gs, es, check_dtype=False,
+                                      check_exact=True)
+        print(f"OK       {name} ({len(gs)} rows)"); ok += 1
+    except AssertionError as ex:
+        msg = str(ex).splitlines()
+        print(f"VALUES   {name}: {msg[0] if msg else ex}")
+        for l in msg[1:6]:
+            print("         " + l)
+        fail += 1
+
+# rows-only queries
+all_outputs = {os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)}
+for name in sorted(all_outputs - set(oracle)):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    n = con.sql(f"SELECT count(*) FROM '{files[0]}'").fetchone()[0] if files else -1
+    status = "OK" if n > 0 else "EMPTY"
+    print(f"{status:8} {name} (rows-only, {n} rows)")
+
+print(f"\n{ok} ok, {fail} fail, {len(all_outputs - set(oracle))} rows-only")
+sys.exit(1 if fail else 0)

@@ -1,0 +1,87 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as
+  * opaque `BinaryType` columns with typed metadata, processed by
+  * batched partition-level functions (`mapPartitions` — the JVM
+  * analogue of `mapInPandas`).
+  *
+  * The actual codec step is STUBBED (this container ships no image or
+  * audio libraries): `decodeStub` derives deterministic fake
+  * width/height/channels from the payload bytes. Everything around it —
+  * schema, batching, partitioning, null-tombstone handling — is real
+  * and tested, so swapping in a real decoder is a one-function change.
+  */
+object MultiModal {
+
+  /** Typed metadata emitted by the (stubbed) decoder. */
+  case class MediaMeta(n_bytes: Long, width: Int, height: Int,
+      channels: Int, byte_sum: Long)
+
+  /** STUB decoder: a real implementation would parse the container
+    * format (PNG/JPEG/WAV...) here. The fake is deterministic in the
+    * payload so specs and oracles are stable. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    MediaMeta(
+      n_bytes = payload.length.toLong,
+      width = (payload.length % 64 + 16).toInt,
+      height = ((sum % 64) + 16).toInt,
+      channels = 3,
+      byte_sum = sum)
+  }
+
+  /** Batched feature extraction over a binary column: one decoder
+    * instance per partition (the executor-singleton pattern for model
+    * handles, segmentation/cellpose.py:70-79 in the reference). */
+  def extractMediaFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("n_bytes", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("channels", IntegerType),
+      StructField("byte_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition "decoder handle" init would go here
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](payloadIdx)
+        val m = if (p == null) MediaMeta(0, 0, 0, 0, 0) else decodeStub(p)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](
+          m.n_bytes, m.width, m.height, m.channels, m.byte_sum))
+      }
+    }(enc)
+  }
+
+  val all: Seq[Q] = Seq(
+    // Binary-column plumbing with an oracle on the byte-exact parts:
+    // payload = UTF-8 bytes of text (both engines encode identically).
+    Q("m01_binary_meta",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | octet_length(encode(text)) % 64 + 16 AS width
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          (octet_length(col("payload")) % 64 + 16).as("width"))
+        .orderBy("doc_id")
+    },
+
+    // Full stubbed decode via mapPartitions (rows-only check; byte_sum
+    // determinism asserted in MultiModalSpec).
+    Q.noOracle("m02_media_features") { (s, d) =>
+      val withPayload = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      extractMediaFeatures(withPayload)
+        .select("doc_id", "n_bytes", "width", "height", "channels", "byte_sum")
+        .orderBy("doc_id")
+    }
+  )
+}

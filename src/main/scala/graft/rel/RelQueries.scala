@@ -1,0 +1,393 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The declared relational operator surface of the engine (SURVEY.md
+  * §2.2): every dataflow primitive the reference pipeline uses —
+  * scan/project/filter/regex/union/distinct/group-agg/broadcast-join/
+  * shuffle-join/semi/anti/pivot/explode/window/sample/limit/
+  * aggregate-then-filter — exercised as an oracle-checked query over the
+  * driver's star schema.
+  *
+  * Each generalizes a concrete reference pattern (file:line cites into
+  * /root/reference). All plans are declarative DataFrame ops so Catalyst
+  * applies pushdown/pruning/partial-agg; joins against the small
+  * dimensions are explicitly `broadcast(...)` (the reference's J1/J2
+  * pattern, src/scip/illumination_correction/jones_2006.py:118-120).
+  *
+  * Determinism contract: every query ORDER BYs a unique key, aggregates
+  * over exact-decimal money columns are rounded to 2 decimals in both
+  * the Spark plan and the DuckDB oracle, dates are emitted as formatted
+  * strings — so row hashes match the oracle bit-for-bit.
+  */
+object RelQueries {
+  import Tables._
+
+  /** Exact fixed-point money aggregation. Money columns carry ≤4 decimal
+    * digits, so `round(x·10⁴)` recovers the exact per-row integer in both
+    * engines; the sum is then integer arithmetic — no FP accumulation
+    * drift, no rounding-boundary hazard against the oracle. (TPC-H
+    * specifies DECIMAL for exactly this reason.) */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 10000).cast("long")).cast("double") / 10000.0
+  private def moneySumSql(expr: String): String =
+    s"sum(CAST(round(($expr) * 10000) AS BIGINT)) / 10000.0"
+
+  val all: Seq[Q] = Seq(
+    // ---- scans / projections -------------------------------------------
+    // S1-S9 generalization: parquet scan + column pruning.
+    Q("q01_scan_project",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber") { (s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // F1-F4 generalization: predicate pushdown to the parquet scan.
+    Q("q02_filter_pushdown",
+      "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date, " +
+        "l_extendedprice FROM lineitem " +
+        "WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05 " +
+        "ORDER BY l_orderkey, l_linenumber") { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P3/P5 generalization: computed projection + rename (pure, codegen'd).
+    // No rounding: both engines perform the identical IEEE multiplies, so
+    // the raw doubles match bit-for-bit (rounding would *introduce*
+    // half-way-tie divergence between BigDecimal-HALF_UP and nearbyint).
+    Q("q03_project_compute",
+      "SELECT l_orderkey, l_linenumber, " +
+        "l_extendedprice * (1 - l_discount) AS revenue, " +
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber") { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Regex meta-extraction at scan (loading/tiff.py:135-141).
+    Q("q04_regex_extract",
+      "SELECT doc_id, regexp_extract(source, 'src([0-9]+)', 1) AS src_num, " +
+        "lang FROM documents ORDER BY doc_id") { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("source"), "src([0-9]+)", 1).as("src_num"),
+          col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // S1 union of per-path sources (loading/__init__.py:44).
+    Q("q05_union_all",
+      "SELECT c_name AS name, 'customer' AS kind FROM customer UNION ALL " +
+        "SELECT s_name AS name, 'supplier' AS kind FROM supplier " +
+        "ORDER BY kind, name") { (s, d) =>
+      customer(s, d).select(col("c_name").as("name"), lit("customer").as("kind"))
+        .unionByName(
+          supplier(s, d).select(col("s_name").as("name"), lit("supplier").as("kind")))
+        .orderBy("kind", "name")
+    },
+
+    // A4: distinct (main.py:175's distinct group count).
+    Q("q06_distinct",
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment") {
+      (s, d) =>
+        customer(s, d).select("c_mktsegment").distinct().orderBy("c_mktsegment")
+    },
+
+    // ---- aggregations ---------------------------------------------------
+    // A1-A3: partial+final hash aggregation (TPC-H Q1 shape).
+    Q("q07_agg_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | ${moneySumSql("l_extendedprice")} AS sum_base_price,
+        | ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        | avg(l_quantity) AS avg_qty,
+        | ${moneySumSql("l_extendedprice")} / count(*) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          // l_quantity is integral: its double sum is exact, so plain avg
+          // matches the oracle bit-for-bit.
+          avg("l_quantity").as("avg_qty"),
+          (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A1: per-group min/max extents (quantile_normalization.py:25-64).
+    Q("q08_group_minmax",
+      """SELECT l_suppkey, min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price, min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_suppkey")
+          .agg(min("l_extendedprice").as("min_price"),
+            max("l_extendedprice").as("max_price"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_suppkey")
+    },
+
+    // A3: global mean/std of a per-record stat (filter/threshold.py:15-19).
+    Q("q09_global_stats",
+      """SELECT round(avg(l_quantity), 6) AS avg_qty,
+        | round(stddev_pop(l_quantity), 6) AS std_qty,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | count(*) AS n
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .agg(round(avg("l_quantity"), 6).as("avg_qty"),
+          round(stddev_pop("l_quantity"), 6).as("std_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- joins ----------------------------------------------------------
+    // J1/J2: broadcast hash equi-join of a small dimension.
+    Q("q10_join_broadcast",
+      s"""SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+        | ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum("l_quantity").as("sum_qty"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("p_brand")
+    },
+
+    // J3 generalization: multi-way join (shuffle join on the fact side,
+    // broadcast on dims).
+    Q("q11_join_multi",
+      s"""SELECT r_name, n_name, count(*) AS n_orders,
+        | ${moneySumSql("o_totalprice")} AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("revenue"))
+          .orderBy("r_name", "n_name")
+    },
+
+    // Semi join (EXISTS).
+    Q("q12_semi_join",
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Anti join (NOT EXISTS) — missing-channel drop generalization
+    // (loading/tiff.py:152).
+    Q("q13_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- pivot (S2: loading/tiff.py:145 id×channel matrix) --------------
+    Q("q14_pivot",
+      """SELECT n_name,
+        | count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE",
+        | count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS "BUILDING",
+        | count(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS "FURNITURE",
+        | count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS "HOUSEHOLD",
+        | count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS "MACHINERY"
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val pivoted = customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+      // Spark pivot yields NULL for empty cells; the oracle's COUNT(CASE)
+      // yields 0 — normalize.
+      pivoted
+        .select(col("n_name") +: segs.map(v => coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+        .orderBy("n_name")
+    },
+
+    // ---- explode / flatMap (X1: segmentation 1→N) ------------------------
+    Q("q15_explode_tokens",
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // ---- window functions (north-star: top-k per group) ------------------
+    Q("q16_window_topk",
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // Running aggregate over event time (north-star window machinery).
+    Q("q17_window_running",
+      """SELECT event_id, user_id,
+        | sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (sum(round(col("value") * 100).cast("long")).over(w).cast("double")
+            / 100.0).as("running"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- aggregate-then-filter (F2: filter/threshold.py) -----------------
+    // The population filter: compute a global stat, broadcast it back as a
+    // predicate (decorrelated scalar subquery via crossJoin(broadcast)).
+    Q("q18_agg_then_filter",
+      """SELECT l_returnflag, count(*) AS n_above
+        |FROM lineitem
+        |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val stats = li.agg(avg("l_extendedprice").as("avg_price"))
+      li.crossJoin(broadcast(stats))
+        .filter(col("l_extendedprice") > col("avg_price"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("l_returnflag")
+    },
+
+    // Rollup (engine generalization beyond reference's single-key groupBy).
+    Q("q19_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // L1: limit / top-k by sort.
+    Q("q20_limit_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+    },
+
+    // Time bucketing over the event stream (batch form of the streaming
+    // windowed aggregate).
+    Q("q21_time_bucket",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        | event_type, count(*) AS n,
+        | sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) {
+      (s, d) =>
+        events(s, d)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+              .as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("value") * 100).cast("long")).cast("double")
+              / 100.0).as("sum_value"))
+          .orderBy("hour", "event_type")
+    },
+
+    // JSON scalar extraction over the events props column.
+    Q("q22_json_extract",
+      """SELECT event_type,
+        | max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        | min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy("event_type")
+          .agg(max("k").as("max_k"), min("k").as("min_k"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+    },
+
+    // L1/L2: exact-k random sample — not oracle-reproducible (seeded rand
+    // is engine-specific); driver records a rows-only check.
+    Q.noOracle("q23_sample_exact_k") { (s, d) =>
+      orders(s, d)
+        .orderBy(rand(42), col("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    }
+  )
+}

@@ -1,0 +1,149 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings.embedding` column
+  * (ArrayType(FloatType), dim 64).
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set
+  * and makes ONE pass over the big side — a broadcast nested-loop with
+  * per-query top-k, no all-pairs shuffle of the corpus. The LSH path
+  * (random hyperplanes, Charikar 2002) buckets the corpus once, then
+  * probes only matching buckets — the 100 TB design where the corpus
+  * never self-joins.
+  *
+  * Numeric contract: dot products / norms accumulate sequentially in
+  * double (elements cast from float32), matching the DuckDB oracle's
+  * `list_sum(list_transform(...))` bit-for-bit, so ORDER BY score is
+  * stable across engines without rounding tricks.
+  */
+object Similarity {
+
+  /** Sequential double dot product via higher-order functions (codegen'd
+    * Catalyst expressions — no UDF in the hot path). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** The same cosine, as DuckDB SQL over list columns (kept textually in
+    * one place so every oracle uses the identical expression). */
+  def cosineSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+       | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+       |    * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
+
+  /** Brute-force exact top-k: broadcast query set, one corpus pass,
+    * per-query rank. */
+  def knnBrute(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  // ---- LSH (random hyperplanes) ------------------------------------------
+
+  val LshBits = 8
+
+  /** Deterministic pseudo-gaussian hyperplanes: component h,j from a
+    * splitmix stream, mapped to ±1 (sign LSH works with Rademacher
+    * vectors just as well as gaussians). */
+  private[rel] def hyperplane(h: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      var z = (h.toLong << 32 | j.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      if (z >= 0) 1.0 else -1.0
+    }
+
+  private[rel] def lshBucket(v: Seq[Float]): Int = {
+    var bucket = 0
+    var h = 0
+    while (h < LshBits) {
+      val plane = hyperplane(h, v.length)
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += plane(j) * v(j); j += 1 }
+      if (s > 0) bucket |= (1 << h)
+      h += 1
+    }
+    bucket
+  }
+
+  /** ANN top-k: corpus bucketed once by sign-LSH; each query probes its
+    * own bucket plus all Hamming-distance-1 buckets (multi-probe). The
+    * corpus-side shuffle key is the bucket — no quadratic join. Recall
+    * vs `knnBrute` is asserted in the ScalaTest suite. */
+  def knnLsh(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val bucketUdf = udf { (v: Seq[Float]) => lshBucket(v) }
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      bucketUdf(col("embedding")).as("bucket"))
+    val probes = udf { (b: Int) => (0 until LshBits).map(i => b ^ (1 << i)) :+ b }
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probes(bucketUdf(col("embedding")))).as("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("s01_knn_brute",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |           WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qid, vec_id AS nid, ${cosineSql("qe", "embedding")} AS c
+         |  FROM q, embeddings WHERE vec_id != qid),
+         |ranked AS (
+         |  SELECT qid, nid, c,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+         |  FROM scored)
+         |SELECT qid, nid, round(c, 6) AS cos, rn FROM ranked
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      knnBrute(s, d, nQueries = 5, k = 10)
+    },
+
+    // ANN path — engine-specific hashing, rows-only check; recall vs
+    // brute force asserted in SimilaritySpec.
+    Q.noOracle("s02_knn_lsh") { (s, d) => knnLsh(s, d, nQueries = 5, k = 10) },
+
+    // Vector norms / normalization as a plain columnar transform.
+    Q("s03_vector_norm",
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2,
+        | round(list_sum(list_transform(embedding, x -> abs(x::DOUBLE))), 6) AS l1,
+        | len(embedding) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(norm(col("embedding")), 6).as("l2"),
+          round(aggregate(transform(col("embedding"),
+            x => abs(x.cast("double"))), lit(0.0), (a, v) => a + v), 6).as("l1"),
+          size(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    }
+  )
+}

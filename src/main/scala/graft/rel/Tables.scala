@@ -1,0 +1,54 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access helpers for the driver-generated star schema
+  * (TESTDATA.md). Every query receives the scale-factor directory and
+  * reads the single-parquet tables from it — filters/projections above
+  * these scans are pushed into the parquet reader by Catalyst (verified
+  * via .explain: PushedFilters / ReadSchema).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader cannot represent natively; read nanos as long and convert to
+    * a microsecond timestamp (truncation — matches DuckDB's cast down).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.functions._
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+    else raw
+  }
+}
+
+/** One declared engine operator/query: the Spark implementation plus —
+  * when SQL-expressible — the equivalent ANSI SQL the driver runs in
+  * DuckDB over the same parquet tables (names `lineitem`, `orders`, …).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}

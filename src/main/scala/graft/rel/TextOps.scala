@@ -1,0 +1,141 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics, document fingerprinting. All per-row transforms — they
+  * pipeline inside one whole-stage-codegen pass over the scan, no
+  * shuffle at any scale. Counts are exact integers and ratios are
+  * single double divisions, so oracle hashes match without tolerance.
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** Rolling polynomial hash (h*31 + codepoint) mod 1e9+7 — the
+    * document-fingerprint primitive (also the shingle hash for
+    * winnowing-style fingerprints). Kept in a UDF: per-char loops are
+    * not expressible as builtin columns without an O(n) lambda chain. */
+  private[rel] def rollingHash(s: String): Long = {
+    val Mod = 1000000007L
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.codePointAt(i)) % Mod; i += 1 }
+    h
+  }
+
+  val stopwords = Seq("the", "a", "of", "and", "to")
+
+  val all: Seq[Q] = Seq(
+    // Token counting: whitespace tokens + distinct counts.
+    Q("t01_token_stats",
+      """SELECT doc_id,
+        | len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+        | len(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS n_distinct,
+        | length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          size(array_distinct(tokens(col("text")))).as("n_distinct"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: type-token ratio, mean token length, stopword
+    // ratio — the standard cheap quality filters for LLM corpora.
+    Q("t02_quality_score",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+         |  FROM documents)
+         |SELECT doc_id,
+         | round(len(list_distinct(w))::DOUBLE / len(w), 6) AS ttr,
+         | round(list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w), 6)
+         |   AS mean_tok_len,
+         | round(len(list_filter(w, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
+         |   / len(w), 6) AS stopword_ratio
+         |FROM toks WHERE len(w) > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"),
+          round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
+            .as("ttr"),
+          round(aggregate(transform(col("w"), t => length(t).cast("long")),
+            lit(0L), (a, v) => a + v).cast("double") / size(col("w")), 6)
+            .as("mean_tok_len"),
+          round(size(filter(col("w"), t => array_contains(stopArr, t)))
+            .cast("double") / size(col("w")), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: deterministic stopword-evidence rule (the
+    // n-gram-profile method reduced to an oracle-expressible scorer).
+    Q("t03_lang_id",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents)
+        |SELECT doc_id, lang AS lang_declared,
+        |  len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS en_evidence,
+        |  CASE WHEN len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) > 0
+        |       THEN 'en' ELSE 'unk' END AS lang_guess
+        |FROM toks ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_declared"), w.as("w"))
+        .select(col("doc_id"), col("lang_declared"),
+          size(filter(col("w"), t => array_contains(stopArr, t)))
+            .as("en_evidence"))
+        .withColumn("lang_guess",
+          when(col("en_evidence") > 0, "en").otherwise("unk"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: rolling polynomial hash of the full text —
+    // reproduced in the oracle with list_reduce over codepoints.
+    Q("t04_fingerprint",
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(0::BIGINT,
+        |     list_transform(generate_series(1, length(text)),
+        |                    i -> ascii(substr(text, i, 1))::BIGINT)),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val fp = udf { (t: String) => rollingHash(t) }
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // Per-language corpus profile: group the quality stats (cheap
+    // map-side-combinable aggregate over the per-row transforms).
+    Q("t05_lang_profile",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w,
+        |    length(text) AS nc
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(len(w)) AS total_tokens,
+        | sum(nc) AS total_chars,
+        | round(avg(len(w)), 6) AS avg_tokens
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).as("nt"),
+          length(col("text")).as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("total_tokens"),
+          sum("nc").as("total_chars"),
+          round(avg("nt"), 6).as("avg_tokens"))
+        .orderBy("lang")
+    }
+  )
+}
