@@ -57,27 +57,29 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  // ---- LSH (random hyperplanes) ------------------------------------------
+  // ---- LSH (random hyperplanes, multi-table) -----------------------------
 
-  val LshBits = 8
+  val LshBits = 8    // bits per table → ~n/2^8 vectors per bucket
+  val LshTables = 16 // independent tables; recall = 1-(1-p^b)^L per probe
 
-  /** Deterministic pseudo-gaussian hyperplanes: component h,j from a
-    * splitmix stream, mapped to ±1 (sign LSH works with Rademacher
-    * vectors just as well as gaussians). */
-  private[rel] def hyperplane(h: Int, dim: Int): Array[Double] =
+  /** Deterministic Rademacher hyperplane for (table, bit): component j
+    * from a splitmix stream mapped to ±1 (sign LSH needs only symmetric
+    * zero-mean components — Charikar 2002). */
+  private[rel] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
-      var z = (h.toLong << 32 | j.toLong) + 0x9e3779b97f4a7c15L
+      var z = ((table.toLong * 64 + bit) << 32 | j.toLong) + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z = z ^ (z >>> 31)
       if (z >= 0) 1.0 else -1.0
     }
 
-  private[rel] def lshBucket(v: Seq[Float]): Int = {
+  /** Signature of v in one table: LshBits sign bits. */
+  private[rel] def lshBucket(table: Int, v: Seq[Float]): Int = {
     var bucket = 0
     var h = 0
     while (h < LshBits) {
-      val plane = hyperplane(h, v.length)
+      val plane = hyperplane(table, h, v.length)
       var s = 0.0
       var j = 0
       while (j < v.length) { s += plane(j) * v(j); j += 1 }
@@ -87,21 +89,39 @@ object Similarity {
     bucket
   }
 
-  /** ANN top-k: corpus bucketed once by sign-LSH; each query probes its
-    * own bucket plus all Hamming-distance-1 buckets (multi-probe). The
-    * corpus-side shuffle key is the bucket — no quadratic join. Recall
-    * vs `knnBrute` is asserted in the ScalaTest suite. */
+  /** All (table, bucket) keys for a corpus vector — the LSH "index". */
+  private[rel] def corpusKeys(v: Seq[Float]): Seq[(Int, Int)] =
+    (0 until LshTables).map(t => (t, lshBucket(t, v)))
+
+  /** Query-side probes: own bucket + all Hamming-1 neighbors per table
+    * (multi-probe LSH halves the table count needed for a recall target). */
+  private[rel] def queryKeys(v: Seq[Float]): Seq[(Int, Int)] =
+    (0 until LshTables).flatMap { t =>
+      val b = lshBucket(t, v)
+      (0 until LshBits).map(i => (t, b ^ (1 << i))) :+ ((t, b))
+    }
+
+  /** ANN top-k via multi-table sign-LSH: the corpus is indexed once into
+    * L=16 tables of 2^8 buckets (explode ×L — the standard LSH space/
+    * recall trade); queries probe their bucket ± 1 bit in every table.
+    * The corpus-side join key is (table, bucket): cost scales with
+    * candidate collisions, never n². Recall vs `knnBrute` asserted in
+    * SimilaritySpec. */
   def knnLsh(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val bucketUdf = udf { (v: Seq[Float]) => lshBucket(v) }
+    val corpusKeysUdf = udf { (v: Seq[Float]) => corpusKeys(v) }
+    val queryKeysUdf = udf { (v: Seq[Float]) => queryKeys(v) }
     val e = Tables.embeddings(spark, dir)
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-      bucketUdf(col("embedding")).as("bucket"))
-    val probes = udf { (b: Int) => (0 until LshBits).map(i => b ^ (1 << i)) :+ b }
+        explode(corpusKeysUdf(col("embedding"))).as("tb"))
+      .select(col("nid"), col("ne"), col("tb._1").as("t"), col("tb._2").as("bucket"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(probes(bucketUdf(col("embedding")))).as("bucket"))
-    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+        explode(queryKeysUdf(col("embedding"))).as("tb"))
+      .select(col("qid"), col("qe"), col("tb._1").as("t"), col("tb._2").as("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("qe"), col("ne"))
+      .distinct() // a pair may collide in several tables — score once
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))

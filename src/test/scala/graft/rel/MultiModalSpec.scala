@@ -1,0 +1,52 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultiModalSpec extends SparkSpec {
+
+  test("decodeStub is deterministic in the payload") {
+    val p = "hello multimodal".getBytes("UTF-8")
+    val a = MultiModal.decodeStub(p)
+    val b = MultiModal.decodeStub(p)
+    assert(a == b)
+    assert(a.n_bytes == p.length)
+    assert(a.byte_sum == p.map(_ & 0xff).sum)
+  }
+
+  test("extractMediaFeatures preserves rows, schema, and null payloads") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val n = docs.count()
+    val out = MultiModal.extractMediaFeatures(docs)
+    assert(out.count() == n)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "payload", "n_bytes", "width", "height", "channels", "byte_sum"))
+    // tombstone contract: null payload yields zeroed meta, row survives
+    val withNull = docs.withColumn("payload",
+      when(col("doc_id") === 0, lit(null)).otherwise(col("payload")))
+    val outNull = MultiModal.extractMediaFeatures(withNull)
+    assert(outNull.count() == n)
+    val z = outNull.filter(col("doc_id") === 0)
+      .select("n_bytes", "width", "height", "channels", "byte_sum").head()
+    assert(z.getLong(0) == 0 && z.getInt(1) == 0 && z.getLong(4) == 0)
+  }
+
+  test("media features match a driver-side recompute (distributed == local)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .limit(20).collect()
+    val local = docs.map { r =>
+      r.getLong(0) -> MultiModal.decodeStub(r.getString(1).getBytes("UTF-8"))
+    }.toMap
+    val dist = MultiModal.all.find(_.name == "m02_media_features").get
+      .fn(spark, sfDir)
+      .filter(col("doc_id") < 20)
+      .collect()
+      .map(r => r.getLong(0) ->
+        MultiModal.MediaMeta(r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getLong(5)))
+      .toMap
+    assert(dist == local)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.rel
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select("qid", "nid", "rn").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+      }
+
+  test("LSH ANN recall@10 vs brute force is >= 0.5") {
+    val brute = topk(Similarity.knnBrute(spark, sfDir, nQueries = 5, k = 10))
+    val lsh = topk(Similarity.knnLsh(spark, sfDir, nQueries = 5, k = 10))
+    val recalls = brute.map { case (q, bs) =>
+      val ls = lsh.getOrElse(q, Seq.empty).toSet
+      bs.count(ls.contains).toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8-bit sign-LSH with 1-bit multiprobe on 64-dim random vectors:
+    // modest but must clearly beat chance (500 vecs / 2^8 buckets * 9
+    // probes ≈ 18 candidates/query examined of 500).
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
+  }
+
+  test("LSH bucket function is deterministic and tables differ") {
+    val v = Array.tabulate(64)(i => (i * 0.1f) - 3.2f).toSeq
+    assert(Similarity.lshBucket(0, v) == Similarity.lshBucket(0, v))
+    val buckets = (0 until Similarity.LshTables).map(Similarity.lshBucket(_, v))
+    assert(buckets.forall(b => b >= 0 && b < (1 << Similarity.LshBits)))
+    assert(buckets.distinct.size > 1, "tables must use independent planes")
+  }
+
+  test("brute-force knn scores are within [-1, 1] and ranked descending") {
+    val rows = Similarity.knnBrute(spark, sfDir, nQueries = 2, k = 5)
+      .select("qid", "cos", "rn").collect()
+    rows.foreach { r =>
+      val c = r.getDouble(1)
+      assert(c >= -1.0000001 && c <= 1.0000001, s"cos out of range: $c")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getDouble(1))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
