@@ -1,0 +1,213 @@
+package graft.kernels
+
+/** 2-D image filters over a single channel plane stored row-major in
+  * `Array[Float]` with dims (h, w), index r*w+c. Boundary handling is
+  * reflect (skimage's default 'reflect'/'nearest' family — documented
+  * per function). These are the primitives behind the masking kernels
+  * C1-C5 (reference masking/otsu.py, li.py, sobel.py, watershed.py,
+  * spot.py).
+  */
+object Filters {
+
+  @inline private def reflect(i: Int, n: Int): Int = {
+    // scipy 'reflect' (d c b a | a b c d | d c b a)
+    var x = i
+    if (n == 1) return 0
+    val period = 2 * n
+    x = ((x % period) + period) % period
+    if (x >= n) period - 1 - x else x
+  }
+
+  /** separable gaussian blur, radius = ceil(truncate*sigma) with
+    * truncate=4 (scipy/skimage default), reflect boundary */
+  def gaussian(img: Array[Float], h: Int, w: Int, sigma: Double): Array[Float] = {
+    if (sigma <= 0) return img.clone()
+    val radius = math.ceil(4.0 * sigma).toInt
+    val kernel = new Array[Double](2 * radius + 1)
+    var s = 0.0
+    var i = -radius
+    while (i <= radius) {
+      val v = math.exp(-(i * i) / (2.0 * sigma * sigma))
+      kernel(i + radius) = v; s += v; i += 1
+    }
+    i = 0
+    while (i < kernel.length) { kernel(i) /= s; i += 1 }
+
+    val tmp = new Array[Float](h * w)
+    val out = new Array[Float](h * w)
+    // horizontal
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var acc = 0.0; var k = -radius
+        while (k <= radius) {
+          acc += kernel(k + radius) * img(r * w + reflect(c + k, w)); k += 1
+        }
+        tmp(r * w + c) = acc.toFloat; c += 1
+      }
+      r += 1
+    }
+    // vertical
+    r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var acc = 0.0; var k = -radius
+        while (k <= radius) {
+          acc += kernel(k + radius) * tmp(reflect(r + k, h) * w + c); k += 1
+        }
+        out(r * w + c) = acc.toFloat; c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Sobel gradient magnitude with skimage's 1/4-normalized kernels:
+    * sqrt(gx² + gy²), reflect boundary. */
+  def sobel(img: Array[Float], h: Int, w: Int): Array[Float] = {
+    val out = new Array[Float](h * w)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        @inline def p(dr: Int, dc: Int): Double =
+          img(reflect(r + dr, h) * w + reflect(c + dc, w))
+        val gy = ((p(-1, -1) + 2 * p(-1, 0) + p(-1, 1)) -
+          (p(1, -1) + 2 * p(1, 0) + p(1, 1))) / 4.0
+        val gx = ((p(-1, -1) + 2 * p(0, -1) + p(1, -1)) -
+          (p(-1, 1) + 2 * p(0, 1) + p(1, 1))) / 4.0
+        out(r * w + c) = math.sqrt(gx * gx + gy * gy).toFloat
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** disk structuring element offsets: all (dr,dc) with dr²+dc² <= r²
+    * (skimage.morphology.disk) */
+  def diskOffsets(radius: Int): Array[(Int, Int)] = {
+    val buf = Array.newBuilder[(Int, Int)]
+    var dr = -radius
+    while (dr <= radius) {
+      var dc = -radius
+      while (dc <= radius) {
+        if (dr * dr + dc * dc <= radius * radius) buf += ((dr, dc))
+        dc += 1
+      }
+      dr += 1
+    }
+    buf.result()
+  }
+
+  /** median filter with a disk footprint, reflect boundary
+    * (skimage.filters.median / rank.median) */
+  def medianDisk(img: Array[Float], h: Int, w: Int, radius: Int): Array[Float] = {
+    val offs = diskOffsets(radius)
+    val out = new Array[Float](h * w)
+    val window = new Array[Float](offs.length)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var i = 0
+        while (i < offs.length) {
+          val (dr, dc) = offs(i)
+          window(i) = img(reflect(r + dr, h) * w + reflect(c + dc, w))
+          i += 1
+        }
+        java.util.Arrays.sort(window)
+        // even-count medians take the lower-middle (rank filters return
+        // an existing pixel value, like skimage.rank)
+        out(r * w + c) = window((window.length - 1) / 2)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** grayscale erosion (min) over a disk footprint, reflect boundary */
+  def erodeGray(img: Array[Float], h: Int, w: Int, radius: Int): Array[Float] =
+    rankExtreme(img, h, w, radius, isMin = true)
+
+  /** grayscale dilation (max) over a disk footprint */
+  def dilateGray(img: Array[Float], h: Int, w: Int, radius: Int): Array[Float] =
+    rankExtreme(img, h, w, radius, isMin = false)
+
+  private def rankExtreme(img: Array[Float], h: Int, w: Int, radius: Int,
+      isMin: Boolean): Array[Float] = {
+    val offs = diskOffsets(radius)
+    val out = new Array[Float](h * w)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var ext = if (isMin) Float.MaxValue else Float.MinValue
+        var i = 0
+        while (i < offs.length) {
+          val (dr, dc) = offs(i)
+          val v = img(reflect(r + dr, h) * w + reflect(c + dc, w))
+          if (isMin) { if (v < ext) ext = v } else if (v > ext) ext = v
+          i += 1
+        }
+        out(r * w + c) = ext
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** grayscale opening = dilate(erode) */
+  def openGray(img: Array[Float], h: Int, w: Int, radius: Int): Array[Float] =
+    dilateGray(erodeGray(img, h, w, radius), h, w, radius)
+
+  /** grayscale closing = erode(dilate) */
+  def closeGray(img: Array[Float], h: Int, w: Int, radius: Int): Array[Float] =
+    erodeGray(dilateGray(img, h, w, radius), h, w, radius)
+
+  /** white tophat = img − opening(img) — the spot-enhancement kernel
+    * (reference masking/spot.py:23-49 with disk(spotsize)) */
+  def whiteTophat(img: Array[Float], h: Int, w: Int, radius: Int): Array[Float] = {
+    val opened = openGray(img, h, w, radius)
+    val out = new Array[Float](h * w)
+    var i = 0
+    while (i < img.length) { out(i) = img(i) - opened(i); i += 1 }
+    out
+  }
+
+  /** numpy.digitize with `bins` equal-width bins over [min,max] —
+    * the pre-quantization of masking/otsu.py:8-52 (bins when max>512)
+    * and the GLCM 15-bin quantize (features/texture.py). Returns bin
+    * index per pixel in [0, bins-1]. */
+  def quantize(img: Array[Float], bins: Int): Array[Int] = {
+    val (mn, mx) = Stats.minMax(img)
+    val out = new Array[Int](img.length)
+    if (mx == mn) return out
+    val scale = bins / (mx - mn)
+    var i = 0
+    while (i < img.length) {
+      var b = ((img(i) - mn) * scale).toInt
+      if (b >= bins) b = bins - 1
+      if (b < 0) b = 0
+      out(i) = b
+      i += 1
+    }
+    out
+  }
+
+  /** linear rescale to [0,1] (skimage rescale_intensity);
+    * constant image → zeros */
+  def rescale01(img: Array[Float]): Array[Float] = {
+    val (mn, mx) = Stats.minMax(img)
+    val out = new Array[Float](img.length)
+    if (mx == mn) return out
+    val inv = 1.0 / (mx - mn)
+    var i = 0
+    while (i < img.length) { out(i) = ((img(i) - mn) * inv).toFloat; i += 1 }
+    out
+  }
+}

@@ -1,0 +1,185 @@
+package graft.kernels
+
+import scala.collection.mutable
+
+/** Euclidean distance transform, peak detection, and priority-flood
+  * watershed — the segmentation core of masking kernel C4
+  * (masking/watershed.py:26-61, compactness=1) and the watershed-DAPI
+  * segmenter C10 (segmentation/watershed_dapi.py:29-62: EDT →
+  * peak_local_max → watershed(−distance)).
+  */
+object Watershed {
+
+  /** exact euclidean distance transform (distance to nearest background
+    * pixel) via the Felzenszwalb-Huttenlocher two-pass parabola method.
+    * Foreground = true. */
+  def distanceTransform(mask: Array[Boolean], h: Int, w: Int): Array[Double] = {
+    val INF = 1e20
+    val f = new Array[Double](math.max(h, w))
+    val d = new Array[Double](math.max(h, w))
+    val v = new Array[Int](math.max(h, w))
+    val z = new Array[Double](math.max(h, w) + 1)
+
+    def dt1d(n: Int): Unit = {
+      var k = 0
+      v(0) = 0
+      z(0) = -INF
+      z(1) = INF
+      var q = 1
+      while (q < n) {
+        var s = ((f(q) + q * q) - (f(v(k)) + v(k) * v(k))) / (2.0 * q - 2.0 * v(k))
+        while (s <= z(k)) {
+          k -= 1
+          s = ((f(q) + q * q) - (f(v(k)) + v(k) * v(k))) / (2.0 * q - 2.0 * v(k))
+        }
+        k += 1
+        v(k) = q
+        z(k) = s
+        z(k + 1) = INF
+        q += 1
+      }
+      k = 0
+      q = 0
+      while (q < n) {
+        while (z(k + 1) < q) k += 1
+        d(q) = (q - v(k)) * (q - v(k)) + f(v(k))
+        q += 1
+      }
+    }
+
+    val sq = new Array[Double](h * w)
+    // columns pass
+    var c = 0
+    while (c < w) {
+      var r = 0
+      while (r < h) { f(r) = if (mask(r * w + c)) INF else 0.0; r += 1 }
+      dt1d(h)
+      r = 0
+      while (r < h) { sq(r * w + c) = d(r); r += 1 }
+      c += 1
+    }
+    // rows pass
+    val out = new Array[Double](h * w)
+    var r = 0
+    while (r < h) {
+      c = 0
+      while (c < w) { f(c) = sq(r * w + c); c += 1 }
+      dt1d(w)
+      c = 0
+      while (c < w) { out(r * w + c) = math.sqrt(d(c)); c += 1 }
+      r += 1
+    }
+    out
+  }
+
+  /** peak_local_max: local maxima of `img` within a (2·minDistance+1)
+    * square window, greedily suppressed so surviving peaks are
+    * > minDistance apart (descending intensity, row-major tiebreak —
+    * skimage.feature.peak_local_max semantics). Returns peak indices. */
+  def peakLocalMax(img: Array[Double], h: Int, w: Int, minDistance: Int,
+      thresholdAbs: Double = 1e-12): Array[Int] = {
+    val rad = math.max(1, minDistance)
+    val candidates = mutable.ArrayBuffer.empty[Int]
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val v = img(r * w + c)
+        if (v > thresholdAbs) {
+          var isMax = true
+          var dr = -rad
+          while (isMax && dr <= rad) {
+            var dc = -rad
+            while (isMax && dc <= rad) {
+              val rr = r + dr; val cc = c + dc
+              if (rr >= 0 && rr < h && cc >= 0 && cc < w && img(rr * w + cc) > v)
+                isMax = false
+              dc += 1
+            }
+            dr += 1
+          }
+          if (isMax) candidates += (r * w + c)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    // greedy min-distance suppression, strongest first
+    val sorted = candidates.sortBy(i => (-img(i), i))
+    val kept = mutable.ArrayBuffer.empty[Int]
+    val minD2 = minDistance.toDouble * minDistance
+    sorted.foreach { i =>
+      val r0 = i / w; val c0 = i % w
+      val ok = kept.forall { j =>
+        val dr = r0 - j / w; val dc = c0 - j % w
+        dr * dr + dc * dc > minD2
+      }
+      if (ok) kept += i
+    }
+    kept.toArray
+  }
+
+  private val off8 = Array((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+  /** priority-flood watershed from labeled markers over elevation
+    * `img`, optionally restricted to `mask`, with compactness à la
+    * compact watershed (Neubert & Protzel 2014: priority + compactness ·
+    * squared distance to the seed). Matches the call shapes of
+    * masking/watershed.py:58 (compactness=1) and
+    * segmentation/watershed_dapi.py:58 (mask, compactness=0). */
+  def watershed(img: Array[Double], h: Int, w: Int, markers: Array[Int],
+      mask: Array[Boolean] = null, compactness: Double = 0.0): Array[Int] = {
+    val out = new Array[Int](h * w)
+    val inQueue = new Array[Boolean](h * w)
+    // (priority, insertion order, pixel, seed pixel)
+    val pq = mutable.PriorityQueue.empty[(Double, Long, Int, Int)](
+      Ordering.by[(Double, Long, Int, Int), (Double, Long)](t => (t._1, t._2)).reverse)
+    var order = 0L
+
+    @inline def inMask(i: Int): Boolean = mask == null || mask(i)
+
+    var i = 0
+    while (i < markers.length) {
+      if (markers(i) > 0 && inMask(i)) {
+        out(i) = markers(i)
+        inQueue(i) = true
+        pq.enqueue((img(i), order, i, i))
+        order += 1
+      }
+      i += 1
+    }
+    while (pq.nonEmpty) {
+      val (_, _, cur, seed) = pq.dequeue()
+      val lbl = out(cur)
+      val r = cur / w; val c = cur % w
+      var k = 0
+      while (k < off8.length) {
+        val rr = r + off8(k)._1; val cc = c + off8(k)._2
+        if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
+          val j = rr * w + cc
+          if (!inQueue(j) && inMask(j)) {
+            inQueue(j) = true
+            out(j) = lbl
+            val prio =
+              if (compactness > 0) {
+                val dr = rr - seed / w; val dc = cc - seed % w
+                img(j) + compactness * (dr * dr + dc * dc)
+              } else img(j)
+            pq.enqueue((prio, order, j, seed))
+            order += 1
+          }
+        }
+        k += 1
+      }
+    }
+    out
+  }
+
+  /** markers array from peak indices: label k+1 at peak k */
+  def markersFromPeaks(peaks: Array[Int], size: Int): Array[Int] = {
+    val m = new Array[Int](size)
+    var k = 0
+    while (k < peaks.length) { m(peaks(k)) = k + 1; k += 1 }
+    m
+  }
+}
