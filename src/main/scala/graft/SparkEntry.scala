@@ -11,11 +11,13 @@ import graft.rel._
   *  - [[graft.rel.Similarity]]  — brute-force + LSH ANN over embeddings
   *  - [[graft.rel.TextOps]]     — token/quality/lang-id/fingerprint
   *  - [[graft.rel.MultiModal]]  — binary-column plumbing (stubbed codecs)
+  *  - [[graft.rel.PipelineQueries]] — the imaging pipeline (graft.ops /
+  *    graft.pipeline) run end-to-end on synthetic sources
   */
 object SparkEntry {
   def registry: Seq[Q] =
     RelQueries.all ++ Dedup.all ++ Similarity.all ++ TextOps.all ++
-      MultiModal.all
+      MultiModal.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

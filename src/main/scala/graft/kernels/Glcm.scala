@@ -14,7 +14,10 @@ object Glcm {
   /** co-occurrence counts for one (distance, angle): offset convention
     * matches skimage.feature.graycomatrix — row offset = round(d·sin θ),
     * col offset = round(d·cos θ). `levels` quantized values in
-    * [0, levels). Returns the symmetric, normalized matrix. */
+    * [0, levels); entries < 0 mark invalid (out-of-mask) pixels and
+    * pairs touching them are dropped — the reference's NaN-bin +
+    * [:-1,:-1] crop (features/texture.py:60-69). Returns the
+    * symmetric, normalized matrix. */
   def matrix(q: Array[Int], h: Int, w: Int, levels: Int,
       distance: Int, angleRad: Double): Array[Double] = {
     val dr = math.round(distance * math.sin(angleRad)).toInt
@@ -28,9 +31,11 @@ object Glcm {
         val rr = r + dr; val cc = c + dc
         if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
           val a = q(r * w + c); val b = q(rr * w + cc)
-          m(a * levels + b) += 1.0
-          m(b * levels + a) += 1.0 // symmetric
-          total += 2.0
+          if (a >= 0 && b >= 0) {
+            m(a * levels + b) += 1.0
+            m(b * levels + a) += 1.0 // symmetric
+            total += 2.0
+          }
         }
         c += 1
       }

@@ -1,0 +1,345 @@
+package graft.ops
+
+import graft.core.ImageEvent
+import graft.kernels._
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.types._
+
+/** Feature extraction: event → one wide row of float features with the
+  * reference's column naming, schema declared eagerly before execution
+  * (features/__init__.py:34-46,104-161).
+  *
+  * Families (all per reference):
+  *  - bbox  (C15): the 4 bbox coords → meta columns
+  *  - shape (C11): 59 regionprops × (combined + each channel)
+  *  - intensity (C12): 11 stats × 8 views × channel
+  *  - raw   (C13): 11 stats on unmasked pixels (same column names as
+  *    intensity's first view — when both families are requested,
+  *    intensity wins, replicating features/__init__.py:86-97 where the
+  *    raw block does not advance the column cursor)
+  *  - texture (C14): 6 GLCM props × {mean,std} × 2 distances + 4 sobel
+  *    stats, × {channel mask, combined mask}
+  *
+  * Tombstones (null pixels) emit only meta + regions — the
+  * `if "pixels" in p` guard (features/__init__.py:76-99): every input
+  * row appears in the output.
+  *
+  * One `Dataset.map` per branch — no shuffle; the row is built in a
+  * single pass and lands in a static schema so downstream relational
+  * ops (column pruning!) see real columns, not a blob.
+  */
+object Features {
+
+  val IntensityProps: Seq[String] = Seq("mean", "median", "max", "min", "std",
+    "mad", "lower_quartile", "upper_quartile", "sum", "skewness", "kurtosis")
+  val IntensityViews: Seq[String] = Seq("", "bgcorr_", "edge_", "bgcorr_edge_",
+    "combined_", "combined_bgcorr_", "combined_edge_", "combined_bgcorr_edge_")
+  val GlcmDistances: Seq[Int] = Seq(3, 5)
+  val TextureBins = 15
+
+  /** ordered feature column names for a family (pre-rename) */
+  def familyNames(family: String, channelNames: Seq[String]): Seq[String] = family match {
+    case "bbox" => Seq("bbox_minr", "bbox_minc", "bbox_maxr", "bbox_maxc")
+    case "regions" => channelNames.map(c => s"regions_$c")
+    case "shape" =>
+      ("combined" +: channelNames).flatMap(n => RegionProps.Names.map(p => s"${p}_$n"))
+    case "raw" =>
+      channelNames.flatMap(c => IntensityProps.map(p => s"${p}_$c"))
+    case "intensity" =>
+      channelNames.flatMap(c =>
+        IntensityViews.flatMap(v => IntensityProps.map(p => s"$v${p}_$c")))
+    case "texture" =>
+      channelNames.flatMap { c =>
+        def block(prefix: String): Seq[String] =
+          Glcm.Props.flatMap(p =>
+            GlcmDistances.map(n => s"${prefix}glcm_mean_${p}_${n}_$c") ++
+              GlcmDistances.map(n => s"${prefix}glcm_std_${p}_${n}_$c")) ++
+            Seq(s"${prefix}sobel_mean_$c", s"${prefix}sobel_std_$c",
+              s"${prefix}sobel_max_$c", s"${prefix}sobel_min_$c")
+        block("") ++ block("combined_")
+      }
+    case other => throw new IllegalArgumentException(s"unknown feature family: $other")
+  }
+
+  /** the reference's rename (features/__init__.py:34-46): loader keys →
+    * meta_, bbox/regions → meta_[prefix_], features → feat_[prefix_] */
+  def renamed(name: String, prefix: String, isLoaderMeta: Boolean): String =
+    if (isLoaderMeta) s"meta_$name"
+    else if (name.startsWith("bbox") || name.startsWith("regions"))
+      if (prefix == null) s"meta_$name" else s"meta_${prefix}_$name"
+    else if (prefix == null) s"feat_$name"
+    else s"feat_${prefix}_$name"
+
+  private val LoaderMeta = Seq("path", "idx", "group", "id")
+
+  def schema(channelNames: Seq[String], types: Seq[String], prefix: String): StructType = {
+    val metaFields = Seq(
+      StructField(renamed("path", prefix, isLoaderMeta = true), StringType),
+      StructField(renamed("idx", prefix, isLoaderMeta = true), LongType),
+      StructField(renamed("group", prefix, isLoaderMeta = true), StringType),
+      StructField(renamed("id", prefix, isLoaderMeta = true), IntegerType))
+    val featNames = featureNames(channelNames, types)
+    StructType(metaFields ++ featNames.map(n =>
+      StructField(renamed(n, prefix, isLoaderMeta = false), DoubleType)))
+  }
+
+  /** deduplicated ordered (pre-rename) feature names — duplicates keep
+    * the FIRST slot but are written by the LAST family computing them
+    * (the dict-update semantics of the reference meta) */
+  def featureNames(channelNames: Seq[String], types: Seq[String]): Seq[String] = {
+    val all = Seq("regions").filter(types.contains) ++
+      types.filterNot(_ == "regions")
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    all.foreach(f => familyNames(f, channelNames).foreach(seen.add))
+    seen.toSeq
+  }
+
+  /** extract features for one branch → DataFrame with the declared
+    * schema */
+  def extract(ds: Dataset[ImageEvent], channelNames: Seq[String],
+      types: Seq[String], prefix: String = null): DataFrame = {
+    val sch = schema(channelNames, types, prefix)
+    val names = featureNames(channelNames, types)
+    val nameIdx = names.zipWithIndex.toMap
+    val typesArr = types.toArray
+    val nCh = channelNames.length
+    val enc = org.apache.spark.sql.Encoders.row(sch)
+    ds.map({ e =>
+      val feats = new Array[Any](names.length)
+      // regions always available (survives tombstoning)
+      if (typesArr.contains("regions")) {
+        var c = 0
+        while (c < nCh) {
+          val v: Any =
+            if (e.regions != null && c < e.regions.length) e.regions(c).toDouble else null
+          feats(nameIdx(s"regions_${channelNames(c)}")) = v
+          c += 1
+        }
+      }
+      if (e.hasPixels) {
+        val vals = computeFeatures(e, channelNames, typesArr)
+        vals.foreach { case (n, v) => feats(nameIdx(n)) = v }
+      }
+      Row.fromSeq(Seq[Any](e.path, e.idx, e.group, e.id) ++ feats)
+    })(enc)
+  }
+
+  /** all requested non-regions families for a pixel-bearing event, in
+    * family order (later families overwrite shared names) */
+  private def computeFeatures(e: ImageEvent, channelNames: Seq[String],
+      types: Array[String]): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val h = e.height; val w = e.width; val ps = e.planeSize
+    types.foreach {
+      case "bbox" =>
+        out += (("bbox_minr", e.bboxMinr.toDouble))
+        out += (("bbox_minc", e.bboxMinc.toDouble))
+        out += (("bbox_maxr", e.bboxMaxr.toDouble))
+        out += (("bbox_maxc", e.bboxMaxc.toDouble))
+
+      case "shape" =>
+        // combined first, then channels (features/shape.py:143-150)
+        val combined = e.combinedMaskBool
+        shapeRow(combined, h, w).zip(RegionProps.Names)
+          .foreach { case (v, n) => out += ((s"${n}_combined", v)) }
+        var c = 0
+        while (c < channelNames.length) {
+          val mp = e.maskPlane(c)
+          val row =
+            if (mp.exists(identity)) shapeRow(mp, h, w)
+            else RegionProps.Names.indices.map(i =>
+              if (i <= 10) 0.0 else Double.NaN).toArray
+          row.zip(RegionProps.Names).foreach { case (v, n) =>
+            out += ((s"${n}_${channelNames(c)}", v))
+          }
+          c += 1
+        }
+
+      case "raw" =>
+        var c = 0
+        while (c < channelNames.length) {
+          val row = Stats.intensityRow(e.plane(c))
+          IntensityProps.zip(row).foreach { case (p, v) =>
+            out += ((s"${p}_${channelNames(c)}", v))
+          }
+          c += 1
+        }
+
+      case "intensity" =>
+        var c = 0
+        while (c < channelNames.length) {
+          val rows = intensityViews(e, c)
+          var v = 0
+          while (v < 8) {
+            var p = 0
+            while (p < IntensityProps.length) {
+              out += ((s"${IntensityViews(v)}${IntensityProps(p)}_${channelNames(c)}", rows(v)(p)))
+              p += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+
+      case "texture" =>
+        var c = 0
+        while (c < channelNames.length) {
+          val cname = channelNames(c)
+          val mp = e.maskPlane(c)
+          val chRow: Array[Double] =
+            if (mp.exists(identity)) textureRow(e.plane(c), mp, h, w)
+            else Array.fill(texRowLen)(Double.NaN)
+          val cmRow = textureRow(e.plane(c), e.combinedMaskBool, h, w)
+          textureNames(cname, "").zip(chRow).foreach { case (n, v) => out += ((n, v)) }
+          textureNames(cname, "combined_").zip(cmRow).foreach { case (n, v) => out += ((n, v)) }
+          c += 1
+        }
+
+      case "regions" => // handled by caller
+      case other => throw new IllegalArgumentException(s"unknown family $other")
+    }
+    out.toSeq
+  }
+
+  /** mean-over-regions of the 59 regionprops (features/shape.py:115-123) */
+  private def shapeRow(mask: Array[Boolean], h: Int, w: Int): Array[Double] = {
+    val labels = Morphology.label(mask, h, w)
+    val n = Morphology.labelCount(labels)
+    if (n == 0) return new Array[Double](RegionProps.NumProps)
+    val acc = new Array[Double](RegionProps.NumProps)
+    var lbl = 1
+    while (lbl <= n) {
+      val m = new Array[Boolean](h * w)
+      var i = 0
+      while (i < m.length) { m(i) = labels(i) == lbl; i += 1 }
+      val row = RegionProps.compute(m, h, w)
+      i = 0
+      while (i < acc.length) { acc(i) += row(i); i += 1 }
+      lbl += 1
+    }
+    var i = 0
+    while (i < acc.length) { acc(i) /= n; i += 1 }
+    acc
+  }
+
+  /** the 8 intensity views of features/intensity.py:84-164 */
+  private def intensityViews(e: ImageEvent, c: Int): Array[Array[Double]] = {
+    val ps = e.planeSize
+    val out = Array.fill(8)(new Array[Double](IntensityProps.length))
+    val plane = e.plane(c)
+    val mp = e.maskPlane(c)
+    val cm = e.combinedMaskBool
+    val bg = if (e.background != null) e.background(c) else 0.0
+    val cbg = if (e.combinedBackground != null) e.combinedBackground(c) else 0.0
+
+    def select(m: Array[Boolean]): Array[Float] = {
+      var n = 0; var i = 0
+      while (i < ps) { if (m(i)) n += 1; i += 1 }
+      val v = new Array[Float](n)
+      var j = 0; i = 0
+      while (i < ps) { if (m(i)) { v(j) = plane(i); j += 1 }; i += 1 }
+      v
+    }
+    def minus(v: Array[Float], b: Double): Array[Float] =
+      v.map(x => (x - b).toFloat)
+
+    if (mp.exists(identity)) {
+      val mpx = select(mp)
+      out(0) = Stats.intensityRow(mpx)
+      out(1) = Stats.intensityRow(minus(mpx, bg))
+      val edge = Morphology.edgeBand(mp, e.height, e.width, 6)
+      if (edge.exists(identity)) {
+        val epx = select(edge)
+        out(2) = Stats.intensityRow(epx)
+        out(3) = Stats.intensityRow(minus(epx, bg))
+      } // else views 2..3 stay 0 (reference zeroes 2: before recomputing 4+)
+    } // else views 0..3 stay 0
+    val cpx = select(cm)
+    out(4) = Stats.intensityRow(cpx)
+    out(5) = Stats.intensityRow(minus(cpx, cbg))
+    val cedge = Morphology.edgeBand(cm, e.height, e.width, 6)
+    if (cedge.exists(identity)) {
+      val cepx = select(cedge)
+      out(6) = Stats.intensityRow(cepx)
+      out(7) = Stats.intensityRow(minus(cepx, cbg))
+    }
+    out
+  }
+
+  val texRowLen: Int = Glcm.Props.length * 2 * GlcmDistances.length + 4
+
+  private def textureNames(cname: String, prefix: String): Seq[String] =
+    Glcm.Props.flatMap(p =>
+      GlcmDistances.map(n => s"${prefix}glcm_mean_${p}_${n}_$cname") ++
+        GlcmDistances.map(n => s"${prefix}glcm_std_${p}_${n}_$cname")) ++
+      Seq(s"${prefix}sobel_mean_$cname", s"${prefix}sobel_std_$cname",
+        s"${prefix}sobel_max_$cname", s"${prefix}sobel_min_$cname")
+
+  /** GLCM + sobel stats over a masked view (features/texture.py:52-94):
+    * quantize valid pixels to 15 levels (16 with the min-edge level),
+    * invalid = -1 dropped pairwise; sobel stats over masked values */
+  private def textureRow(plane: Array[Float], mask: Array[Boolean],
+      h: Int, w: Int): Array[Double] = {
+    val out = new Array[Double](texRowLen)
+    // range over valid pixels
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var i = 0
+    while (i < plane.length) {
+      if (mask(i)) { val v = plane(i); if (v < mn) mn = v; if (v > mx) mx = v }
+      i += 1
+    }
+    val levels = TextureBins + 1
+    val q = new Array[Int](plane.length)
+    val step = if (mx > mn) (mx - mn) / TextureBins else 1.0
+    i = 0
+    while (i < plane.length) {
+      q(i) =
+        if (!mask(i)) -1
+        else if (mx == mn) 0
+        else {
+          // digitize right=True over 16 equal edges: level = #edges < x
+          val lv = math.ceil((plane(i) - mn) / step - 1e-9).toInt
+          if (lv < 0) 0 else if (lv > TextureBins) TextureBins else lv
+        }
+      i += 1
+    }
+    var k = 0
+    Glcm.Props.indices.foreach { p =>
+      val perDist = GlcmDistances.map(d => Glcm.meanStdOverAngles(q, h, w, levels, d)(p))
+      perDist.foreach { ms => out(k) = ms._1; k += 1 }
+      perDist.foreach { ms => out(k) = ms._2; k += 1 }
+    }
+    // sobel over the masked view: reference runs sobel on the
+    // NaN-holed image and takes nan-stats; we run sobel on the plane
+    // and aggregate over in-mask pixels (same role: edge energy of the
+    // region; documented deviation — NaN propagation has no JVM analog)
+    val s = Filters.sobel(plane, h, w)
+    var sSum = 0.0; var sN = 0L; var sMax = Double.MinValue; var sMin = Double.MaxValue
+    i = 0
+    while (i < s.length) {
+      if (mask(i)) {
+        sSum += s(i); sN += 1
+        if (s(i) > sMax) sMax = s(i)
+        if (s(i) < sMin) sMin = s(i)
+      }
+      i += 1
+    }
+    if (sN == 0) {
+      out(k) = Double.NaN; out(k + 1) = Double.NaN
+      out(k + 2) = Double.NaN; out(k + 3) = Double.NaN
+    } else {
+      val sMean = sSum / sN
+      var ss = 0.0
+      i = 0
+      while (i < s.length) {
+        if (mask(i)) { val d = s(i) - sMean; ss += d * d }
+        i += 1
+      }
+      out(k) = sMean
+      out(k + 1) = math.sqrt(ss / sN)
+      out(k + 2) = sMax
+      out(k + 3) = sMin
+    }
+    out
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.core.ImageEvent
+import graft.core.Codecs._
+import graft.kernels.Filters
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Retrospective illumination correction (Jones 2006 / Singh 2014) —
+  * reference A2 + J1 (illumination_correction/jones_2006.py:18-128):
+  * per-group mean image → median filter → divide every image by its
+  * group's correction image.
+  *
+  * The mean image is a typed `Aggregator` with an image-sized
+  * Array[Double] buffer (partial + final merge = elementwise sum, the
+  * exact `_binop`/`_combine` contract) running as ObjectHashAggregate;
+  * one shuffle of ngroups buffers. Same constraint as the reference:
+  * images within a group must share dimensions (`numpy.zeros_like`,
+  * jones_2006.py:20). The tiny keyed result is broadcast back (J1).
+  */
+object Illumination {
+
+  /** buffer = [count, c, h, w, sum...] */
+  final class MeanImageAgg extends Aggregator[ImageEvent, Array[Double], Array[Double]] {
+    def zero: Array[Double] = Array(0.0)
+    def reduce(b: Array[Double], e: ImageEvent): Array[Double] = {
+      if (!e.hasPixels) return b
+      val buf =
+        if (b.length == 1) {
+          val nb = new Array[Double](4 + e.pixels.length)
+          nb(0) = 0; nb(1) = e.channels; nb(2) = e.height; nb(3) = e.width
+          nb
+        } else b
+      require(buf.length == 4 + e.pixels.length,
+        "illumination correction requires equal image dims per group")
+      buf(0) += 1
+      var i = 0
+      while (i < e.pixels.length) { buf(4 + i) += e.pixels(i); i += 1 }
+      buf
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      if (a.length == 1) return b
+      if (b.length == 1) return a
+      a(0) += b(0)
+      var i = 1
+      while (i < a.length) {
+        if (i >= 4) a(i) += b(i)
+        i += 1
+      }
+      a
+    }
+    def finish(buf: Array[Double]): Array[Double] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** per-group correction image: mean → square-window median filter
+    * (size ~ reference median_filter_size, here a disk radius) →
+    * zeros→1 (`_finish`, jones_2006.py:38-55) */
+  def correctionImages(spark: SparkSession, ds: Dataset[ImageEvent],
+      medianRadius: Int = 5): Map[String, Array[Float]] = {
+    import spark.implicits._
+    // Aggregator via groupByKey.agg: partial aggregation per partition
+    // (ObjectHashAggregate), only ngroups image-sized buffers shuffle.
+    val sums = ds.filter(_.hasPixels)
+      .groupByKey(_.group)
+      .agg(new MeanImageAgg().toColumn)
+      .collect()
+    sums.map { case (g, buf) =>
+      val c = buf(1).toInt; val h = buf(2).toInt; val w = buf(3).toInt
+      val count = buf(0)
+      val corr = new Array[Float](c * h * w)
+      var ch = 0
+      while (ch < c) {
+        val plane = new Array[Float](h * w)
+        var i = 0
+        while (i < h * w) { plane(i) = (buf(4 + ch * h * w + i) / count).toFloat; i += 1 }
+        val filtered = Filters.medianDisk(plane, h, w, medianRadius)
+        i = 0
+        while (i < h * w) {
+          corr(ch * h * w + i) = if (filtered(i) == 0f) 1f else filtered(i)
+          i += 1
+        }
+        ch += 1
+      }
+      g -> corr
+    }.toMap
+  }
+
+  /** divide: pixels /= correction[group] (jones_2006.py:96-100) */
+  def correct(spark: SparkSession, ds: Dataset[ImageEvent],
+      medianRadius: Int = 5): Dataset[ImageEvent] = {
+    val cached = ds.cache()
+    val corr = correctionImages(spark, cached, medianRadius)
+    val bc = spark.sparkContext.broadcast(corr)
+    cached.map(ImageEvent.whenPixels { e =>
+      bc.value.get(e.group) match {
+        case None => e
+        case Some(mu) =>
+          val out = new Array[Float](e.pixels.length)
+          var i = 0
+          while (i < e.pixels.length) { out(i) = e.pixels(i) / mu(i); i += 1 }
+          e.copy(pixels = out)
+      }
+    })
+  }
+}

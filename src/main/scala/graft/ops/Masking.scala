@@ -1,0 +1,278 @@
+package graft.ops
+
+import graft.core.ImageEvent
+import graft.kernels._
+import org.apache.spark.sql.Dataset
+
+/** Masking stage: per-channel foreground masks + the shared
+  * border-scrub → bbox → apply chain (reference masking/__init__.py
+  * `mask()` flow :33-72 and C1-C8 kernels). All per-record kernels run
+  * inside typed `Dataset.map` — one narrow pass, no shuffle; the mask
+  * fan-out X2 is realized by calling [[Masking.apply]] once per branch
+  * on the same cached parent dataset.
+  */
+object Masking {
+
+  /** per-channel mask filters (compute_filters,
+    * masking/__init__.py:75-95): each filter narrows `maskFilter`; a
+    * failing main channel tombstones the record. */
+  sealed trait MaskFilter { def channelIndices: Seq[Int] }
+  final case class NormalTest(channelIndices: Seq[Int]) extends MaskFilter
+  final case class StdFilter(channelIndices: Seq[Int], threshold: Double) extends MaskFilter
+  final case class ValueRange(channelIndices: Seq[Int], threshold: Double) extends MaskFilter
+
+  def computeFilters(ds: Dataset[ImageEvent], filters: Seq[MaskFilter],
+      mainChannelIndex: Int): Dataset[ImageEvent] = {
+    import graft.core.Codecs._
+    ds.map(ImageEvent.whenPixels { e =>
+      val flags = Array.fill(e.channels)(true)
+      var tombstoned = false
+      filters.foreach { f =>
+        if (!tombstoned) f.channelIndices.foreach { c =>
+          val plane = e.plane(c)
+          val pass = f match {
+            case NormalTest(_) => Stats.normaltestP(plane) < 0.05
+            case StdFilter(_, t) => Stats.std(plane) > t
+            case ValueRange(_, t) =>
+              val (mn, mx) = Stats.minMax(plane); (mx - mn) > t
+          }
+          flags(c) = pass
+          if (c == mainChannelIndex && !pass) tombstoned = true
+        }
+      }
+      if (tombstoned) e.copy(maskFilter = flags, pixels = null)
+      else e.copy(maskFilter = flags)
+    })
+  }
+
+  // ---- mask methods (C1-C6) --------------------------------------------
+
+  sealed trait Method
+  case object Circle extends Method
+  case object Otsu extends Method
+  final case class Li(smooth: Seq[Double]) extends Method
+  final case class Spot(spotSize: Int) extends Method
+  final case class SobelQuantile(q: Double) extends Method
+  final case class WatershedMethod(smooth: Double) extends Method
+
+  /** one channel plane → (bool mask, region count) */
+  private[ops] def maskChannel(method: Method, x: Array[Float], h: Int, w: Int): (Array[Boolean], Int) =
+    method match {
+      case Circle =>
+        // centered disk, radius min(h,w)/3 (masking/circle.py:4-26)
+        val cy = h / 2; val cx = w / 2
+        val radius = math.min(w, h) / 3
+        val m = Array.tabulate(h * w) { i =>
+          val r = i / w; val c = i % w
+          math.sqrt((c - cx).toDouble * (c - cx) + (r - cy).toDouble * (r - cy)) <= radius
+        }
+        (m, 1)
+
+      case Otsu =>
+        // digitize(512) if bright; median(disk5); subtract; gaussian .5;
+        // sobel; rescale*max; median(disk5); otsu; holes(area/4);
+        // objects(20); label (masking/otsu.py:8-52)
+        val (_, mx) = Stats.minMax(x)
+        val base: Array[Float] =
+          if (mx > 512) Filters.quantize(x, 512).map(v => (v + 1).toFloat)
+          else x
+        val med = Filters.medianDisk(base, h, w, 5)
+        val sub = new Array[Float](h * w)
+        var i = 0
+        while (i < sub.length) { sub(i) = base(i) - med(i); i += 1 }
+        val smooth = Filters.gaussian(sub, h, w, 0.5)
+        val edges = Filters.sobel(smooth, h, w)
+        val (bmn, bmx) = Stats.minMax(base)
+        val resc = Filters.rescale01(edges).map(v => (v * bmx).toFloat)
+        val med2 = Filters.medianDisk(resc, h, w, 5)
+        val t = Thresholds.otsu(med2)
+        val bin = med2.map(_ > t)
+        finishBinary(bin, h, w, holeArea = h * w / 4, minSize = 20)
+
+      case Li(smoothPerChannel) =>
+        // gaussian σ; sobel; gaussian 2σ; li; cleanup (masking/li.py:25-53)
+        val sigma = smoothPerChannel.headOption.getOrElse(1.0)
+        liChannel(x, h, w, sigma)
+
+      case Spot(spotSize) =>
+        // white tophat disk(spotsize); > q99; label (masking/spot.py:23-49)
+        val th = Filters.whiteTophat(x, h, w, spotSize)
+        val sorted = th.clone(); java.util.Arrays.sort(sorted)
+        val q = Stats.percentile(sorted, 99)
+        val bin = th.map(_ > q)
+        val labels = Morphology.label(bin, h, w)
+        (bin, Morphology.labelCount(labels))
+
+      case SobelQuantile(q) =>
+        // sobel; closing(disk2); > quantile(q); post (masking/sobel.py:24-46)
+        val edges = Filters.sobel(x, h, w)
+        val closed = Filters.closeGray(edges, h, w, 2)
+        val sorted = closed.clone(); java.util.Arrays.sort(sorted)
+        val t = Stats.percentile(sorted, q * 100)
+        val bin = closed.map(_ > t)
+        finishBinary(bin, h, w, holeArea = 300, minSize = 20)
+
+      case WatershedMethod(sigma) =>
+        // sobel; closing; otsu±50% markers; watershed compactness 1
+        // (masking/watershed.py:26-61)
+        val sm = Filters.gaussian(x, h, w, sigma)
+        val edges = Filters.sobel(sm, h, w)
+        val closed = Filters.closeGray(edges, h, w, 2)
+        val t = Thresholds.otsu(x)
+        val markers = new Array[Int](h * w)
+        var i = 0
+        while (i < markers.length) {
+          if (x(i) < t * 0.5) markers(i) = 1
+          else if (x(i) > t * 1.5) markers(i) = 2
+          i += 1
+        }
+        val elev = new Array[Double](h * w)
+        i = 0
+        while (i < elev.length) { elev(i) = closed(i); i += 1 }
+        val ws = Watershed.watershed(elev, h, w, markers, null, compactness = 1.0)
+        val bin = ws.map(_ == 2)
+        finishBinary(bin, h, w, holeArea = 300, minSize = 20)
+    }
+
+  private def liChannel(x: Array[Float], h: Int, w: Int, sigma: Double): (Array[Boolean], Int) = {
+    val g1 = Filters.gaussian(x, h, w, sigma)
+    val edges = Filters.sobel(g1, h, w)
+    val g2 = Filters.gaussian(edges, h, w, sigma * 2)
+    val t = Thresholds.li(g2)
+    val bin = g2.map(t < _)
+    finishBinary(bin, h, w, holeArea = h * w / 4, minSize = 20)
+  }
+
+  private def finishBinary(bin: Array[Boolean], h: Int, w: Int,
+      holeArea: Int, minSize: Int): (Array[Boolean], Int) = {
+    val noHoles = Morphology.removeSmallHoles(bin, h, w, holeArea)
+    val big = Morphology.removeSmallObjects(noHoles, h, w, minSize)
+    val labels = Morphology.label(big, h, w)
+    (big, Morphology.labelCount(labels))
+  }
+
+  /** the mask-method stage: per channel where maskFilter allows,
+    * produce mask + regions; others stay empty (the C1-C5 pattern:
+    * `if el["mask_filter"][dim]`) */
+  def createMasks(ds: Dataset[ImageEvent], method: Method): Dataset[ImageEvent] = {
+    import graft.core.Codecs._
+    ds.map(ImageEvent.whenPixels { e =>
+      val ps = e.planeSize
+      val mask = new Array[Int](e.channels * ps)
+      val regions = new Array[Int](e.channels)
+      var c = 0
+      while (c < e.channels) {
+        val allowed = e.maskFilter == null || e.maskFilter(c)
+        if (allowed) {
+          val (m, cc) = maskChannel(method, e.plane(c), e.height, e.width)
+          var i = 0
+          while (i < ps) { if (m(i)) mask(c * ps + i) = 1; i += 1 }
+          regions(c) = cc
+        }
+        c += 1
+      }
+      e.copy(mask = mask, regions = regions)
+    })
+  }
+
+  /** border-region scrub (masking/__init__.py:132-180): per channel
+    * drop components with >25%-side border presence; zero surviving
+    * regions in the main channel → tombstone pixels AND mask. */
+  def removeBorderRegions(ds: Dataset[ImageEvent], mainChannelIndex: Int): Dataset[ImageEvent] = {
+    import graft.core.Codecs._
+    ds.map(ImageEvent.whenPixels { e =>
+      val ps = e.planeSize
+      val newMask = new Array[Int](e.channels * ps)
+      val regions = new Array[Int](e.channels)
+      var c = 0
+      while (c < e.channels) {
+        val plane = e.maskPlane(c)
+        if (plane.exists(identity)) {
+          val (scrubbed, n) = Morphology.scrubBorder(plane, e.height, e.width)
+          var i = 0
+          while (i < ps) { if (scrubbed(i)) newMask(c * ps + i) = 1; i += 1 }
+          regions(c) = n
+        }
+        c += 1
+      }
+      if (regions(mainChannelIndex) == 0)
+        e.copy(pixels = null, mask = null, regions = regions)
+      else e.copy(mask = newMask, regions = regions)
+    })
+  }
+
+  /** union bounding box over channel masks
+    * (masking/__init__.py:224-242) */
+  def boundingBox(ds: Dataset[ImageEvent]): Dataset[ImageEvent] = {
+    import graft.core.Codecs._
+    ds.map(ImageEvent.whenPixels { e =>
+      var minR = e.height; var minC = e.width; var maxR = 0; var maxC = 0
+      var any = false
+      val ps = e.planeSize
+      var c = 0
+      while (c < e.channels) {
+        var i = 0
+        while (i < ps) {
+          if (e.mask(c * ps + i) > 0) {
+            val r = i / e.width; val col = i % e.width
+            any = true
+            if (r < minR) minR = r
+            if (col < minC) minC = col
+            if (r + 1 > maxR) maxR = r + 1
+            if (col + 1 > maxC) maxC = col + 1
+          }
+          i += 1
+        }
+        c += 1
+      }
+      if (!any) e // no mask anywhere: keep sentinel bbox
+      else e.copy(bboxMinr = minR, bboxMinc = minC, bboxMaxr = maxR, bboxMaxc = maxC)
+    })
+  }
+
+  /** apply the mask: combined (union) mask over `combinedIndices`,
+    * per-channel mean background outside each channel mask and outside
+    * the combined mask (masking/__init__.py:183-221) */
+  def applyMask(ds: Dataset[ImageEvent], combinedIndices: Seq[Int] = null): Dataset[ImageEvent] = {
+    import graft.core.Codecs._
+    ds.map(ImageEvent.whenPixels { e =>
+      val ps = e.planeSize
+      val idxs = if (combinedIndices == null) 0 until e.channels else combinedIndices
+      val combined = new Array[Int](ps)
+      var i = 0
+      while (i < ps) {
+        var any = false
+        idxs.foreach(c => if (e.mask(c * ps + i) > 0) any = true)
+        if (any) combined(i) = 1
+        i += 1
+      }
+      val bg = new Array[Double](e.channels)
+      val cbg = new Array[Double](e.channels)
+      var c = 0
+      while (c < e.channels) {
+        var sumOut = 0.0; var nOut = 0L
+        var sumCOut = 0.0; var nCOut = 0L
+        i = 0
+        while (i < ps) {
+          val v = e.pixels(c * ps + i)
+          if (e.mask(c * ps + i) == 0) { sumOut += v; nOut += 1 }
+          if (combined(i) == 0) { sumCOut += v; nCOut += 1 }
+          i += 1
+        }
+        bg(c) = if (nOut == 0) 0.0 else sumOut / nOut
+        cbg(c) = if (nCOut == 0) 0.0 else sumCOut / nCOut
+        c += 1
+      }
+      e.copy(combinedMask = combined, background = bg, combinedBackground = cbg)
+    })
+  }
+
+  /** full per-branch chain of the reference `mask()` fan-out
+    * (masking/__init__.py:33-72): method → border scrub → bbox → apply */
+  def branch(ds: Dataset[ImageEvent], method: Method, mainChannelIndex: Int,
+      combinedIndices: Seq[Int] = null): Dataset[ImageEvent] =
+    applyMask(
+      boundingBox(
+        removeBorderRegions(createMasks(ds, method), mainChannelIndex)),
+      combinedIndices)
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.core.ImageEvent
+import graft.core.Codecs._
+import org.apache.spark.sql.Dataset
+
+/** Z-projection — reference P1 (projection/op.py:25-45): reduce a
+  * (C, Z, H, W) stack to (C, H, W) by max or mean over Z. Events
+  * carry the stack flattened with depth recorded in
+  * `meta("depth")`; after projection the meta key is dropped.
+  */
+object Projection {
+
+  def projectStack(px: Array[Float], channels: Int, depth: Int,
+      h: Int, w: Int, op: String): Array[Float] = {
+    val ps = h * w
+    val out = new Array[Float](channels * ps)
+    var c = 0
+    while (c < channels) {
+      var i = 0
+      while (i < ps) {
+        var acc = if (op == "max") Float.MinValue else 0f
+        var z = 0
+        while (z < depth) {
+          val v = px((c * depth + z) * ps + i)
+          if (op == "max") { if (v > acc) acc = v } else acc += v
+          z += 1
+        }
+        out(c * ps + i) = if (op == "max") acc else acc / depth
+        i += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  def apply(ds: Dataset[ImageEvent], op: String): Dataset[ImageEvent] =
+    ds.map(ImageEvent.whenPixels { e =>
+      val depth = e.meta.get("depth").map(_.toInt).getOrElse(1)
+      if (depth <= 1) e
+      else e.copy(
+        pixels = projectStack(e.pixels, e.channels, depth, e.height, e.width, op),
+        meta = e.meta - "depth")
+    })
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import graft.core.{ImageEvent, Synthetic}
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The pipeline driver — the Spark re-expression of the reference's
+  * `main()` fold (main.py:143-275):
+  *
+  * {{{
+  * source → repartition → [project] → [illumination-correct]
+  *   → [segment] → [sample/limit] → N mask branches, per branch:
+  *     [filters] → method → border-scrub → bbox → apply
+  *     → [population filter] → [normalize] → features
+  *   → join branches on the event UID → coalesce → export
+  * }}}
+  *
+  * Branch concat: the reference concatenates branch feature tables
+  * column-wise relying on identical partitioning (main.py:260-268, J3).
+  * Here every branch's feature table carries the stable event UID
+  * (path, idx, id) and branches are equi-joined on it — order-safe by
+  * construction; with one branch no join happens at all.
+  */
+final case class MaskBranchConfig(
+    name: String,
+    method: Masking.Method,
+    exportPrefix: Option[String] = None)
+
+final case class PipelineConfig(
+    channelNames: Seq[String],
+    mainChannelIndex: Int = 0,
+    combinedIndices: Seq[Int] = null,
+    projectOp: Option[String] = None,
+    illuminationCorrection: Boolean = false,
+    illuminationMedianRadius: Int = 5,
+    segment: Option[Segmentation.Segmenter] = None,
+    segmentParentChannel: Int = 0,
+    sampleK: Option[Int] = None,
+    maskFilters: Seq[Masking.MaskFilter] = Seq.empty,
+    branches: Seq[MaskBranchConfig],
+    populationFilter: Boolean = false,
+    normalize: Boolean = false,
+    featureTypes: Seq[String] = Seq("regions", "bbox", "shape", "intensity", "texture"),
+    nPartitions: Int = 0)
+
+object Pipeline {
+
+  /** run the full pipeline on a source dataset → wide feature table */
+  def run(spark: SparkSession, source: Dataset[ImageEvent],
+      cfg: PipelineConfig): DataFrame = {
+    var ds = if (cfg.nPartitions > 0) source.repartition(cfg.nPartitions) else source
+
+    cfg.projectOp.foreach(op => ds = Projection(ds, op))
+    if (cfg.illuminationCorrection)
+      ds = Illumination.correct(spark, ds, cfg.illuminationMedianRadius)
+    cfg.segment.foreach { seg =>
+      ds = Segmentation.segment(ds, seg, cfg.segmentParentChannel)
+      ds = Segmentation.toEvents(ds, cfg.segmentParentChannel)
+    }
+    cfg.sampleK.foreach(k => ds = Sampling.sampleExact(ds, k))
+
+    if (cfg.maskFilters.nonEmpty)
+      ds = Masking.computeFilters(ds, cfg.maskFilters, cfg.mainChannelIndex)
+
+    // mask fan-out X2: one cached parent, one pass per branch
+    val parent = if (cfg.branches.length > 1) ds.cache() else ds
+    val branchTables = cfg.branches.map { b =>
+      var branch = Masking.branch(parent, b.method, cfg.mainChannelIndex, cfg.combinedIndices)
+      if (cfg.populationFilter) branch = PopulationFilter(spark, branch)
+      if (cfg.normalize) branch = Normalization.normalize(spark, branch)
+      val prefix = if (cfg.branches.length > 1) b.name else b.exportPrefix.orNull
+      Features.extract(branch, cfg.channelNames, cfg.featureTypes, prefix)
+    }
+
+    // J3 replacement: equi-join on the stable UID
+    branchTables.reduceLeft { (a, b) =>
+      val keys = Seq("meta_path", "meta_idx", "meta_group", "meta_id")
+      a.join(b.drop("meta_group"), // group is branch-invariant; keep one copy
+        a("meta_path") === b("meta_path") && a("meta_idx") === b("meta_idx") &&
+          a("meta_id") === b("meta_id"))
+        .drop(b("meta_path")).drop(b("meta_idx")).drop(b("meta_id"))
+    }
+  }
+
+  /** the reference's own e2e shape (test/data/scip_zarr.yml): synthetic
+    * events through two identical circle branches + li + spot, full
+    * feature set — used by the e2e spec and the flagship entry. */
+  def referenceShape(spark: SparkSession, nEvents: Int = 10): DataFrame = {
+    val cfg = PipelineConfig(
+      channelNames = Seq("ch0", "ch1", "ch2"),
+      mainChannelIndex = 0,
+      branches = Seq(
+        MaskBranchConfig("circle-1", Masking.Circle),
+        MaskBranchConfig("circle-2", Masking.Circle),
+        MaskBranchConfig("li", Masking.Li(Seq(0.75, 0.75, 0.75))),
+        MaskBranchConfig("spot", Masking.Spot(5))),
+      normalize = false,
+      featureTypes = Seq("regions", "bbox", "shape", "intensity", "texture"))
+    run(spark, Synthetic.conftest(spark, nEvents), cfg)
+  }
+}
