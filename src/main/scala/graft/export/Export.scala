@@ -1,0 +1,92 @@
+package graft.export
+
+import graft.core.ImageEvent
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Sinks — reference K1-K6 (SURVEY.md §2.1).
+  *
+  * K1 (parquet) is the built-in writer; K2 (AnnData .h5ad) is
+  * deliberately deferred: HDF5 writing has no JVM-stdlib path and the
+  * reference ships it as a per-partition side write — the parquet
+  * feature table carries identical content (export/anndata.py:12-60
+  * splits the same columns by the meta_/feat_ prefix).
+  */
+object Export {
+
+  /** K1: feature table → parquet (export/parquet.py:6-31) */
+  def parquet(df: DataFrame, path: String, coalesce: Int = 0): Unit = {
+    val out = if (coalesce > 0) df.coalesce(coalesce) else df
+    out.write.mode("overwrite").parquet(path)
+  }
+
+  /** K3: per-group per-channel min/max quantiles → one small CSV
+    * written on the driver (main.py:49-60 — the only collect() in the
+    * pipeline, ngroups×C rows by construction) */
+  def quantilesCsv(minmax: Map[(String, Int), (Double, Double)], path: String): Unit = {
+    val sb = new StringBuilder("group,channel,min,max\n")
+    minmax.toSeq.sortBy { case ((g, c), _) => (g, c) }.foreach {
+      case ((g, c), (lo, hi)) => sb.append(s"$g,$c,$lo,$hi\n")
+    }
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** K4: side-effect export of labeled masks as .npy, one file per
+    * event named by group/idx (segmentation/__init__.py:56-67) —
+    * a pass-through side write inside mapPartitions. */
+  def npyMasks(ds: Dataset[ImageEvent], dir: String): Dataset[ImageEvent] = {
+    import graft.core.Codecs._
+    Files.createDirectories(Paths.get(dir))
+    ds.mapPartitions { events =>
+      events.map { e =>
+        if (e.hasMask) {
+          val name = s"${e.group}_${e.idx}_${e.id}.npy"
+          writeNpyInt(Paths.get(dir, name).toString, e.mask,
+            Seq(e.channels, e.height, e.width))
+        }
+        e
+      }
+    }
+  }
+
+  /** minimal .npy v1.0 writer (int32, C order) */
+  private[export] def writeNpyInt(path: String, data: Array[Int], shape: Seq[Int]): Unit = {
+    val headerBody =
+      s"{'descr': '<i4', 'fortran_order': False, 'shape': (${shape.mkString(", ")}), }"
+    // pad header so that magic(6)+ver(2)+len(2)+header is a multiple of 64
+    val unpadded = 10 + headerBody.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val header = headerBody + " " * pad + "\n"
+    val bb = java.nio.ByteBuffer.allocate(10 + header.length + data.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x93.toByte).put("NUMPY".getBytes(StandardCharsets.US_ASCII))
+    bb.put(1.toByte).put(0.toByte)
+    bb.putShort(header.length.toShort)
+    bb.put(header.getBytes(StandardCharsets.US_ASCII))
+    data.foreach(bb.putInt)
+    Files.write(Paths.get(path), bb.array())
+  }
+
+  /** K5: persist per-group correction images as a small keyed parquet
+    * (jones_2006.py:102-107,122-128 pickle → parquet here); reload
+    * with [[loadCorrectionImages]] for the `precomputed` path. */
+  def saveCorrectionImages(spark: SparkSession,
+      images: Map[String, Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    images.toSeq.toDF("group", "correction").write.mode("overwrite").parquet(path)
+  }
+
+  def loadCorrectionImages(spark: SparkSession, path: String): Map[String, Array[Float]] =
+    spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+
+  /** K6: timing JSON `{**args, runtime}` (main.py:338,370-376) */
+  def timingJson(path: String, args: Map[String, String], runtimeSec: Double): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val fields = args.map { case (k, v) => s"${q(k)}: ${q(v)}" } ++
+      Seq(s""""runtime": $runtimeSec""")
+    Files.write(Paths.get(path),
+      fields.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))
+  }
+}

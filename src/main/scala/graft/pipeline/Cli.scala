@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import graft.core.Synthetic
+import graft.export.Export
+import graft.ops._
+import graft.sources.{Tiff, Zarr}
+import org.apache.spark.sql.SparkSession
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Paths}
+
+/** CLI batch entry point — the reference's `scip OUTPUT CONFIG
+  * PATHS...` (main.py:292-376) with a JSON config (the YAML surface
+  * re-expressed; Jackson ships with Spark).
+  *
+  * Config shape (all stages optional except load/mask):
+  * {{{
+  * { "load": {"format": "synthetic|tiff|multiframe_tiff|zarr",
+  *            "paths": [...], "regex": "...", "channels": ["0","1"],
+  *            "channel_names": ["ch0","ch1"], "n": 100},
+  *   "project": {"op": "max"},
+  *   "illumination_correction": {"median_radius": 5},
+  *   "segment": {"method": "watershed_dapi", "cell_diameter": 10, "parent_channel": 0},
+  *   "sample": {"k": 50},
+  *   "filter": {"population": true},
+  *   "mask": [{"name": "li", "method": "li", "smooth": [0.75]},
+  *            {"name": "spot", "method": "spot", "spotsize": 5}],
+  *   "mask_filters": [{"method": "std", "channels": [0], "threshold": 1.0}],
+  *   "normalization": {"quantile": true},
+  *   "feature_extraction": {"types": ["regions","bbox","shape","intensity","texture"]},
+  *   "export": {"format": "parquet", "coalesce": 1, "quantiles_csv": true} }
+  * }}}
+  *
+  * Usage: `runMain graft.pipeline.Cli OUTPUT_DIR CONFIG.json`
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Cli OUTPUT_DIR CONFIG.json [timing.json]")
+    val Array(outputDir, configPath) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    try {
+      run(spark, outputDir, configPath)
+      val runtime = (System.nanoTime() - t0) / 1e9
+      if (args.length > 2)
+        Export.timingJson(args(2),
+          Map("output" -> outputDir, "config" -> configPath), runtime)
+      println(f"Full runtime $runtime%.2f s")
+    } finally spark.stop()
+  }
+
+  def run(spark: SparkSession, outputDir: String, configPath: String): Unit = {
+    val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(configPath)))
+    val cfg = parseConfig(root)
+    val source = loadSource(spark, root.get("load"))
+    val table = Pipeline.run(spark, source, cfg)
+    Files.createDirectories(Paths.get(outputDir))
+
+    val exportNode = Option(root.get("export"))
+    val coalesce = exportNode.flatMap(e => Option(e.get("coalesce"))).map(_.asInt()).getOrElse(0)
+    Export.parquet(table, s"$outputDir/features.parquet", coalesce)
+
+    if (exportNode.flatMap(e => Option(e.get("quantiles_csv"))).exists(_.asBoolean())) {
+      // K3: quantiles of the post-mask stream (main.py:49-60,240)
+      val mm = Normalization.groupMinMax(spark, source)
+      Export.quantilesCsv(mm, s"$outputDir/quantiles.csv")
+    }
+  }
+
+  private def strings(n: JsonNode): Seq[String] =
+    (0 until n.size()).map(n.get(_).asText())
+  private def ints(n: JsonNode): Seq[Int] =
+    (0 until n.size()).map(n.get(_).asInt())
+  private def doubles(n: JsonNode): Seq[Double] =
+    (0 until n.size()).map(n.get(_).asDouble())
+
+  def loadSource(spark: SparkSession, load: JsonNode) = {
+    require(load != null, "config needs a load stage")
+    load.get("format").asText() match {
+      case "synthetic" =>
+        val n = Option(load.get("n")).map(_.asInt()).getOrElse(10)
+        Option(load.get("kind")).map(_.asText()) match {
+          case Some("cells") => Synthetic.cells(spark, n,
+            channels = Option(load.get("channels")).map(_.asInt()).getOrElse(2))
+          case _ => Synthetic.conftest(spark, n)
+        }
+      case "tiff" =>
+        val meta = Tiff.loadMeta(spark, strings(load.get("paths")), load.get("regex").asText())
+        Tiff.loadPixels(meta, strings(load.get("channels")))
+      case "multiframe_tiff" =>
+        strings(load.get("paths"))
+          .map(Tiff.loadMultiframeDirectory(spark, _))
+          .reduceLeft(_ unionByName _).as(graft.core.Codecs.imageEventEncoder)
+      case "zarr" =>
+        val regex = Option(load.get("regex")).map(_.asText()).orNull
+        strings(load.get("paths"))
+          .map(Zarr.metaFromDirectory(spark, _, regex))
+          .reduceLeft(_ unionByName _) match { case meta =>
+            Zarr.loadPixels(meta,
+              Option(load.get("channels")).map(ints).orNull)
+          }
+      case other => throw new IllegalArgumentException(s"unknown load format: $other")
+    }
+  }
+
+  def parseConfig(root: JsonNode): PipelineConfig = {
+    val load = root.get("load")
+    val channelNames = Option(load.get("channel_names")).map(strings)
+      .getOrElse(Option(load.get("channels")).map(strings).getOrElse(Seq("ch0", "ch1", "ch2")))
+
+    val maskNode = root.get("mask")
+    require(maskNode != null && maskNode.size() > 0, "config needs >= 1 mask branch")
+    val branches = (0 until maskNode.size()).map { i =>
+      val b = maskNode.get(i)
+      val method = b.get("method").asText() match {
+        case "circle" => Masking.Circle
+        case "threshold" | "otsu" => Masking.Otsu
+        case "li" => Masking.Li(Option(b.get("smooth")).map(doubles).getOrElse(Seq(1.0)))
+        case "spot" => Masking.Spot(Option(b.get("spotsize")).map(_.asInt()).getOrElse(5))
+        case "sobel" => Masking.SobelQuantile(Option(b.get("quantile")).map(_.asDouble()).getOrElse(0.9))
+        case "watershed" => Masking.WatershedMethod(Option(b.get("smooth")).map(_.asDouble()).getOrElse(1.0))
+        case m => throw new IllegalArgumentException(s"unknown mask method: $m")
+      }
+      MaskBranchConfig(Option(b.get("name")).map(_.asText()).getOrElse(b.get("method").asText()), method)
+    }
+
+    val maskFilters = Option(root.get("mask_filters")).toSeq.flatMap { mf =>
+      (0 until mf.size()).map { i =>
+        val f = mf.get(i)
+        val chs = ints(f.get("channels"))
+        f.get("method").asText() match {
+          case "normaltest" => Masking.NormalTest(chs)
+          case "std" => Masking.StdFilter(chs, f.get("threshold").asDouble())
+          case "value_range" => Masking.ValueRange(chs, f.get("threshold").asDouble())
+          case m => throw new IllegalArgumentException(s"unknown mask filter: $m")
+        }
+      }
+    }
+
+    PipelineConfig(
+      channelNames = channelNames,
+      mainChannelIndex = Option(root.get("main_channel_index")).map(_.asInt()).getOrElse(0),
+      projectOp = Option(root.get("project")).flatMap(p => Option(p.get("op"))).map(_.asText()),
+      illuminationCorrection = root.has("illumination_correction") &&
+        !root.get("illumination_correction").isNull,
+      illuminationMedianRadius = Option(root.get("illumination_correction"))
+        .filterNot(_.isNull).flatMap(n => Option(n.get("median_radius")))
+        .map(_.asInt()).getOrElse(5),
+      segment = Option(root.get("segment")).filterNot(_.isNull).map { s =>
+        s.get("method").asText() match {
+          case "watershed_dapi" => Segmentation.WatershedDapi(
+            Option(s.get("cell_diameter")).map(_.asInt()).getOrElse(10))
+          case m => throw new IllegalArgumentException(s"unknown segmenter: $m")
+        }
+      },
+      segmentParentChannel = Option(root.get("segment")).filterNot(_.isNull)
+        .flatMap(s => Option(s.get("parent_channel"))).map(_.asInt()).getOrElse(0),
+      sampleK = Option(root.get("sample")).filterNot(_.isNull)
+        .flatMap(s => Option(s.get("k"))).map(_.asInt()),
+      maskNpyDir = Option(root.get("segment")).filterNot(_.isNull)
+        .flatMap(s => Option(s.get("export_masks"))).map(_.asText()),
+      maskFilters = maskFilters,
+      branches = branches,
+      populationFilter = Option(root.get("filter")).filterNot(_.isNull)
+        .flatMap(f => Option(f.get("population"))).exists(_.asBoolean()),
+      normalize = Option(root.get("normalization")).filterNot(_.isNull)
+        .flatMap(n => Option(n.get("quantile"))).exists(_.asBoolean()),
+      featureTypes = Option(root.get("feature_extraction")).filterNot(_.isNull)
+        .flatMap(f => Option(f.get("types"))).map(strings)
+        .getOrElse(Seq("regions", "bbox", "shape", "intensity", "texture")))
+  }
+}

@@ -37,6 +37,7 @@ final case class PipelineConfig(
     segment: Option[Segmentation.Segmenter] = None,
     segmentParentChannel: Int = 0,
     sampleK: Option[Int] = None,
+    maskNpyDir: Option[String] = None,
     maskFilters: Seq[Masking.MaskFilter] = Seq.empty,
     branches: Seq[MaskBranchConfig],
     populationFilter: Boolean = false,
@@ -56,6 +57,8 @@ object Pipeline {
       ds = Illumination.correct(spark, ds, cfg.illuminationMedianRadius)
     cfg.segment.foreach { seg =>
       ds = Segmentation.segment(ds, seg, cfg.segmentParentChannel)
+      // K4: side-effect export of the labeled FOV masks
+      cfg.maskNpyDir.foreach(dir => ds = graft.export.Export.npyMasks(ds, dir))
       ds = Segmentation.toEvents(ds, cfg.segmentParentChannel)
     }
     cfg.sampleK.foreach(k => ds = Sampling.sampleExact(ds, k))

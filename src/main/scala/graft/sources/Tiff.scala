@@ -1,0 +1,163 @@
+package graft.sources
+
+import graft.core.{Codecs, ImageEvent}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import javax.imageio.ImageIO
+import scala.jdk.CollectionConverters._
+
+/** TIFF sources — reference S2/S3 (loading/tiff.py:126-170) and S4
+  * (loading/multiframe_tiff.py:27-78). Decoding uses the JDK 9+
+  * built-in javax.imageio TIFF plugin inside `mapPartitions` — one
+  * decode task per partition of file paths, so scan parallelism comes
+  * from the path list, not driver memory.
+  *
+  * The metadata scan mirrors the reference exactly: glob `*.tif*`,
+  * regex named groups, pivot id×channel→path, drop events missing any
+  * channel file (F3), remaining meta joined per id.
+  */
+object Tiff {
+
+  /** named groups of a Java regex (the loader-meta schema synthesis,
+    * S9: loading/zarr.py:73-82) */
+  def namedGroups(regex: String): Seq[String] =
+    "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r.findAllMatchIn(regex).map(_.group(1)).toSeq
+
+  /** S2: directory scan → one row per event id with one path column
+    * per channel plus regex-extracted meta columns. Listing happens on
+    * the driver (same as the reference's glob); the returned DataFrame
+    * is immediately repartitionable for scan parallelism. */
+  def metaFromDirectory(spark: SparkSession, dir: String, regex: String): DataFrame = {
+    import spark.implicits._
+    val groups = namedGroups(regex)
+    require(groups.contains("id") && groups.contains("channel"),
+      "tiff scan regex needs (?<id>...) and (?<channel>...) groups")
+    val pattern = regex.r
+    val files = listFiles(Paths.get(dir), ".tif")
+    val rows = files.flatMap { p =>
+      pattern.findFirstMatchIn(p.toString).map { m =>
+        (p.toString, groups.map(g => g -> m.group(g)).toMap)
+      }
+    }
+    val df = rows.map { case (path, g) =>
+      (path, g("id"), g("channel"), g - "id" - "channel")
+    }.toDF("path", "id", "channel", "meta")
+    val channels = df.select("channel").distinct().collect().map(_.getString(0)).sorted
+    val pivoted = df.groupBy("id")
+      .pivot("channel", channels)
+      .agg(first("path"))
+    val meta = df.groupBy("id").agg(first("meta").as("meta"))
+    pivoted
+      .na.drop(channels) // F3: drop events with missing channel files
+      .join(meta, "id")
+  }
+
+  private[sources] def listFiles(dir: Path, ext: String): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(_.getFileName.toString.contains(ext)).toSeq.sortBy(_.toString)
+    finally s.close()
+  }
+
+  /** decode one grayscale TIFF page to float32 */
+  private[sources] def decodePlane(path: String): (Array[Float], Int, Int) = {
+    val img = ImageIO.read(new java.io.File(path))
+    require(img != null, s"not a decodable image: $path")
+    val h = img.getHeight; val w = img.getWidth
+    val out = new Array[Float](h * w)
+    val raster = img.getRaster
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { out(r * w + c) = raster.getSampleFloat(c, r, 0); c += 1 }
+      r += 1
+    }
+    (out, h, w)
+  }
+
+  /** S3: one file per channel, stacked to (C,H,W) float32
+    * (loading/tiff.py:161-170) */
+  def loadPixels(meta: DataFrame, channels: Seq[String]): Dataset[ImageEvent] = {
+    import Codecs._
+    val chIdx = channels.zipWithIndex.toMap
+    val fields = meta.schema.fieldNames
+    val idIdx = fields.indexOf("id")
+    val metaIdx = fields.indexOf("meta")
+    val chFieldIdx = channels.map(c => fields.indexOf(c))
+    meta.mapPartitions { rows =>
+      rows.map { row =>
+        val planes = chFieldIdx.map(i => decodePlane(row.getString(i)))
+        val (h, w) = (planes.head._2, planes.head._3)
+        require(planes.forall(p => p._2 == h && p._3 == w),
+          "channel files must share dimensions")
+        val px = new Array[Float](channels.length * h * w)
+        planes.zipWithIndex.foreach { case ((p, _, _), c) =>
+          System.arraycopy(p, 0, px, c * h * w, h * w)
+        }
+        val metaMap = row.getMap[String, String](metaIdx).toMap
+        ImageEvent.fromPixels(
+          path = row.getString(chFieldIdx.head),
+          idx = row.getString(idIdx).hashCode.toLong & 0xffffffffL,
+          group = metaMap.getOrElse("group", "all"),
+          meta = metaMap + ("id" -> row.getString(idIdx)),
+          channels = channels.length, height = h, width = w, pixels = px)
+      }
+    }
+  }
+
+  /** S4: multiframe TIFF — every page is a channel
+    * (loading/multiframe_tiff.py:27-50); group = parent directory name */
+  def loadMultiframeDirectory(spark: SparkSession, dir: String,
+      channels: Seq[Int] = null): Dataset[ImageEvent] = {
+    import spark.implicits._
+    import Codecs._
+    val files = listFiles(Paths.get(dir), ".tif").map(_.toString)
+    spark.createDataset(files).mapPartitions { paths =>
+      paths.map { p =>
+        val (px, c, h, w) = decodeMultiframe(p, channels)
+        ImageEvent.fromPixels(
+          path = p, idx = p.hashCode.toLong & 0xffffffffL,
+          group = Paths.get(p).getParent.getFileName.toString,
+          meta = Map.empty, channels = c, height = h, width = w, pixels = px)
+      }
+    }
+  }
+
+  private[sources] def decodeMultiframe(path: String,
+      channels: Seq[Int]): (Array[Float], Int, Int, Int) = {
+    val in = ImageIO.createImageInputStream(new java.io.File(path))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      require(readers.hasNext, s"no reader for $path")
+      val reader = readers.next()
+      reader.setInput(in)
+      val n = reader.getNumImages(true)
+      val wanted = if (channels == null) 0 until n else channels
+      val planes = wanted.map { i =>
+        val img = reader.read(i)
+        val h = img.getHeight; val w = img.getWidth
+        val out = new Array[Float](h * w)
+        val raster = img.getRaster
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) { out(r * w + c) = raster.getSampleFloat(c, r, 0); c += 1 }
+          r += 1
+        }
+        (out, h, w)
+      }
+      reader.dispose()
+      val (h, w) = (planes.head._2, planes.head._3)
+      val px = new Array[Float](planes.length * h * w)
+      planes.zipWithIndex.foreach { case ((p, _, _), c) =>
+        System.arraycopy(p, 0, px, c * h * w, h * w)
+      }
+      (px, planes.length, h, w)
+    } finally in.close()
+  }
+
+  /** S1: union of per-path sources (loading/__init__.py:29-44) */
+  def loadMeta(spark: SparkSession, dirs: Seq[String], regex: String): DataFrame =
+    dirs.map(metaFromDirectory(spark, _, regex)).reduceLeft(_ unionByName _)
+}
