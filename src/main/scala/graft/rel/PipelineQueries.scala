@@ -29,6 +29,23 @@ object PipelineQueries {
         .orderBy("meta_idx", "meta_id")
     },
 
+    // The streaming module's windowed aggregate, run in its batch form
+    // over the static events table — the identical plan Structured
+    // Streaming executes incrementally (graft.streaming.Streaming;
+    // stream==batch equality is asserted in StreamingSpec).
+    Q("p04_windowed_counts",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:00') AS window_start,
+        | event_type, count(*) AS n,
+        | sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.date_format
+      graft.streaming.Streaming.windowedTypeCounts(Tables.events(s, d))
+        .withColumn("window_start",
+          date_format(org.apache.spark.sql.functions.col("window_start"),
+            "yyyy-MM-dd HH:00"))
+        .orderBy("window_start", "event_type")
+    },
+
     // Full stage stack: illumination correction + masking + population
     // filter + normalization over the scalable synthetic source.
     Q.noOracle("p03_full_stack") { (s, _) =>

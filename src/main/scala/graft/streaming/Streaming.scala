@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming extension over the `events` stream schema
+  * (event_id, user_id, ts, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.1 "not present"); this
+  * module is the engine's streaming surface: the same transforms
+  * declared once and runnable on either a static DataFrame or a
+  * `readStream` source — Catalyst plans the incremental version with
+  * watermark-based state eviction. Stateful per-key logic uses
+  * `flatMapGroupsWithState`, the Spark-native analogue of a custom
+  * stateful operator.
+  */
+object Streaming {
+
+  /** event-time tumbling-window aggregate with a watermark — the
+    * streaming form of rel.RelQueries q21_time_bucket. On a static
+    * frame the watermark is a no-op and results equal the batch
+    * query (asserted in StreamingSpec). */
+  def windowedTypeCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // ---- stateful: per-user running statistics ----------------------------
+
+  case class EventRow(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+  case class UserState(n: Long, sum: Double, max: Double)
+  case class UserUpdate(user_id: Long, n: Long, sum: Double, max: Double)
+
+  /** per-user running stats via flatMapGroupsWithState: the custom
+    * keyed-state pattern (mapGroupsWithState family). Emits one update
+    * row per key per micro-batch. */
+  def runningUserStats(events: Dataset[EventRow]): Dataset[UserUpdate] = {
+    implicit val stateEnc = Encoders.product[UserState]
+    implicit val outEnc = Encoders.product[UserUpdate]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue))
+          var touched = false
+          rows.foreach { r =>
+            s = UserState(s.n + 1, s.sum + r.value, math.max(s.max, r.value))
+            touched = true
+          }
+          if (touched) {
+            state.update(s)
+            Iterator.single(UserUpdate(user, s.n, s.sum, s.max))
+          } else Iterator.empty
+      }
+  }
+
+  /** event-time sessionization: a user's events group into sessions
+    * closed after `gapMs` of event-time silence, enforced by the
+    * watermark (EventTimeTimeout) — the canonical
+    * flatMapGroupsWithState pattern. The caller must put a watermark
+    * on `ts` before grouping (done here). */
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, start: Long, end: Long, n: Long, closed: Boolean)
+
+  def sessionize(events: Dataset[EventRow], gapMs: Long,
+      watermark: String = "10 seconds"): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.product[EventRow]
+    events
+      .withWatermark("ts", watermark)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.end, s.n, closed = true))
+          } else {
+            val times = rows.map(_.ts.getTime).toSeq
+            if (times.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption
+              val s = prev match {
+                case Some(p) => SessionState(math.min(p.start, times.min),
+                  math.max(p.end, times.max), p.n + times.size)
+                case None => SessionState(times.min, times.max, times.size.toLong)
+              }
+              state.update(s)
+              // close when the watermark passes the session end + gap
+              state.setTimeoutTimestamp(s.end + gapMs)
+              Iterator.single(SessionOut(user, s.start, s.end, s.n, closed = false))
+            }
+          }
+      }
+  }
+}

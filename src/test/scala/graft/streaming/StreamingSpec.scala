@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.rel.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  import Streaming._
+
+  test("windowed agg on a stream equals the batch plan on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batch = Tables.events(spark, sfDir).limit(500).cache()
+    val rows = batch.select("event_id", "user_id", "ts", "event_type", "value")
+      .as[EventRow].collect()
+
+    val stream = MemoryStream[EventRow]
+    stream.addData(rows.toSeq)
+    val q = windowedTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_counts")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batched = windowedTypeCounts(batch).collect().map(_.toSeq).toSet
+    assert(streamed == batched)
+    assert(streamed.nonEmpty)
+  }
+
+  test("running user stats accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, user: Long, t: Long, v: Double) =
+      EventRow(id, user, new Timestamp(t), "click", v)
+
+    val stream = MemoryStream[EventRow]
+    val q = runningUserStats(stream.toDS())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 10, 1000, 2.0), ev(2, 10, 2000, 3.0), ev(3, 20, 1000, 7.0))
+      q.processAllAvailable()
+      stream.addData(ev(4, 10, 3000, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("user_stats").as[UserUpdate].collect()
+    // batch 1: user 10 -> n=2 sum=5; user 20 -> n=1 sum=7
+    // batch 2: user 10 -> n=3 sum=10 (state carried over)
+    val u10 = out.filter(_.user_id == 10).sortBy(_.n)
+    assert(u10.map(u => (u.n, u.sum)).toSeq == Seq((2L, 5.0), (3L, 10.0)))
+    assert(out.filter(_.user_id == 20).map(u => (u.n, u.sum)).toSeq == Seq((1L, 7.0)))
+    assert(u10.last.max == 5.0)
+  }
+
+  test("sessionize: sessions extend within the gap and close when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, user: Long, t: Long) =
+      EventRow(id, user, new Timestamp(t), "click", 1.0)
+
+    val stream = MemoryStream[EventRow]
+    val q = sessionize(stream.toDS(), gapMs = 60000, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 1, 1000), ev(2, 1, 5000))
+      q.processAllAvailable()
+      stream.addData(ev(3, 1, 9000)) // within the gap: same session
+      q.processAllAvailable()
+      // advance event time far past end+gap+watermark -> user 1 closes
+      stream.addData(ev(4, 2, 200000))
+      q.processAllAvailable()
+      stream.addData(ev(5, 2, 210000)) // one more batch to fire the timeout
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("sessions").as[SessionOut].collect()
+    val u1 = out.filter(_.user_id == 1).sortBy(_.n)
+    assert(u1.map(s => (s.n, s.start, s.end, s.closed)).toSeq ==
+      Seq((2L, 1000L, 5000L, false), (3L, 1000L, 9000L, false),
+        (3L, 1000L, 9000L, true))) // closed by event-time timeout
+    assert(out.filter(_.user_id == 2).forall(!_.closed))
+  }
+}
