@@ -266,9 +266,13 @@ object Dedup {
     // SimHash near-dup (rows-only; spec-verified against d03).
     Q.noOracle("d05_simhash") { (s, d) => simhashNearDup(s, d, 3) },
 
-    // Embedding-cosine near-dup: exact pair join at a threshold. Both
-    // sides accumulate the dot product sequentially in double, so values
-    // are bit-identical — no rounding needed for the threshold.
+    // Embedding-cosine near-dup: exact all-pairs at a threshold — the
+    // ground-truth variant (the LSH paths d04/s02 are the scale path).
+    // Executed as a broadcast block-compute: norms precomputed once per
+    // vector (sequential double accumulation = the oracle's
+    // list_sum order, bit-identical), corpus broadcast sorted by id,
+    // each partition scans its rows against higher ids in a compiled
+    // loop — no per-pair array allocation, no catalyst lambda overhead.
     Q("d06_embedding_neardup",
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         | round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -282,12 +286,44 @@ object Dedup {
         |   / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
         |      * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.4
         |ORDER BY va, vb""".stripMargin) { (s, d) =>
+      import s.implicits._
       val e = Tables.embeddings(s, d)
-      val cosExpr = Similarity.cosine(col("a.embedding"), col("b.embedding"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          cosExpr.as("c"))
-        .filter(col("c") >= 0.4)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      // corpus + norms broadcast once (the exact variant is quadratic
+      // by definition; at larger n the broadcast side becomes the
+      // blocked dimension of a tiled cross join)
+      val corpus = e.collect().sortBy(_._1)
+      val norms = corpus.map { case (_, v) =>
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(ss)
+      }
+      val bc = s.sparkContext.broadcast((corpus, norms))
+      val threshold = 0.4
+      e.mapPartitions { rows =>
+        val (corp, ns) = bc.value
+        val ids = corp.map(_._1)
+        rows.flatMap { case (ida, va) =>
+          var na = 0.0
+          var i = 0
+          while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
+          val normA = math.sqrt(na)
+          val start = java.util.Arrays.binarySearch(ids, ida + 1) match {
+            case neg if neg < 0 => -neg - 1
+            case pos => pos
+          }
+          (start until corp.length).iterator.flatMap { j =>
+            val vb = corp(j)._2
+            var dot = 0.0
+            var k = 0
+            while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+            val c = dot / (normA * ns(j))
+            if (c >= threshold) Iterator.single((ida, corp(j)._1, c))
+            else Iterator.empty
+          }
+        }
+      }.toDF("va", "vb", "c")
         .select(col("va"), col("vb"), round(col("c"), 6).as("cos"))
         .orderBy("va", "vb")
     }
