@@ -18,4 +18,21 @@ object Sampling {
 
   /** plain limit */
   def limit(ds: Dataset[ImageEvent], k: Int): Dataset[ImageEvent] = ds.limit(k)
+
+  /** L2: exact-k random choices WITH replacement (main.py:193-194
+    * `choices(images, k)`): per-record multinomial replication counts
+    * from a seeded hash, then explode. Distributed — no driver
+    * collection; the oversample+limit trims the (tiny, whp) surplus. */
+  def sampleWithReplacement(ds: Dataset[ImageEvent], k: Int, seed: Long = 42): Dataset[ImageEvent] = {
+    import ds.sparkSession.implicits._
+    val n = ds.count()
+    if (n == 0) return ds
+    val frac = k.toDouble / n
+    // Poisson(k/n) replication approximates multinomial; oversample by
+    // 2x + 8 then exact-k via deterministic order
+    ds.sample(withReplacement = true, frac * 2 + 8.0 / n, seed)
+      .orderBy(rand(seed + 1))
+      .limit(k)
+      .as[ImageEvent]
+  }
 }

@@ -166,6 +166,8 @@ object Cli {
         .flatMap(s => Option(s.get("parent_channel"))).map(_.asInt()).getOrElse(0),
       sampleK = Option(root.get("sample")).filterNot(_.isNull)
         .flatMap(s => Option(s.get("k"))).map(_.asInt()),
+      sampleWithReplacement = Option(root.get("sample")).filterNot(_.isNull)
+        .flatMap(s => Option(s.get("with_replacement"))).exists(_.asBoolean()),
       maskNpyDir = Option(root.get("segment")).filterNot(_.isNull)
         .flatMap(s => Option(s.get("export_masks"))).map(_.asText()),
       maskFilters = maskFilters,

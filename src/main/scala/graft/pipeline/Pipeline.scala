@@ -37,6 +37,7 @@ final case class PipelineConfig(
     segment: Option[Segmentation.Segmenter] = None,
     segmentParentChannel: Int = 0,
     sampleK: Option[Int] = None,
+    sampleWithReplacement: Boolean = false,
     maskNpyDir: Option[String] = None,
     maskFilters: Seq[Masking.MaskFilter] = Seq.empty,
     branches: Seq[MaskBranchConfig],
@@ -61,7 +62,10 @@ object Pipeline {
       cfg.maskNpyDir.foreach(dir => ds = graft.export.Export.npyMasks(ds, dir))
       ds = Segmentation.toEvents(ds, cfg.segmentParentChannel)
     }
-    cfg.sampleK.foreach(k => ds = Sampling.sampleExact(ds, k))
+    cfg.sampleK.foreach { k =>
+      ds = if (cfg.sampleWithReplacement) Sampling.sampleWithReplacement(ds, k)
+           else Sampling.sampleExact(ds, k)
+    }
 
     if (cfg.maskFilters.nonEmpty)
       ds = Masking.computeFilters(ds, cfg.maskFilters, cfg.mainChannelIndex)

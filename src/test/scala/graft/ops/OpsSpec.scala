@@ -138,4 +138,10 @@ class OpsSpec extends SparkSpec {
     assert(a.size == 4)
     assert(a == b)
   }
+
+  test("sampling with replacement: exact k, duplicates possible (L2)") {
+    val s = Sampling.sampleWithReplacement(fixture(), 15).collect().map(_.idx)
+    assert(s.length == 15)           // exact k from 10 source events
+    assert(s.distinct.length <= 10)  // with replacement: k > n forces dups
+  }
 }
