@@ -21,15 +21,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential double dot product via higher-order functions (codegen'd
-    * Catalyst expressions — no UDF in the hot path). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential double dot product / norm via the engine's native
+    * codegen expressions (graft.functions) — a tight primitive loop
+    * inside whole-stage codegen, bit-identical accumulation order to
+    * the previous zip_with/aggregate lambda form and to the oracle. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.floatDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = graft.functions.VectorFunctions.floatNorm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("float_dot / float_norm match the lambda-form computation bit for bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f))).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.floatDot(col("a"), col("b")).as("d"),
+      VectorFunctions.floatNorm(col("a")).as("n"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _).as("dRef"),
+      sqrt(aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), _ + _)).as("nRef")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2)) // bit-identical
+      assert(r.getDouble(1) == r.getDouble(3))
+    }
+    assert(rows(0).getDouble(0) == 32.0)
+  }
+
+  test("null and length-mismatch handling") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f))),
+      (None: Option[Array[Float]], Some(Array(1.0f)))).toDF("a", "b")
+    val out = df.select(VectorFunctions.floatDot(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 3.0) // min-length loop
+    assert(out(1).isNullAt(0))         // null propagates
+  }
+
+  test("SQL registration via GraftExtensions, codegen plan") {
+    // the shared SparkSpec session is built withExtensions(GraftExtensions)
+    import spark.implicits._
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val df = spark.sql("SELECT float_dot(a, b) AS d, float_norm(a) AS n FROM vecs")
+    val r = df.head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(5.0)) < 1e-12)
+    // on a file-backed plan (not constant-folded to LocalTableScan) the
+    // expression stays inside a whole-stage-codegen span
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb")
+    val filePlan = spark.sql("SELECT float_norm(embedding) FROM emb")
+      .queryExecution.executedPlan.toString
+    assert(filePlan.contains("*(1)"), filePlan)
+  }
+}
