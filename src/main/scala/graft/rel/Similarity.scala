@@ -128,6 +128,84 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---- IVF (inverted file index via k-means coarse quantizer) -----------
+
+  /** deterministic Lloyd k-means on the driver over a corpus sample —
+    * the coarse quantizer training step (at 100 TB this trains on a
+    * bounded sample exactly the same way; FAISS IVF does likewise). */
+  private[rel] def kmeansCentroids(vecs: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val n = vecs.length
+    val dim = vecs(0).length
+    // deterministic spread init: every (n/k)-th vector
+    var centroids = Array.tabulate(k)(i => vecs((i.toLong * n / k).toInt)
+      .map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dd = 0.0; var j = 0
+          while (j < dim) { val d = v(j) - centroids(c)(j); dd += d * d; j += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+      it += 1
+    }
+    centroids
+  }
+
+  private[rel] def nearestCells(v: Seq[Float], centroids: Array[Array[Double]],
+      nProbe: Int): Seq[Int] =
+    centroids.indices
+      .map { c =>
+        var dd = 0.0; var j = 0
+        while (j < v.length) { val d = v(j) - centroids(c)(j); dd += d * d; j += 1 }
+        (c, dd)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+
+  /** ANN top-k via IVF: corpus partitioned into nList k-means cells
+    * (ONE assignment pass, shuffle key = cell); queries probe their
+    * nProbe nearest cells. Unlike LSH there is no index replication —
+    * each corpus vector lives in exactly one cell; recall comes from
+    * multi-probing. Recall vs brute asserted in SimilaritySpec. */
+  def knnIvf(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    // train the coarse quantizer on a bounded sample
+    val sample = e.select(col("embedding")).limit(4096)
+      .as[Array[Float]].collect()
+    val centroids = kmeansCentroids(sample, nList, iters = 8)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) => nearestCells(v, bc.value, 1).head }
+    val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, bc.value, nProbe) }
+    val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      assignUdf(col("embedding")).as("cell"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_brute",
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -144,9 +222,10 @@ object Similarity {
       knnBrute(s, d, nQueries = 5, k = 10)
     },
 
-    // ANN path — engine-specific hashing, rows-only check; recall vs
-    // brute force asserted in SimilaritySpec.
+    // ANN paths — engine-specific hashing/clustering, rows-only check;
+    // recall vs brute force asserted in SimilaritySpec.
     Q.noOracle("s02_knn_lsh") { (s, d) => knnLsh(s, d, nQueries = 5, k = 10) },
+    Q.noOracle("s04_knn_ivf") { (s, d) => knnIvf(s, d, nQueries = 5, k = 10) },
 
     // Vector norms / normalization as a plain columnar transform.
     Q("s03_vector_norm",

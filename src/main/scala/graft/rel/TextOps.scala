@@ -115,6 +115,25 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // BPE-style pre-tokenization: the GPT-2 pre-tokenizer regex family
+    // (contraction suffixes | letter runs | digit runs | punctuation
+    // runs, with leading-space affinity) — the token-count statistic
+    // LLM-data pipelines budget by. Same regex evaluated by both
+    // engines (RE2-compatible subset: no lookahead).
+    Q("t06_bpe_tokens",
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+        | len(list_distinct(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS n_distinct_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_tokens"),
+          size(array_distinct(regexp_extract_all(col("text"), lit(pat), lit(0))))
+            .as("n_distinct_bpe"))
+        .orderBy("doc_id")
+    },
+
     // Per-language corpus profile: group the quality stats (cheap
     // map-side-combinable aggregate over the per-row transforms).
     Q("t05_lang_profile",

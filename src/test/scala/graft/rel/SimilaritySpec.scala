@@ -25,6 +25,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("IVF ANN recall@10 vs brute force is >= 0.5") {
+    val brute = topk(Similarity.knnBrute(spark, sfDir, nQueries = 5, k = 10))
+    val ivf = topk(Similarity.knnIvf(spark, sfDir, nQueries = 5, k = 10))
+    val recalls = brute.map { case (q, bs) =>
+      val is = ivf.getOrElse(q, Seq.empty).toSet
+      bs.count(is.contains).toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean IVF recall@10 = $mean")
+  }
+
+  test("kmeans quantizer is deterministic and balanced-ish") {
+    val vecs = Array.tabulate(256)(i =>
+      Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    val c1 = Similarity.kmeansCentroids(vecs, 4, 8)
+    val c2 = Similarity.kmeansCentroids(vecs, 4, 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val cells = vecs.map(v => Similarity.nearestCells(v.toSeq, c1, 1).head)
+    assert(cells.distinct.length > 1)
+  }
+
   test("LSH bucket function is deterministic and tables differ") {
     val v = Array.tabulate(64)(i => (i * 0.1f) - 3.2f).toSeq
     assert(Similarity.lshBucket(0, v) == Similarity.lshBucket(0, v))
