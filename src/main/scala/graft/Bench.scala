@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-footer init otherwise lands
+    // on whichever query runs first (~5s of noise)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => }
     // deterministic order; caches are per-query scoped — clear between
     // queries so one query's persisted subplans can't poison the next
     // (shared local JVM heap)

@@ -94,6 +94,29 @@ object Features {
     seen.toSeq
   }
 
+  /** the per-record feature cells in `names` order (shared by the
+    * per-branch extract and the fused single-pass pipeline) */
+  def featureCells(e: ImageEvent, channelNames: Seq[String],
+      typesArr: Array[String], names: Seq[String],
+      nameIdx: Map[String, Int]): Array[Any] = {
+    val feats = new Array[Any](names.length)
+    // regions always available (survives tombstoning)
+    if (typesArr.contains("regions")) {
+      var c = 0
+      while (c < channelNames.length) {
+        val v: Any =
+          if (e.regions != null && c < e.regions.length) e.regions(c).toDouble else null
+        feats(nameIdx(s"regions_${channelNames(c)}")) = v
+        c += 1
+      }
+    }
+    if (e.hasPixels) {
+      val vals = computeFeatures(e, channelNames, typesArr)
+      vals.foreach { case (n, v) => feats(nameIdx(n)) = v }
+    }
+    feats
+  }
+
   /** extract features for one branch → DataFrame with the declared
     * schema */
   def extract(ds: Dataset[ImageEvent], channelNames: Seq[String],
@@ -102,25 +125,10 @@ object Features {
     val names = featureNames(channelNames, types)
     val nameIdx = names.zipWithIndex.toMap
     val typesArr = types.toArray
-    val nCh = channelNames.length
     val enc = org.apache.spark.sql.Encoders.row(sch)
     ds.map({ e =>
-      val feats = new Array[Any](names.length)
-      // regions always available (survives tombstoning)
-      if (typesArr.contains("regions")) {
-        var c = 0
-        while (c < nCh) {
-          val v: Any =
-            if (e.regions != null && c < e.regions.length) e.regions(c).toDouble else null
-          feats(nameIdx(s"regions_${channelNames(c)}")) = v
-          c += 1
-        }
-      }
-      if (e.hasPixels) {
-        val vals = computeFeatures(e, channelNames, typesArr)
-        vals.foreach { case (n, v) => feats(nameIdx(n)) = v }
-      }
-      Row.fromSeq(Seq[Any](e.path, e.idx, e.group, e.id) ++ feats)
+      Row.fromSeq(Seq[Any](e.path, e.idx, e.group, e.id) ++
+        featureCells(e, channelNames, typesArr, names, nameIdx))
     })(enc)
   }
 

@@ -94,8 +94,20 @@ object Illumination {
       medianRadius: Int = 5): Dataset[ImageEvent] = {
     val cached = ds.cache()
     val corr = correctionImages(spark, cached, medianRadius)
+    divide(spark, cached, corr)
+  }
+
+  /** correct with precomputed images (the reference's `precomputed`
+    * pickle path, jones_2006.py:102-107 — here a keyed parquet via
+    * graft.export.Export.saveCorrectionImages/loadCorrectionImages) */
+  def correctPrecomputed(spark: SparkSession, ds: Dataset[ImageEvent],
+      path: String): Dataset[ImageEvent] =
+    divide(spark, ds, graft.export.Export.loadCorrectionImages(spark, path))
+
+  private def divide(spark: SparkSession, ds: Dataset[ImageEvent],
+      corr: Map[String, Array[Float]]): Dataset[ImageEvent] = {
     val bc = spark.sparkContext.broadcast(corr)
-    cached.map(ImageEvent.whenPixels { e =>
+    ds.map(ImageEvent.whenPixels { e =>
       bc.value.get(e.group) match {
         case None => e
         case Some(mu) =>

@@ -21,28 +21,33 @@ object Masking {
   final case class StdFilter(channelIndices: Seq[Int], threshold: Double) extends MaskFilter
   final case class ValueRange(channelIndices: Seq[Int], threshold: Double) extends MaskFilter
 
+  /** per-record form of compute_filters (used by both the Dataset op
+    * and the fused single-pass pipeline) */
+  def filtersRecord(filters: Seq[MaskFilter], mainChannelIndex: Int)(
+      e: ImageEvent): ImageEvent = {
+    val flags = Array.fill(e.channels)(true)
+    var tombstoned = false
+    filters.foreach { f =>
+      if (!tombstoned) f.channelIndices.foreach { c =>
+        val plane = e.plane(c)
+        val pass = f match {
+          case NormalTest(_) => Stats.normaltestP(plane) < 0.05
+          case StdFilter(_, t) => Stats.std(plane) > t
+          case ValueRange(_, t) =>
+            val (mn, mx) = Stats.minMax(plane); (mx - mn) > t
+        }
+        flags(c) = pass
+        if (c == mainChannelIndex && !pass) tombstoned = true
+      }
+    }
+    if (tombstoned) e.copy(maskFilter = flags, pixels = null)
+    else e.copy(maskFilter = flags)
+  }
+
   def computeFilters(ds: Dataset[ImageEvent], filters: Seq[MaskFilter],
       mainChannelIndex: Int): Dataset[ImageEvent] = {
     import graft.core.Codecs._
-    ds.map(ImageEvent.whenPixels { e =>
-      val flags = Array.fill(e.channels)(true)
-      var tombstoned = false
-      filters.foreach { f =>
-        if (!tombstoned) f.channelIndices.foreach { c =>
-          val plane = e.plane(c)
-          val pass = f match {
-            case NormalTest(_) => Stats.normaltestP(plane) < 0.05
-            case StdFilter(_, t) => Stats.std(plane) > t
-            case ValueRange(_, t) =>
-              val (mn, mx) = Stats.minMax(plane); (mx - mn) > t
-          }
-          flags(c) = pass
-          if (c == mainChannelIndex && !pass) tombstoned = true
-        }
-      }
-      if (tombstoned) e.copy(maskFilter = flags, pixels = null)
-      else e.copy(maskFilter = flags)
-    })
+    ds.map(ImageEvent.whenPixels(filtersRecord(filters, mainChannelIndex)))
   }
 
   // ---- mask methods (C1-C6) --------------------------------------------
@@ -154,58 +159,61 @@ object Masking {
   /** the mask-method stage: per channel where maskFilter allows,
     * produce mask + regions; others stay empty (the C1-C5 pattern:
     * `if el["mask_filter"][dim]`) */
+  def masksRecord(method: Method)(e: ImageEvent): ImageEvent = {
+    val ps = e.planeSize
+    val mask = new Array[Int](e.channels * ps)
+    val regions = new Array[Int](e.channels)
+    var c = 0
+    while (c < e.channels) {
+      val allowed = e.maskFilter == null || e.maskFilter(c)
+      if (allowed) {
+        val (m, cc) = maskChannel(method, e.plane(c), e.height, e.width)
+        var i = 0
+        while (i < ps) { if (m(i)) mask(c * ps + i) = 1; i += 1 }
+        regions(c) = cc
+      }
+      c += 1
+    }
+    e.copy(mask = mask, regions = regions)
+  }
+
   def createMasks(ds: Dataset[ImageEvent], method: Method): Dataset[ImageEvent] = {
     import graft.core.Codecs._
-    ds.map(ImageEvent.whenPixels { e =>
-      val ps = e.planeSize
-      val mask = new Array[Int](e.channels * ps)
-      val regions = new Array[Int](e.channels)
-      var c = 0
-      while (c < e.channels) {
-        val allowed = e.maskFilter == null || e.maskFilter(c)
-        if (allowed) {
-          val (m, cc) = maskChannel(method, e.plane(c), e.height, e.width)
-          var i = 0
-          while (i < ps) { if (m(i)) mask(c * ps + i) = 1; i += 1 }
-          regions(c) = cc
-        }
-        c += 1
-      }
-      e.copy(mask = mask, regions = regions)
-    })
+    ds.map(ImageEvent.whenPixels(masksRecord(method)))
   }
 
   /** border-region scrub (masking/__init__.py:132-180): per channel
     * drop components with >25%-side border presence; zero surviving
     * regions in the main channel → tombstone pixels AND mask. */
+  def scrubRecord(mainChannelIndex: Int)(e: ImageEvent): ImageEvent = {
+    val ps = e.planeSize
+    val newMask = new Array[Int](e.channels * ps)
+    val regions = new Array[Int](e.channels)
+    var c = 0
+    while (c < e.channels) {
+      val plane = e.maskPlane(c)
+      if (plane.exists(identity)) {
+        val (scrubbed, n) = Morphology.scrubBorder(plane, e.height, e.width)
+        var i = 0
+        while (i < ps) { if (scrubbed(i)) newMask(c * ps + i) = 1; i += 1 }
+        regions(c) = n
+      }
+      c += 1
+    }
+    if (regions(mainChannelIndex) == 0)
+      e.copy(pixels = null, mask = null, regions = regions)
+    else e.copy(mask = newMask, regions = regions)
+  }
+
   def removeBorderRegions(ds: Dataset[ImageEvent], mainChannelIndex: Int): Dataset[ImageEvent] = {
     import graft.core.Codecs._
-    ds.map(ImageEvent.whenPixels { e =>
-      val ps = e.planeSize
-      val newMask = new Array[Int](e.channels * ps)
-      val regions = new Array[Int](e.channels)
-      var c = 0
-      while (c < e.channels) {
-        val plane = e.maskPlane(c)
-        if (plane.exists(identity)) {
-          val (scrubbed, n) = Morphology.scrubBorder(plane, e.height, e.width)
-          var i = 0
-          while (i < ps) { if (scrubbed(i)) newMask(c * ps + i) = 1; i += 1 }
-          regions(c) = n
-        }
-        c += 1
-      }
-      if (regions(mainChannelIndex) == 0)
-        e.copy(pixels = null, mask = null, regions = regions)
-      else e.copy(mask = newMask, regions = regions)
-    })
+    ds.map(ImageEvent.whenPixels(scrubRecord(mainChannelIndex)))
   }
 
   /** union bounding box over channel masks
     * (masking/__init__.py:224-242) */
-  def boundingBox(ds: Dataset[ImageEvent]): Dataset[ImageEvent] = {
-    import graft.core.Codecs._
-    ds.map(ImageEvent.whenPixels { e =>
+  def bboxRecord(e: ImageEvent): ImageEvent = {
+    {
       var minR = e.height; var minC = e.width; var maxR = 0; var maxC = 0
       var any = false
       val ps = e.planeSize
@@ -227,15 +235,19 @@ object Masking {
       }
       if (!any) e // no mask anywhere: keep sentinel bbox
       else e.copy(bboxMinr = minR, bboxMinc = minC, bboxMaxr = maxR, bboxMaxc = maxC)
-    })
+    }
+  }
+
+  def boundingBox(ds: Dataset[ImageEvent]): Dataset[ImageEvent] = {
+    import graft.core.Codecs._
+    ds.map(ImageEvent.whenPixels(bboxRecord))
   }
 
   /** apply the mask: combined (union) mask over `combinedIndices`,
     * per-channel mean background outside each channel mask and outside
     * the combined mask (masking/__init__.py:183-221) */
-  def applyMask(ds: Dataset[ImageEvent], combinedIndices: Seq[Int] = null): Dataset[ImageEvent] = {
-    import graft.core.Codecs._
-    ds.map(ImageEvent.whenPixels { e =>
+  def applyRecord(combinedIndices: Seq[Int])(e: ImageEvent): ImageEvent = {
+    {
       val ps = e.planeSize
       val idxs = if (combinedIndices == null) 0 until e.channels else combinedIndices
       val combined = new Array[Int](ps)
@@ -264,7 +276,23 @@ object Masking {
         c += 1
       }
       e.copy(combinedMask = combined, background = bg, combinedBackground = cbg)
-    })
+    }
+  }
+
+  def applyMask(ds: Dataset[ImageEvent], combinedIndices: Seq[Int] = null): Dataset[ImageEvent] = {
+    import graft.core.Codecs._
+    ds.map(ImageEvent.whenPixels(applyRecord(combinedIndices)))
+  }
+
+  /** the whole per-branch chain as one per-record function (the fused
+    * single-pass path of Pipeline.run) */
+  def branchRecord(method: Method, mainChannelIndex: Int,
+      combinedIndices: Seq[Int])(e0: ImageEvent): ImageEvent = {
+    if (!e0.hasPixels) return e0
+    val e1 = masksRecord(method)(e0)
+    val e2 = scrubRecord(mainChannelIndex)(e1)
+    if (!e2.hasPixels) return e2
+    applyRecord(combinedIndices)(bboxRecord(e2))
   }
 
   /** full per-branch chain of the reference `mask()` fan-out

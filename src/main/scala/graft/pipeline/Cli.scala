@@ -155,6 +155,9 @@ object Cli {
       illuminationMedianRadius = Option(root.get("illumination_correction"))
         .filterNot(_.isNull).flatMap(n => Option(n.get("median_radius")))
         .map(_.asInt()).getOrElse(5),
+      illuminationPrecomputed = Option(root.get("illumination_correction"))
+        .filterNot(_.isNull).flatMap(n => Option(n.get("precomputed")))
+        .map(_.asText()),
       segment = Option(root.get("segment")).filterNot(_.isNull).map { s =>
         s.get("method").asText() match {
           case "watershed_dapi" => Segmentation.WatershedDapi(

@@ -34,6 +34,7 @@ final case class PipelineConfig(
     projectOp: Option[String] = None,
     illuminationCorrection: Boolean = false,
     illuminationMedianRadius: Int = 5,
+    illuminationPrecomputed: Option[String] = None,
     segment: Option[Segmentation.Segmenter] = None,
     segmentParentChannel: Int = 0,
     sampleK: Option[Int] = None,
@@ -54,8 +55,12 @@ object Pipeline {
     var ds = if (cfg.nPartitions > 0) source.repartition(cfg.nPartitions) else source
 
     cfg.projectOp.foreach(op => ds = Projection(ds, op))
-    if (cfg.illuminationCorrection)
-      ds = Illumination.correct(spark, ds, cfg.illuminationMedianRadius)
+    cfg.illuminationPrecomputed match {
+      case Some(path) => ds = Illumination.correctPrecomputed(spark, ds, path)
+      case None if cfg.illuminationCorrection =>
+        ds = Illumination.correct(spark, ds, cfg.illuminationMedianRadius)
+      case None =>
+    }
     cfg.segment.foreach { seg =>
       ds = Segmentation.segment(ds, seg, cfg.segmentParentChannel)
       // K4: side-effect export of the labeled FOV masks
@@ -70,24 +75,63 @@ object Pipeline {
     if (cfg.maskFilters.nonEmpty)
       ds = Masking.computeFilters(ds, cfg.maskFilters, cfg.mainChannelIndex)
 
-    // mask fan-out X2: one cached parent, one pass per branch
-    val parent = if (cfg.branches.length > 1) ds.cache() else ds
-    val branchTables = cfg.branches.map { b =>
-      var branch = Masking.branch(parent, b.method, cfg.mainChannelIndex, cfg.combinedIndices)
-      if (cfg.populationFilter) branch = PopulationFilter(spark, branch)
-      if (cfg.normalize) branch = Normalization.normalize(spark, branch)
-      val prefix = if (cfg.branches.length > 1) b.name else b.exportPrefix.orNull
-      Features.extract(branch, cfg.channelNames, cfg.featureTypes, prefix)
+    // mask fan-out X2. When every branch stage is per-record (no
+    // population filter / normalization aggregates), ALL branches fuse
+    // into ONE map pass producing the full wide row — no joins, no
+    // repeated parent passes, and column-aligned concat is correct by
+    // construction (SURVEY.md J3: the preferred replacement for the
+    // reference's row-order-dependent axis-1 concat).
+    if (!cfg.populationFilter && !cfg.normalize) fusedBranches(ds, cfg)
+    else {
+      // aggregate-bearing branches: per-branch plans from one cached
+      // parent, joined on the stable event UID
+      val parent = if (cfg.branches.length > 1) ds.cache() else ds
+      val branchTables = cfg.branches.map { b =>
+        var branch = Masking.branch(parent, b.method, cfg.mainChannelIndex, cfg.combinedIndices)
+        if (cfg.populationFilter) branch = PopulationFilter(spark, branch)
+        if (cfg.normalize) branch = Normalization.normalize(spark, branch)
+        val prefix = if (cfg.branches.length > 1) b.name else b.exportPrefix.orNull
+        Features.extract(branch, cfg.channelNames, cfg.featureTypes, prefix)
+      }
+      branchTables.reduceLeft { (a, b) =>
+        a.join(b.drop("meta_group"), // group is branch-invariant; keep one copy
+          a("meta_path") === b("meta_path") && a("meta_idx") === b("meta_idx") &&
+            a("meta_id") === b("meta_id"))
+          .drop(b("meta_path")).drop(b("meta_idx")).drop(b("meta_id"))
+      }
     }
+  }
 
-    // J3 replacement: equi-join on the stable UID
-    branchTables.reduceLeft { (a, b) =>
-      val keys = Seq("meta_path", "meta_idx", "meta_group", "meta_id")
-      a.join(b.drop("meta_group"), // group is branch-invariant; keep one copy
-        a("meta_path") === b("meta_path") && a("meta_idx") === b("meta_idx") &&
-          a("meta_id") === b("meta_id"))
-        .drop(b("meta_path")).drop(b("meta_idx")).drop(b("meta_id"))
+  /** all branches in one per-record pass → one wide Row */
+  private def fusedBranches(ds: org.apache.spark.sql.Dataset[ImageEvent],
+      cfg: PipelineConfig): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val names = Features.featureNames(cfg.channelNames, cfg.featureTypes)
+    val nameIdx = names.zipWithIndex.toMap
+    val typesArr = cfg.featureTypes.toArray
+    val prefixes = cfg.branches.map(b =>
+      if (cfg.branches.length > 1) b.name else b.exportPrefix.orNull)
+    val metaFields = Features.schema(cfg.channelNames, cfg.featureTypes, null)
+      .fields.take(4)
+    val featFields = prefixes.flatMap { p =>
+      names.map(n => org.apache.spark.sql.types.StructField(
+        Features.renamed(n, p, isLoaderMeta = false),
+        org.apache.spark.sql.types.DoubleType))
     }
+    val sch = StructType(metaFields ++ featFields)
+    val enc = org.apache.spark.sql.Encoders.row(sch)
+    val branches = cfg.branches
+    val mainCh = cfg.mainChannelIndex
+    val combined = cfg.combinedIndices
+    val channelNames = cfg.channelNames
+    ds.map({ e =>
+      val cells = branches.iterator.flatMap { b =>
+        val be = Masking.branchRecord(b.method, mainCh, combined)(e)
+        Features.featureCells(be, channelNames, typesArr, names, nameIdx)
+      }.toArray
+      org.apache.spark.sql.Row.fromSeq(
+        Seq[Any](e.path, e.idx, e.group, e.id) ++ cells)
+    })(enc)
   }
 
   /** the reference's own e2e shape (test/data/scip_zarr.yml): synthetic

@@ -43,7 +43,10 @@ object Dedup {
   private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
+    // self-join on the shingle value: both sides are the full shingle
+    // table — pin shuffle-hash so the near-threshold size estimate
+    // never picks a broadcast of it
+    val common = sh.as("a").hint("shuffle_hash")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -154,11 +157,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // verify candidates with exact jaccard on their shingle sets
+    // verify candidates with exact jaccard on their shingle sets.
+    // Candidates are the small side by construction (only colliding
+    // pairs) — broadcast them explicitly so Spark never tries to
+    // broadcast the big shingle table (its size estimate sits near the
+    // 10MB threshold and flips the build side run to run).
     val sh = shingles(docs)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = candidates
-      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+    val common = sh.as("sa")
+      .join(broadcast(candidates), col("da") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("db") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy("da", "db").agg(count(lit(1)).as("common"))

@@ -70,6 +70,19 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(center - 1.0) < 0.35)
   }
 
+  test("illumination precomputed path: save/load roundtrip equals direct") {
+    val direct = Illumination.correct(spark, fixture(), medianRadius = 2)
+      .collect().sortBy(_.idx)
+    val images = Illumination.correctionImages(spark, fixture(), medianRadius = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
+    graft.export.Export.saveCorrectionImages(spark, images, s"$dir/corr.parquet")
+    val pre = Illumination.correctPrecomputed(spark, fixture(), s"$dir/corr.parquet")
+      .collect().sortBy(_.idx)
+    direct.zip(pre).foreach { case (a, b) =>
+      assert(a.pixels.sameElements(b.pixels))
+    }
+  }
+
   test("circle mask branch: bbox and backgrounds match the disk") {
     val out = Masking.branch(fixture(), Masking.Circle, 0).collect()
     out.foreach { e =>
