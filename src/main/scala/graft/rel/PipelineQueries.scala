@@ -12,7 +12,62 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** deterministic on-disk fixtures for the source readers (written
+    * once per JVM under java.io.tmpdir; content is a pure function of
+    * the constants below, so the query output is stable) */
+  private lazy val sourceFixtures: (String, String) = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-src-fixtures")
+    val tiffDir = root.resolve("tiff")
+    val zarrDir = root.resolve("events.zarr")
+    if (!Files.exists(tiffDir)) {
+      Files.createDirectories(tiffDir)
+      for (id <- Seq("a", "b", "c"); ch <- 0 until 2) {
+        val img = new java.awt.image.BufferedImage(12, 12,
+          java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+        for (r <- 0 until 12; c <- 0 until 12)
+          img.getRaster.setSample(c, r, 0, (id.hashCode.abs % 97) + ch * 100 + r * 12 + c)
+        javax.imageio.ImageIO.write(img, "TIFF",
+          tiffDir.resolve(s"img_${id}_ch$ch.tif").toFile)
+      }
+    }
+    if (!Files.exists(zarrDir)) {
+      Files.createDirectories(zarrDir)
+      val n = 4; val len = 2 * 6 * 6
+      Files.writeString(zarrDir.resolve(".zarray"),
+        s"""{"chunks":[2,$len],"compressor":null,"dtype":"<f4","fill_value":0,
+           |"filters":null,"order":"C","shape":[$n,$len],"zarr_format":2}""".stripMargin)
+      Files.writeString(zarrDir.resolve(".zattrs"),
+        s"""{"object_number":[${(0 until n).map(_ + 1000).mkString(",")}],
+           |"shape":[${Seq.fill(n)("[2,6,6]").mkString(",")}]}""".stripMargin)
+      for (chunk <- 0 until 2) {
+        val bb = java.nio.ByteBuffer.allocate(2 * len * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (r <- 0 until 2; j <- 0 until len)
+          bb.putFloat(((chunk * 2 + r) * 1000 + j).toFloat)
+        Files.write(zarrDir.resolve(s"$chunk.0"), bb.array())
+      }
+    }
+    (tiffDir.toString, zarrDir.toString)
+  }
+
   val all: Seq[Q] = Seq(
+    // Source readers end-to-end: TIFF scan+decode and zarr scan+load
+    // through the masking pipeline (deterministic on-disk fixtures).
+    Q.noOracle("p05_sources_roundtrip") { (s, _) =>
+      val (tiffDir, zarrDir) = sourceFixtures
+      val tiffMeta = graft.sources.Tiff.metaFromDirectory(s, tiffDir,
+        ".*img_(?<id>[a-z]+)_ch(?<channel>[0-9])\\.tif")
+      val tiffEvents = graft.sources.Tiff.loadPixels(tiffMeta, Seq("0", "1"))
+      val zarrMeta = graft.sources.Zarr.metaFromDirectory(s, zarrDir)
+      val zarrEvents = graft.sources.Zarr.loadPixels(zarrMeta)
+      val all = tiffEvents.toDF().unionByName(zarrEvents.toDF())
+        .as(graft.core.Codecs.imageEventEncoder)
+      Features.extract(
+        Masking.branch(all, Masking.Circle, 0), Seq("ch0", "ch1"),
+        Seq("regions", "bbox", "intensity"))
+        .orderBy("meta_path")
+    },
     // The reference's own e2e shape: 4 mask branches over synthetic
     // events -> wide feature table (one row per input event).
     Q.noOracle("p01_pipeline_e2e") { (s, _) =>
