@@ -83,14 +83,22 @@ object Features {
       StructField(renamed(n, prefix, isLoaderMeta = false), DoubleType)))
   }
 
+  /** canonical family computation order — raw BEFORE intensity so the
+    * shared `{prop}_{ch}` names are written last by intensity (the
+    * reference's dict-update semantics, features/__init__.py:86-97),
+    * regardless of the order the caller listed the families in */
+  val CanonicalOrder: Seq[String] =
+    Seq("regions", "bbox", "shape", "raw", "intensity", "texture")
+
+  private def ordered(types: Seq[String]): Seq[String] =
+    CanonicalOrder.filter(types.contains) ++
+      types.filterNot(CanonicalOrder.contains)
+
   /** deduplicated ordered (pre-rename) feature names — duplicates keep
-    * the FIRST slot but are written by the LAST family computing them
-    * (the dict-update semantics of the reference meta) */
+    * the FIRST slot but are written by the LAST family computing them */
   def featureNames(channelNames: Seq[String], types: Seq[String]): Seq[String] = {
-    val all = Seq("regions").filter(types.contains) ++
-      types.filterNot(_ == "regions")
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    all.foreach(f => familyNames(f, channelNames).foreach(seen.add))
+    ordered(types).foreach(f => familyNames(f, channelNames).foreach(seen.add))
     seen.toSeq
   }
 
@@ -111,7 +119,8 @@ object Features {
       }
     }
     if (e.hasPixels) {
-      val vals = computeFeatures(e, channelNames, typesArr)
+      // canonical order so raw never clobbers intensity's shared names
+      val vals = computeFeatures(e, channelNames, ordered(typesArr.toSeq).toArray)
       vals.foreach { case (n, v) => feats(nameIdx(n)) = v }
     }
     feats

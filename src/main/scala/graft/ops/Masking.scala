@@ -22,7 +22,11 @@ object Masking {
   final case class ValueRange(channelIndices: Seq[Int], threshold: Double) extends MaskFilter
 
   /** per-record form of compute_filters (used by both the Dataset op
-    * and the fused single-pass pipeline) */
+    * and the fused single-pass pipeline). NOTE: when several filters
+    * name the same channel, the LAST one wins — the reference
+    * overwrites `mask_filter[c]` per filter (masking/__init__.py:86-90)
+    * rather than AND-ing; a main-channel failure still tombstones
+    * immediately and skips the remaining filters for that record. */
   def filtersRecord(filters: Seq[MaskFilter], mainChannelIndex: Int)(
       e: ImageEvent): ImageEvent = {
     val flags = Array.fill(e.channels)(true)
@@ -60,8 +64,10 @@ object Masking {
   final case class SobelQuantile(q: Double) extends Method
   final case class WatershedMethod(smooth: Double) extends Method
 
-  /** one channel plane → (bool mask, region count) */
-  private[ops] def maskChannel(method: Method, x: Array[Float], h: Int, w: Int): (Array[Boolean], Int) =
+  /** one channel plane → (bool mask, region count); `c` = channel
+    * index (per-channel parameters, e.g. li's smooth list) */
+  private[ops] def maskChannel(method: Method, x: Array[Float], h: Int, w: Int,
+      c: Int = 0): (Array[Boolean], Int) =
     method match {
       case Circle =>
         // centered disk, radius min(h,w)/3 (masking/circle.py:4-26)
@@ -95,8 +101,11 @@ object Masking {
         finishBinary(bin, h, w, holeArea = h * w / 4, minSize = 20)
 
       case Li(smoothPerChannel) =>
-        // gaussian σ; sobel; gaussian 2σ; li; cleanup (masking/li.py:25-53)
-        val sigma = smoothPerChannel.headOption.getOrElse(1.0)
+        // gaussian σ[c]; sobel; gaussian 2σ[c]; li; cleanup
+        // (masking/li.py:25-53 — smooth is per channel)
+        val sigma =
+          if (smoothPerChannel.isEmpty) 1.0
+          else smoothPerChannel(math.min(c, smoothPerChannel.length - 1))
         liChannel(x, h, w, sigma)
 
       case Spot(spotSize) =>
@@ -167,7 +176,7 @@ object Masking {
     while (c < e.channels) {
       val allowed = e.maskFilter == null || e.maskFilter(c)
       if (allowed) {
-        val (m, cc) = maskChannel(method, e.plane(c), e.height, e.width)
+        val (m, cc) = maskChannel(method, e.plane(c), e.height, e.width, c)
         var i = 0
         while (i < ps) { if (m(i)) mask(c * ps + i) = 1; i += 1 }
         regions(c) = cc

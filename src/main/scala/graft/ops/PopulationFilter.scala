@@ -20,11 +20,14 @@ object PopulationFilter {
   /** Φ⁻¹(0.05) — scipy.stats.norm.ppf(0.05) */
   val Z05 = -1.6448536269514722
 
+  /** per-record stat = sum of channel 0 — the reference hardcodes
+    * index 0, not the main channel (filter/threshold.py:8-13:
+    * `part[i]["pixels"][0].sum()`) */
   def filterSum(e: ImageEvent): Double = {
     var s = 0.0
     var i = 0
     val ps = e.planeSize
-    while (i < ps) { s += e.pixels(i); i += 1 } // channel 0
+    while (i < ps) { s += e.pixels(i); i += 1 }
     s
   }
 

@@ -70,8 +70,12 @@ object Cli {
     Export.parquet(table, s"$outputDir/features.parquet", coalesce)
 
     if (exportNode.flatMap(e => Option(e.get("quantiles_csv"))).exists(_.asBoolean())) {
-      // K3: quantiles of the post-mask stream (main.py:49-60,240)
-      val mm = Normalization.groupMinMax(spark, source)
+      // K3: quantiles of the post-mask stream (main.py:49-60,240) —
+      // masked extents from the first mask branch, matching the
+      // reference's masked-images quantile collection
+      val firstBranch = Masking.branch(source, cfg.branches.head.method,
+        cfg.mainChannelIndex, cfg.combinedIndices)
+      val mm = Normalization.groupMinMax(spark, firstBranch)
       Export.quantilesCsv(mm, s"$outputDir/quantiles.csv")
     }
   }

@@ -200,6 +200,9 @@ object Dedup {
   }
 
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    // 4 x 16-bit blocks guarantee a shared block only for hamming <= 3
+    // (pigeonhole); a larger radius would silently lose candidates
+    require(maxHamming <= 3, s"4-block simhash supports maxHamming <= 3, got $maxHamming")
     val simUdf = udf { (text: String) =>
       simhash64(text.split(' ').toSeq.filter(_.nonEmpty))
     }

@@ -31,7 +31,9 @@ object Tables {
     val raw = t(s, d, "events")
     import org.apache.spark.sql.functions._
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      // integer division: double division of ~1.7e18 ns loses ulps
+      // (> 2^53) and can land 1 µs off DuckDB's truncating cast
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 }

@@ -23,7 +23,14 @@ object TextOps {
     val Mod = 1000000007L
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.codePointAt(i)) % Mod; i += 1 }
+    // iterate CODEPOINTS (surrogate pairs advance by 2) — the oracle
+    // folds per character, so UTF-16 unit iteration would double-count
+    // non-BMP characters
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
     h
   }
 

@@ -47,7 +47,14 @@ object Tiff {
     val pivoted = df.groupBy("id")
       .pivot("channel", channels)
       .agg(first("path"))
-    val meta = df.groupBy("id").agg(first("meta").as("meta"))
+    // deterministic meta per id: the lexicographically-first file's
+    // regex groups win (agg(first) alone varies with partitioning)
+    val meta = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy("path")))
+      .filter(col("rn") === 1)
+      .select("id", "meta")
     pivoted
       .na.drop(channels) // F3: drop events with missing channel files
       .join(meta, "id")

@@ -59,15 +59,33 @@ object Zarr {
     ZarrMeta(shape, chunks, za.get("dtype").asText(), comp, objNums, recShapes)
   }
 
+  /** per-partition decompressed-chunk cache: partition rows are
+    * typically chunk-adjacent, so retaining the last chunk avoids
+    * re-reading + re-inflating it once per row */
+  final class ChunkCache {
+    private var key: (String, Int) = null
+    private var bytes: Array[Byte] = null
+    def get(path: String, m: ZarrMeta, chunkIdx: Int): Array[Byte] = {
+      if (key == null || key != ((path, chunkIdx))) {
+        bytes = readChunk(path, m, s"$chunkIdx.0")
+        key = (path, chunkIdx)
+      }
+      bytes
+    }
+  }
+
   /** read logical row `idx` of a (N, len) 2-D zarr array */
-  def readRow(path: String, m: ZarrMeta, idx: Int): Array[Float] = {
+  def readRow(path: String, m: ZarrMeta, idx: Int,
+      cache: ChunkCache = null): Array[Float] = {
     require(m.shape.length == 2, "expected 2-D (N, len) zarr array")
     val Seq(_, rowLen) = m.shape
     val Seq(chunkRows, chunkCols) = m.chunks
     require(chunkCols == rowLen, "row-chunked zarr expected (chunks[1] == shape[1])")
     val chunkIdx = idx / chunkRows
     val rowInChunk = idx % chunkRows
-    val raw = readChunk(path, m, s"$chunkIdx.0")
+    val raw =
+      if (cache != null) cache.get(path, m, chunkIdx)
+      else readChunk(path, m, s"$chunkIdx.0")
     sliceFloats(raw, m.dtype, rowInChunk * rowLen, rowLen)
   }
 
@@ -133,13 +151,15 @@ object Zarr {
     val objI = fields.indexOf("object_number")
     val metaI = fields.indexOf("meta")
     meta.mapPartitions { rows =>
-      // open each zarr once per partition (S6's grouped I/O)
+      // open each zarr once per partition (S6's grouped I/O); the
+      // chunk cache keeps the last decompressed chunk across rows
       val metaCache = scala.collection.mutable.Map.empty[String, ZarrMeta]
+      val chunkCache = new ChunkCache
       rows.map { row =>
         val path = row.getString(pathI)
         val zm = metaCache.getOrElseUpdate(path, readMeta(path))
         val zi = row.getInt(idxI)
-        val flat = readRow(path, zm, zi)
+        val flat = readRow(path, zm, zi, chunkCache)
         val Seq(c0, h, w) = zm.recordShapes(zi)
         val wanted = if (channels == null) 0 until c0 else channels
         val ps = h * w
@@ -164,12 +184,13 @@ object Zarr {
     import Codecs._
     ds.mapPartitions { events =>
       val metaCache = scala.collection.mutable.Map.empty[String, ZarrMeta]
+      val chunkCache = new ChunkCache
       events.map { e =>
         if (!e.hasMask) e
         else {
           val zm = metaCache.getOrElseUpdate(e.path, readMeta(e.path))
           val zi = e.meta("zarr_idx").toInt
-          val flat = readRow(e.path, zm, zi)
+          val flat = readRow(e.path, zm, zi, chunkCache)
           val Seq(c0, h, w) = zm.recordShapes(zi)
           val wanted = if (channels == null) 0 until c0 else channels
           val ps = h * w
