@@ -23,6 +23,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // isolate queries from each other's garbage: allocation-heavy
+      // queries otherwise pay wildly varying GC debt left by precursors
+      // (observed d04 swinging 7s..30s with identical plans)
+      System.gc()
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
