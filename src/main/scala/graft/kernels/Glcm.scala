@@ -17,7 +17,13 @@ object Glcm {
     * [0, levels); entries < 0 mark invalid (out-of-mask) pixels and
     * pairs touching them are dropped — the reference's NaN-bin +
     * [:-1,:-1] crop (features/texture.py:60-69). Returns the
-    * symmetric, normalized matrix. */
+    * symmetric matrix normalized over VALID pairs only: although
+    * graycomatrix(normed=True) divides by ALL pairs before the crop,
+    * skimage.feature.graycoprops re-normalizes each (cropped) GLCM to
+    * sum 1 before computing any property, so dividing by the valid
+    * total here is exactly equivalent — including the all-invalid
+    * case, where graycoprops' zero-sum guard yields correlation 1 and
+    * 0 for the rest, as [[properties]] does. */
   def matrix(q: Array[Int], h: Int, w: Int, levels: Int,
       distance: Int, angleRad: Double): Array[Double] = {
     val dr = math.round(distance * math.sin(angleRad)).toInt

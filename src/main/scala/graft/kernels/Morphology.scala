@@ -220,46 +220,47 @@ object Morphology {
     label(kept, h, w)
   }
 
-  /** drop components with >25%-of-side presence on any border, the
-    * border-region scrub (masking/__init__.py:132-155). Returns the
-    * filtered mask and the number of surviving regions. */
+  /** border-region scrub (_regions_touching, masking/__init__.py:
+    * 132-155): the four borders are CONCATENATED (corners counted
+    * twice) and a label is dropped when its total border presence
+    * exceeds the single limit int(0.25·min(h,w)); surviving-region
+    * count is len(set(unique) − set(dropped)) − 1, i.e. background 0
+    * participates only when a background pixel exists. Returns the
+    * filtered mask and the surviving-region count. */
   def scrubBorder(mask: Array[Boolean], h: Int, w: Int): (Array[Boolean], Int) = {
     val labels = label(mask, h, w)
     val n = labelCount(labels)
     if (n == 0) return (new Array[Boolean](h * w), 0)
-    // per label: count of pixels on each of the four borders
-    val top = new Array[Int](n + 1); val bottom = new Array[Int](n + 1)
-    val left = new Array[Int](n + 1); val right = new Array[Int](n + 1)
+    val limit = (math.min(h, w) * 0.25).toInt
+    val borderCount = new Array[Int](n + 1)
+    var hasBackground = false
     var i = 0
     while (i < labels.length) {
       val l = labels(i)
-      if (l > 0) {
+      if (l == 0) hasBackground = true
+      else {
         val r = i / w; val c = i % w
-        if (r == 0) top(l) += 1
-        if (r == h - 1) bottom(l) += 1
-        if (c == 0) left(l) += 1
-        if (c == w - 1) right(l) += 1
+        // corner pixels sit on two borders of the concatenation
+        if (r == 0) borderCount(l) += 1
+        if (r == h - 1) borderCount(l) += 1
+        if (c == 0) borderCount(l) += 1
+        if (c == w - 1) borderCount(l) += 1
       }
       i += 1
     }
     val drop = new Array[Boolean](n + 1)
     var l = 1
-    while (l <= n) {
-      drop(l) = top(l) > 0.25 * w || bottom(l) > 0.25 * w ||
-        left(l) > 0.25 * h || right(l) > 0.25 * h
-      l += 1
-    }
+    while (l <= n) { drop(l) = borderCount(l) > limit; l += 1 }
     val out = new Array[Boolean](h * w)
-    var kept = 0
-    val keptSet = new Array[Boolean](n + 1)
     i = 0
     while (i < labels.length) {
       val li = labels(i)
-      if (li > 0 && !drop(li)) { out(i) = true; keptSet(li) = true }
+      if (li > 0 && !drop(li)) out(i) = true
       i += 1
     }
+    var surviving = if (hasBackground) 0 else -1
     l = 1
-    while (l <= n) { if (keptSet(l)) kept += 1; l += 1 }
-    (out, kept)
+    while (l <= n) { if (!drop(l)) surviving += 1; l += 1 }
+    (out, math.max(0, surviving))
   }
 }

@@ -119,18 +119,22 @@ object Watershed {
     kept.toArray
   }
 
-  private val off8 = Array((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+  // skimage watershed default connectivity=1 → 4-neighborhood, iterated
+  // in ascending raveled-offset order (up, left, right, down)
+  private val off4 = Array((-1, 0), (0, -1), (0, 1), (1, 0))
 
   /** priority-flood watershed from labeled markers over elevation
     * `img`, optionally restricted to `mask`, with compactness à la
-    * compact watershed (Neubert & Protzel 2014: priority + compactness ·
-    * squared distance to the seed). Matches the call shapes of
-    * masking/watershed.py:58 (compactness=1) and
-    * segmentation/watershed_dapi.py:58 (mask, compactness=0). */
+    * compact watershed (Neubert & Protzel 2014). Mirrors skimage's
+    * `watershed_raveled`: 4-connected; plain mode labels neighbors at
+    * push (each pixel enqueued once); compact mode enqueues a pixel
+    * once per reaching seed with priority img + compactness · euclidean
+    * distance to that SEED, and labels at first pop. Matches the call
+    * shapes of masking/watershed.py:58 (compactness=1) and
+    * segmentation/watershed_dapi.py:55 (mask, compactness=0). */
   def watershed(img: Array[Double], h: Int, w: Int, markers: Array[Int],
       mask: Array[Boolean] = null, compactness: Double = 0.0): Array[Int] = {
     val out = new Array[Int](h * w)
-    val inQueue = new Array[Boolean](h * w)
     // (priority, insertion order, pixel, seed pixel)
     val pq = mutable.PriorityQueue.empty[(Double, Long, Int, Int)](
       Ordering.by[(Double, Long, Int, Int), (Double, Long)](t => (t._1, t._2)).reverse)
@@ -142,7 +146,6 @@ object Watershed {
     while (i < markers.length) {
       if (markers(i) > 0 && inMask(i)) {
         out(i) = markers(i)
-        inQueue(i) = true
         pq.enqueue((img(i), order, i, i))
         order += 1
       }
@@ -150,26 +153,32 @@ object Watershed {
     }
     while (pq.nonEmpty) {
       val (_, _, cur, seed) = pq.dequeue()
-      val lbl = out(cur)
-      val r = cur / w; val c = cur % w
-      var k = 0
-      while (k < off8.length) {
-        val rr = r + off8(k)._1; val cc = c + off8(k)._2
-        if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
-          val j = rr * w + cc
-          if (!inQueue(j) && inMask(j)) {
-            inQueue(j) = true
-            out(j) = lbl
-            val prio =
-              if (compactness > 0) {
-                val dr = rr - seed / w; val dc = cc - seed % w
-                img(j) + compactness * (dr * dr + dc * dc)
-              } else img(j)
-            pq.enqueue((prio, order, j, seed))
-            order += 1
+      if (compactness > 0 && out(cur) != 0 && cur != seed) {
+        // already claimed by an earlier pop via a cheaper path
+      } else {
+        if (compactness > 0) out(cur) = out(seed)
+        val lbl = out(cur)
+        val r = cur / w; val c = cur % w
+        var k = 0
+        while (k < off4.length) {
+          val rr = r + off4(k)._1; val cc = c + off4(k)._2
+          if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
+            val j = rr * w + cc
+            if (out(j) == 0 && inMask(j)) {
+              val prio =
+                if (compactness > 0) {
+                  val dr = (rr - seed / w).toDouble; val dc = (cc - seed % w).toDouble
+                  img(j) + compactness * math.sqrt(dr * dr + dc * dc)
+                } else {
+                  out(j) = lbl // plain mode: claim at push, single enqueue
+                  img(j)
+                }
+              pq.enqueue((prio, order, j, seed))
+              order += 1
+            }
           }
+          k += 1
         }
-        k += 1
       }
     }
     out

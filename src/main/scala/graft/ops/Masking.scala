@@ -118,35 +118,60 @@ object Masking {
         (bin, Morphology.labelCount(labels))
 
       case SobelQuantile(q) =>
-        // sobel; closing(disk2); > quantile(q); post (masking/sobel.py:24-46)
+        // sobel; closing(disk2); > quantile(q); mask_post_process
+        // (masking/sobel.py:24-46)
         val edges = Filters.sobel(x, h, w)
         val closed = Filters.closeGray(edges, h, w, 2)
         val sorted = closed.clone(); java.util.Arrays.sort(sorted)
         val t = Stats.percentile(sorted, q * 100)
         val bin = closed.map(_ > t)
-        finishBinary(bin, h, w, holeArea = 300, minSize = 20)
+        if (!bin.exists(identity)) (bin, 0)
+        else postProcessed(bin, h, w)
 
       case WatershedMethod(sigma) =>
-        // sobel; closing; otsu±50% markers; watershed compactness 1
-        // (masking/watershed.py:26-61)
-        val sm = Filters.gaussian(x, h, w, sigma)
+        // sobel; closing(disk2); markers from otsu(closed)±50%; flood the
+        // (smoothed) IMAGE with compactness 1; keep the max surviving
+        // label (falls back to 1 when no high markers exist); then
+        // mask_post_process (masking/watershed.py:26-61)
+        val sm = if (sigma > 0) Filters.gaussian(x, h, w, sigma) else x
         val edges = Filters.sobel(sm, h, w)
         val closed = Filters.closeGray(edges, h, w, 2)
-        val t = Thresholds.otsu(x)
+        val t = Thresholds.otsu(closed)
         val markers = new Array[Int](h * w)
         var i = 0
         while (i < markers.length) {
-          if (x(i) < t * 0.5) markers(i) = 1
-          else if (x(i) > t * 1.5) markers(i) = 2
+          if (closed(i) < t - t * 0.5) markers(i) = 1
+          else if (closed(i) > t + t * 0.5) markers(i) = 2
           i += 1
         }
         val elev = new Array[Double](h * w)
         i = 0
-        while (i < elev.length) { elev(i) = closed(i); i += 1 }
+        while (i < elev.length) { elev(i) = sm(i); i += 1 }
         val ws = Watershed.watershed(elev, h, w, markers, null, compactness = 1.0)
-        val bin = ws.map(_ == 2)
-        finishBinary(bin, h, w, holeArea = 300, minSize = 20)
+        var top = 0
+        i = 0
+        while (i < ws.length) { if (ws(i) > top) top = ws(i); i += 1 }
+        if (top == 0) (new Array[Boolean](h * w), 0)
+        else {
+          val keep = top
+          postProcessed(ws.map(_ == keep), h, w)
+        }
     }
+
+  /** mask_post_process (masking/__init__.py:245-251) as the
+    * (bool mask, region count) shape the mask methods return */
+  private def postProcessed(bin: Array[Boolean], h: Int, w: Int): (Array[Boolean], Int) = {
+    val labels = Morphology.postProcess(bin, h, w)
+    val asBool = new Array[Boolean](h * w)
+    var n = 0
+    var i = 0
+    while (i < labels.length) {
+      if (labels(i) > 0) asBool(i) = true
+      if (labels(i) > n) n = labels(i)
+      i += 1
+    }
+    (asBool, n)
+  }
 
   private def liChannel(x: Array[Float], h: Int, w: Int, sigma: Double): (Array[Boolean], Int) = {
     val g1 = Filters.gaussian(x, h, w, sigma)

@@ -62,21 +62,32 @@ object Cli {
     val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(configPath)))
     val cfg = parseConfig(root)
     val source = loadSource(spark, root.get("load"))
-    val table = Pipeline.run(spark, source, cfg)
+    val exportNode = Option(root.get("export"))
+    val wantQuantiles =
+      exportNode.flatMap(e => Option(e.get("quantiles_csv"))).exists(_.asBoolean())
+
+    // the processed pre-branch stream is shared between the feature run
+    // and the quantiles export, so the exported extents reflect every
+    // configured stage (projection, illumination, segmentation,
+    // sampling, mask filters) exactly as the branches saw them
+    val prepared =
+      if (wantQuantiles) Pipeline.prepare(spark, source, cfg).cache()
+      else Pipeline.prepare(spark, source, cfg)
+    val table = Pipeline.runPrepared(spark, prepared, cfg)
     Files.createDirectories(Paths.get(outputDir))
 
-    val exportNode = Option(root.get("export"))
     val coalesce = exportNode.flatMap(e => Option(e.get("coalesce"))).map(_.asInt()).getOrElse(0)
     Export.parquet(table, s"$outputDir/features.parquet", coalesce)
 
-    if (exportNode.flatMap(e => Option(e.get("quantiles_csv"))).exists(_.asBoolean())) {
+    if (wantQuantiles) {
       // K3: quantiles of the post-mask stream (main.py:49-60,240) —
-      // masked extents from the first mask branch, matching the
-      // reference's masked-images quantile collection
-      val firstBranch = Masking.branch(source, cfg.branches.head.method,
+      // masked extents from the first mask branch over the SAME
+      // prepared stream the feature run consumed
+      val firstBranch = Masking.branch(prepared, cfg.branches.head.method,
         cfg.mainChannelIndex, cfg.combinedIndices)
       val mm = Normalization.groupMinMax(spark, firstBranch)
       Export.quantilesCsv(mm, s"$outputDir/quantiles.csv")
+      prepared.unpersist()
     }
   }
 

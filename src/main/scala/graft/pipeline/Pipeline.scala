@@ -51,7 +51,15 @@ object Pipeline {
 
   /** run the full pipeline on a source dataset → wide feature table */
   def run(spark: SparkSession, source: Dataset[ImageEvent],
-      cfg: PipelineConfig): DataFrame = {
+      cfg: PipelineConfig): DataFrame =
+    runPrepared(spark, prepare(spark, source, cfg), cfg)
+
+  /** every pre-branch stage (repartition → project → illumination →
+    * segment → sample → mask filters) — exposed so export-time extras
+    * (Cli's quantiles CSV) compute from the SAME processed stream the
+    * branches consume, not from the raw source. */
+  def prepare(spark: SparkSession, source: Dataset[ImageEvent],
+      cfg: PipelineConfig): Dataset[ImageEvent] = {
     var ds = if (cfg.nPartitions > 0) source.repartition(cfg.nPartitions) else source
 
     cfg.projectOp.foreach(op => ds = Projection(ds, op))
@@ -74,7 +82,13 @@ object Pipeline {
 
     if (cfg.maskFilters.nonEmpty)
       ds = Masking.computeFilters(ds, cfg.maskFilters, cfg.mainChannelIndex)
+    ds
+  }
 
+  /** branch fan-out + feature extraction over an already-prepared
+    * stream (see [[prepare]]) */
+  def runPrepared(spark: SparkSession, ds: Dataset[ImageEvent],
+      cfg: PipelineConfig): DataFrame = {
     // mask fan-out X2. When every branch stage is per-record (no
     // population filter / normalization aggregates), ALL branches fuse
     // into ONE map pass producing the full wide row — no joins, no

@@ -143,14 +143,17 @@ object TextOps {
 
     // Per-language corpus profile: group the quality stats (cheap
     // map-side-combinable aggregate over the per-row transforms).
+    // DuckDB sum(INT) yields HUGEINT, which the driver's value-hash
+    // renders differently from Spark's BIGINT — cast both sums.
     Q("t05_lang_profile",
       """WITH toks AS (
         |  SELECT doc_id, lang,
         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w,
         |    length(text) AS nc
         |  FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(len(w)) AS total_tokens,
-        | sum(nc) AS total_chars,
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+        | CAST(sum(nc) AS BIGINT) AS total_chars,
         | round(avg(len(w)), 6) AS avg_tokens
         |FROM toks GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
