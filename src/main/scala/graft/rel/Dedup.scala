@@ -16,17 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 5-gram shingles, distinct per doc. Matches the DuckDB oracle
-    * expression `list_transform(generate_series(...), i ->
-    * array_to_string(w[i:i+4], ' '))` exactly (1-based, tail-clamped).
-    */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1))," +
-            " i -> array_join(slice(split(text, ' '), i, 5), ' '))"))
-          .as("sh"))
-      .distinct()
+  /** Word 5-gram shingles of one text, distinct, as strings. Matches
+    * the DuckDB oracle expression `list_transform(generate_series(...),
+    * i -> array_to_string(w[i:i+4], ' '))` exactly (split keeps empty
+    * tokens, 1-based, tail-clamped). Computed in a tight per-record
+    * loop — no catalyst lambda chain, no explode shuffle. */
+  private[rel] def shingleSet(text: String): Array[String] = {
+    val w = text.split(" ", -1)
+    val n = math.max(w.length - 4, 1)
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + 5, w.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(w(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
 
   private val shingleOracleCte =
     """WITH toks AS (
@@ -38,19 +51,30 @@ object Dedup {
       |  FROM toks
       |)""".stripMargin
 
-  /** jaccard = |A∩B| / |A∪B| from integer shingle counts — exact
-    * rational arithmetic in double, bit-identical across engines. */
-  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).cache()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // self-join on the shingle value: both sides are the full shingle
-    // table — pin shuffle-hash so the near-threshold size estimate
-    // never picks a broadcast of it
-    val common = sh.as("a").hint("shuffle_hash")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+  /** exact |A∩B| counting via shingle-bucket grouping: group the
+    * (shingle, doc) stream by shingle, DROP singleton shingles (they
+    * cannot form a pair — the overwhelming majority in real corpora),
+    * and emit in-bucket pairs from each survivor. One aggregate over
+    * the shingle stream instead of a materialized self-join; cost
+    * scales with actual collisions. Jaccard from integer counts —
+    * exact rational arithmetic in double, bit-identical across
+    * engines. Per-doc set sizes ride along in a narrow map; they're
+    * broadcast here because the pair set is tiny (at cluster scale the
+    * same two lookups become shuffle joins on da/db). */
+  private def jaccardPairs(spark: SparkSession, docs: DataFrame,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val idText = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val sh = idText.flatMap { case (id, t) =>
+      shingleSet(t).iterator.map(s => (s, id))
+    }.toDF("sh", "doc_id")
+    val common = sh.groupBy("sh").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsOfIds(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("da"), col("p._2").as("db"))
       .agg(count(lit(1)).as("common"))
+    val counts = idText.map { case (id, t) => (id, shingleSet(t).length) }
+      .toDF("doc_id", "n")
     common
       .join(broadcast(counts.as("ca")), col("da") === col("ca.doc_id"))
       .join(broadcast(counts.as("cb")), col("db") === col("cb.doc_id"))
@@ -58,6 +82,22 @@ object Dedup {
         (col("common").cast("double") /
           (col("ca.n") + col("cb.n") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** all ordered (lo, hi) pairs from a doc-id bucket */
+  private val pairsOfIds = udf { (ids: Seq[Long]) =>
+    val s = ids.sorted
+    val out = Array.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) {
+        if (s(i) != s(j)) out += ((s(i), s(j)))
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
   }
 
   // ---- MinHash ----------------------------------------------------------
@@ -118,63 +158,69 @@ object Dedup {
     if (r >= MersennePrime) r - MersennePrime else r
   }
 
-  /** doc_id → minhash signature, computed distributively:
-    * shingle-explode → hash → groupBy(doc) with element-wise min over the
-    * K lanes (a partial+final aggregate, no all-pairs anything). */
+  /** doc_id → minhash signature, one narrow pass over (doc_id, text):
+    * shingling, hashing, and the K-lane min all happen in a tight
+    * per-record loop — no explode, no shuffle, no string aggregation.
+    * This is the 100 TB shape: signature cost is a single scan. */
   def minhashSignatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val sigUdf = udf { (shs: Seq[String]) =>
-      minhashSignature(shs.iterator.map(fnv1a64))
-    }
-    // collect_set is fine per-doc (shingle sets are small relative to the
-    // text itself); signature computed once per doc.
-    shingles(docs)
-      .groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shs"))
-      .select(col("doc_id"), sigUdf(col("shs")).as("sig"))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, minhashSignature(shingleSet(t).iterator.map(fnv1a64)))
+      })
+      .toDF("doc_id", "sig")
+  }
+
+  /** deterministic 64-bit bucket id for one band of a signature */
+  private[rel] def bandBucket(sig: Array[Long], band: Int, rowsPerBand: Int): Long = {
+    var h = mix64(band.toLong + 0x51ed2701)
+    var i = band * rowsPerBand
+    val end = i + rowsPerBand
+    while (i < end) { h = mix64(h ^ sig(i)); i += 1 }
+    h
   }
 
   /** LSH banding: candidate pairs share at least one (band, band-hash)
-    * bucket; verified with exact Jaccard. Shuffle key = band bucket, so
-    * cost scales with collisions, not n². */
+    * bucket. Buckets are grouped (one aggregate keyed on the bucket id,
+    * so cost scales with collisions, not n²) and in-bucket pairs
+    * emitted from each multi-doc bucket. Candidates — tiny by
+    * construction — are then broadcast against the documents to fetch
+    * both texts and verified with exact Jaccard computed per pair in a
+    * compiled loop, which never touches a materialized shingle table. */
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val sigs = minhashSignatures(spark, docs).cache()
     val rowsPerBand = MinhashK / MinhashBands
-    val bandHash = udf { (sig: Seq[Long], band: Int) =>
-      val sb = new StringBuilder
-      var i = band * rowsPerBand
-      val end = i + rowsPerBand
-      while (i < end) { sb.append(sig(i)).append(','); i += 1 }
-      fnv1a64(sb.toString)
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"), bandHash(col("sig"), col("band")).as("bucket"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val nBands = MinhashBands
+    val candidates = minhashSignatures(spark, docs)
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until nBands).iterator.map(b => (bandBucket(sig, b, rowsPerBand), id))
+      }
+      .toDF("bucket", "doc_id")
+      .groupBy("bucket").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsOfIds(col("ids"))).as("p"))
+      .select(col("p._1").as("da"), col("p._2").as("db"))
       .distinct()
-    // verify candidates with exact jaccard on their shingle sets.
-    // Candidates are the small side by construction (only colliding
-    // pairs) — broadcast them explicitly so Spark never tries to
-    // broadcast the big shingle table (its size estimate sits near the
-    // 10MB threshold and flips the build side run to run).
-    val sh = shingles(docs)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("sa")
-      .join(broadcast(candidates), col("da") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("db") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("da", "db").agg(count(lit(1)).as("common"))
-    common
-      .join(broadcast(counts.as("ca")), col("da") === col("ca.doc_id"))
-      .join(broadcast(counts.as("cb")), col("db") === col("cb.doc_id"))
+    val jaccardOfTexts = udf { (ta: String, tb: String) =>
+      val a = shingleSet(ta)
+      val bSet = new java.util.HashSet[String]()
+      shingleSet(tb).foreach(bSet.add)
+      var common = 0
+      a.foreach(s => if (bSet.contains(s)) common += 1)
+      common.toDouble / (a.length + bSet.size - common)
+    }
+    val texts = docs.select(col("doc_id"), col("text"))
+    // candidates stay the broadcast side of both text fetches: the big
+    // document table is only ever streamed, never shuffled
+    val withTa = texts.as("ta")
+      .join(broadcast(candidates), col("da") === col("ta.doc_id"))
+      .select(col("da"), col("db"), col("ta.text").as("text_a"))
+    texts.as("tb")
+      .join(broadcast(withTa), col("db") === col("tb.doc_id"))
       .select(col("da"), col("db"),
-        (col("common").cast("double") /
-          (col("ca.n") + col("cb.n") - col("common"))).as("jaccard"))
+        jaccardOfTexts(col("text_a"), col("tb.text")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("da", "db")
   }
@@ -203,27 +249,38 @@ object Dedup {
     // 4 x 16-bit blocks guarantee a shared block only for hamming <= 3
     // (pigeonhole); a larger radius would silently lose candidates
     require(maxHamming <= 3, s"4-block simhash supports maxHamming <= 3, got $maxHamming")
-    val simUdf = udf { (text: String) =>
-      simhash64(text.split(' ').toSeq.filter(_.nonEmpty))
-    }
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simUdf(col("text")).as("sim")).cache()
-    // block on 4 × 16-bit chunks: hamming ≤ 3 guarantees one equal chunk
-    val chunked = sigs.select(col("doc_id"), col("sim"),
-      explode(expr("sequence(0, 3)")).as("c"))
-      .withColumn("chunk", expr("(sim >> (c * 16)) & 65535"))
-    val pairs = chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.sim").as("sa"), col("b.sim").as("sb"))
+    import spark.implicits._
+    // block on 4 × 16-bit chunks: hamming ≤ 3 guarantees one equal
+    // chunk. Same bucket-group shape as minhash LSH — one aggregate
+    // keyed on (block, chunk), in-bucket pairs from multi-doc buckets,
+    // hamming verified inline (the signature rides along in the bucket).
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, simhash64(t.split(' ').toSeq.filter(_.nonEmpty)))
+      })
+      .flatMap { case (id, sim) =>
+        (0 until 4).iterator.map { c =>
+          ((c.toLong << 16) | ((sim >>> (c * 16)) & 0xffffL), id, sim)
+        }
+      }
+      .toDF("bucket", "doc_id", "sim")
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .as[(Long, Seq[(Long, Long)])]
+      .flatMap { case (_, xs) =>
+        val s = xs.sortBy(_._1)
+        for {
+          i <- s.indices.iterator
+          j <- (i + 1) until s.length
+          h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+          if h <= maxHamming && s(i)._1 != s(j)._1
+        } yield (s(i)._1, s(j)._1, h)
+      }
+      .toDF("da", "db", "hamming")
       .distinct()
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("da", "db", "hamming")
       .orderBy("da", "db")
-    pairs
   }
 
   // ---- declared queries ---------------------------------------------------
@@ -266,7 +323,7 @@ object Dedup {
           | JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
           |WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.8
           |ORDER BY da, db""".stripMargin) { (s, d) =>
-      jaccardPairs(Tables.documents(s, d), 0.8).orderBy("da", "db")
+      jaccardPairs(s, Tables.documents(s, d), 0.8).orderBy("da", "db")
     },
 
     // MinHash + LSH banding (engine-specific hashes — rows-only check;

@@ -72,12 +72,27 @@ object Similarity {
       if (z >= 0) 1.0 else -1.0
     }
 
+  /** hyperplanes are deterministic — materialize them once per JVM per
+    * dim instead of re-deriving (and re-allocating) 128 arrays for
+    * every vector hashed */
+  @volatile private var planeCache: (Int, Array[Array[Array[Double]]]) = null
+  private[rel] def planes(dim: Int): Array[Array[Array[Double]]] = {
+    val c = planeCache
+    if (c != null && c._1 == dim) c._2
+    else {
+      val p = Array.tabulate(LshTables, LshBits)((t, b) => hyperplane(t, b, dim))
+      planeCache = (dim, p)
+      p
+    }
+  }
+
   /** Signature of v in one table: LshBits sign bits. */
-  private[rel] def lshBucket(table: Int, v: Seq[Float]): Int = {
+  private[rel] def lshBucket(table: Int, v: Array[Float]): Int = {
+    val tablePlanes = planes(v.length)(table)
     var bucket = 0
     var h = 0
     while (h < LshBits) {
-      val plane = hyperplane(table, h, v.length)
+      val plane = tablePlanes(h)
       var s = 0.0
       var j = 0
       while (j < v.length) { s += plane(j) * v(j); j += 1 }
@@ -88,12 +103,12 @@ object Similarity {
   }
 
   /** All (table, bucket) keys for a corpus vector — the LSH "index". */
-  private[rel] def corpusKeys(v: Seq[Float]): Seq[(Int, Int)] =
+  private[rel] def corpusKeys(v: Array[Float]): Seq[(Int, Int)] =
     (0 until LshTables).map(t => (t, lshBucket(t, v)))
 
   /** Query-side probes: own bucket + all Hamming-1 neighbors per table
     * (multi-probe LSH halves the table count needed for a recall target). */
-  private[rel] def queryKeys(v: Seq[Float]): Seq[(Int, Int)] =
+  private[rel] def queryKeys(v: Array[Float]): Seq[(Int, Int)] =
     (0 until LshTables).flatMap { t =>
       val b = lshBucket(t, v)
       (0 until LshBits).map(i => (t, b ^ (1 << i))) :+ ((t, b))
@@ -106,8 +121,8 @@ object Similarity {
     * candidate collisions, never n². Recall vs `knnBrute` asserted in
     * SimilaritySpec. */
   def knnLsh(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val corpusKeysUdf = udf { (v: Seq[Float]) => corpusKeys(v) }
-    val queryKeysUdf = udf { (v: Seq[Float]) => queryKeys(v) }
+    val corpusKeysUdf = udf { (v: Array[Float]) => corpusKeys(v) }
+    val queryKeysUdf = udf { (v: Array[Float]) => queryKeys(v) }
     val e = Tables.embeddings(spark, dir)
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
         explode(corpusKeysUdf(col("embedding"))).as("tb"))
@@ -116,11 +131,14 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(queryKeysUdf(col("embedding"))).as("tb"))
       .select(col("qid"), col("qe"), col("tb._1").as("t"), col("tb._2").as("bucket"))
+    // a pair may collide in several tables: score every collision (the
+    // codegen'd dot is cheap) and dedup on the bare (qid, nid, score) —
+    // deduping BEFORE scoring would shuffle the embedding arrays
+    // themselves, which dominates at any scale
     val scored = corpus.join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), col("qe"), col("ne"))
-      .distinct() // a pair may collide in several tables — score once
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
+      .groupBy("qid", "nid").agg(first("c").as("c"))
     val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -165,7 +183,7 @@ object Similarity {
     centroids
   }
 
-  private[rel] def nearestCells(v: Seq[Float], centroids: Array[Array[Double]],
+  private[rel] def nearestCells(v: Array[Float], centroids: Array[Array[Double]],
       nProbe: Int): Seq[Int] =
     centroids.indices
       .map { c =>
@@ -189,8 +207,8 @@ object Similarity {
       .as[Array[Float]].collect()
     val centroids = kmeansCentroids(sample, nList, iters = 8)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) => nearestCells(v, bc.value, 1).head }
-    val probeUdf = udf { (v: Seq[Float]) => nearestCells(v, bc.value, nProbe) }
+    val assignUdf = udf { (v: Array[Float]) => nearestCells(v, bc.value, 1).head }
+    val probeUdf = udf { (v: Array[Float]) => nearestCells(v, bc.value, nProbe) }
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       assignUdf(col("embedding")).as("cell"))
     val queries = e.filter(col("vec_id") < nQueries)

@@ -42,12 +42,12 @@ class SimilaritySpec extends SparkSpec {
     val c1 = Similarity.kmeansCentroids(vecs, 4, 8)
     val c2 = Similarity.kmeansCentroids(vecs, 4, 8)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
-    val cells = vecs.map(v => Similarity.nearestCells(v.toSeq, c1, 1).head)
+    val cells = vecs.map(v => Similarity.nearestCells(v, c1, 1).head)
     assert(cells.distinct.length > 1)
   }
 
   test("LSH bucket function is deterministic and tables differ") {
-    val v = Array.tabulate(64)(i => (i * 0.1f) - 3.2f).toSeq
+    val v = Array.tabulate(64)(i => (i * 0.1f) - 3.2f)
     assert(Similarity.lshBucket(0, v) == Similarity.lshBucket(0, v))
     val buckets = (0 until Similarity.LshTables).map(Similarity.lshBucket(_, v))
     assert(buckets.forall(b => b >= 0 && b < (1 << Similarity.LshBits)))
