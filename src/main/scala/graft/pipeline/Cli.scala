@@ -123,6 +123,18 @@ object Cli {
             Zarr.loadPixels(meta,
               Option(load.get("channels")).map(ints).orNull)
           }
+      case "czi" =>
+        val scenesNode = Option(load.get("scenes")).filterNot(_.isNull)
+        val sceneList = scenesNode.filter(_.isArray).map(strings).orNull
+        val sceneRegex = scenesNode.filter(_.isTextual).map(_.asText()).orNull
+        val regex = Option(load.get("regex")).map(_.asText()).orNull
+        strings(load.get("paths"))
+          .map(p => graft.sources.Czi.metaFromDirectory(spark, p,
+            scenes = sceneList, scenesRegex = sceneRegex, regex = regex))
+          .reduceLeft(_ unionByName _) match { case meta =>
+            graft.sources.Czi.loadPixels(meta,
+              Option(load.get("channels")).map(ints).orNull)
+          }
       case other => throw new IllegalArgumentException(s"unknown load format: $other")
     }
   }

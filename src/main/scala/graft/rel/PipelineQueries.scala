@@ -15,7 +15,7 @@ object PipelineQueries {
   /** deterministic on-disk fixtures for the source readers (written
     * once per JVM under java.io.tmpdir; content is a pure function of
     * the constants below, so the query output is stable) */
-  private lazy val sourceFixtures: (String, String) = {
+  private lazy val sourceFixtures: (String, String, String) = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft-src-fixtures")
     val tiffDir = root.resolve("tiff")
@@ -48,20 +48,29 @@ object PipelineQueries {
         Files.write(zarrDir.resolve(s"$chunk.0"), bb.array())
       }
     }
-    (tiffDir.toString, zarrDir.toString)
+    val cziPath = root.resolve("plate.czi")
+    if (!Files.exists(cziPath))
+      graft.sources.Czi.writeMinimal(cziPath.toString, Seq("well-A1", "well-B2"),
+        tiles = 1, channels = 2, depth = 1, h = 10, w = 10,
+        (s, t, c, z, r, col) => (s * 640 + t * 320 + c * 160 + r * 10 + col).toFloat)
+    (tiffDir.toString, zarrDir.toString, cziPath.toString)
   }
 
   val all: Seq[Q] = Seq(
     // Source readers end-to-end: TIFF scan+decode and zarr scan+load
     // through the masking pipeline (deterministic on-disk fixtures).
     Q.noOracle("p05_sources_roundtrip") { (s, _) =>
-      val (tiffDir, zarrDir) = sourceFixtures
+      val (tiffDir, zarrDir, cziPath) = sourceFixtures
       val tiffMeta = graft.sources.Tiff.metaFromDirectory(s, tiffDir,
         ".*img_(?<id>[a-z]+)_ch(?<channel>[0-9])\\.tif")
       val tiffEvents = graft.sources.Tiff.loadPixels(tiffMeta, Seq("0", "1"))
       val zarrMeta = graft.sources.Zarr.metaFromDirectory(s, zarrDir)
       val zarrEvents = graft.sources.Zarr.loadPixels(zarrMeta)
+      val cziEvents = graft.sources.Czi.loadPixels(
+        graft.sources.Czi.metaFromDirectory(s, cziPath,
+          regex = "well-(?<row>[A-Z])(?<col>[0-9]+)"), channels = Seq(0, 1))
       val all = tiffEvents.toDF().unionByName(zarrEvents.toDF())
+        .unionByName(cziEvents.toDF())
         .as(graft.core.Codecs.imageEventEncoder)
       Features.extract(
         Masking.branch(all, Masking.Circle, 0), Seq("ch0", "ch1"),

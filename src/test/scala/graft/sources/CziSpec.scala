@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** CZI (ZISRAW) source — S8: segment parser roundtrip, scene
+  * filtering, regex meta extraction, Z stacks, channel selection. */
+class CziSpec extends SparkSpec {
+
+  private def pixel(s: Int, t: Int, c: Int, z: Int, r: Int, col: Int): Float =
+    (s * 100000 + t * 10000 + c * 1000 + z * 100 + r * 10 + col).toFloat
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("czi-spec")
+    val p = dir.resolve("plate_01.czi").toString
+    Czi.writeMinimal(p, Seq("well-A1", "well-B2"), tiles = 2,
+      channels = 2, depth = 1, h = 6, w = 5, pixel)
+    p
+  }
+
+  private lazy val zFixture: String = {
+    val dir = Files.createTempDirectory("czi-spec-z")
+    val p = dir.resolve("stack.czi").toString
+    Czi.writeMinimal(p, Seq("s0"), tiles = 1, channels = 2, depth = 3,
+      h = 4, w = 4, pixel)
+    p
+  }
+
+  test("index parse: entries, scenes, tiles, names") {
+    val idx = Czi.readIndex(fixture)
+    assert(idx.entries.length == 2 * 2 * 2) // scenes x tiles x channels
+    assert(idx.entries.forall(_.compression == 0))
+    assert(idx.sceneNames == Map(0 -> "well-A1", 1 -> "well-B2"))
+    assert(idx.entries.map(_.start("S")).distinct.sorted == Seq(0, 1))
+    assert(idx.entries.map(_.start("M")).distinct.sorted == Seq(0, 1))
+  }
+
+  test("meta scan: one row per (scene, tile) with regex groups from scene name") {
+    val meta = Czi.metaFromDirectory(spark, fixture,
+      regex = "well-(?<row>[A-Z])(?<col>[0-9]+)")
+    val rows = meta.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("well-A1", "well-A1", "well-B2", "well-B2"))
+    assert(rows.map(_.getInt(3)).toSeq == Seq(0, 1, 0, 1))
+    val m = rows.head.getMap[String, String](5)
+    assert(m("row") == "A" && m("col") == "1")
+  }
+
+  test("scene selection: explicit list and regex filter") {
+    val listed = Czi.metaFromDirectory(spark, fixture, scenes = Seq("well-B2"))
+    assert(listed.collect().map(_.getString(1)).distinct.toSeq == Seq("well-B2"))
+    val filtered = Czi.metaFromDirectory(spark, fixture, scenesRegex = "well-A.*")
+    assert(filtered.collect().map(_.getString(1)).distinct.toSeq == Seq("well-A1"))
+  }
+
+  test("pixel roundtrip: exact values per scene/tile/channel") {
+    val events = Czi.loadPixels(
+      Czi.metaFromDirectory(spark, fixture), channels = Seq(0, 1)).collect()
+    assert(events.length == 4)
+    events.foreach { e =>
+      assert(e.channels == 2 && e.height == 6 && e.width == 5)
+      val s = e.meta("scene") match { case "well-A1" => 0; case _ => 1 }
+      val t = e.meta("tile").toInt
+      for (c <- 0 until 2; r <- 0 until 6; col <- 0 until 5)
+        assert(e.pixels(c * 30 + r * 5 + col) == pixel(s, t, c, 0, r, col))
+      assert(e.group == s"${e.meta("scene")}/$t")
+    }
+  }
+
+  test("channel selection subsets and reorders") {
+    val e = Czi.loadPixels(
+      Czi.metaFromDirectory(spark, fixture, scenes = Seq("well-A1")),
+      channels = Seq(1)).collect().head
+    assert(e.channels == 1)
+    assert(e.pixels(0) == pixel(0, 0, 1, 0, 0, 0))
+  }
+
+  test("z stacks carry depth for the projection stage") {
+    val e = Czi.loadPixels(Czi.metaFromDirectory(spark, zFixture)).collect().head
+    assert(e.meta("depth") == "3")
+    assert(e.pixels.length == 2 * 3 * 4 * 4)
+    // plane order is (C, Z): channel-major, z within channel
+    assert(e.pixels(0) == pixel(0, 0, 0, 0, 0, 0))
+    assert(e.pixels(16) == pixel(0, 0, 0, 1, 0, 0))
+    assert(e.pixels(3 * 16) == pixel(0, 0, 1, 0, 0, 0))
+    // and the projection stage consumes it
+    import graft.core.Codecs._
+    val ds = spark.createDataset(Seq(e))
+    val projected = graft.ops.Projection(ds, "max").collect().head
+    assert(projected.pixels.length == 2 * 4 * 4)
+    assert(!projected.meta.contains("depth"))
+    assert(projected.pixels(0) == pixel(0, 0, 0, 2, 0, 0)) // max over z
+  }
+}
