@@ -14,7 +14,11 @@ import org.apache.spark.sql.Dataset
   */
 object Segmentation {
 
-  trait Segmenter extends Serializable {
+  /** anything the pipeline's segment stage can run (single-plane
+    * segmenters and the multi-channel cellpose path) */
+  sealed trait SegmentSpec extends Serializable
+
+  trait Segmenter extends SegmentSpec {
     /** labeled mask (1..n) for the parent channel plane */
     def segment(plane: Array[Float], h: Int, w: Int): Array[Int]
   }
@@ -55,6 +59,156 @@ object Segmentation {
       val regions = Array.fill(e.channels)(Morphology.labelCount(labels))
       e.copy(mask = mask, regions = regions)
     })
+
+  // ---- cellpose-shaped segmentation (C9) --------------------------------
+
+  /** The model contract of the cellpose path (segmentation/cellpose.py:
+    * 39-107): batched eval of (primary, nucleus) plane pairs → one
+    * labeled mask per event. The torch model itself is outside JVM
+    * scope (the reference ships it as an optional extra too,
+    * setup.cfg:55-57); [[StubCellposeFactory]] is the deterministic
+    * stand-in wired through the REAL plumbing — executor-singleton
+    * model caching (R6), batch-grouped eval, and the >10%-overlap
+    * parent/child assignment. A torch-backed implementation plugs in
+    * as another [[CellposeModelFactory]]. */
+  trait CellposeModel {
+    /** items are (primary plane, nucleus plane, h, w) */
+    def evalBatch(items: Seq[(Array[Float], Array[Float], Int, Int)],
+        cellDiameter: Int, flowThreshold: Double): Seq[Array[Int]]
+  }
+
+  /** expensive model init happens once per executor JVM (the
+    * reference's `worker.cellpose` attribute, cellpose.py:71-79) */
+  trait CellposeModelFactory extends Serializable {
+    def id: String
+    def create(): CellposeModel
+  }
+
+  object CellposeModels {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, CellposeModel]()
+    def forWorker(f: CellposeModelFactory): CellposeModel =
+      cache.computeIfAbsent(f.id, _ => f.create())
+    private[ops] def instanceCount: Int = cache.size()
+  }
+
+  /** deterministic classical stand-in for the cyto2 model: the
+    * watershed-DAPI kernel over the primary plane, peaks seeded from
+    * the nucleus plane's foreground distance — same (primary, nucleus)
+    * input contract and labeled-mask output shape as cellpose */
+  case object StubCellposeFactory extends CellposeModelFactory {
+    val id = "stub-cyto2"
+    def create(): CellposeModel = new CellposeModel {
+      def evalBatch(items: Seq[(Array[Float], Array[Float], Int, Int)],
+          cellDiameter: Int, flowThreshold: Double): Seq[Array[Int]] =
+        items.map { case (primary, nucleus, h, w) =>
+          val den = Filters.gaussian(primary, h, w, 1.0)
+          val t = Thresholds.otsu(den)
+          val fg = den.map(_ > t)
+          val nden = Filters.gaussian(nucleus, h, w, 1.0)
+          val nt = Thresholds.otsu(nden)
+          val nfg = nden.map(_ > nt)
+          val dist = Watershed.distanceTransform(nfg, h, w)
+          val peaks = Watershed.peakLocalMax(dist, h, w, cellDiameter)
+          if (peaks.isEmpty) new Array[Int](h * w)
+          else {
+            val markers = Watershed.markersFromPeaks(peaks, h * w)
+            Watershed.watershed(dist.map(-_), h, w, markers, fg)
+          }
+        }
+    }
+  }
+
+  final case class CellposeShaped(
+      parentChannelIndex: Int,
+      dapiChannelIndex: Int,
+      channelIndices: Seq[Int] = null,
+      cellDiameter: Int = 10,
+      flowThreshold: Double = 0.4,
+      batchSize: Int = 128,
+      model: CellposeModelFactory = StubCellposeFactory) extends SegmentSpec
+
+  /** child→parent assignment (cellpose.py:109-127): within each parent
+    * object, child labels covering >10% of the parent's area survive
+    * and take the parent's label. Implemented as ONE pass counting
+    * (parent, child) co-occurrence + parent areas, then one output
+    * pass — O(pixels + label pairs), not O(labels × pixels). */
+  private[ops] def assignChildren(parent: Array[Int], child: Array[Int]): Array[Int] = {
+    val areas = collection.mutable.HashMap.empty[Int, Int]
+    val pairCounts = collection.mutable.HashMap.empty[Long, Int]
+    var p = 0
+    while (p < parent.length) {
+      val i = parent(p)
+      if (i > 0) {
+        areas.updateWith(i)(v => Some(v.getOrElse(0) + 1))
+        val c = child(p)
+        if (c > 0) {
+          val key = (i.toLong << 32) | (c.toLong & 0xffffffffL)
+          pairCounts.updateWith(key)(v => Some(v.getOrElse(0) + 1))
+        }
+      }
+      p += 1
+    }
+    val keep = pairCounts.collect {
+      case (key, n) if n.toDouble / areas((key >>> 32).toInt) > 0.1 => key
+    }.toSet
+    val out = new Array[Int](parent.length)
+    p = 0
+    while (p < parent.length) {
+      val i = parent(p); val c = child(p)
+      if (i > 0 && c > 0 &&
+        keep.contains((i.toLong << 32) | (c.toLong & 0xffffffffL))) out(p) = i
+      p += 1
+    }
+    out
+  }
+
+  /** the cellpose-path segment stage: per batch, eval the parent
+    * channel once and each selected child channel once; child objects
+    * are re-labeled onto their parents; unselected channels carry the
+    * parent labels (numpy.repeat default, cellpose.py:111). Tombstones
+    * pass through in order. */
+  def segmentCellpose(ds: Dataset[ImageEvent], cfg: CellposeShaped): Dataset[ImageEvent] =
+    ds.mapPartitions { it =>
+      val model = CellposeModels.forWorker(cfg.model)
+      it.grouped(cfg.batchSize).flatMap { batch =>
+        val live = batch.filter(_.hasPixels)
+        if (live.isEmpty) batch.iterator
+        else {
+          def planes(ch: Int) = live.map { e =>
+            (e.plane(ch), e.plane(cfg.dapiChannelIndex), e.height, e.width)
+          }
+          val parents = model.evalBatch(planes(cfg.parentChannelIndex),
+            cfg.cellDiameter, cfg.flowThreshold)
+          val chIdx = Option(cfg.channelIndices)
+            .getOrElse(0 until live.head.channels)
+          val children: Map[Int, Seq[Array[Int]]] = chIdx
+            .filter(_ != cfg.parentChannelIndex)
+            .map(c => c -> model.evalBatch(planes(c),
+              cfg.cellDiameter, cfg.flowThreshold))
+            .toMap
+          val segmented = live.zipWithIndex.map { case (e, i) =>
+            val ps = e.planeSize
+            val mask = new Array[Int](e.channels * ps)
+            val regions = new Array[Int](e.channels)
+            var c = 0
+            while (c < e.channels) {
+              val labels = children.get(c) match {
+                case Some(ch) => assignChildren(parents(i), ch(i))
+                case None => parents(i)
+              }
+              System.arraycopy(labels, 0, mask, c * ps, ps)
+              regions(c) = labels.distinct.count(_ > 0)
+              c += 1
+            }
+            e.copy(mask = mask, regions = regions)
+          }
+          // re-interleave with tombstones, preserving batch order
+          val liveIt = segmented.iterator
+          batch.iterator.map(e => if (e.hasPixels) liveIt.next() else e)
+        }
+      }
+    }
 
   /** mask subtraction P6 (segmentation/__init__.py:11-13): channel k's
     * mask becomes mask(i) − mask(j) (set difference) */

@@ -189,6 +189,12 @@ object Cli {
         s.get("method").asText() match {
           case "watershed_dapi" => Segmentation.WatershedDapi(
             Option(s.get("cell_diameter")).map(_.asInt()).getOrElse(10))
+          case "cellpose" => Segmentation.CellposeShaped(
+            parentChannelIndex = Option(s.get("parent_channel")).map(_.asInt()).getOrElse(0),
+            dapiChannelIndex = Option(s.get("dapi_channel")).map(_.asInt()).getOrElse(0),
+            channelIndices = Option(s.get("channels")).map(ints).orNull,
+            cellDiameter = Option(s.get("cell_diameter")).map(_.asInt()).getOrElse(10),
+            flowThreshold = Option(s.get("flow_threshold")).map(_.asDouble()).getOrElse(0.4))
           case m => throw new IllegalArgumentException(s"unknown segmenter: $m")
         }
       },

@@ -35,7 +35,7 @@ final case class PipelineConfig(
     illuminationCorrection: Boolean = false,
     illuminationMedianRadius: Int = 5,
     illuminationPrecomputed: Option[String] = None,
-    segment: Option[Segmentation.Segmenter] = None,
+    segment: Option[Segmentation.SegmentSpec] = None,
     segmentParentChannel: Int = 0,
     sampleK: Option[Int] = None,
     sampleWithReplacement: Boolean = false,
@@ -69,8 +69,12 @@ object Pipeline {
         ds = Illumination.correct(spark, ds, cfg.illuminationMedianRadius)
       case None =>
     }
-    cfg.segment.foreach { seg =>
-      ds = Segmentation.segment(ds, seg, cfg.segmentParentChannel)
+    cfg.segment.foreach { spec =>
+      ds = spec match {
+        case cp: Segmentation.CellposeShaped => Segmentation.segmentCellpose(ds, cp)
+        case seg: Segmentation.Segmenter =>
+          Segmentation.segment(ds, seg, cfg.segmentParentChannel)
+      }
       // K4: side-effect export of the labeled FOV masks
       cfg.maskNpyDir.foreach(dir => ds = graft.export.Export.npyMasks(ds, dir))
       ds = Segmentation.toEvents(ds, cfg.segmentParentChannel)

@@ -110,6 +110,19 @@ object PipelineQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // Cellpose-path segmentation (C9): batched two-channel model eval
+    // (deterministic stub standing in for torch), >10%-overlap
+    // child→parent assignment, FOVs -> per-cell feature rows.
+    Q.noOracle("p06_segment_cellpose") { (s, _) =>
+      val src = Synthetic.cells(s, 16, channels = 2)
+      val seg = Segmentation.segmentCellpose(src,
+        Segmentation.CellposeShaped(parentChannelIndex = 0, dapiChannelIndex = 0,
+          cellDiameter = 8))
+      Features.extract(Segmentation.toEvents(seg, 0), Seq("dapi", "marker"),
+          Seq("regions", "bbox", "intensity"))
+        .orderBy("meta_idx", "meta_id")
+    },
+
     // Full stage stack: illumination correction + masking + population
     // filter + normalization over the scalable synthetic source.
     Q.noOracle("p03_full_stack") { (s, _) =>
