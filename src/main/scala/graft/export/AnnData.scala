@@ -1,0 +1,112 @@
+package graft.export
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** AnnData sink — reference K2 (export/anndata.py:12-60): one `.h5ad`
+  * per partition, `X` = the float32 matrix of columns matching "feat",
+  * `obs` = the columns matching "meta" (pandas `filter(regex=...)` is a
+  * substring match), row index = the partition-local row number as a
+  * string, `var` index = the X column names. Files are written by the
+  * executors through [[Hdf5]] (no driver collect); each partition's
+  * write is one sequential buffer flush.
+  */
+object AnnData {
+
+  private val Enc = "encoding-type"
+  private val EncV = "encoding-version"
+  import Hdf5.{Attr, StrV, StrArrV}
+
+  /** write `<dir>/<filename>.<partition>.h5ad` per partition */
+  def export(df: DataFrame, dir: String, filename: String = "features"): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val schema = df.schema
+    val featCols = schema.fields.filter(_.name.contains("feat")).map(_.name)
+    val metaCols = schema.fields.filter(_.name.contains("meta")).map(_.name)
+    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    val dirB = dir; val nameB = filename
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val mat = rows.toArray
+      val path = Paths.get(dirB, s"$nameB.$pid.h5ad").toString
+      writePartition(path, mat, schema, featCols, metaCols, fieldType)
+      Iterator.single(pid)
+    }.count()
+    ()
+  }
+
+  private def writePartition(path: String,
+      rows: Array[org.apache.spark.sql.Row], schema: StructType,
+      featCols: Array[String], metaCols: Array[String],
+      fieldType: Map[String, DataType]): Unit = {
+    val n = rows.length
+    val f = new Hdf5.File
+    val colIdx = schema.fieldNames.zipWithIndex.toMap
+
+    def numeric(row: org.apache.spark.sql.Row, i: Int): Double =
+      row.get(i) match {
+        case null => Double.NaN
+        case d: Double => d
+        case fl: Float => fl.toDouble
+        case l: Long => l.toDouble
+        case x: Int => x.toDouble
+        case s: Short => s.toDouble
+        case other => other.toString.toDouble
+      }
+
+    // X: n × d float32, row-major (C order, like the reference's numpy)
+    val d = featCols.length
+    val x = new Array[Float](n * d)
+    var r = 0
+    while (r < n) {
+      var c = 0
+      while (c < d) {
+        x(r * d + c) = numeric(rows(r), colIdx(featCols(c))).toFloat
+        c += 1
+      }
+      r += 1
+    }
+    val xAddr = f.dataset(Seq(n.toLong, d.toLong), Hdf5.F32, Hdf5.f32Raw(x),
+      Seq(Attr(Enc, StrV("array")), Attr(EncV, StrV("0.2.0"))))
+
+    def strArray(vals: Seq[String]): Long = {
+      val size = math.max(1, vals.map(_.length).foldLeft(0)(math.max)) + 1
+      f.dataset(Seq(vals.length.toLong), Hdf5.Str(size), Hdf5.strRaw(vals, size),
+        Seq(Attr(Enc, StrV("string-array")), Attr(EncV, StrV("0.2.0"))))
+    }
+
+    def dataframeGroup(index: Seq[String], cols: Seq[String],
+        colAddr: Seq[Long]): Long = {
+      val idxAddr = strArray(index)
+      f.group((("_index" -> idxAddr)) +: cols.zip(colAddr),
+        Seq(Attr(Enc, StrV("dataframe")), Attr(EncV, StrV("0.2.0")),
+          Attr("_index", StrV("_index")),
+          Attr("column-order", StrArrV(cols))))
+    }
+
+    // obs: the partition-local row number as the index (reset_index)
+    val obsCols = metaCols.toSeq
+    val obsAddrs = obsCols.map { name =>
+      fieldType(name) match {
+        case StringType =>
+          strArray(rows.map(r => Option(r.getAs[String](colIdx(name))).getOrElse("")).toSeq)
+        case LongType | IntegerType | ShortType =>
+          val vals = rows.map(r =>
+            if (r.isNullAt(colIdx(name))) 0L else numeric(r, colIdx(name)).toLong)
+          f.dataset(Seq(n.toLong), Hdf5.I64, Hdf5.i64Raw(vals),
+            Seq(Attr(Enc, StrV("array")), Attr(EncV, StrV("0.2.0"))))
+        case _ =>
+          val vals = rows.map(numeric(_, colIdx(name)))
+          f.dataset(Seq(n.toLong), Hdf5.F64, Hdf5.f64Raw(vals),
+            Seq(Attr(Enc, StrV("array")), Attr(EncV, StrV("0.2.0"))))
+      }
+    }
+    val obsAddr = dataframeGroup((0 until n).map(_.toString), obsCols, obsAddrs)
+    // var: index = X's column names, no further columns
+    val varAddr = dataframeGroup(featCols.toSeq, Seq.empty, Seq.empty)
+    val root = f.group(
+      Seq("X" -> xAddr, "obs" -> obsAddr, "var" -> varAddr),
+      Seq(Attr(Enc, StrV("anndata")), Attr(EncV, StrV("0.1.0"))))
+    Files.write(Paths.get(path), f.finish(root))
+  }
+}

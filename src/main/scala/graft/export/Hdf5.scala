@@ -1,0 +1,272 @@
+package graft.export
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal HDF5 writer — just enough of the public HDF5 File Format
+  * Specification (version 0 superblock, old-style groups with local
+  * heap + v1 B-tree + symbol nodes, v1 object headers, contiguous
+  * layout, fixed-length strings) to emit AnnData `.h5ad` containers
+  * (reference K2, export/anndata.py:12-60) from a JVM with no HDF5
+  * binding. Strings are fixed-length null-terminated ASCII rather than
+  * the vlen encoding libhdf5 would write (vlen needs global heaps);
+  * both are spec-valid and h5py-readable. Verified structurally by the
+  * independent reader in Hdf5Spec.
+  */
+object Hdf5 {
+
+  private val Undef = -1L // 0xFFFFFFFFFFFFFFFF — the "undefined address"
+
+  /** little-endian growable buffer with 8-alignment and patching */
+  final class Buf {
+    private var arr = new Array[Byte](1 << 16)
+    private var len = 0
+    def pos: Long = len.toLong
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length) {
+        var cap = arr.length
+        while (cap < len + n) cap *= 2
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    def u8(v: Int): Unit = { ensure(1); arr(len) = v.toByte; len += 1 }
+    def u16(v: Int): Unit = { u8(v & 0xff); u8((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32((v >>> 32) & 0xffffffffL) }
+    def bytes(b: Array[Byte]): Unit = { ensure(b.length); System.arraycopy(b, 0, arr, len, b.length); len += b.length }
+    def zeros(n: Int): Unit = { ensure(n); len += n }
+    def align8(): Long = { while (len % 8 != 0) u8(0); pos }
+    def patchU64(at: Long, v: Long): Unit = {
+      var i = 0; var x = v
+      while (i < 8) { arr(at.toInt + i) = (x & 0xff).toByte; x >>= 8; i += 1 }
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
+  // ---- datatypes ----------------------------------------------------------
+
+  sealed trait Dtype { def size: Int; def encode(b: Buf): Unit }
+
+  private def floatType(b: Buf, size: Int, prec: Int, expLoc: Int, expSz: Int,
+      manSz: Int, bias: Int, signLoc: Int): Unit = {
+    b.u8(0x11) // version 1, class 1 (float)
+    b.u8(0x20) // LE, implied-msb mantissa normalization
+    b.u8(signLoc); b.u8(0)
+    b.u32(size.toLong)
+    b.u16(0); b.u16(prec)
+    b.u8(expLoc); b.u8(expSz); b.u8(0); b.u8(manSz)
+    b.u32(bias.toLong)
+  }
+
+  case object F64 extends Dtype {
+    val size = 8
+    def encode(b: Buf): Unit = floatType(b, 8, 64, 52, 11, 52, 1023, 63)
+  }
+  case object F32 extends Dtype {
+    val size = 4
+    def encode(b: Buf): Unit = floatType(b, 4, 32, 23, 8, 23, 127, 31)
+  }
+  case object I64 extends Dtype {
+    val size = 8
+    def encode(b: Buf): Unit = {
+      b.u8(0x10) // version 1, class 0 (fixed-point)
+      b.u8(0x08) // LE, signed
+      b.u8(0); b.u8(0)
+      b.u32(8)
+      b.u16(0); b.u16(64)
+    }
+  }
+  /** fixed-length null-terminated ASCII string of `size` bytes */
+  final case class Str(size: Int) extends Dtype {
+    def encode(b: Buf): Unit = {
+      b.u8(0x13) // version 1, class 3 (string)
+      b.u8(0x00) // null-terminated, ASCII
+      b.u8(0); b.u8(0)
+      b.u32(size.toLong)
+    }
+  }
+
+  private def dtypeBytes(t: Dtype): Array[Byte] = {
+    val b = new Buf; t.encode(b); b.result()
+  }
+
+  /** simple dataspace: rank 0 = scalar */
+  private def dataspaceBytes(dims: Seq[Long]): Array[Byte] = {
+    val b = new Buf
+    b.u8(1); b.u8(dims.length); b.u8(0); b.zeros(5)
+    dims.foreach(b.u64)
+    b.result()
+  }
+
+  // ---- attributes ---------------------------------------------------------
+
+  sealed trait AttrValue
+  final case class StrV(v: String) extends AttrValue
+  final case class StrArrV(v: Seq[String]) extends AttrValue
+  final case class Attr(name: String, value: AttrValue)
+
+  private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+  private def strBytes(s: String, size: Int): Array[Byte] = {
+    val raw = s.getBytes(StandardCharsets.US_ASCII)
+    java.util.Arrays.copyOf(raw, size)
+  }
+
+  private def attrBody(a: Attr): Array[Byte] = {
+    val (dt, ds, data) = a.value match {
+      case StrV(v) =>
+        val size = v.getBytes(StandardCharsets.US_ASCII).length + 1
+        (dtypeBytes(Str(size)), dataspaceBytes(Seq.empty), strBytes(v, size))
+      case StrArrV(vs) =>
+        val size = math.max(1, vs.map(_.getBytes(StandardCharsets.US_ASCII).length).foldLeft(0)(math.max)) + 1
+        (dtypeBytes(Str(size)), dataspaceBytes(Seq(vs.length.toLong)),
+          vs.flatMap(strBytes(_, size)).toArray)
+    }
+    val nameB = a.name.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+    val b = new Buf
+    b.u8(1); b.u8(0)
+    b.u16(nameB.length)
+    b.u16(dt.length)
+    b.u16(ds.length)
+    b.bytes(nameB); b.zeros(pad8(nameB.length) - nameB.length)
+    b.bytes(dt); b.zeros(pad8(dt.length) - dt.length)
+    b.bytes(ds); b.zeros(pad8(ds.length) - ds.length)
+    b.bytes(data)
+    b.result()
+  }
+
+  // ---- object headers -----------------------------------------------------
+
+  private final case class Msg(tpe: Int, body: Array[Byte])
+
+  /** v1 object header: 16-byte prefix + 8-byte-aligned messages */
+  private def writeObjectHeader(b: Buf, msgs: Seq[Msg]): Long = {
+    val encoded = msgs.map { m =>
+      val padded = pad8(m.body.length)
+      (m.tpe, m.body, padded)
+    }
+    val total = encoded.map(8 + _._3).sum
+    val addr = b.align8()
+    b.u8(1); b.u8(0)
+    b.u16(msgs.length)
+    b.u32(1) // reference count
+    b.u32(total.toLong)
+    b.zeros(4)
+    encoded.foreach { case (tpe, body, padded) =>
+      b.u16(tpe); b.u16(padded); b.u8(0); b.zeros(3)
+      b.bytes(body); b.zeros(padded - body.length)
+    }
+    addr
+  }
+
+  // ---- file assembly ------------------------------------------------------
+
+  /** one HDF5 file built root-last; datasets/groups return their
+    * object-header addresses for linking */
+  final class File {
+    val b = new Buf
+    b.zeros(96) // superblock patched in finish()
+
+    /** contiguous N-D dataset */
+    def dataset(dims: Seq[Long], dtype: Dtype, raw: Array[Byte],
+        attrs: Seq[Attr] = Seq.empty): Long = {
+      require(raw.length.toLong == dims.product * dtype.size, "raw size mismatch")
+      val dataAddr = b.align8()
+      b.bytes(raw)
+      val layout = {
+        val lb = new Buf
+        lb.u8(3); lb.u8(1) // version 3, contiguous
+        lb.u64(dataAddr); lb.u64(raw.length.toLong)
+        lb.result()
+      }
+      writeObjectHeader(b,
+        Seq(Msg(0x0001, dataspaceBytes(dims)), Msg(0x0003, dtypeBytes(dtype)),
+          Msg(0x0008, layout)) ++ attrs.map(a => Msg(0x000C, attrBody(a))))
+    }
+
+    /** old-style group over already-written children */
+    def group(children: Seq[(String, Long)], attrs: Seq[Attr] = Seq.empty): Long = {
+      val sorted = children.sortBy(_._1)
+      // local heap data: offset 0 holds the empty string; names 8-aligned
+      val heapData = new Buf
+      heapData.zeros(8)
+      val nameOffsets = sorted.map { case (name, _) =>
+        val off = heapData.pos
+        val nb = name.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+        heapData.bytes(nb); heapData.align8()
+        name -> off
+      }.toMap
+      val heapDataAddr = b.align8()
+      val heapRaw = heapData.result()
+      b.bytes(heapRaw)
+      val heapAddr = b.align8()
+      b.bytes("HEAP".getBytes(StandardCharsets.US_ASCII))
+      b.u8(0); b.zeros(3)
+      b.u64(heapRaw.length.toLong)
+      b.u64(Undef) // no free list
+      b.u64(heapDataAddr)
+      // symbol node with all entries (fits: default leaf K=4 means <=8
+      // entries per node; our groups are tiny)
+      val snodAddr = b.align8()
+      b.bytes("SNOD".getBytes(StandardCharsets.US_ASCII))
+      b.u8(1); b.u8(0)
+      b.u16(sorted.length)
+      sorted.foreach { case (name, headerAddr) =>
+        b.u64(nameOffsets(name)); b.u64(headerAddr)
+        b.u32(0); b.u32(0); b.zeros(16)
+      }
+      // B-tree v1, single leaf child
+      val btreeAddr = b.align8()
+      b.bytes("TREE".getBytes(StandardCharsets.US_ASCII))
+      b.u8(0); b.u8(0)
+      b.u16(1)
+      b.u64(Undef); b.u64(Undef)
+      b.u64(0) // key 0: before all names
+      b.u64(snodAddr)
+      b.u64(sorted.lastOption.map(c => nameOffsets(c._1)).getOrElse(0L)) // key 1
+      val symtab = { val sb = new Buf; sb.u64(btreeAddr); sb.u64(heapAddr); sb.result() }
+      writeObjectHeader(b,
+        Msg(0x0011, symtab) +: attrs.map(a => Msg(0x000C, attrBody(a))))
+    }
+
+    /** patch the version-0 superblock around the root group */
+    def finish(rootHeaderAddr: Long): Array[Byte] = {
+      val end = b.pos
+      val sb = new Buf
+      sb.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      sb.u8(0); sb.u8(0); sb.u8(0); sb.u8(0) // superblock/freespace/root-STE versions
+      sb.u8(0); sb.u8(8); sb.u8(8); sb.u8(0) // shared-header ver, offset+length sizes
+      sb.u16(4); sb.u16(16) // group leaf / internal K
+      sb.u32(0) // consistency flags
+      sb.u64(0) // base address
+      sb.u64(Undef) // free-space info
+      sb.u64(end) // end of file
+      sb.u64(Undef) // driver info
+      // root symbol table entry
+      sb.u64(0); sb.u64(rootHeaderAddr); sb.u32(0); sb.u32(0); sb.zeros(16)
+      val sbBytes = sb.result()
+      var i = 0
+      val out = b.result()
+      while (i < sbBytes.length) { out(i) = sbBytes(i); i += 1 }
+      out
+    }
+  }
+
+  // ---- raw encoders -------------------------------------------------------
+
+  def f32Raw(vals: Array[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vals.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putFloat); bb.array()
+  }
+  def f64Raw(vals: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putDouble); bb.array()
+  }
+  def i64Raw(vals: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putLong); bb.array()
+  }
+  def strRaw(vals: Seq[String], size: Int): Array[Byte] =
+    vals.flatMap(strBytes(_, size)).toArray
+}

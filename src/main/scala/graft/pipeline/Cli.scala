@@ -77,7 +77,13 @@ object Cli {
     Files.createDirectories(Paths.get(outputDir))
 
     val coalesce = exportNode.flatMap(e => Option(e.get("coalesce"))).map(_.asInt()).getOrElse(0)
-    Export.parquet(table, s"$outputDir/features.parquet", coalesce)
+    exportNode.flatMap(e => Option(e.get("format"))).map(_.asText()).getOrElse("parquet") match {
+      case "anndata" => // K2: one .h5ad per partition
+        val t = if (coalesce > 0) table.coalesce(coalesce) else table
+        graft.export.AnnData.export(t, outputDir, "features")
+      case _ =>
+        Export.parquet(table, s"$outputDir/features.parquet", coalesce)
+    }
 
     if (wantQuantiles) {
       // K3: quantiles of the post-mask stream (main.py:49-60,240) —

@@ -1,0 +1,231 @@
+package graft.export
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Independent structural HDF5 reader (written against the file-format
+  * spec, sharing no code with the writer) + AnnData export checks. */
+object H5Read {
+  final case class H5Obj(
+      attrs: Map[String, Any],
+      children: Map[String, H5Obj],
+      dims: Seq[Long],
+      dtype: String,
+      data: Array[Byte])
+
+  def read(path: String): H5Obj = {
+    val raw = Files.readAllBytes(Paths.get(path))
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = Array.tabulate(8)(bb.get(_))
+    require(sig.toSeq == Seq[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a),
+      "bad HDF5 signature")
+    require(bb.get(13) == 8 && bb.get(14) == 8, "offsets/lengths must be 8 bytes")
+    val eof = bb.getLong(40)
+    require(eof == raw.length.toLong, s"EOF address $eof != file size ${raw.length}")
+    val rootHeader = bb.getLong(64)
+    readObject(bb, rootHeader)
+  }
+
+  private def readObject(bb: ByteBuffer, addr: Long): H5Obj = {
+    require(addr % 8 == 0, s"unaligned object header $addr")
+    val a = addr.toInt
+    require(bb.get(a) == 1, "object header version must be 1")
+    val nMsgs = bb.getShort(a + 2) & 0xffff
+    var p = a + 16
+    var attrs = Map.empty[String, Any]
+    var children = Map.empty[String, H5Obj]
+    var dims: Seq[Long] = Seq.empty
+    var dtype = ""
+    var dtypeSize = 0
+    var dataAddr = -1L
+    var dataSize = -1L
+    for (_ <- 0 until nMsgs) {
+      val tpe = bb.getShort(p) & 0xffff
+      val size = bb.getShort(p + 2) & 0xffff
+      val body = p + 8
+      tpe match {
+        case 0x0001 => // dataspace
+          val rank = bb.get(body + 1) & 0xff
+          dims = (0 until rank).map(i => bb.getLong(body + 8 + i * 8))
+        case 0x0003 =>
+          val (t, s) = parseDatatype(bb, body)
+          dtype = t; dtypeSize = s
+        case 0x0008 =>
+          require(bb.get(body) == 3 && bb.get(body + 1) == 1, "layout must be v3 contiguous")
+          dataAddr = bb.getLong(body + 2)
+          dataSize = bb.getLong(body + 10)
+        case 0x000C =>
+          val (name, value) = parseAttr(bb, body)
+          attrs += name -> value
+        case 0x0011 =>
+          val btree = bb.getLong(body)
+          val heap = bb.getLong(body + 8)
+          children = readGroupLinks(bb, btree, heap)
+            .map { case (n, a2) => n -> readObject(bb, a2) }.toMap
+        case _ =>
+      }
+      p = body + size
+    }
+    val data =
+      if (dataAddr >= 0) {
+        val out = new Array[Byte](dataSize.toInt)
+        var i = 0
+        while (i < out.length) { out(i) = bb.get(dataAddr.toInt + i); i += 1 }
+        out
+      } else Array.empty[Byte]
+    H5Obj(attrs, children, dims, if (dtype.isEmpty) "" else s"$dtype$dtypeSize", data)
+  }
+
+  private def parseDatatype(bb: ByteBuffer, p: Int): (String, Int) = {
+    val cv = bb.get(p) & 0xff
+    val cls = cv & 0x0f
+    val size = bb.getInt(p + 4)
+    cls match {
+      case 0 => ("int", size)
+      case 1 => ("float", size)
+      case 3 => ("str", size)
+      case c => (s"class$c", size)
+    }
+  }
+
+  private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+  private def parseAttr(bb: ByteBuffer, p: Int): (String, Any) = {
+    require(bb.get(p) == 1, "attribute message version must be 1")
+    val nameSize = bb.getShort(p + 2) & 0xffff
+    val dtSize = bb.getShort(p + 4) & 0xffff
+    val dsSize = bb.getShort(p + 6) & 0xffff
+    var q = p + 8
+    val name = readCStr(bb, q)
+    q += pad8(nameSize)
+    val (tp, elemSize) = parseDatatype(bb, q)
+    q += pad8(dtSize)
+    val rank = bb.get(q + 1) & 0xff
+    val n = if (rank == 0) -1 else bb.getLong(q + 8).toInt
+    q += pad8(dsSize)
+    require(tp == "str", "attr reader supports strings only")
+    if (n < 0) (name, readFixedStr(bb, q, elemSize))
+    else (name, (0 until n).map(i => readFixedStr(bb, q + i * elemSize, elemSize)))
+  }
+
+  private def readCStr(bb: ByteBuffer, p: Int): String = {
+    val sb = new StringBuilder
+    var i = p
+    while (bb.get(i) != 0) { sb.append(bb.get(i).toChar); i += 1 }
+    sb.toString
+  }
+  private def readFixedStr(bb: ByteBuffer, p: Int, size: Int): String = {
+    val sb = new StringBuilder
+    var i = p
+    while (i < p + size && bb.get(i) != 0) { sb.append(bb.get(i).toChar); i += 1 }
+    sb.toString
+  }
+
+  private def readGroupLinks(bb: ByteBuffer, btree: Long, heap: Long): Seq[(String, Long)] = {
+    require(readSig(bb, heap.toInt) == "HEAP", "bad local heap signature")
+    val heapData = bb.getLong(heap.toInt + 24)
+    require(readSig(bb, btree.toInt) == "TREE", "bad btree signature")
+    require(bb.get(btree.toInt + 4) == 0 && bb.get(btree.toInt + 5) == 0,
+      "btree must be a level-0 group node")
+    val entries = bb.getShort(btree.toInt + 6) & 0xffff
+    (0 until entries).flatMap { e =>
+      val child = bb.getLong(btree.toInt + 24 + 8 + e * 16)
+      require(readSig(bb, child.toInt) == "SNOD", "bad symbol node signature")
+      val nSym = bb.getShort(child.toInt + 6) & 0xffff
+      (0 until nSym).map { s =>
+        val entry = child.toInt + 8 + s * 40
+        val nameOff = bb.getLong(entry)
+        val headerAddr = bb.getLong(entry + 8)
+        readCStr(bb, (heapData + nameOff).toInt) -> headerAddr
+      }
+    }
+  }
+  private def readSig(bb: ByteBuffer, p: Int): String =
+    new String(Array.tabulate(4)(i => bb.get(p + i)), java.nio.charset.StandardCharsets.US_ASCII)
+}
+
+class Hdf5Spec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def floats(o: H5Read.H5Obj): Array[Float] = {
+    val bb = ByteBuffer.wrap(o.data).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(o.data.length / 4)(i => bb.getFloat(i * 4))
+  }
+  private def longs(o: H5Read.H5Obj): Array[Long] = {
+    val bb = ByteBuffer.wrap(o.data).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(o.data.length / 8)(i => bb.getLong(i * 8))
+  }
+  private def strs(o: H5Read.H5Obj): Seq[String] = {
+    val size = o.dtype.stripPrefix("str").toInt
+    (0 until o.dims.head.toInt).map { i =>
+      new String(o.data.slice(i * size, (i + 1) * size).takeWhile(_ != 0),
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+  }
+
+  test("anndata export roundtrips through an independent HDF5 reader") {
+    import spark.implicits._
+    val df = Seq(
+      ("a.tif", 7L, 1.5, 2.5),
+      ("b.tif", 8L, -3.0, 0.25),
+      ("c.tif", 9L, 10.0, 1e-3))
+      .toDF("meta_path", "meta_idx", "feat_area_ch0", "feat_mean_ch0")
+      .coalesce(1)
+    val dir = Files.createTempDirectory("anndata-spec").toString
+    AnnData.export(df, dir, "features")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".h5ad"))
+    assert(files.length == 1)
+    val root = H5Read.read(files.head.getPath)
+
+    assert(root.attrs("encoding-type") == "anndata")
+    val x = root.children("X")
+    assert(x.attrs("encoding-type") == "array")
+    assert(x.dims == Seq(3L, 2L) && x.dtype == "float4")
+    assert(floats(x).toSeq == Seq(1.5f, 2.5f, -3.0f, 0.25f, 10.0f, 1e-3f))
+
+    val obs = root.children("obs")
+    assert(obs.attrs("encoding-type") == "dataframe")
+    assert(obs.attrs("_index") == "_index")
+    assert(obs.attrs("column-order") == Seq("meta_path", "meta_idx"))
+    assert(strs(obs.children("_index")) == Seq("0", "1", "2"))
+    assert(strs(obs.children("meta_path")) == Seq("a.tif", "b.tif", "c.tif"))
+    assert(longs(obs.children("meta_idx")).toSeq == Seq(7L, 8L, 9L))
+
+    val v = root.children("var")
+    assert(strs(v.children("_index")) == Seq("feat_area_ch0", "feat_mean_ch0"))
+    assert(v.attrs("column-order") == Seq.empty[String])
+  }
+
+  test("one .h5ad per partition, partition-local indices") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (s"p$i", i.toDouble))
+      .toDF("meta_path", "feat_v").repartition(3)
+    val dir = Files.createTempDirectory("anndata-parts").toString
+    AnnData.export(df, dir, "f")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".h5ad")).sortBy(_.getName)
+    assert(files.length == 3)
+    val total = files.map { f =>
+      val root = H5Read.read(f.getPath)
+      val n = root.children("X").dims.head.toInt
+      assert(strs(root.children("obs").children("_index")) ==
+        (0 until n).map(_.toString))
+      n
+    }.sum
+    assert(total == 10)
+  }
+
+  test("substring column match mirrors the reference's pandas filter(regex)") {
+    import spark.implicits._
+    // 'nofeat_x' contains "feat" -> X column; 'other' matches neither
+    val df = Seq((1.0, 2.0, "g", 3.0))
+      .toDF("feat_a", "nofeat_x", "meta_g", "other").coalesce(1)
+    val dir = Files.createTempDirectory("anndata-match").toString
+    AnnData.export(df, dir, "f")
+    val root = H5Read.read(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".h5ad")).head.getPath)
+    assert(strs(root.children("var").children("_index")) == Seq("feat_a", "nofeat_x"))
+    assert(root.children("obs").children.keySet == Set("_index", "meta_g"))
+  }
+}
