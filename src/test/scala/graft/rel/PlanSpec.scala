@@ -1,0 +1,83 @@
+package graft.rel
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape regression tests: the scale properties the engine
+  * depends on (scan pushdown, column pruning, broadcast joins, partial
+  * aggregation, no accidental sort-merge/cartesian blowups) asserted
+  * against the actual physical plans, so a refactor that silently
+  * loses one fails CI rather than a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed into the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan") || p.contains("LessThan") ||
+      p.contains("IsNotNull"), p)
+  }
+
+  test("q01: projection prunes the scan schema") {
+    val p = plan("q01_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only the selected columns reach the scan, not all 16 lineitem cols
+    assert(readSchema.nonEmpty, p)
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(!readSchema.contains("l_shipinstruct"), readSchema)
+  }
+
+  test("q10: dimension joins broadcast (no shuffle join)") {
+    val p = plan("q10_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q07: aggregation is partial+final (map-side combine)") {
+    val p = plan("q07_agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("d01: exact dedup is one hash-aggregate, no join") {
+    val p = plan("d01_dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d04: candidate verification broadcasts candidates, streams documents") {
+    val p = plan("d04_minhash_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s01: brute-force knn is a broadcast nested loop over one corpus pass") {
+    val p = plan("s01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s02/s04: ANN paths never shuffle-join the corpus against itself") {
+    Seq("s02_knn_lsh", "s04_knn_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("whole-stage codegen spans exist in the executed per-row transforms") {
+    // Spark's higher-order array expressions (filter/transform lambdas)
+    // are interpreted and legitimately sit OUTSIDE codegen spans; the
+    // guarantee asserted here is that the scan/sort pipeline around
+    // them is codegen'd ("*(n)" markers in the final AQE plan).
+    Seq("t01_token_stats", "t02_quality_score", "q03_project_compute").foreach { q =>
+      // only execution of THIS df (not a derived count) finalizes AQE
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$q: $p")
+      assert(p.contains("*("), s"$q: no codegen span in $p")
+    }
+  }
+}
