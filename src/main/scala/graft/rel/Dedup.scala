@@ -326,9 +326,23 @@ object Dedup {
       jaccardPairs(s, Tables.documents(s, d), 0.8).orderBy("da", "db")
     },
 
-    // MinHash + LSH banding (engine-specific hashes — rows-only check;
-    // the ScalaTest suite asserts it recovers exactly the d03 pairs).
-    Q.noOracle("d04_minhash_lsh") { (s, d) => minhashNearDup(s, d, 0.8) },
+    // MinHash + LSH banding. Candidates are verified with EXACT
+    // Jaccard, so the final answer must equal d03's — the same SQL
+    // serves as the oracle. (Banding at 16×4 catches a j=0.857 pair
+    // with miss probability ~4e-6; the spec additionally asserts exact
+    // pair-set recovery against d03.)
+    Q("d04_minhash_lsh",
+      shingleOracleCte +
+        """, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT da, db, common::DOUBLE / (ca.n + cb.n - common) AS jaccard
+          |FROM pairs
+          | JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+          |WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.8
+          |ORDER BY da, db""".stripMargin) { (s, d) => minhashNearDup(s, d, 0.8) },
 
     // SimHash near-dup (rows-only; spec-verified against d03).
     Q.noOracle("d05_simhash") { (s, d) => simhashNearDup(s, d, 3) },
