@@ -33,6 +33,19 @@ object Streaming {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** streaming exact dedup — the incremental form of d01: keep the
+    * first occurrence of each content digest, with state bounded by
+    * the watermark horizon (dropDuplicatesWithinWatermark keys state
+    * on the digest only and evicts entries older than the watermark —
+    * the 100 TB-stream shape: state size tracks the horizon's distinct
+    * digests, never the full history). */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   // ---- stateful: per-user running statistics ----------------------------
 
   case class EventRow(event_id: Long, user_id: Long, ts: Timestamp,

@@ -32,6 +32,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup keeps the first occurrence of each digest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    case class Doc(doc_id: Long, text: String, ts: Timestamp)
+    val t0 = 1700000000000L
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = dedupStream(
+        stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, "alpha beta", new Timestamp(t0)),
+        (2L, "gamma", new Timestamp(t0 + 1000)),
+        (3L, "alpha beta", new Timestamp(t0 + 2000)))) // dup of 1 in-batch
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (4L, "alpha beta", new Timestamp(t0 + 3000)), // dup of 1 across batches
+        (5L, "delta", new Timestamp(t0 + 4000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 5L), s"got $out")
+  }
+
   test("running user stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
