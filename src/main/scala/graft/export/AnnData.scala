@@ -2,7 +2,6 @@ package graft.export
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Paths}
 
 /** AnnData sink — reference K2 (export/anndata.py:12-60): one `.h5ad`
   * per partition, `X` = the float32 matrix of columns matching "feat",
@@ -18,9 +17,11 @@ object AnnData {
   private val EncV = "encoding-version"
   import Hdf5.{Attr, StrV, StrArrV}
 
-  /** write `<dir>/<filename>.<partition>.h5ad` per partition */
+  /** write `<dir>/<filename>.<partition>.h5ad` per partition. Output
+    * goes through the Hadoop FS layer (like the parquet sink), so the
+    * destination may be any filesystem the executors can resolve —
+    * directory creation happens on the executors, not the driver. */
   def export(df: DataFrame, dir: String, filename: String = "features"): Unit = {
-    Files.createDirectories(Paths.get(dir))
     val schema = df.schema
     val featCols = schema.fields.filter(_.name.contains("feat")).map(_.name)
     val metaCols = schema.fields.filter(_.name.contains("meta")).map(_.name)
@@ -28,17 +29,22 @@ object AnnData {
     val dirB = dir; val nameB = filename
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val mat = rows.toArray
-      val path = Paths.get(dirB, s"$nameB.$pid.h5ad").toString
-      writePartition(path, mat, schema, featCols, metaCols, fieldType)
+      val bytes = partitionBytes(mat, schema, featCols, metaCols, fieldType)
+      val dirPath = new org.apache.hadoop.fs.Path(dirB)
+      val fs = org.apache.hadoop.fs.FileSystem.get(dirPath.toUri,
+        new org.apache.hadoop.conf.Configuration())
+      fs.mkdirs(dirPath)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, s"$nameB.$pid.h5ad"), true)
+      try out.write(bytes) finally out.close()
       Iterator.single(pid)
     }.count()
     ()
   }
 
-  private def writePartition(path: String,
+  private def partitionBytes(
       rows: Array[org.apache.spark.sql.Row], schema: StructType,
       featCols: Array[String], metaCols: Array[String],
-      fieldType: Map[String, DataType]): Unit = {
+      fieldType: Map[String, DataType]): Array[Byte] = {
     val n = rows.length
     val f = new Hdf5.File
     val colIdx = schema.fieldNames.zipWithIndex.toMap
@@ -51,11 +57,18 @@ object AnnData {
         case l: Long => l.toDouble
         case x: Int => x.toDouble
         case s: Short => s.toDouble
-        case other => other.toString.toDouble
+        case b: Boolean => if (b) 1.0 else 0.0
+        case t: java.sql.Timestamp => t.getTime.toDouble // epoch millis
+        case dt: java.sql.Date => dt.toLocalDate.toEpochDay.toDouble
+        case dec: java.math.BigDecimal => dec.doubleValue
+        case other => throw new IllegalArgumentException(
+          s"unsupported value type for anndata numeric column: ${other.getClass}")
       }
 
     // X: n × d float32, row-major (C order, like the reference's numpy)
     val d = featCols.length
+    require(n.toLong * d <= (Int.MaxValue - 8L) / 4,
+      s"partition X matrix ($n x $d) exceeds 2 GiB — repartition finer")
     val x = new Array[Float](n * d)
     var r = 0
     while (r < n) {
@@ -90,7 +103,8 @@ object AnnData {
       fieldType(name) match {
         case StringType =>
           strArray(rows.map(r => Option(r.getAs[String](colIdx(name))).getOrElse("")).toSeq)
-        case LongType | IntegerType | ShortType =>
+        case LongType | IntegerType | ShortType | BooleanType |
+            TimestampType | DateType =>
           val vals = rows.map(r =>
             if (r.isNullAt(colIdx(name))) 0L else numeric(r, colIdx(name)).toLong)
           f.dataset(Seq(n.toLong), Hdf5.I64, Hdf5.i64Raw(vals),
@@ -107,6 +121,6 @@ object AnnData {
     val root = f.group(
       Seq("X" -> xAddr, "obs" -> obsAddr, "var" -> varAddr),
       Seq(Attr(Enc, StrV("anndata")), Attr(EncV, StrV("0.1.0"))))
-    Files.write(Paths.get(path), f.finish(root))
+    f.finish(root)
   }
 }

@@ -23,9 +23,12 @@ object Hdf5 {
     def pos: Long = len.toLong
     private def ensure(n: Int): Unit =
       if (len + n > arr.length) {
-        var cap = arr.length
-        while (cap < len + n) cap *= 2
-        arr = java.util.Arrays.copyOf(arr, cap)
+        val need = len.toLong + n
+        require(need <= Int.MaxValue - 8,
+          s"HDF5 buffer would exceed 2 GiB ($need bytes) — repartition to smaller partitions")
+        var cap = arr.length.toLong
+        while (cap < need) cap *= 2
+        arr = java.util.Arrays.copyOf(arr, math.min(cap, Int.MaxValue - 8L).toInt)
       }
     def u8(v: Int): Unit = { ensure(1); arr(len) = v.toByte; len += 1 }
     def u16(v: Int): Unit = { u8(v & 0xff); u8((v >> 8) & 0xff) }
@@ -182,8 +185,12 @@ object Hdf5 {
           Msg(0x0008, layout)) ++ attrs.map(a => Msg(0x000C, attrBody(a))))
     }
 
-    /** old-style group over already-written children */
+    /** old-style group over already-written children. All links live in
+      * one symbol node, which the superblock's group-leaf K (1024)
+      * makes valid for up to 2·K entries. */
     def group(children: Seq[(String, Long)], attrs: Seq[Attr] = Seq.empty): Long = {
+      require(children.length <= 2048,
+        s"single-node group supports <= 2048 links, got ${children.length}")
       val sorted = children.sortBy(_._1)
       // local heap data: offset 0 holds the empty string; names 8-aligned
       val heapData = new Buf
@@ -234,7 +241,9 @@ object Hdf5 {
       sb.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
       sb.u8(0); sb.u8(0); sb.u8(0); sb.u8(0) // superblock/freespace/root-STE versions
       sb.u8(0); sb.u8(8); sb.u8(8); sb.u8(0) // shared-header ver, offset+length sizes
-      sb.u16(4); sb.u16(16) // group leaf / internal K
+      // leaf K bounds symbols per symbol node (nsyms <= 2K): 1024
+      // keeps the single-SNOD groups above spec-valid up to 2048 links
+      sb.u16(1024); sb.u16(16) // group leaf / internal K
       sb.u32(0) // consistency flags
       sb.u64(0) // base address
       sb.u64(Undef) // free-space info

@@ -175,37 +175,44 @@ object Segmentation {
         val live = batch.filter(_.hasPixels)
         if (live.isEmpty) batch.iterator
         else {
-          def planes(ch: Int) = live.map { e =>
-            (e.plane(ch), e.plane(cfg.dapiChannelIndex), e.height, e.width)
-          }
-          val parents = model.evalBatch(planes(cfg.parentChannelIndex),
-            cfg.cellDiameter, cfg.flowThreshold)
-          val chIdx = Option(cfg.channelIndices)
-            .getOrElse(0 until live.head.channels)
-          val children: Map[Int, Seq[Array[Int]]] = chIdx
-            .filter(_ != cfg.parentChannelIndex)
-            .map(c => c -> model.evalBatch(planes(c),
-              cfg.cellDiameter, cfg.flowThreshold))
-            .toMap
-          val segmented = live.zipWithIndex.map { case (e, i) =>
-            val ps = e.planeSize
-            val mask = new Array[Int](e.channels * ps)
-            val regions = new Array[Int](e.channels)
-            var c = 0
-            while (c < e.channels) {
-              val labels = children.get(c) match {
-                case Some(ch) => assignChildren(parents(i), ch(i))
-                case None => parents(i)
+          // events are ragged: batch model eval per channel COUNT so a
+          // union of e.g. 2- and 3-channel sources never indexes a
+          // missing plane; results keyed by batch position
+          val livePos = batch.zipWithIndex.filter(_._1.hasPixels)
+          val segmentedAt: Map[Int, graft.core.ImageEvent] =
+            livePos.groupBy(_._1.channels).iterator.flatMap { case (nCh, group) =>
+              def planes(ch: Int) = group.map { case (e, _) =>
+                (e.plane(ch), e.plane(cfg.dapiChannelIndex), e.height, e.width)
               }
-              System.arraycopy(labels, 0, mask, c * ps, ps)
-              regions(c) = labels.distinct.count(_ > 0)
-              c += 1
-            }
-            e.copy(mask = mask, regions = regions)
+              val parents = model.evalBatch(planes(cfg.parentChannelIndex),
+                cfg.cellDiameter, cfg.flowThreshold)
+              val chIdx = Option(cfg.channelIndices).getOrElse(0 until nCh)
+              val children: Map[Int, Seq[Array[Int]]] = chIdx
+                .filter(c => c != cfg.parentChannelIndex && c < nCh)
+                .map(c => c -> model.evalBatch(planes(c),
+                  cfg.cellDiameter, cfg.flowThreshold))
+                .toMap
+              group.zipWithIndex.map { case ((e, pos), i) =>
+                val ps = e.planeSize
+                val mask = new Array[Int](e.channels * ps)
+                val regions = new Array[Int](e.channels)
+                var c = 0
+                while (c < e.channels) {
+                  val labels = children.get(c) match {
+                    case Some(ch) => assignChildren(parents(i), ch(i))
+                    case None => parents(i)
+                  }
+                  System.arraycopy(labels, 0, mask, c * ps, ps)
+                  regions(c) = labels.distinct.count(_ > 0)
+                  c += 1
+                }
+                pos -> e.copy(mask = mask, regions = regions)
+              }
+            }.toMap
+          // re-emit in batch order, tombstones untouched
+          batch.iterator.zipWithIndex.map { case (e, pos) =>
+            segmentedAt.getOrElse(pos, e)
           }
-          // re-interleave with tombstones, preserving batch order
-          val liveIt = segmented.iterator
-          batch.iterator.map(e => if (e.hasPixels) liveIt.next() else e)
         }
       }
     }

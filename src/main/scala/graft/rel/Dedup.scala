@@ -73,6 +73,10 @@ object Dedup {
       .select(explode(pairsOfIds(col("ids"))).as("p"))
       .groupBy(col("p._1").as("da"), col("p._2").as("db"))
       .agg(count(lit(1)).as("common"))
+    // per-doc set sizes come from a SECOND narrow scan on purpose:
+    // both plan branches would re-run the shingling either way (shared
+    // lineage is not materialized), and re-scanning (doc_id, text) is
+    // far cheaper at scale than caching the exploded shingle stream
     val counts = idText.map { case (id, t) => (id, shingleSet(t).length) }
       .toDF("doc_id", "n")
     common
@@ -84,8 +88,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Loud ceiling on in-bucket pair generation: a bucket of k docs
+    * yields k(k−1)/2 pairs in one task, so a hot key (boilerplate
+    * 5-gram shared by millions of docs) must fail with advice rather
+    * than OOM-hang the executor. Production corpora handle this
+    * upstream by document-frequency-capping shingles — the standard
+    * near-dup practice — which does not change results for any pair
+    * whose jaccard actually clears the threshold on the surviving
+    * shingles. */
+  val MaxBucketDocs = 4096
+
   /** all ordered (lo, hi) pairs from a doc-id bucket */
   private val pairsOfIds = udf { (ids: Seq[Long]) =>
+    require(ids.length <= MaxBucketDocs,
+      s"shingle/LSH bucket of ${ids.length} docs exceeds $MaxBucketDocs — " +
+        "df-cap hot shingles (or raise MaxBucketDocs) before pair generation")
     val s = ids.sorted
     val out = Array.newBuilder[(Long, Long)]
     var i = 0
@@ -270,6 +287,8 @@ object Dedup {
       .where(size(col("xs")) > 1)
       .as[(Long, Seq[(Long, Long)])]
       .flatMap { case (_, xs) =>
+        require(xs.length <= MaxBucketDocs,
+          s"simhash chunk bucket of ${xs.length} docs exceeds $MaxBucketDocs")
         val s = xs.sortBy(_._1)
         for {
           i <- s.indices.iterator

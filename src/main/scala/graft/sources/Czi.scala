@@ -47,7 +47,8 @@ object Czi {
   final case class DimEntry(dim: String, start: Int, size: Int, storedSize: Int)
 
   final case class SubBlockEntry(
-      pixelType: Int, filePosition: Long, compression: Int, dims: Seq[DimEntry]) {
+      pixelType: Int, filePosition: Long, compression: Int, pyramidType: Int,
+      dims: Seq[DimEntry]) {
     private def d(name: String): Option[DimEntry] = dims.find(_.dim == name)
     def start(name: String, default: Int = 0): Int = d(name).map(_.start).getOrElse(default)
     def stored(name: String): Int = d(name).map(_.storedSize).getOrElse(1)
@@ -89,7 +90,7 @@ object Czi {
     val filePos = bb.getLong
     bb.getInt // file part
     val compression = bb.getInt
-    bb.get() // pyramid type
+    val pyramidType = bb.get() & 0xff
     bb.position(bb.position() + 5) // reserved
     val dimCount = bb.getInt
     val dims = (0 until dimCount).map { _ =>
@@ -101,7 +102,7 @@ object Czi {
       val storedSize = bb.getInt
       DimEntry(name, start, size, storedSize)
     }
-    SubBlockEntry(pixelType, filePos, compression, dims)
+    SubBlockEntry(pixelType, filePos, compression, pyramidType, dims)
   }
 
   /** parse the master header + subblock directory (+ scene names from
@@ -121,7 +122,11 @@ object Czi {
       val dir = readBytes(ch, dirPos + SegHeaderLen, dirUsed.toInt)
       val entryCount = dir.getInt
       dir.position(128)
+      // pyramid levels (downsampled mosaics, pyramidType != 0) are
+      // skipped: only level-0 subblocks carry the native-resolution
+      // pixels the loader stacks
       val entries = (0 until entryCount).map(_ => parseEntry(dir))
+        .filter(_.pyramidType == 0)
       CziIndex(entries, if (metaPos > 0) sceneNamesFromXml(ch, metaPos) else Map.empty)
     } finally ch.close()
   }
@@ -232,6 +237,11 @@ object Czi {
     meta.mapPartitions { rows =>
       val indexCache = collection.mutable.Map.empty[String, CziIndex]
       val chCache = collection.mutable.Map.empty[String, FileChannel]
+      // channels must close even when the iterator is abandoned early
+      // (limit/take) or a decode throws — tie cleanup to task completion
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        chCache.values.foreach(c => try c.close() catch { case _: Exception => () })
+      })
       val out = rows.map { row =>
         val path = row.getString(pathIdx)
         val idx = indexCache.getOrElseUpdate(path, readIndex(path))
@@ -271,14 +281,7 @@ object Czi {
           channels = chans.length, height = h, width = w, pixels = px)
           .copy(id = row.getInt(idIdx))
       }
-      new Iterator[ImageEvent] {
-        def hasNext: Boolean = {
-          val more = out.hasNext
-          if (!more) chCache.values.foreach(c => try c.close() catch { case _: Exception => })
-          more
-        }
-        def next(): ImageEvent = out.next()
-      }
+      out
     }
   }
 
