@@ -216,6 +216,50 @@ class Hdf5Spec extends SparkSpec {
     assert(total == 10)
   }
 
+  test("randomized schemas/contents roundtrip (property-style)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      val nFeat = 1 + rng.nextInt(6)
+      val nRows = 1 + rng.nextInt(12)
+      val featNames = (0 until nFeat).map(i => s"feat_c${trial}_$i")
+      val rows = (0 until nRows).map { r =>
+        (s"p$r-${rng.nextInt(1000)}", rng.nextLong() % 100000,
+          (0 until nFeat).map(_ => (rng.nextDouble() - 0.5) * math.pow(10, rng.nextInt(6))))
+      }
+      val df = rows.toDF("meta_path", "meta_idx", "vals")
+        .select(col("meta_path") +: col("meta_idx") +:
+          featNames.zipWithIndex.map { case (n, i) => col("vals")(i).as(n) }: _*)
+        .coalesce(1)
+      val dir = Files.createTempDirectory(s"anndata-prop-$trial").toString
+      AnnData.export(df, dir, "t")
+      val root = H5Read.read(
+        new java.io.File(dir).listFiles().filter(_.getName.endsWith(".h5ad")).head.getPath)
+      val x = root.children("X")
+      assert(x.dims == Seq(nRows.toLong, nFeat.toLong), s"trial $trial dims")
+      val expected = rows.flatMap(_._3.map(_.toFloat))
+      assert(floats(x).toSeq == expected, s"trial $trial X values")
+      assert(strs(root.children("var").children("_index")) == featNames, s"trial $trial var")
+      assert(longs(root.children("obs").children("meta_idx")).toSeq ==
+        rows.map(_._2), s"trial $trial obs")
+    }
+  }
+
+  test("a 20-column obs group stays readable (many links in one symbol node)") {
+    import spark.implicits._
+    val cols = (0 until 20).map(i => s"meta_c$i")
+    val df = Seq(Seq.fill(20)(1.0)).toDF("v")
+      .select(cols.zipWithIndex.map { case (n, i) => col("v")(i).as(n) } :+
+        lit(2.5).as("feat_x"): _*)
+      .coalesce(1)
+    val dir = Files.createTempDirectory("anndata-wide").toString
+    AnnData.export(df, dir, "w")
+    val root = H5Read.read(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".h5ad")).head.getPath)
+    assert(root.children("obs").children.keySet == (cols.toSet + "_index"))
+    assert(root.children("obs").attrs("column-order") == cols)
+  }
+
   test("substring column match mirrors the reference's pandas filter(regex)") {
     import spark.implicits._
     // 'nofeat_x' contains "feat" -> X column; 'other' matches neither
