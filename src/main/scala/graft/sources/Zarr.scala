@@ -26,7 +26,10 @@ object Zarr {
 
   final case class ZarrMeta(
       shape: Seq[Int], chunks: Seq[Int], dtype: String,
-      zlib: Boolean, objectNumbers: Seq[Long], recordShapes: Seq[Seq[Int]])
+      compressor: String, objectNumbers: Seq[Long], recordShapes: Seq[Seq[Int]],
+      vlenDtype: Option[String] = None) {
+    def zlib: Boolean = compressor == "zlib"
+  }
 
   private def mapper = new ObjectMapper()
 
@@ -34,12 +37,18 @@ object Zarr {
     val za = mapper.readTree(Files.readAllBytes(Paths.get(path, ".zarray")))
     val compNode = za.get("compressor")
     val comp =
-      if (compNode == null || compNode.isNull) false
+      if (compNode == null || compNode.isNull) "raw"
       else {
         val id = compNode.get("id").asText()
-        require(id == "zlib", s"unsupported zarr compressor: $id")
-        true
+        require(id == "zlib" || id == "blosc", s"unsupported zarr compressor: $id")
+        id
       }
+    // numcodecs vlen-array filter: object arrays of ragged numeric rows
+    val vlenDtype = Option(za.get("filters")).filterNot(_.isNull).flatMap { fs =>
+      (0 until fs.size()).map(fs.get)
+        .find(f => f.get("id").asText() == "vlen-array")
+        .map(_.get("dtype").asText())
+    }
     require(za.get("order").asText() == "C", "only C-order zarr supported")
     val shape = (0 until za.get("shape").size()).map(za.get("shape").get(_).asInt())
     val chunks = (0 until za.get("chunks").size()).map(za.get("chunks").get(_).asInt())
@@ -56,7 +65,8 @@ object Zarr {
           }).getOrElse(Seq.empty)
         (on, sh)
       } else (Seq.empty[Long], Seq.empty[Seq[Int]])
-    ZarrMeta(shape, chunks, za.get("dtype").asText(), comp, objNums, recShapes)
+    ZarrMeta(shape, chunks, za.get("dtype").asText(), comp, objNums, recShapes,
+      vlenDtype)
   }
 
   /** per-partition decompressed-chunk cache: partition rows are
@@ -74,9 +84,12 @@ object Zarr {
     }
   }
 
-  /** read logical row `idx` of a (N, len) 2-D zarr array */
+  /** read logical row `idx` — 2-D (N, len) numeric arrays and 1-D
+    * vlen-array object arrays (the reference's own fixture encoding:
+    * blosc-lz4 chunks of `[u32 count][u32 nbytes + payload]*` items) */
   def readRow(path: String, m: ZarrMeta, idx: Int,
       cache: ChunkCache = null): Array[Float] = {
+    if (m.vlenDtype.isDefined) return readVlenRow(path, m, idx, cache)
     require(m.shape.length == 2, "expected 2-D (N, len) zarr array")
     val Seq(_, rowLen) = m.shape
     val Seq(chunkRows, chunkCols) = m.chunks
@@ -89,10 +102,42 @@ object Zarr {
     sliceFloats(raw, m.dtype, rowInChunk * rowLen, rowLen)
   }
 
+  /** one item of a 1-D vlen object array, as floats by its dtype */
+  private def readVlenRow(path: String, m: ZarrMeta, idx: Int,
+      cache: ChunkCache): Array[Float] = {
+    require(m.shape.length == 1, "vlen-array zarr must be 1-D")
+    val chunkRows = m.chunks.head
+    val chunkIdx = idx / chunkRows
+    val itemInChunk = idx % chunkRows
+    val raw =
+      if (cache != null) cache.get(path, m, chunkIdx)
+      else readChunk(path, m, s"$chunkIdx")
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val count = bb.getInt(0)
+    require(itemInChunk < count, s"vlen item $itemInChunk >= chunk count $count")
+    var off = 4
+    var i = 0
+    while (i < itemInChunk) { off += 4 + bb.getInt(off); i += 1 }
+    val nb = bb.getInt(off)
+    val dtype = m.vlenDtype.get
+    val elemSize = dtype match {
+      case "<u2" | "<i2" => 2
+      case "<f4" | "<i4" | "<u4" => 4
+      case "<f8" => 8
+      case other => throw new IllegalArgumentException(s"unsupported vlen dtype: $other")
+    }
+    sliceFloats(java.util.Arrays.copyOfRange(raw, off + 4, off + 4 + nb),
+      dtype, 0, nb / elemSize)
+  }
+
   private def readChunk(path: String, m: ZarrMeta, name: String): Array[Byte] = {
-    val f = Paths.get(path, name)
+    // vlen chunks of a 1-D array are named "<i>", 2-D row chunks "<i>.0"
+    val f0 = Paths.get(path, name)
+    val f = if (Files.exists(f0) || !name.endsWith(".0")) f0
+            else Paths.get(path, name.stripSuffix(".0"))
     val bytes = Files.readAllBytes(f)
-    if (!m.zlib) bytes
+    if (m.compressor == "blosc") Blosc.decode(bytes)
+    else if (!m.zlib) bytes
     else {
       val inf = new java.util.zip.Inflater()
       inf.setInput(bytes)
@@ -122,6 +167,15 @@ object Zarr {
       case "<u2" =>
         var i = 0
         while (i < n) { out(i) = (bb.getShort((offset + i) * 2) & 0xffff).toFloat; i += 1 }
+      case "<i2" =>
+        var i = 0
+        while (i < n) { out(i) = bb.getShort((offset + i) * 2).toFloat; i += 1 }
+      case "<i4" =>
+        var i = 0
+        while (i < n) { out(i) = bb.getInt((offset + i) * 4).toFloat; i += 1 }
+      case "<u4" =>
+        var i = 0
+        while (i < n) { out(i) = (bb.getInt((offset + i) * 4) & 0xffffffffL).toFloat; i += 1 }
       case other => throw new IllegalArgumentException(s"unsupported zarr dtype: $other")
     }
     out
