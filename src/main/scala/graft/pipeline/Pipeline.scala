@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions.col
 final case class MaskBranchConfig(
     name: String,
     method: Masking.Method,
-    exportPrefix: Option[String] = None)
+    exportPrefix: Option[String] = None,
+    /** per-branch feature selection (the reference's
+      * feature_extraction: {branch: [types...]} form); None = the
+      * pipeline-level featureTypes */
+    featureTypes: Option[Seq[String]] = None)
 
 final case class PipelineConfig(
     channelNames: Seq[String],
@@ -109,7 +113,8 @@ object Pipeline {
         if (cfg.populationFilter) branch = PopulationFilter(spark, branch)
         if (cfg.normalize) branch = Normalization.normalize(spark, branch)
         val prefix = if (cfg.branches.length > 1) b.name else b.exportPrefix.orNull
-        Features.extract(branch, cfg.channelNames, cfg.featureTypes, prefix)
+        Features.extract(branch, cfg.channelNames,
+          b.featureTypes.getOrElse(cfg.featureTypes), prefix)
       }
       branchTables.reduceLeft { (a, b) =>
         a.join(b.drop("meta_group"), // group is branch-invariant; keep one copy
@@ -120,30 +125,33 @@ object Pipeline {
     }
   }
 
-  /** all branches in one per-record pass → one wide Row */
+  /** all branches in one per-record pass → one wide Row; each branch
+    * may select its own feature types (the reference's per-branch
+    * feature_extraction map) */
   private def fusedBranches(ds: org.apache.spark.sql.Dataset[ImageEvent],
       cfg: PipelineConfig): DataFrame = {
     import org.apache.spark.sql.types.StructType
-    val names = Features.featureNames(cfg.channelNames, cfg.featureTypes)
-    val nameIdx = names.zipWithIndex.toMap
-    val typesArr = cfg.featureTypes.toArray
+    val perBranch = cfg.branches.map { b =>
+      val types = b.featureTypes.getOrElse(cfg.featureTypes)
+      val names = Features.featureNames(cfg.channelNames, types)
+      (b, types.toArray, names, names.zipWithIndex.toMap)
+    }
     val prefixes = cfg.branches.map(b =>
       if (cfg.branches.length > 1) b.name else b.exportPrefix.orNull)
     val metaFields = Features.schema(cfg.channelNames, cfg.featureTypes, null)
       .fields.take(4)
-    val featFields = prefixes.flatMap { p =>
+    val featFields = prefixes.zip(perBranch).flatMap { case (p, (_, _, names, _)) =>
       names.map(n => org.apache.spark.sql.types.StructField(
         Features.renamed(n, p, isLoaderMeta = false),
         org.apache.spark.sql.types.DoubleType))
     }
     val sch = StructType(metaFields ++ featFields)
     val enc = org.apache.spark.sql.Encoders.row(sch)
-    val branches = cfg.branches
     val mainCh = cfg.mainChannelIndex
     val combined = cfg.combinedIndices
     val channelNames = cfg.channelNames
     ds.map({ e =>
-      val cells = branches.iterator.flatMap { b =>
+      val cells = perBranch.iterator.flatMap { case (b, typesArr, names, nameIdx) =>
         val be = Masking.branchRecord(b.method, mainCh, combined)(e)
         Features.featureCells(be, channelNames, typesArr, names, nameIdx)
       }.toArray

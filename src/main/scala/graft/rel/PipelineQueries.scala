@@ -123,6 +123,38 @@ object PipelineQueries {
         .orderBy("meta_idx", "meta_id")
     },
 
+    // The reference's canonical e2e (test/test_main.py + scip_zarr.yml)
+    // on the reference's OWN bundled data: blosc-lz4 vlen zarr ->
+    // channels [0,1] -> normaltest/std mask filters -> four branches
+    // (circle-1, circle-2, spot, li) with per-branch feature selection.
+    // Falls back to the synthetic reference shape if the fixture is
+    // absent in the runtime environment.
+    Q.noOracle("p07_reference_e2e") { (s, _) =>
+      val fixture = "/root/reference/test/data/test.zarr"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
+        Pipeline.referenceShape(s, nEvents = 10)
+      else {
+        val meta = graft.sources.Zarr.metaFromDirectory(s, fixture,
+          "^.+/(?<group>.+)\\.zarr$")
+        val events = graft.sources.Zarr.loadPixels(meta, Seq(0, 1))
+        val full = Seq("regions", "bbox", "shape", "intensity")
+        val cfg = PipelineConfig(
+          channelNames = Seq("BF1", "PI"),
+          mainChannelIndex = 0,
+          combinedIndices = Seq(0, 1),
+          maskFilters = Seq(
+            Masking.NormalTest(Seq(0)), Masking.StdFilter(Seq(1), 2.0)),
+          branches = Seq(
+            MaskBranchConfig("circle-1", Masking.Circle, featureTypes = Some(full)),
+            MaskBranchConfig("circle-2", Masking.Circle, featureTypes = Some(full)),
+            MaskBranchConfig("spot", Masking.Spot(5), featureTypes = Some(full)),
+            MaskBranchConfig("li", Masking.Li(Seq(1, 1)),
+              featureTypes = Some(Seq("regions", "shape", "intensity")))),
+          featureTypes = full)
+        Pipeline.run(s, events, cfg).orderBy("meta_idx")
+      }
+    },
+
     // Full stage stack: illumination correction + masking + population
     // filter + normalization over the scalable synthetic source.
     Q.noOracle("p03_full_stack") { (s, _) =>
