@@ -75,15 +75,19 @@ object Watershed {
   /** peak_local_max: local maxima of `img` within a (2·minDistance+1)
     * square window, greedily suppressed so surviving peaks are
     * > minDistance apart (descending intensity, row-major tiebreak —
-    * skimage.feature.peak_local_max semantics). Returns peak indices. */
+    * skimage.feature.peak_local_max semantics). Peaks within
+    * `excludeBorder` pixels of any edge are dropped; skimage's default
+    * (exclude_border=True) means minDistance, so -1 selects that.
+    * Returns peak indices. */
   def peakLocalMax(img: Array[Double], h: Int, w: Int, minDistance: Int,
-      thresholdAbs: Double = 1e-12): Array[Int] = {
+      thresholdAbs: Double = 1e-12, excludeBorder: Int = -1): Array[Int] = {
     val rad = math.max(1, minDistance)
+    val eb = if (excludeBorder < 0) minDistance else excludeBorder
     val candidates = mutable.ArrayBuffer.empty[Int]
-    var r = 0
-    while (r < h) {
-      var c = 0
-      while (c < w) {
+    var r = eb
+    while (r < h - eb) {
+      var c = eb
+      while (c < w - eb) {
         val v = img(r * w + c)
         if (v > thresholdAbs) {
           var isMax = true
@@ -184,11 +188,16 @@ object Watershed {
     out
   }
 
-  /** markers array from peak indices: label k+1 at peak k */
+  /** markers array from peak indices, labeled in row-major scan order
+    * — the reference builds markers via measure.label of the peak mask
+    * (watershed_dapi.py:51-53), which numbers components by scan
+    * position, not by peak intensity */
   def markersFromPeaks(peaks: Array[Int], size: Int): Array[Int] = {
     val m = new Array[Int](size)
+    val ordered = peaks.clone()
+    java.util.Arrays.sort(ordered)
     var k = 0
-    while (k < peaks.length) { m(peaks(k)) = k + 1; k += 1 }
+    while (k < ordered.length) { m(ordered(k)) = k + 1; k += 1 }
     m
   }
 }

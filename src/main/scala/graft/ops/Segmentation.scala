@@ -21,13 +21,21 @@ object Segmentation {
   trait Segmenter extends SegmentSpec {
     /** labeled mask (1..n) for the parent channel plane */
     def segment(plane: Array[Float], h: Int, w: Int): Array[Int]
+    /** non-parent channels receive the labels expanded by this many
+      * pixels (watershed_dapi.py:56-60: dapi keeps segmented_cells,
+      * the other channels get expand_labels(·, cell_diameter × 0.1)) */
+    def expansionPx: Double = 0.0
   }
 
   /** watershed-DAPI (C10): gaussian denoise (stand-in for NL-means —
     * same role, JVM-implementable) → Otsu foreground → EDT →
-    * peak_local_max(min_distance = cellDiameter) → watershed(−EDT) →
-    * expand_labels */
-  final case class WatershedDapi(cellDiameter: Int = 10, expand: Int = 1) extends Segmenter {
+    * peak_local_max(min_distance = cellDiameter, border-excluded like
+    * skimage's default) → markers labeled in scan order →
+    * watershed(−EDT) over the WHOLE plane (the reference floods
+    * unmasked, watershed_dapi.py:55) */
+  final case class WatershedDapi(cellDiameter: Int = 10,
+      expansionFactor: Double = 0.1) extends Segmenter {
+    override def expansionPx: Double = cellDiameter * expansionFactor
     def segment(plane: Array[Float], h: Int, w: Int): Array[Int] = {
       val den = Filters.gaussian(plane, h, w, 1.0)
       val t = Thresholds.otsu(den)
@@ -36,24 +44,27 @@ object Segmentation {
       val peaks = Watershed.peakLocalMax(dist, h, w, cellDiameter)
       if (peaks.isEmpty) return new Array[Int](h * w)
       val markers = Watershed.markersFromPeaks(peaks, h * w)
-      val neg = dist.map(-_)
-      val ws = Watershed.watershed(neg, h, w, markers, fg)
-      Morphology.expandLabels(ws, h, w, expand)
+      Watershed.watershed(dist.map(-_), h, w, markers)
     }
   }
 
-  /** run the segmenter on the parent channel; the labeled parent mask
-    * is copied to every channel (the watershed_dapi contract: one
-    * labeled mask indexed per channel in to_events) */
+  /** run the segmenter on the parent channel: the parent keeps the raw
+    * labels; every other channel carries the expanded labels
+    * (watershed_dapi.py:56-60) */
   def segment(ds: Dataset[ImageEvent], segmenter: Segmenter,
       parentChannelIndex: Int): Dataset[ImageEvent] =
     ds.map(ImageEvent.whenPixels { e =>
       val ps = e.planeSize
       val labels = segmenter.segment(e.plane(parentChannelIndex), e.height, e.width)
+      val expanded =
+        if (segmenter.expansionPx > 0)
+          Morphology.expandLabels(labels, e.height, e.width, segmenter.expansionPx)
+        else labels
       val mask = new Array[Int](e.channels * ps)
       var c = 0
       while (c < e.channels) {
-        System.arraycopy(labels, 0, mask, c * ps, ps)
+        val src = if (c == parentChannelIndex) labels else expanded
+        System.arraycopy(src, 0, mask, c * ps, ps)
         c += 1
       }
       val regions = Array.fill(e.channels)(Morphology.labelCount(labels))
