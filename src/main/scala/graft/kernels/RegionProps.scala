@@ -47,12 +47,15 @@ object RegionProps {
     }
     if (area == 0) return new Array[Double](NumProps)
 
-    // raw moments m[p][q] = Σ r^p c^q (row=first index, skimage order)
+    // raw moments m[p][q] = Σ r^p c^q in BBOX-LOCAL coordinates —
+    // skimage regionprops computes moments on the region's cropped
+    // image, so raw moments are relative to the bbox origin (central/
+    // Hu are translation-invariant either way)
     val m = Array.ofDim[Double](4, 4)
     i = 0
     while (i < mask.length) {
       if (mask(i)) {
-        val r = (i / w).toDouble; val c = (i % w).toDouble
+        val r = (i / w - minR).toDouble; val c = (i % w - minC).toDouble
         var rp = 1.0
         var p = 0
         while (p <= 3) {
@@ -67,15 +70,15 @@ object RegionProps {
       }
       i += 1
     }
-    val cr = m(1)(0) / m(0)(0) // centroid row
+    val cr = m(1)(0) / m(0)(0) // centroid row (bbox-local frame)
     val cc = m(0)(1) / m(0)(0)
 
-    // central moments
+    // central moments (same bbox-local frame as the raw moments)
     val mu = Array.ofDim[Double](4, 4)
     i = 0
     while (i < mask.length) {
       if (mask(i)) {
-        val dr = (i / w) - cr; val dc = (i % w) - cc
+        val dr = (i / w - minR) - cr; val dc = (i % w - minC) - cc
         var rp = 1.0
         var p = 0
         while (p <= 3) {

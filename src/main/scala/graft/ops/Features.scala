@@ -218,23 +218,51 @@ object Features {
     out.toSeq
   }
 
-  /** mean-over-regions of the 59 regionprops (features/shape.py:115-123) */
+  /** mean-over-regions of the 59 regionprops (features/shape.py:
+    * 115-123). Every prop is bbox-local/translation-invariant (exactly
+    * how skimage regionprops crops each region), so regions are
+    * cropped to their bboxes first — total cost O(image + Σ bbox)
+    * instead of O(regions × image). */
   private def shapeRow(mask: Array[Boolean], h: Int, w: Int): Array[Double] = {
     val labels = Morphology.label(mask, h, w)
     val n = Morphology.labelCount(labels)
     if (n == 0) return new Array[Double](RegionProps.NumProps)
+    // one pass: bbox per label
+    val minR = Array.fill(n + 1)(h); val maxR = new Array[Int](n + 1)
+    val minC = Array.fill(n + 1)(w); val maxC = new Array[Int](n + 1)
+    var i = 0
+    while (i < labels.length) {
+      val l = labels(i)
+      if (l > 0) {
+        val r = i / w; val c = i % w
+        if (r < minR(l)) minR(l) = r
+        if (r > maxR(l)) maxR(l) = r
+        if (c < minC(l)) minC(l) = c
+        if (c > maxC(l)) maxC(l) = c
+      }
+      i += 1
+    }
     val acc = new Array[Double](RegionProps.NumProps)
     var lbl = 1
     while (lbl <= n) {
-      val m = new Array[Boolean](h * w)
-      var i = 0
-      while (i < m.length) { m(i) = labels(i) == lbl; i += 1 }
-      val row = RegionProps.compute(m, h, w)
+      val bh = maxR(lbl) - minR(lbl) + 1
+      val bw = maxC(lbl) - minC(lbl) + 1
+      val m = new Array[Boolean](bh * bw)
+      var r = 0
+      while (r < bh) {
+        var c = 0
+        while (c < bw) {
+          m(r * bw + c) = labels((minR(lbl) + r) * w + (minC(lbl) + c)) == lbl
+          c += 1
+        }
+        r += 1
+      }
+      val row = RegionProps.compute(m, bh, bw)
       i = 0
       while (i < acc.length) { acc(i) += row(i); i += 1 }
       lbl += 1
     }
-    var i = 0
+    i = 0
     while (i < acc.length) { acc(i) /= n; i += 1 }
     acc
   }
