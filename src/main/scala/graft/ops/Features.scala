@@ -354,15 +354,22 @@ object Features {
       perDist.foreach { ms => out(k) = ms._1; k += 1 }
       perDist.foreach { ms => out(k) = ms._2; k += 1 }
     }
-    // sobel over the masked view: reference runs sobel on the
-    // NaN-holed image and takes nan-stats; we run sobel on the plane
-    // and aggregate over in-mask pixels (same role: edge energy of the
-    // region; documented deviation — NaN propagation has no JVM analog)
-    val s = Filters.sobel(plane, h, w)
+    // sobel over the masked view, exactly as the reference: sobel runs
+    // on the NaN-holed image (NaN propagates through the float window
+    // arithmetic just like numpy) and the stats are nan-stats — only
+    // pixels whose whole sobel window sits in-mask contribute
+    // (features/texture.py:82-94, incl. the all-NaN -> NaN branch)
+    val holed = new Array[Float](plane.length)
+    i = 0
+    while (i < plane.length) {
+      holed(i) = if (mask(i)) plane(i) else Float.NaN
+      i += 1
+    }
+    val s = Filters.sobel(holed, h, w)
     var sSum = 0.0; var sN = 0L; var sMax = Double.MinValue; var sMin = Double.MaxValue
     i = 0
     while (i < s.length) {
-      if (mask(i)) {
+      if (!s(i).isNaN) {
         sSum += s(i); sN += 1
         if (s(i) > sMax) sMax = s(i)
         if (s(i) < sMin) sMin = s(i)
@@ -377,7 +384,7 @@ object Features {
       var ss = 0.0
       i = 0
       while (i < s.length) {
-        if (mask(i)) { val d = s(i) - sMean; ss += d * d }
+        if (!s(i).isNaN) { val d = s(i) - sMean; ss += d * d }
         i += 1
       }
       out(k) = sMean
