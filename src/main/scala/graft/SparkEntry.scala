@@ -16,8 +16,8 @@ import graft.rel._
   */
 object SparkEntry {
   def registry: Seq[Q] =
-    RelQueries.all ++ Dedup.all ++ Similarity.all ++ TextOps.all ++
-      MultiModal.all ++ PipelineQueries.all
+    RelQueries.all ++ Dedup.all ++ Cluster.all ++ Similarity.all ++
+      TextOps.all ++ MultiModal.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,143 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over the near-dup pair graph —
+  * the step that turns pairwise dedup verdicts (d03/d04) into actual
+  * dedup decisions: every document in a component maps to one
+  * canonical keeper (the component's min doc_id), so "drop all
+  * non-keepers" removes every transitive duplicate exactly once.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+  * round is one shuffle keyed on node id; convergence is O(log² n)
+  * rounds in the worst case and 2–3 rounds on real dedup graphs
+  * (near-dup components are dense and shallow). This is the 100 TB
+  * shape: no driver-side union-find, state per round is one (u, v)
+  * edge table partitioned by node, and each round's lineage is cut
+  * with localCheckpoint so the plan doesn't grow with iterations.
+  */
+object Cluster {
+
+  /** One large-star round: every node links its strictly-larger
+    * neighbors to the minimum of its closed neighborhood. */
+  private def largeStar(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(collect_list("v").as("ns"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (u, ns) =>
+        val m = math.min(u, ns.min)
+        ns.iterator.filter(_ > u).map(v => (v, m))
+      }
+      .toDF("u", "v").distinct()
+  }
+
+  /** One small-star round: every node links its smaller-or-equal
+    * neighbors (and itself) to their collective minimum. */
+  private def smallStar(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    edges.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .groupBy("u").agg(collect_list("v").as("ns"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (u, ns) =>
+        val m = ns.min
+        (ns.iterator ++ Iterator.single(u)).filter(_ != m)
+          .toSet[Long].iterator.map(v => (v, m))
+      }
+      .toDF("u", "v").distinct()
+  }
+
+  /** Connected components of an undirected edge list. Input: one row
+    * per edge (u, v), u ≠ v, either orientation, duplicates allowed.
+    * Output: (node, root) for every node that appears in an edge,
+    * where root = min node id of its component (roots map to
+    * themselves). Deterministic — no randomness, no iteration-order
+    * dependence.
+    */
+  def connectedComponents(spark: SparkSession, edges0: DataFrame): DataFrame = {
+    var edges = edges0.select(col("u").cast("long"), col("v").cast("long"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    // star-rounds strictly shrink a monotone potential; the cap is a
+    // loud guard against a logic regression, not a tuning knob
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(spark, largeStar(spark, edges)).localCheckpoint()
+      // fixpoint test: edge sets equal ⟺ same size and empty anti-join
+      // (both sides are distinct by construction). Two tiny jobs per
+      // round on the already-checkpointed tables.
+      val sameSize = next.count() == edges.count()
+      converged = sameSize &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    // post-convergence the edge set is a star forest (child → root);
+    // add the roots themselves as members
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .distinct()
+  }
+
+  /** Near-dup clusters on `documents`: exact 5-gram-Jaccard ≥ 0.8
+    * pairs (d03 semantics) → connected components → per-doc cluster
+    * assignment with the component size. A dedup pipeline keeps
+    * `doc_id == cluster_id` rows and drops the rest.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairsOn(spark, Tables.documents(spark, dir), 0.8)
+      .select(col("da").as("u"), col("db").as("v"))
+    val asg = connectedComponents(spark, pairs)
+    val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    // component count ≪ doc count: broadcast the size table
+    asg.join(broadcast(sizes), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: the same pair predicate, closed transitively with a
+    * recursive CTE, component id = min reachable node. */
+  private val oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(w) - 4, 1)),
+      |                          i -> array_to_string(w[i:i+4], ' '))) AS sh
+      |  FROM toks
+      |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |jp AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT da, db FROM jp
+      |   JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      |  WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.8
+      |), e AS (
+      |  SELECT da AS u, db AS v FROM pairs
+      |  UNION ALL SELECT db, da FROM pairs
+      |), reach(u, r) AS (
+      |  SELECT DISTINCT u, u FROM e
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+      |), asg AS (
+      |  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+      |)
+      |SELECT a.doc_id, a.cluster_id, s.cluster_size
+      |FROM asg a JOIN (SELECT cluster_id, count(*) AS cluster_size
+      |                 FROM asg GROUP BY 1) s USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("d07_dedup_clusters", oracle) { (s, d) => nearDupClusters(s, d) }
+  )
+}

@@ -61,6 +61,9 @@ object Dedup {
     * engines. Per-doc set sizes ride along in a narrow map; they're
     * broadcast here because the pair set is tiny (at cluster scale the
     * same two lookups become shuffle joins on da/db). */
+  private[rel] def jaccardPairsOn(spark: SparkSession, docs: DataFrame,
+      threshold: Double): DataFrame = jaccardPairs(spark, docs, threshold)
+
   private def jaccardPairs(spark: SparkSession, docs: DataFrame,
       threshold: Double): DataFrame = {
     import spark.implicits._

@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -388,6 +388,52 @@ object RelQueries {
         .orderBy(rand(42), col("o_orderkey"))
         .limit(50)
         .select("o_orderkey", "o_totalprice")
+    },
+
+    // Deterministic stratified sampling: k docs per language, chosen by
+    // md5(doc_id) order — the reproducible hash-sampling strategy used
+    // for training-data splits (same rows on every engine and run, no
+    // seeded RNG). Unlike q16's window row_number (which sorts whole
+    // groups), this runs as a bounded top-k Aggregator: each map task
+    // keeps a k-element buffer per group, partial buffers merge on the
+    // reduce side — per-group state is O(k) at any corpus size, and a
+    // skewed group costs its partitions k·log k, not a full sort.
+    Q("q24_stratified_sample",
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val k = 20
+      val ds = documents(s, d)
+        .select(col("lang"), md5(col("doc_id").cast("string")).as("h"),
+          col("doc_id"))
+        .as[(String, String, Long)]
+      val topk = new org.apache.spark.sql.expressions.Aggregator[
+          (String, String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+        private val ord = implicitly[Ordering[(String, Long)]]
+        def zero: Seq[(String, Long)] = Vector.empty
+        def reduce(b: Seq[(String, Long)], a: (String, String, Long)):
+            Seq[(String, Long)] = {
+          val x = (a._2, a._3)
+          if (b.length < k) (b :+ x).sorted
+          else if (ord.lt(x, b.last)) (b.init :+ x).sorted
+          else b
+        }
+        def merge(b1: Seq[(String, Long)], b2: Seq[(String, Long)]):
+            Seq[(String, Long)] = (b1 ++ b2).sorted.take(k)
+        def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r
+        def bufferEncoder = implicitly[Encoder[Seq[(String, Long)]]]
+        def outputEncoder = implicitly[Encoder[Seq[(String, Long)]]]
+      }
+      ds.groupByKey(_._1).agg(topk.toColumn.name("topk"))
+        .toDF("lang", "topk")
+        .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "p")))
+        .select(col("lang"), col("p._2").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("lang", "rk")
     }
   )
 }

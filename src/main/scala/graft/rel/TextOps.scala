@@ -165,6 +165,55 @@ object TextOps {
           sum("nc").as("total_chars"),
           round(avg("nt"), 6).as("avg_tokens"))
         .orderBy("lang")
+    },
+
+    // Repetition-based quality signals (the Gopher/MassiveText filter
+    // family: Rae et al. 2021 §A1.1): distinct-word ratio, most-frequent-
+    // word fraction, duplicate-bigram fraction. One compiled pass per
+    // record — token counting, the frequency map, and the bigram set all
+    // live in one mapPartitions loop, so the operator is a pure per-row
+    // map (no shuffle) feeding the quality-filter predicate.
+    Q("t07_repetition",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wc AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |per AS (SELECT doc_id, w, count(*) AS c FROM wc GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd,
+        |              max(c) AS mx FROM per GROUP BY 1),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ws) - 1),
+        |                               i -> ws[i] || ' ' || ws[i+1])) AS b
+        |       FROM t WHERE len(ws) >= 2),
+        |ba AS (SELECT doc_id, count(DISTINCT b) AS nbd, count(*) AS nb
+        |       FROM bg GROUP BY 1)
+        |SELECT wa.doc_id, wa.n AS n_words,
+        |  wa.nd::DOUBLE / wa.n AS distinct_word_frac,
+        |  wa.mx::DOUBLE / wa.n AS top_word_frac,
+        |  coalesce(1.0 - ba.nbd::DOUBLE / ba.nb, 0.0) AS dup_bigram_frac
+        |FROM wa LEFT JOIN ba USING (doc_id)
+        |ORDER BY wa.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          val w = t.split(" ", -1)
+          val n = w.length
+          val counts = new java.util.HashMap[String, Int](n * 2)
+          var i = 0
+          while (i < n) {
+            counts.merge(w(i), 1, (a, b) => a + b); i += 1
+          }
+          var mx = 0
+          val it = counts.values().iterator()
+          while (it.hasNext) { val c = it.next(); if (c > mx) mx = c }
+          val bigrams = new java.util.HashSet[String](n * 2)
+          i = 0
+          while (i < n - 1) { bigrams.add(w(i) + " " + w(i + 1)); i += 1 }
+          val dupBg = if (n < 2) 0.0 else 1.0 - bigrams.size.toDouble / (n - 1)
+          (id, n.toLong, counts.size.toDouble / n, mx.toDouble / n, dupBg)
+        })
+        .toDF("doc_id", "n_words", "distinct_word_frac", "top_word_frac",
+          "dup_bigram_frac")
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,64 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-components (d07) semantics: star-rounds must converge to
+  * min-label components on hand-built graphs, and the cluster query
+  * must be the transitive closure of the exact d03 pair set.
+  */
+class ClusterSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Cluster.connectedComponents(spark, edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain collapses to its minimum") {
+    // worst case for label propagation: a path graph
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val m = cc(chain)
+    assert(m == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("separate components keep separate roots") {
+    val m = cc(Seq((5L, 3L), (3L, 9L), (20L, 21L), (40L, 41L), (41L, 42L)))
+    assert(m == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L,
+      40L -> 40L, 41L -> 40L, 42L -> 40L))
+  }
+
+  test("duplicate and reversed edges are harmless") {
+    val m = cc(Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("d07 assignment is the transitive closure of the d03 pairs") {
+    val pairSet = Dedup.all.find(_.name == "d03_ngram_jaccard").get
+      .fn(spark, sfDir).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val asg = Cluster.nearDupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // union-find ground truth on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairSet.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+
+    assert(asg.map(t => t._1 -> t._2).toMap == expected)
+    // sizes consistent with the assignment itself
+    val bySize = asg.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(asg.forall { case (_, cid, sz) => bySize(cid) == sz })
+    // every cluster id is a member of its own cluster
+    val members = asg.map(_._1).toSet
+    assert(asg.map(_._2).toSet.subsetOf(members))
+  }
+}
