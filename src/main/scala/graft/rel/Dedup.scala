@@ -247,12 +247,28 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
+  /** First 8 bytes of md5(UTF-8) as a big-endian long — the simhash
+    * word hash. md5 (not fnv) so the DuckDB oracle can recompute the
+    * identical bits (`('0x' || substr(md5(w),1,16))::UBIGINT`); ~3×
+    * the cost of fnv per token, still far below the per-token shuffle
+    * anything non-fused would pay. Digest instance is thread-local —
+    * one allocation per executor thread, not per token. */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private[rel] def md5Hash64(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   /** 64-bit SimHash over word hashes (Charikar 2002): sign of the
     * per-bit weighted sum. Near-dups = small Hamming distance. */
   private[rel] def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)
     tokens.foreach { t =>
-      val h = fnv1a64(t)
+      val h = md5Hash64(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -300,10 +316,47 @@ object Dedup {
           if h <= maxHamming && s(i)._1 != s(j)._1
         } yield (s(i)._1, s(j)._1, h)
       }
-      .toDF("da", "db", "hamming")
+      .toDF("da", "db", "h")
+      .select(col("da"), col("db"), col("h").cast("long").as("hamming"))
       .distinct()
       .orderBy("da", "db")
   }
+
+  /** DuckDB replica of the full simhash pipeline — md5-based word
+    * hashes, per-bit majority, 16-bit-chunk blocking, Hamming verify —
+    * so d05 is oracle-checked end to end, not rows-only. */
+  private val simhashOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS w
+      |  FROM documents
+      |), th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM toks
+      |), nn AS (
+      |  SELECT doc_id, count(*) AS n FROM th GROUP BY 1
+      |), bc AS (
+      |  SELECT doc_id, b,
+      |         count(*) FILTER (WHERE ((h >> b) & 1::UBIGINT) = 1::UBIGINT) AS cnt
+      |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bs
+      |  GROUP BY 1, 2
+      |), bits AS (
+      |  SELECT bc.doc_id,
+      |         list(CASE WHEN 2 * cnt > n THEN 1 ELSE 0 END ORDER BY b) AS bits
+      |  FROM bc JOIN nn ON bc.doc_id = nn.doc_id GROUP BY 1
+      |), chunks AS (
+      |  SELECT doc_id, c,
+      |         list_sum(list_transform(generate_series(1, 16),
+      |                                 i -> bits[16 * c + i] * (1 << (i - 1)))) AS v
+      |  FROM bits, (SELECT unnest(generate_series(0, 3)) AS c) cs
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+      |), ham AS (
+      |  SELECT da, db,
+      |         CAST(list_sum(list_transform(list_zip(a.bits, b.bits),
+      |              x -> CASE WHEN x[1] != x[2] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      |  FROM cand JOIN bits a ON da = a.doc_id JOIN bits b ON db = b.doc_id
+      |)
+      |SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""".stripMargin
 
   // ---- declared queries ---------------------------------------------------
 
@@ -366,8 +419,10 @@ object Dedup {
           |WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.8
           |ORDER BY da, db""".stripMargin) { (s, d) => minhashNearDup(s, d, 0.8) },
 
-    // SimHash near-dup (rows-only; spec-verified against d03).
-    Q.noOracle("d05_simhash") { (s, d) => simhashNearDup(s, d, 3) },
+    // SimHash near-dup — fully oracle-checked: DuckDB recomputes the
+    // md5 word hashes, bit majorities, chunk blocking, and Hamming
+    // verify, so candidate sets and distances must agree bit for bit.
+    Q("d05_simhash", simhashOracle) { (s, d) => simhashNearDup(s, d, 3) },
 
     // Embedding-cosine near-dup: exact all-pairs at a threshold — the
     // ground-truth variant (the LSH paths d04/s02 are the scale path).
