@@ -74,9 +74,23 @@ object MultiModal {
         .orderBy("doc_id")
     },
 
-    // Full stubbed decode via mapPartitions (rows-only check; byte_sum
-    // determinism asserted in MultiModalSpec).
-    Q.noOracle("m02_media_features") { (s, d) =>
+    // Full stubbed decode via mapPartitions — oracle-checked: the stub
+    // is deterministic byte arithmetic, which DuckDB replays by
+    // hex-expanding the UTF-8 payload (unsigned byte sum, fake dims).
+    Q("m02_media_features",
+      """WITH b AS (
+        |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n,
+        |    CAST(list_sum(list_transform(generate_series(1, n::INT),
+        |         i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)) AS BIGINT)
+        |      AS byte_sum
+        |  FROM b
+        |)
+        |SELECT doc_id, n AS n_bytes, n % 64 + 16 AS width,
+        |       (byte_sum % 64) + 16 AS height, 3 AS channels, byte_sum
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
       val withPayload = Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       extractMediaFeatures(withPayload)

@@ -434,6 +434,31 @@ object RelQueries {
         .select(col("lang"), col("p._2").as("doc_id"),
           (col("pos") + 1).cast("long").as("rk"))
         .orderBy("lang", "rk")
+    },
+
+    // Grouped exact quantiles (A2/A3 distribution stats generalized):
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    // same linear-interpolation definition (index q·(n−1)), so the
+    // doubles match bit for bit. Exact percentile keeps a per-group
+    // value-count buffer (ObjectHashAggregate, partial+final) — right
+    // for oracle parity and keyed groups; for 100 TB global quantiles
+    // swap in approx_percentile (t-digest sketch, bounded memory, same
+    // call shape).
+    Q("q25_group_quantiles",
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        | quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+            percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+            percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
     }
   )
 }
