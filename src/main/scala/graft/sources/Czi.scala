@@ -20,10 +20,11 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * allocated/used int64), a `ZISRAWFILE` master header at position 0
   * holding the directory/metadata positions, `DV` directory entries of
   * 20-byte dimension records, and subblock pixel data at offset
-  * max(256, 16 + entry size) past the segment data start. Compressed
-  * subblocks (JPEG-XR etc.) are out of scope — the parser rejects them
-  * — which keeps the reader dependency-free; a compressed-file reader
-  * can be plugged in behind [[loadPixels]]'s per-partition decode.
+  * max(256, 16 + entry size) past the segment data start. zstd0/zstd1
+  * compressed subblocks (the codecs modern Zeiss software writes,
+  * including zstd1's low/high byte packing) decode via the zstd-jni
+  * that ships with Spark; only JPEG-XR is rejected — that codec has no
+  * JVM implementation available here.
   *
   * Semantics matched to the reference: one event per (scene, mosaic
   * tile); the `scenes` argument selects scene names (list) or filters
@@ -148,12 +149,53 @@ object Czi {
       byNameFirst.findAllMatchIn(xml).map(m => m.group(2).toInt -> m.group(1))).toMap
   }
 
-  /** decode one uncompressed subblock to a float plane stack; returns
-    * (pixels row-major, h, w) for its (possibly 1-deep) Y×X plane */
+  /** zstd1 payload header (libCZI's published compression options doc):
+    * byte 0 = total header size (including itself), then (chunkType,
+    * value) byte pairs; the only defined chunk type 1 = "low/high byte
+    * packing" flag. Returns (headerSize, lowHighPacked). */
+  private[sources] def parseZstd1Header(p: Array[Byte]): (Int, Boolean) = {
+    require(p.nonEmpty, "empty zstd1 payload")
+    val size = p(0) & 0xff
+    require(size >= 1 && size <= p.length, s"bad zstd1 header size $size")
+    var packed = false
+    var i = 1
+    while (i + 1 < size) {
+      if ((p(i) & 0xff) == 1) packed = (p(i + 1) & 0xff) != 0
+      i += 2
+    }
+    (size, packed)
+  }
+
+  /** undo low/high byte packing (all low bytes, then all high bytes —
+    * the zstd1 preprocessing for 16-bit images) into interleaved LE */
+  private[sources] def unpackLowHigh(b: Array[Byte]): Array[Byte] = {
+    val n = b.length / 2
+    val out = new Array[Byte](b.length)
+    var i = 0
+    while (i < n) { out(2 * i) = b(i); out(2 * i + 1) = b(n + i); i += 1 }
+    out
+  }
+
+  /** apply low/high packing to interleaved LE 16-bit bytes (writer side) */
+  private[sources] def unpackLowHighInverse(b: Array[Byte]): Array[Byte] = {
+    val n = b.length / 2
+    val out = new Array[Byte](b.length)
+    var i = 0
+    while (i < n) { out(i) = b(2 * i); out(n + i) = b(2 * i + 1); i += 1 }
+    out
+  }
+
+  /** decode one subblock to a float plane stack; returns (pixels
+    * row-major, h, w) for its (possibly 1-deep) Y×X plane. Compression
+    * 0 (none), 5 (zstd0: raw zstd frame) and 6 (zstd1: small header +
+    * optional low/high byte packing + zstd frame) are supported —
+    * zstd-jni ships with Spark, so the reader stays dependency-free.
+    * JPEG-XR (4) subblocks are rejected: that codec has no JVM
+    * implementation here. */
   private[sources] def readSubBlockPlane(ch: FileChannel,
       e: SubBlockEntry): (Array[Float], Int, Int) = {
-    require(e.compression == 0,
-      s"compressed CZI subblocks are not supported (compression=${e.compression})")
+    require(e.compression == 0 || e.compression == 5 || e.compression == 6,
+      s"unsupported CZI subblock compression ${e.compression} (JPEG-XR is out of scope)")
     val (id, _) = segmentHeader(ch, e.filePosition)
     require(id == "ZISRAWSUBBLOCK", s"directory points at $id, not a subblock")
     val dataStart = e.filePosition + SegHeaderLen
@@ -171,8 +213,34 @@ object Czi {
       case 2 => 4 // Gray32Float
       case t => throw new IllegalArgumentException(s"unsupported CZI pixel type $t")
     }
-    require(dataSize >= h.toLong * w * bytesPer, s"subblock data too small: $dataSize")
-    val bb = readBytes(ch, pixelsPos, h * w * bytesPer)
+    val nPixelBytes = h * w * bytesPer
+    val bb: ByteBuffer = e.compression match {
+      case 0 =>
+        require(dataSize >= nPixelBytes.toLong, s"subblock data too small: $dataSize")
+        readBytes(ch, pixelsPos, nPixelBytes)
+      case 5 =>
+        val comp = new Array[Byte](dataSize.toInt)
+        readBytes(ch, pixelsPos, dataSize.toInt).get(comp)
+        val dst = new Array[Byte](nPixelBytes)
+        val n = com.github.luben.zstd.Zstd.decompress(dst, comp)
+        require(n == nPixelBytes, s"zstd0 subblock decoded to $n bytes, expected $nPixelBytes")
+        ByteBuffer.wrap(dst).order(ByteOrder.LITTLE_ENDIAN)
+      case 6 =>
+        val payload = new Array[Byte](dataSize.toInt)
+        readBytes(ch, pixelsPos, dataSize.toInt).get(payload)
+        val (hdrSize, packed) = parseZstd1Header(payload)
+        val comp = java.util.Arrays.copyOfRange(payload, hdrSize, payload.length)
+        val dst = new Array[Byte](nPixelBytes)
+        val n = com.github.luben.zstd.Zstd.decompress(dst, comp)
+        require(n == nPixelBytes, s"zstd1 subblock decoded to $n bytes, expected $nPixelBytes")
+        val bytes =
+          if (packed) {
+            require(bytesPer == 2,
+              s"zstd1 low/high packing is defined for 16-bit pixels, got pixelType ${e.pixelType}")
+            unpackLowHigh(dst)
+          } else dst
+        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    }
     var i = 0
     e.pixelType match {
       case 0 => while (i < out.length) { out(i) = (bb.get(i) & 0xff).toFloat; i += 1 }
@@ -287,13 +355,22 @@ object Czi {
 
   // ---- minimal writer (fixtures / roundtrips) -----------------------------
 
-  /** write a minimal spec-conformant CZI: uncompressed Gray32Float
-    * subblocks for every (scene, tile, channel, z), a metadata segment
-    * carrying scene names, and the subblock directory. Exists for
-    * roundtrip tests and as the counterpart of the reader above. */
+  /** write a minimal spec-conformant CZI: subblocks for every (scene,
+    * tile, channel, z), a metadata segment carrying scene names, and
+    * the subblock directory. Exists for roundtrip tests and as the
+    * counterpart of the reader above.
+    *
+    * `pixelType`: 1 (Gray16, values truncated to uint16) or 2
+    * (Gray32Float). `compression`: 0 (none), 5 (zstd0), or 6 (zstd1 —
+    * written with low/high byte packing when Gray16, mirroring what
+    * Zeiss acquisition software emits). */
   def writeMinimal(path: String, sceneNames: Seq[String], tiles: Int,
       channels: Int, depth: Int, h: Int, w: Int,
-      pixel: (Int, Int, Int, Int, Int, Int) => Float): Unit = {
+      pixel: (Int, Int, Int, Int, Int, Int) => Float,
+      pixelType: Int = 2, compression: Int = 0): Unit = {
+    require(pixelType == 1 || pixelType == 2, s"writer supports Gray16/Gray32Float, got $pixelType")
+    require(compression == 0 || compression == 5 || compression == 6,
+      s"writer supports none/zstd0/zstd1, got $compression")
     val raf = new RandomAccessFile(path, "rw")
     try {
       raf.setLength(0)
@@ -315,10 +392,10 @@ object Czi {
           ("T", 0, 1), ("S", s, 1), ("M", t, 1))
         val bb = ByteBuffer.allocate(32 + 20 * dims.length).order(ByteOrder.LITTLE_ENDIAN)
         bb.put('D'.toByte).put('V'.toByte)
-        bb.putInt(2) // Gray32Float
+        bb.putInt(pixelType)
         bb.putLong(filePos)
         bb.putInt(0) // file part
-        bb.putInt(0) // uncompressed
+        bb.putInt(compression)
         bb.put(0.toByte); bb.put(new Array[Byte](5))
         bb.putInt(dims.length)
         dims.foreach { case (name, start, size) =>
@@ -333,17 +410,32 @@ object Czi {
         s <- sceneNames.indices; t <- 0 until tiles
         c <- 0 until channels; z <- 0 until depth
       } yield (s, t, c, z)
+      val bytesPer = if (pixelType == 1) 2 else 4
       val entries = coords.map { case (s, t, c, z) =>
         val entry = entryBytes(s, t, c, z, raf.getFilePointer)
-        val px = ByteBuffer.allocate(h * w * 4).order(ByteOrder.LITTLE_ENDIAN)
-        for (r <- 0 until h; col <- 0 until w) px.putFloat(pixel(s, t, c, z, r, col))
-        val data = ByteBuffer.allocate(256 + h * w * 4).order(ByteOrder.LITTLE_ENDIAN)
+        val px = ByteBuffer.allocate(h * w * bytesPer).order(ByteOrder.LITTLE_ENDIAN)
+        for (r <- 0 until h; col <- 0 until w) {
+          val v = pixel(s, t, c, z, r, col)
+          if (pixelType == 1) px.putShort((v.toInt & 0xffff).toShort)
+          else px.putFloat(v)
+        }
+        val payload: Array[Byte] = compression match {
+          case 0 => px.array()
+          case 5 => com.github.luben.zstd.Zstd.compress(px.array())
+          case 6 =>
+            val pack = pixelType == 1
+            val raw = if (pack) unpackLowHighInverse(px.array()) else px.array()
+            val comp = com.github.luben.zstd.Zstd.compress(raw)
+            // header: size=3, chunk (type=1 lowHighPack, value)
+            Array[Byte](3, 1, if (pack) 1 else 0) ++ comp
+        }
+        val data = ByteBuffer.allocate(256 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
         data.putInt(0) // metadata size
         data.putInt(0) // attachment size
-        data.putLong(h.toLong * w * 4)
+        data.putLong(payload.length.toLong)
         data.put(entry)
         data.position(256)
-        data.put(px.array())
+        data.put(payload)
         val pos = writeSegment("ZISRAWSUBBLOCK", data.array())
         entryBytes(s, t, c, z, pos)
       }

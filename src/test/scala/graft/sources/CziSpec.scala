@@ -92,4 +92,72 @@ class CziSpec extends SparkSpec {
     assert(!projected.meta.contains("depth"))
     assert(projected.pixels(0) == pixel(0, 0, 0, 2, 0, 0)) // max over z
   }
+
+  test("zstd0-compressed Gray32Float subblocks roundtrip exactly") {
+    val dir = Files.createTempDirectory("czi-zstd0")
+    val p = dir.resolve("z0.czi").toString
+    Czi.writeMinimal(p, Seq("s0"), tiles = 2, channels = 2, depth = 1,
+      h = 6, w = 5, pixel, pixelType = 2, compression = 5)
+    assert(Czi.readIndex(p).entries.forall(_.compression == 5))
+    val events = Czi.loadPixels(Czi.metaFromDirectory(spark, p))
+      .collect().sortBy(_.idx)
+    assert(events.length == 2)
+    events.foreach { e =>
+      val t = e.meta("tile").toInt
+      for (c <- 0 until 2; r <- 0 until 6; col <- 0 until 5)
+        assert(e.pixels(c * 30 + r * 5 + col) == pixel(0, t, c, 0, r, col))
+    }
+  }
+
+  test("zstd1 Gray16 subblocks with low/high packing decode exactly") {
+    val dir = Files.createTempDirectory("czi-zstd1")
+    val p = dir.resolve("z1.czi").toString
+    // Gray16 values in [0, 65535]; pixel() stays well below for these dims
+    Czi.writeMinimal(p, Seq("s0"), tiles = 1, channels = 2, depth = 1,
+      h = 4, w = 4, pixel, pixelType = 1, compression = 6)
+    assert(Czi.readIndex(p).entries.forall(e =>
+      e.compression == 6 && e.pixelType == 1))
+    val e = Czi.loadPixels(Czi.metaFromDirectory(spark, p)).collect().head
+    for (c <- 0 until 2; r <- 0 until 4; col <- 0 until 4)
+      assert(e.pixels(c * 16 + r * 4 + col) == pixel(0, 0, c, 0, r, col))
+  }
+
+  test("zstd1 header parse and byte packing invert each other") {
+    assert(Czi.parseZstd1Header(Array[Byte](1, 99)) == ((1, false)))
+    assert(Czi.parseZstd1Header(Array[Byte](3, 1, 1, 42)) == ((3, true)))
+    assert(Czi.parseZstd1Header(Array[Byte](3, 1, 0, 42)) == ((3, false)))
+    // unknown chunk types are skipped without affecting the flag
+    assert(Czi.parseZstd1Header(Array[Byte](5, 7, 9, 1, 1)) == ((5, true)))
+    val interleaved = Array[Byte](1, 2, 3, 4, 5, 6)
+    val packed = Czi.unpackLowHighInverse(interleaved)
+    assert(packed.toSeq == Seq[Byte](1, 3, 5, 2, 4, 6))
+    assert(Czi.unpackLowHigh(packed).toSeq == interleaved.toSeq)
+  }
+
+  test("JPEG-XR subblocks are rejected with a clear error") {
+    val dir = Files.createTempDirectory("czi-jxr")
+    val p = dir.resolve("jxr.czi").toString
+    Czi.writeMinimal(p, Seq("s0"), tiles = 1, channels = 1, depth = 1,
+      h = 2, w = 2, pixel)
+    // patch the directory entry's compression field to 4 (JPEG-XR):
+    // entry layout = 2 (schema) + 4 (pixelType) + 8 (filePos) + 4 (part)
+    val idx = Czi.readIndex(p)
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      // find the DV entry inside the subblock segment (offset 48 =
+      // 32 seg hdr + 16 fixed) and the directory copy; patch both
+      val e = idx.entries.head
+      raf.seek(e.filePosition + 32 + 16 + 2 + 4 + 8 + 4)
+      raf.write(Array[Byte](4, 0, 0, 0))
+    } finally raf.close()
+    // re-read: directory still says 0, but the authoritative reject is
+    // driven by the directory entry — patch the directory too
+    val err = intercept[Exception] {
+      val patched = idx.entries.head.copy(compression = 4)
+      Czi.readSubBlockPlane(
+        java.nio.channels.FileChannel.open(java.nio.file.Paths.get(p),
+          java.nio.file.StandardOpenOption.READ), patched)
+    }
+    assert(err.getMessage.contains("JPEG-XR is out of scope"))
+  }
 }
