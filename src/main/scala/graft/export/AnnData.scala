@@ -82,11 +82,10 @@ object AnnData {
     val xAddr = f.dataset(Seq(n.toLong, d.toLong), Hdf5.F32, Hdf5.f32Raw(x),
       Seq(Attr(Enc, StrV("array")), Attr(EncV, StrV("0.2.0"))))
 
-    def strArray(vals: Seq[String]): Long = {
-      val size = math.max(1, vals.map(_.length).foldLeft(0)(math.max)) + 1
-      f.dataset(Seq(vals.length.toLong), Hdf5.Str(size), Hdf5.strRaw(vals, size),
+    // vlen strings (global heap), exactly as h5py/anndata write them
+    def strArray(vals: Seq[String]): Long =
+      f.vlenStrDataset(vals,
         Seq(Attr(Enc, StrV("string-array")), Attr(EncV, StrV("0.2.0"))))
-    }
 
     def dataframeGroup(index: Seq[String], cols: Seq[String],
         colAddr: Seq[Long]): Long = {

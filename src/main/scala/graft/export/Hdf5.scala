@@ -5,11 +5,12 @@ import java.nio.charset.StandardCharsets
 /** Minimal HDF5 writer — just enough of the public HDF5 File Format
   * Specification (version 0 superblock, old-style groups with local
   * heap + v1 B-tree + symbol nodes, v1 object headers, contiguous
-  * layout, fixed-length strings) to emit AnnData `.h5ad` containers
+  * layout, global heap collections) to emit AnnData `.h5ad` containers
   * (reference K2, export/anndata.py:12-60) from a JVM with no HDF5
-  * binding. Strings are fixed-length null-terminated ASCII rather than
-  * the vlen encoding libhdf5 would write (vlen needs global heaps);
-  * both are spec-valid and h5py-readable. Verified structurally by the
+  * binding. String datasets use the variable-length encoding libhdf5
+  * writes (class-9 vlen datatype + GCOL global heap collections);
+  * string attributes stay fixed-length null-terminated ASCII (also
+  * spec-valid and h5py-readable). Verified structurally by the
   * independent reader in Hdf5Spec.
   */
 object Hdf5 {
@@ -84,6 +85,22 @@ object Hdf5 {
       b.u8(0x00) // null-terminated, ASCII
       b.u8(0); b.u8(0)
       b.u32(size.toLong)
+    }
+  }
+
+  /** variable-length string (class 9): each element is a 16-byte
+    * (length, global-heap collection address, object index) reference —
+    * the encoding libhdf5/h5py write for str data. Base type: 1-byte
+    * null-terminated ASCII string. */
+  case object VlenStr extends Dtype {
+    val size = 16
+    def encode(b: Buf): Unit = {
+      b.u8(0x19) // version 1, class 9 (variable-length)
+      b.u8(0x01) // bits 0-3: vlen type = string; bits 4-7: padding 0
+      b.u8(0x00) // bits 8-11: charset 0 (ASCII)
+      b.u8(0)
+      b.u32(16)
+      Str(1).encode(b) // base datatype
     }
   }
 
@@ -183,6 +200,43 @@ object Hdf5 {
       writeObjectHeader(b,
         Seq(Msg(0x0001, dataspaceBytes(dims)), Msg(0x0003, dtypeBytes(dtype)),
           Msg(0x0008, layout)) ++ attrs.map(a => Msg(0x000C, attrBody(a))))
+    }
+
+    /** variable-length string dataset: string bytes live in one global
+      * heap collection (GCOL) written just before the dataset; the
+      * dataset's raw data is the 16-byte references. Empty strings get
+      * the null reference (length 0, address 0, index 0), matching
+      * libhdf5. The collection is sized exactly — no free-space object
+      * remains, which the format allows (readers stop at the declared
+      * collection size). */
+    def vlenStrDataset(vals: Seq[String], attrs: Seq[Attr] = Seq.empty): Long = {
+      val strBytes = vals.map(_.getBytes(StandardCharsets.US_ASCII))
+      val nonEmpty = strBytes.zipWithIndex.filter(_._1.nonEmpty)
+      val refs = Array.fill(vals.length)((0, 0L)) // (heap index, collection addr)
+      if (nonEmpty.nonEmpty) {
+        val addr = b.align8()
+        val total = 16L + nonEmpty.map(x => 16L + pad8(x._1.length)).sum
+        b.bytes("GCOL".getBytes(StandardCharsets.US_ASCII))
+        b.u8(1); b.zeros(3)
+        b.u64(total)
+        var idx = 1
+        nonEmpty.foreach { case (sb, i) =>
+          b.u16(idx); b.u16(1) // object index, reference count
+          b.u32(0)
+          b.u64(sb.length.toLong)
+          b.bytes(sb); b.zeros(pad8(sb.length) - sb.length)
+          refs(i) = (idx, addr)
+          idx += 1
+        }
+      }
+      val raw = new Buf
+      strBytes.zipWithIndex.foreach { case (sb, i) =>
+        val (idx, addr) = refs(i)
+        raw.u32(sb.length.toLong)
+        raw.u64(addr)
+        raw.u32(idx.toLong)
+      }
+      dataset(Seq(vals.length.toLong), VlenStr, raw.result(), attrs)
     }
 
     /** old-style group over already-written children. All links live in

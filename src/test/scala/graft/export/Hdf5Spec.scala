@@ -12,7 +12,8 @@ object H5Read {
       children: Map[String, H5Obj],
       dims: Seq[Long],
       dtype: String,
-      data: Array[Byte])
+      data: Array[Byte],
+      vlenStrs: Seq[String] = Seq.empty)
 
   def read(path: String): H5Obj = {
     val raw = Files.readAllBytes(Paths.get(path))
@@ -74,7 +75,43 @@ object H5Read {
         while (i < out.length) { out(i) = bb.get(dataAddr.toInt + i); i += 1 }
         out
       } else Array.empty[Byte]
-    H5Obj(attrs, children, dims, if (dtype.isEmpty) "" else s"$dtype$dtypeSize", data)
+    val vlen =
+      if (dtype == "vlenstr" && dataAddr >= 0) {
+        val n = dims.product.toInt
+        (0 until n).map { i =>
+          val off = dataAddr.toInt + i * 16
+          val len = bb.getInt(off)
+          val heapAddr = bb.getLong(off + 4)
+          val heapIdx = bb.getInt(off + 12)
+          if (len == 0) "" else readGlobalHeapObject(bb, heapAddr, heapIdx, len)
+        }
+      } else Seq.empty[String]
+    H5Obj(attrs, children, dims, if (dtype.isEmpty) "" else s"$dtype$dtypeSize",
+      data, vlen)
+  }
+
+  /** resolve one object out of a GCOL global heap collection */
+  private def readGlobalHeapObject(bb: ByteBuffer, addr: Long, idx: Int,
+      len: Int): String = {
+    require(readSig(bb, addr.toInt) == "GCOL", "bad global heap signature")
+    require(bb.get(addr.toInt + 4) == 1, "global heap version must be 1")
+    val collSize = bb.getLong(addr.toInt + 8)
+    var p = addr.toInt + 16
+    val end = addr.toInt + collSize.toInt
+    while (p + 16 <= end) {
+      val oIdx = bb.getShort(p) & 0xffff
+      val oSize = bb.getLong(p + 8)
+      if (oIdx == idx) {
+        require(oSize == len.toLong, s"heap object $idx size $oSize != ref length $len")
+        val out = new Array[Byte](len)
+        var i = 0
+        while (i < len) { out(i) = bb.get(p + 16 + i); i += 1 }
+        return new String(out, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      require(oIdx != 0, s"hit free space before finding heap object $idx")
+      p += 16 + pad8(oSize.toInt)
+    }
+    throw new IllegalStateException(s"global heap object $idx not found at $addr")
   }
 
   private def parseDatatype(bb: ByteBuffer, p: Int): (String, Int) = {
@@ -85,6 +122,10 @@ object H5Read {
       case 0 => ("int", size)
       case 1 => ("float", size)
       case 3 => ("str", size)
+      case 9 =>
+        // vlen: require the string flavor (bits 0-3 of bit field = 1)
+        require((bb.get(p + 1) & 0x0f) == 1, "vlen datatype must be a string")
+        ("vlenstr", size)
       case c => (s"class$c", size)
     }
   }
@@ -156,13 +197,15 @@ class Hdf5Spec extends SparkSpec {
     val bb = ByteBuffer.wrap(o.data).order(ByteOrder.LITTLE_ENDIAN)
     Array.tabulate(o.data.length / 8)(i => bb.getLong(i * 8))
   }
-  private def strs(o: H5Read.H5Obj): Seq[String] = {
-    val size = o.dtype.stripPrefix("str").toInt
-    (0 until o.dims.head.toInt).map { i =>
-      new String(o.data.slice(i * size, (i + 1) * size).takeWhile(_ != 0),
-        java.nio.charset.StandardCharsets.US_ASCII)
+  private def strs(o: H5Read.H5Obj): Seq[String] =
+    if (o.dtype.startsWith("vlenstr")) o.vlenStrs
+    else {
+      val size = o.dtype.stripPrefix("str").toInt
+      (0 until o.dims.head.toInt).map { i =>
+        new String(o.data.slice(i * size, (i + 1) * size).takeWhile(_ != 0),
+          java.nio.charset.StandardCharsets.US_ASCII)
+      }
     }
-  }
 
   test("anndata export roundtrips through an independent HDF5 reader") {
     import spark.implicits._
@@ -258,6 +301,39 @@ class Hdf5Spec extends SparkSpec {
       new java.io.File(dir).listFiles().filter(_.getName.endsWith(".h5ad")).head.getPath)
     assert(root.children("obs").children.keySet == (cols.toSet + "_index"))
     assert(root.children("obs").attrs("column-order") == cols)
+  }
+
+  test("vlen string datasets: global heap roundtrip incl. empty and long values") {
+    val f = new Hdf5.File
+    val vals = Seq("", "a", "x" * 100, "", "mixed-Ascii_09", "y" * 7, "z" * 8)
+    val dsAddr = f.vlenStrDataset(vals)
+    val rootAddr = f.group(Seq("s" -> dsAddr))
+    val dir = Files.createTempDirectory("vlen-spec")
+    val p = dir.resolve("v.h5").toString
+    Files.write(Paths.get(p), f.finish(rootAddr))
+    val root = H5Read.read(p)
+    val ds = root.children("s")
+    assert(ds.dtype == "vlenstr16")
+    assert(ds.dims == Seq(vals.length.toLong))
+    assert(strs(ds) == vals)
+    // empty strings must carry the null reference, not a heap object
+    val refBytes = ds.data
+    Seq(0, 3).foreach { i =>
+      assert(refBytes.slice(i * 16, (i + 1) * 16).forall(_ == 0), s"ref $i")
+    }
+  }
+
+  test("vlen dataset with only empty strings writes no heap at all") {
+    val f = new Hdf5.File
+    val dsAddr = f.vlenStrDataset(Seq("", "", ""))
+    val rootAddr = f.group(Seq("e" -> dsAddr))
+    val dir = Files.createTempDirectory("vlen-empty")
+    val p = dir.resolve("e.h5").toString
+    Files.write(Paths.get(p), f.finish(rootAddr))
+    val ds = H5Read.read(p).children("e")
+    assert(strs(ds) == Seq("", "", ""))
+    assert(!new String(Files.readAllBytes(Paths.get(p)),
+      java.nio.charset.StandardCharsets.ISO_8859_1).contains("GCOL"))
   }
 
   test("substring column match mirrors the reference's pandas filter(regex)") {
