@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  /** Loud ceiling on per-node degree in the star rounds: a node's
+    * neighbor list is materialized in one task (the collect_list), so
+    * a hub of tens of millions of edges must fail with advice rather
+    * than OOM an executor. Real dedup graphs stay far below this —
+    * a component of size k has max degree k−1, and components larger
+    * than ~1M docs mean the pair threshold is set too loose (exact
+    * duplicates should be removed by d01's digest pass first). */
+  val MaxDegree = 1 << 20
+
+  private def checkDegree(u: Long, n: Int): Unit =
+    require(n <= MaxDegree,
+      s"node $u has $n near-dup neighbors (> $MaxDegree) — dedup exact " +
+        "duplicates first (d01) or tighten the pair threshold before clustering")
+
   /** One large-star round: every node links its strictly-larger
     * neighbors to the minimum of its closed neighborhood. */
   private def largeStar(spark: SparkSession, edges: DataFrame): DataFrame = {
@@ -29,6 +43,7 @@ object Cluster {
       .groupBy("u").agg(collect_list("v").as("ns"))
       .as[(Long, Seq[Long])]
       .flatMap { case (u, ns) =>
+        checkDegree(u, ns.length)
         val m = math.min(u, ns.min)
         ns.iterator.filter(_ > u).map(v => (v, m))
       }
@@ -44,6 +59,7 @@ object Cluster {
       .groupBy("u").agg(collect_list("v").as("ns"))
       .as[(Long, Seq[Long])]
       .flatMap { case (u, ns) =>
+        checkDegree(u, ns.length)
         val m = ns.min
         (ns.iterator ++ Iterator.single(u)).filter(_ != m)
           .toSet[Long].iterator.map(v => (v, m))

@@ -459,6 +459,49 @@ object RelQueries {
             percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")
+    },
+
+    // As-of join: each purchase matched to the user's most recent
+    // click at-or-before it — the canonical event-attribution /
+    // point-in-time-lookup operator Spark lacks as a builtin. Executed
+    // as the scalable union-tag shape: tag both streams, ONE shuffle on
+    // user_id, and a running `last(_, ignoreNulls)` over (ts, pri)
+    // carries the latest click into each purchase row. No range join,
+    // no per-key loop, no band cross-product — a naive time-condition
+    // join would be O(clicks × purchases) per user; this is one sort.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    Q("q26_asof_join",
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        | c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("pri"),
+          lit(null).cast("long").as("event_id"),
+          col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(2).as("pri"),
+          col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("click_ts_us"))
+      // clicks sort before purchases at equal ts (pri), so ts-ties obey
+      // the ASOF p.ts >= c.ts contract; click_id breaks exact dup ties
+      // deterministically
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("pri"), col("click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("pri"),
+          last(col("click_id"), ignoreNulls = true).over(w).as("click_id"),
+          last(col("click_ts_us"), ignoreNulls = true).over(w).as("click_ts_us"))
+        .filter(col("pri") === 2)
+        .select("event_id", "user_id", "ts_us", "click_id", "click_ts_us")
+        .orderBy("event_id")
     }
   )
 }

@@ -66,6 +66,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q24: stratified sample is a partial+final object aggregate, no window sort") {
+    val p = plan("q24_stratified_sample")
+    // bounded top-k Aggregator → ObjectHashAggregate with a partial
+    // stage (map-side buffers), and NO Window operator anywhere: the
+    // whole point is avoiding the per-group full sort
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q25: exact percentiles run partial+final, not a global sort") {
+    val p = plan("q25_group_quantiles")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q26: as-of join is one window pass — no join operator at all") {
+    val p = plan("q26_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen spans exist in the executed per-row transforms") {
     // Spark's higher-order array expressions (filter/transform lambdas)
     // are interpreted and legitimately sit OUTSIDE codegen spans; the
