@@ -46,6 +46,31 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** stream-stream attribution join: each purchase joined to the same
+    * user's clicks within the preceding `horizon` — the streaming form
+    * of the batch as-of join (rel q26), bounded so state can be
+    * evicted. Both sides carry event-time watermarks and the join
+    * condition is time-bounded, which is exactly what lets Spark drop
+    * buffered rows once the watermark passes the horizon: state size
+    * tracks the horizon, never the full history. (A streaming "latest
+    * click only" would need a second stateful pass; the reference
+    * attribution window emits every in-horizon click with its lag.) */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, expr(
+      s"""p_user = c_user AND
+         |click_ts <= purchase_ts AND
+         |click_ts >= purchase_ts - INTERVAL $horizon""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   // ---- stateful: per-user running statistics ----------------------------
 
   case class EventRow(event_id: Long, user_id: Long, ts: Timestamp,

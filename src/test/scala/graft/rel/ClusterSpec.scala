@@ -34,6 +34,31 @@ class ClusterSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("randomized graphs match driver-side union-find (property-style)") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 12) {
+      val nNodes = 2 + rng.nextInt(40)
+      val nEdges = 1 + rng.nextInt(60)
+      val ids = Seq.fill(nNodes)(rng.nextInt(1000).toLong).distinct
+      val edges = Seq.fill(nEdges) {
+        (ids(rng.nextInt(ids.length)), ids(rng.nextInt(ids.length)))
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        assert(cc(edges) == expected, s"trial $trial: edges $edges")
+      }
+    }
+  }
+
   test("d07 assignment is the transitive closure of the d03 pairs") {
     val pairSet = Dedup.all.find(_.name == "d03_ngram_jaccard").get
       .fn(spark, sfDir).select("da", "db").collect()

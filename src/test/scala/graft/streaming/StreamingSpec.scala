@@ -112,4 +112,37 @@ class StreamingSpec extends SparkSpec {
         (3L, 1000L, 9000L, true))) // closed by event-time timeout
     assert(out.filter(_.user_id == 2).forall(!_.closed))
   }
+
+  test("stream-stream attribution join matches the batch join on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, user: Long, tsMs: Long, tpe: String) =
+      EventRow(id, user, new Timestamp(tsMs), tpe, 1.0)
+    val rows = Seq(
+      ev(1, 1, 1000, "click"), ev(2, 1, 5000, "purchase"), // in horizon
+      ev(3, 1, 4000, "click"), // second in-horizon click, also emitted
+      ev(4, 2, 1000, "click"), ev(5, 2, 4000000, "purchase"), // outside
+      ev(6, 3, 7000, "purchase"), // no click at all
+      ev(7, 4, 8000, "click"), ev(8, 4, 8000, "purchase")) // equal ts
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    clicks.addData(rows.filter(_.event_type == "click"))
+    purchases.addData(rows.filter(_.event_type == "purchase"))
+    val q = attributionJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attrib")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == Set((2L, 1L), (2L, 3L), (8L, 7L)))
+
+    // and the identical plan runs on static frames with the same result
+    val batchRows = rows.toDS().toDF()
+    val batch = attributionJoin(
+      batchRows.filter($"event_type" === "click"),
+      batchRows.filter($"event_type" === "purchase"))
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch == streamed)
+  }
 }
