@@ -358,6 +358,114 @@ object Dedup {
       |)
       |SELECT da, db, hamming FROM ham WHERE hamming <= 3 ORDER BY da, db""".stripMargin
 
+  // ---- SemDeDup (embedding-cluster dedup) --------------------------------
+
+  /** Deterministic SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every vector to its nearest seed centroid (here: the
+    * vectors with vec_id < K, standing in for k-means centroids — the
+    * assignment/dedup machinery is identical), then inside each
+    * cluster drop any vector that has a LOWER-id cluster-mate with
+    * cosine ≥ τ. One narrow pass for assignment (centroids broadcast),
+    * one shuffle keyed on the cluster id with in-bucket pair checks —
+    * never an all-pairs join across clusters. At 100 TB, K scales with
+    * the corpus so clusters stay bounded (the paper uses ~100k
+    * clusters); the MaxBucketDocs guard fails loudly if they don't.
+    */
+  val SemdedupK = 16
+  def semdedup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val centroids = e.filter(_._1 < SemdedupK).collect().sortBy(_._1)
+      .map { case (cid, cv) =>
+        var ss = 0.0; var i = 0
+        while (i < cv.length) { ss += cv(i).toDouble * cv(i).toDouble; i += 1 }
+        (cid, cv, math.sqrt(ss))
+      }
+    val bc = spark.sparkContext.broadcast(centroids)
+    // all double math is sequential (dot, then /(|a||b|)) — the exact
+    // op order of the DuckDB list_sum oracle, so cosines match bitwise
+    def assigned = e.mapPartitions { it =>
+      val cents = bc.value
+      it.map { case (id, v) =>
+        var nv = 0.0
+        var i = 0
+        while (i < v.length) { nv += v(i).toDouble * v(i).toDouble; i += 1 }
+        val normV = math.sqrt(nv)
+        var bestC = -1L
+        var bestCos = Double.NegativeInfinity
+        cents.foreach { case (cid, cv, cn) =>
+          var dot = 0.0
+          var k = 0
+          while (k < v.length) { dot += v(k).toDouble * cv(k).toDouble; k += 1 }
+          val cos = dot / (normV * cn)
+          if (cos > bestCos) { bestCos = cos; bestC = cid } // ties → first (min) cid
+        }
+        (id, bestC, v)
+      }
+    }
+    val dropped = assigned.toDF("vec_id", "cid", "v")
+      .groupBy("cid").agg(collect_list(struct(col("vec_id"), col("v"))).as("xs"))
+      .as[(Long, Seq[(Long, Array[Float])])]
+      .flatMap { case (cid, xs) =>
+        require(xs.length <= MaxBucketDocs,
+          s"semdedup cluster $cid has ${xs.length} vectors > $MaxBucketDocs — raise K")
+        val s = xs.sortBy(_._1).toArray
+        val norms = s.map { case (_, v) =>
+          var ss = 0.0; var i = 0
+          while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(ss)
+        }
+        for {
+          i <- s.indices.iterator
+          j <- (i + 1) until s.length
+          cos = {
+            var dot = 0.0
+            var k = 0
+            while (k < s(i)._2.length) {
+              dot += s(i)._2(k).toDouble * s(j)._2(k).toDouble; k += 1
+            }
+            dot / (norms(i) * norms(j))
+          }
+          if cos >= threshold
+        } yield s(j)._1 // the higher id of the pair is the drop
+      }
+      .toDF("vec_id").distinct().withColumn("dropflag", lit(1))
+    assigned.toDF("vec_id", "cid", "v")
+      .select(col("vec_id"), col("cid").as("cluster_id"))
+      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        when(col("dropflag").isNull, 1).otherwise(0).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val cosSql: (String, String) => String = (a, b) =>
+    s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))
+       |   / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+       |      * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
+
+  private val semdedupOracle =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $SemdedupK),
+       |scored AS (
+       |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cemb")} AS cos
+       |  FROM embeddings e CROSS JOIN c
+       |), asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+       |    FROM scored) WHERE rk = 1
+       |), pairs AS (
+       |  SELECT b.vec_id AS vb
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4
+       |), dropped AS (SELECT DISTINCT vb FROM pairs)
+       |SELECT a.vec_id, a.cid AS cluster_id,
+       |  CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vb
+       |ORDER BY a.vec_id""".stripMargin
+
   // ---- declared queries ---------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -484,6 +592,10 @@ object Dedup {
       }.toDF("va", "vb", "c")
         .select(col("va"), col("vb"), round(col("c"), 6).as("cos"))
         .orderBy("va", "vb")
-    }
+    },
+
+    // SemDeDup: embedding-cluster dedup — nearest-centroid assignment
+    // + in-cluster cosine pruning, fully oracle-checked.
+    Q("d08_semdedup", semdedupOracle) { (s, d) => semdedup(s, d, 0.4) }
   )
 }

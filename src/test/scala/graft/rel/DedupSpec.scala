@@ -37,6 +37,39 @@ class DedupSpec extends SparkSpec {
       s"identical docs missing from simhash: ${identical.diff(sim)}")
   }
 
+  test("semdedup matches a driver-side brute force") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = e.filter(_._1 < Dedup.SemdedupK)
+    val asg = e.map { case (id, v) =>
+      id -> cents.maxBy(c => (cos(v, c._2), -c._1))._1
+    }.toMap
+    val droppedIds = (for {
+      (a, va) <- e.iterator
+      (b, vb) <- e.iterator
+      if a < b && asg(a) == asg(b) && cos(va, vb) >= 0.4
+    } yield b).toSet
+    val got = Dedup.semdedup(spark, sfDir, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == e.length)
+    got.foreach { case (id, cid, kept) =>
+      assert(cid == asg(id), s"vec $id cluster")
+      assert(kept == (if (droppedIds(id)) 0 else 1), s"vec $id kept flag")
+    }
+  }
+
   test("minhash signature is deterministic and k-long") {
     val sig1 = Dedup.minhashSignature(Iterator(1L, 2L, 3L))
     val sig2 = Dedup.minhashSignature(Iterator(3L, 2L, 1L)) // order-free
