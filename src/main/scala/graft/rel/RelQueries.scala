@@ -334,6 +334,28 @@ object RelQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // Full cube (all grouping sets — the rollup's superset; Spark plans
+    // one Expand + one aggregate, not 4 scans).
+    Q("q27_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double")
+            / 100.0).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("sum_price"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    },
+
     // L1: limit / top-k by sort.
     Q("q20_limit_topk",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -36,6 +36,48 @@ object TextOps {
 
   val stopwords = Seq("the", "a", "of", "and", "to")
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS document-fingerprint scheme): hash every k-gram of
+    * characters, slide a w-window over the hash sequence, select each
+    * window's minimum (leftmost on ties — the deterministic variant),
+    * dedupe the selected (position, hash) pairs. Guarantees any match
+    * of length ≥ w+k−1 shares a fingerprint, at density 2/(w+1).
+    * One compiled pass per record; the fingerprint table then feeds
+    * the same bucket-group near-dup machinery as shingles (d03/d04) —
+    * fingerprints are the scale-reduced shingle set. */
+  val WinnowK = 8 // k-gram length (characters)
+  val WinnowW = 4 // window size (hashes)
+  private[rel] def winnow(text: String): Seq[(Long, Long)] = {
+    val Mod = 1000000007L
+    val cps = text.codePoints().toArray
+    val n = cps.length - WinnowK + 1
+    if (n < WinnowW) return Nil
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < WinnowK) { h = (h * 31 + cps(i + j)) % Mod; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[(Long, Long)]()
+    var w = 0
+    while (w <= n - WinnowW) {
+      var best = hs(w)
+      var bi = w
+      var j = 1
+      while (j < WinnowW) {
+        if (hs(w + j) < best) { best = hs(w + j); bi = w + j }
+        j += 1
+      }
+      out.add(((bi + 1).toLong, best)) // 1-based pos, matching the oracle
+      w += 1
+    }
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSeq
+  }
+
   val all: Seq[Q] = Seq(
     // Token counting: whitespace tokens + distinct counts.
     Q("t01_token_stats",
@@ -214,6 +256,42 @@ object TextOps {
         .toDF("doc_id", "n_words", "distinct_word_frac", "top_word_frac",
           "dup_bigram_frac")
         .orderBy("doc_id")
+    },
+
+    // Winnowing fingerprints as an exploded (doc, pos, hash) table —
+    // the positional dedup primitive (match localization, not just
+    // detection). DuckDB replays k-gram hashing, window minima, and
+    // leftmost-tie selection with list_reduce/list_position.
+    Q("t08_winnowing",
+      s"""WITH kh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - ${TextOps.WinnowK - 1}),
+        |      i -> list_reduce(
+        |             list_prepend(0::BIGINT,
+        |               list_transform(generate_series(i, i + ${TextOps.WinnowK - 1}),
+        |                 j -> ascii(substr(text, j::INT, 1))::BIGINT)),
+        |             (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        |  FROM documents
+        |  WHERE length(text) >= ${TextOps.WinnowK + TextOps.WinnowW - 1}
+        |), wdoc AS (
+        |  SELECT doc_id, hs,
+        |    unnest(generate_series(1, len(hs) - ${TextOps.WinnowW - 1})) AS w
+        |  FROM kh
+        |)
+        |SELECT DISTINCT doc_id,
+        |  w + list_position(hs[w : w + ${TextOps.WinnowW - 1}],
+        |        list_reduce(hs[w : w + ${TextOps.WinnowW - 1}],
+        |                    (a, b) -> least(a, b))) - 1 AS pos,
+        |  list_reduce(hs[w : w + ${TextOps.WinnowW - 1}],
+        |              (a, b) -> least(a, b)) AS fp
+        |FROM wdoc
+        |ORDER BY doc_id, pos, fp""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) => winnow(t).iterator.map(p => (id, p._1, p._2)) }
+        .toDF("doc_id", "pos", "fp")
+        .orderBy("doc_id", "pos", "fp")
     }
   )
 }
