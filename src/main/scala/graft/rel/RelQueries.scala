@@ -412,6 +412,36 @@ object RelQueries {
         .select("o_orderkey", "o_totalprice")
     },
 
+    // Composite analytics shape (TPC-H Q3 family): selective filters on
+    // two sides of a 3-table join, aggregate on the join output, top-k.
+    // customer is broadcast (small dim); orders⋈lineitem is the one
+    // real shuffle; revenue summed in exact cents.
+    Q("q28_order_revenue",
+      """SELECT l_orderkey,
+        | sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+        |   AS revenue,
+        | strftime(min(o_orderdate), '%Y-%m-%d') AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ords = orders(s, d).filter(col("o_orderstatus") =!= "F")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).cast("double") / 100.0).as("revenue"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // Deterministic stratified sampling: k docs per language, chosen by
     // md5(doc_id) order — the reproducible hash-sampling strategy used
     // for training-data splits (same rows on every engine and run, no
