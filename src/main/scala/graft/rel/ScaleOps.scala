@@ -1,0 +1,63 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale join/aggregate techniques as first-class utilities:
+  * bucketed co-located joins (pre-shuffle once, join forever without
+  * an Exchange) and salted two-phase aggregation for skewed keys.
+  * Both are *plan* transformations — results are identical to the
+  * naive forms (spec-asserted), only the shuffle structure changes.
+  */
+object ScaleOps {
+
+  /** Write `df` as a bucketed+sorted managed table. Spark persists the
+    * hash-partitioning in the catalog, so any later equi-join or
+    * aggregation on `key` between tables bucketed with the same count
+    * requires NO Exchange — the 100 TB pattern for a fact table that
+    * is joined on the same key by every downstream query (the
+    * pre-shuffle is paid once at ingest, not per query). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join two same-bucketed tables on their bucket key. With both
+    * sides bucketed by `key` into the same count, the planner emits a
+    * SortMergeJoin with zero Exchange operators (asserted in
+    * ScaleOpsSpec) — co-located, shuffle-free. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame = {
+    // disable broadcast so the plan demonstrates the co-located join
+    // (at real scale both sides are too big to broadcast anyway)
+    spark.table(left).hint("merge")
+      .join(spark.table(right).hint("merge"), key)
+  }
+
+  /** Salted two-phase aggregation: spread one hot group over
+    * `saltBuckets` sub-keys, aggregate partially per (key, salt), then
+    * combine per key. For algebraic aggregates (sum/count/min/max) the
+    * result is exactly the direct groupBy — but the widest shuffle
+    * partition shrinks by ~saltBuckets, which is what keeps a skewed
+    * key (one language at 80% of a corpus, one hot user) from pinning
+    * a single reducer at 100 TB. AQE's skew handling covers *joins*;
+    * this is the aggregation-side equivalent.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    // row-index salt (not a column hash): spreads even when the hot
+    // key's rows are byte-identical; any routing works — the final
+    // combine is total regardless of salt assignment
+    df.withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pn"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum_" + valueCol),
+        sum(col("_pn")).as("n"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ScaleOps plan guarantees: bucketed joins must be Exchange-free
+  * (co-located), salted aggregation must equal the direct groupBy.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bucketed tables join with zero Exchange operators") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    ScaleOps.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    ScaleOps.writeBucketed(ord, "ord_bucketed", "l_orderkey", 8)
+    try {
+      val joined = ScaleOps.bucketedJoin(spark, "li_bucketed", "ord_bucketed",
+        "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      // and it computes the right thing
+      val expect = li.join(ord, "l_orderkey").count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("bucketed aggregation on the bucket key needs no exchange") {
+    ScaleOps.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+      "li_agg_bucketed", "l_orderkey", 8)
+    try {
+      val agg = spark.table("li_agg_bucketed")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed agg shuffled:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS li_agg_bucketed")
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_l_quantity"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = ScaleOps.saltedSumCount(li, "l_returnflag", "l_quantity", 7)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // l_quantity is integer-valued double -> exact sums, set-comparable
+    assert(salted == direct)
+    // plan shape: two aggregation layers (4 HashAggregate nodes:
+    // partial+final per layer)
+    val p = ScaleOps.saltedSumCount(li, "l_returnflag", "l_quantity", 7)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+}
