@@ -442,6 +442,40 @@ object RelQueries {
         .limit(10)
     },
 
+    // Range (interval-containment) join: clicks counted inside each
+    // error's 2-hour window. Spark has no native range join — a naive
+    // inequality join plans BroadcastNestedLoop (quadratic). This is
+    // the binned shape: intervals explode to the hour buckets they
+    // span (≤3 rows each), points map to exactly ONE bucket, the join
+    // is a plain equi-join on the bucket + a residual containment
+    // filter — no pair can match twice, no cross product anywhere. At
+    // scale the bin is chosen ≈ the median interval span. Oracle:
+    // DuckDB's native inequality join.
+    Q("q29_range_join",
+      """SELECT e.event_id, count(c.event_id) AS n_clicks
+        |FROM (SELECT event_id, ts, ts + INTERVAL 2 HOUR AS te
+        |      FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.ts >= e.ts AND c.ts < e.te
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("iid"), unix_micros(col("ts")).as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(2 * hourUs))
+        .withColumn("bucket",
+          explode(sequence(expr(s"s_us div $hourUs"),
+            expr(s"(e_us - 1) div $hourUs"))))
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), unix_micros(col("ts")).as("c_us"))
+        .withColumn("bucket", expr(s"c_us div $hourUs"))
+      points.join(intervals, "bucket")
+        .filter(col("c_us") >= col("s_us") && col("c_us") < col("e_us"))
+        .groupBy(col("iid").as("event_id"))
+        .agg(count(col("cid")).as("n_clicks"))
+        .orderBy("event_id")
+    },
+
     // Deterministic stratified sampling: k docs per language, chosen by
     // md5(doc_id) order — the reproducible hash-sampling strategy used
     // for training-data splits (same rows on every engine and run, no

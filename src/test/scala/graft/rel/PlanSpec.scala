@@ -88,6 +88,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q29: range join stays an equi-join on the bin, never a nested loop") {
+    val p = plan("q29_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p) // it IS a join — just on the bucket key
+  }
+
   test("whole-stage codegen spans exist in the executed per-row transforms") {
     // Spark's higher-order array expressions (filter/transform lambdas)
     // are interpreted and legitimately sit OUTSIDE codegen spans; the
