@@ -29,7 +29,7 @@ object Cluster {
     * duplicates should be removed by d01's digest pass first). */
   val MaxDegree = 1 << 20
 
-  private def checkDegree(u: Long, n: Int): Unit =
+  private[rel] def checkDegree(u: Long, n: Int): Unit =
     require(n <= MaxDegree,
       s"node $u has $n near-dup neighbors (> $MaxDegree) — dedup exact " +
         "duplicates first (d01) or tighten the pair threshold before clustering")

@@ -59,6 +59,19 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("hub nodes fail loudly with advice, not an executor OOM") {
+    // the guard the star rounds call on every collected neighbor list
+    val err = intercept[IllegalArgumentException] {
+      Cluster.checkDegree(42L, Cluster.MaxDegree + 1)
+    }
+    assert(err.getMessage.contains("node 42"))
+    assert(err.getMessage.contains("dedup exact duplicates first"))
+    Cluster.checkDegree(42L, Cluster.MaxDegree) // at the cap: fine
+    // and a (small) hub graph still resolves correctly
+    val m = cc((1L to 5L).map(i => (0L, i)))
+    assert(m == (0L to 5L).map(_ -> 0L).toMap)
+  }
+
   test("d07 assignment is the transitive closure of the d03 pairs") {
     val pairSet = Dedup.all.find(_.name == "d03_ngram_jaccard").get
       .fn(spark, sfDir).select("da", "db").collect()
