@@ -258,6 +258,46 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Vocabulary building: global token frequencies, top-k. The
+    // groupBy is a partial+final hash aggregate over the exploded
+    // token stream; the top-k is TakeOrdered (per-partition heads,
+    // only k rows cross to the driver) — the vocab-construction shape
+    // for a tokenizer training pass.
+    Q("t09_vocab",
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |                            t -> length(t) > 0)) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS n FROM w GROUP BY tok
+        |ORDER BY n DESC, tok LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(100)
+    },
+
+    // Deterministic train/val/test split assignment: md5-bucket the
+    // doc id into 10 shards, 8/1/1. Reproducible on any engine and
+    // any run (the q24 hash-sampling principle applied to dataset
+    // splits); a pure per-row map, no shuffle.
+    Q("t10_split_assign",
+      """SELECT doc_id,
+        | CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bucket =
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing fingerprints as an exploded (doc, pos, hash) table —
     // the positional dedup primitive (match localization, not just
     // detection). DuckDB replays k-gram hashing, window minima, and
