@@ -202,31 +202,50 @@ object Hdf5 {
           Msg(0x0008, layout)) ++ attrs.map(a => Msg(0x000C, attrBody(a))))
     }
 
-    /** variable-length string dataset: string bytes live in one global
-      * heap collection (GCOL) written just before the dataset; the
+    /** variable-length string dataset: string bytes live in global
+      * heap collections (GCOL) written just before the dataset; the
       * dataset's raw data is the 16-byte references. Empty strings get
       * the null reference (length 0, address 0, index 0), matching
-      * libhdf5. The collection is sized exactly — no free-space object
-      * remains, which the format allows (readers stop at the declared
-      * collection size). */
+      * libhdf5. Collections honor libhdf5's constraints: at least
+      * 4096 bytes each (smaller collections are rejected by its heap
+      * deserializer), trailing space carried by a free-space object
+      * (index 0), and at most 65535 objects per collection (the index
+      * is a u16) — a new collection starts when one fills up. */
     def vlenStrDataset(vals: Seq[String], attrs: Seq[Attr] = Seq.empty): Long = {
+      val MinCollection = 4096L
+      val MaxObjects = 65535
       val strBytes = vals.map(_.getBytes(StandardCharsets.US_ASCII))
-      val nonEmpty = strBytes.zipWithIndex.filter(_._1.nonEmpty)
       val refs = Array.fill(vals.length)((0, 0L)) // (heap index, collection addr)
-      if (nonEmpty.nonEmpty) {
+      // batch non-empty strings into <=65535-object collections
+      val nonEmpty = strBytes.zipWithIndex.filter(_._1.nonEmpty)
+      nonEmpty.grouped(MaxObjects).foreach { batch =>
         val addr = b.align8()
-        val total = 16L + nonEmpty.map(x => 16L + pad8(x._1.length)).sum
+        val exact = 16L + batch.map(x => 16L + pad8(x._1.length)).sum
+        // meet the 4096-byte minimum; any surplus must fit a 16-byte
+        // free-space object header
+        val total = {
+          val t = math.max(exact, MinCollection)
+          if (t == exact || t - exact >= 16) t else exact + 16
+        }
         b.bytes("GCOL".getBytes(StandardCharsets.US_ASCII))
         b.u8(1); b.zeros(3)
         b.u64(total)
         var idx = 1
-        nonEmpty.foreach { case (sb, i) =>
+        batch.foreach { case (sb, i) =>
           b.u16(idx); b.u16(1) // object index, reference count
           b.u32(0)
           b.u64(sb.length.toLong)
           b.bytes(sb); b.zeros(pad8(sb.length) - sb.length)
           refs(i) = (idx, addr)
           idx += 1
+        }
+        val free = total - exact
+        if (free > 0) {
+          // free-space object: index 0, size covers the free space
+          // including its own 16-byte header
+          b.u16(0); b.u16(0); b.u32(0)
+          b.u64(free)
+          b.zeros((free - 16).toInt)
         }
       }
       val raw = new Buf

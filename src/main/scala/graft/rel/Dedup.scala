@@ -292,8 +292,14 @@ object Dedup {
     // hamming verified inline (the signature rides along in the bucket).
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) =>
-        (id, simhash64(t.split(' ').toSeq.filter(_.nonEmpty)))
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val toks = t.split(' ').toSeq.filter(_.nonEmpty)
+        // token-less docs carry no signal: simhash(∅) would be the
+        // constant 0 and pair EVERY blank doc with every other — and
+        // the oracle (which never materializes rows for them) agrees
+        // they produce no pairs
+        if (toks.isEmpty) Iterator.empty
+        else Iterator.single((id, simhash64(toks)))
       })
       .flatMap { case (id, sim) =>
         (0 until 4).iterator.map { c =>
@@ -404,7 +410,11 @@ object Dedup {
         (id, bestC, v)
       }
     }
-    val dropped = assigned.toDF("vec_id", "cid", "v")
+    // ONE aggregation: each cluster bucket holds all its vectors, so
+    // the in-cluster pruning AND the final (vec, cluster, kept) rows
+    // come out of the same pass — the assignment scan runs once and
+    // there is no join at all
+    assigned.toDF("vec_id", "cid", "v")
       .groupBy("cid").agg(collect_list(struct(col("vec_id"), col("v"))).as("xs"))
       .as[(Long, Seq[(Long, Array[Float])])]
       .flatMap { case (cid, xs) =>
@@ -416,26 +426,27 @@ object Dedup {
           while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
           math.sqrt(ss)
         }
-        for {
-          i <- s.indices.iterator
-          j <- (i + 1) until s.length
-          cos = {
+        val dropped = new java.util.HashSet[Long]()
+        var i = 0
+        while (i < s.length) {
+          var j = i + 1
+          while (j < s.length) {
             var dot = 0.0
             var k = 0
             while (k < s(i)._2.length) {
               dot += s(i)._2(k).toDouble * s(j)._2(k).toDouble; k += 1
             }
-            dot / (norms(i) * norms(j))
+            if (dot / (norms(i) * norms(j)) >= threshold)
+              dropped.add(s(j)._1) // the higher id of the pair is the drop
+            j += 1
           }
-          if cos >= threshold
-        } yield s(j)._1 // the higher id of the pair is the drop
+          i += 1
+        }
+        s.iterator.map { case (id, _) =>
+          (id, cid, if (dropped.contains(id)) 0 else 1)
+        }
       }
-      .toDF("vec_id").distinct().withColumn("dropflag", lit(1))
-    assigned.toDF("vec_id", "cid", "v")
-      .select(col("vec_id"), col("cid").as("cluster_id"))
-      .join(broadcast(dropped), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster_id"),
-        when(col("dropflag").isNull, 1).otherwise(0).as("kept"))
+      .toDF("vec_id", "cluster_id", "kept")
       .orderBy("vec_id")
   }
 

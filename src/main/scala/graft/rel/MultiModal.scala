@@ -83,8 +83,8 @@ object MultiModal {
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, n,
-        |    CAST(list_sum(list_transform(generate_series(1, n::INT),
-        |         i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)) AS BIGINT)
+        |    CAST(coalesce(list_sum(list_transform(generate_series(1, n::INT),
+        |         i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)), 0) AS BIGINT)
         |      AS byte_sum
         |  FROM b
         |)

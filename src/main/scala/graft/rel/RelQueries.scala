@@ -559,17 +559,34 @@ object RelQueries {
     Q("q26_asof_join",
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         | c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rk
+        |    FROM events WHERE event_type = 'click' AND user_id IS NOT NULL)
+        |  WHERE rk = 1) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
+      // NULL user_ids are excluded on both sides (ASOF's equality
+      // never matches NULL, but a window partition would lump them
+      // together); clicks at an identical (user, ts) collapse to the
+      // max event_id so the as-of pick is well-defined — DuckDB's
+      // ASOF is unspecified among exact ties, ours isn't
+      val dedupW = Window.partitionBy("user_id", "ts")
+        .orderBy(col("event_id").desc)
+      val clicks = ev
+        .filter(col("event_type") === "click" && col("user_id").isNotNull)
+        .withColumn("rk", row_number().over(dedupW)).filter(col("rk") === 1)
         .select(col("user_id"), col("ts"), lit(1).as("pri"),
           lit(null).cast("long").as("event_id"),
           col("event_id").as("click_id"),
           unix_micros(col("ts")).as("click_ts_us"))
-      val purchases = ev.filter(col("event_type") === "purchase")
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
         .select(col("user_id"), col("ts"), lit(2).as("pri"),
           col("event_id"),
           lit(null).cast("long").as("click_id"),

@@ -39,12 +39,16 @@ object ScaleOps {
 
   /** Salted two-phase aggregation: spread one hot group over
     * `saltBuckets` sub-keys, aggregate partially per (key, salt), then
-    * combine per key. For algebraic aggregates (sum/count/min/max) the
-    * result is exactly the direct groupBy — but the widest shuffle
-    * partition shrinks by ~saltBuckets, which is what keeps a skewed
-    * key (one language at 80% of a corpus, one hot user) from pinning
-    * a single reducer at 100 TB. AQE's skew handling covers *joins*;
-    * this is the aggregation-side equivalent.
+    * combine per key. Exactly equals the direct groupBy for count/
+    * min/max and for sums over integers or integer-valued doubles
+    * (every addition exact); real-valued double sums can differ in
+    * final ulps from the direct plan because the association order
+    * changes — same caveat as Spark's own partial aggregation under
+    * repartitioning. The payoff: the widest shuffle partition shrinks
+    * by ~saltBuckets, which is what keeps a skewed key (one language
+    * at 80% of a corpus, one hot user) from pinning a single reducer
+    * at 100 TB. AQE's skew handling covers *joins*; this is the
+    * aggregation-side equivalent.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       saltBuckets: Int): DataFrame = {

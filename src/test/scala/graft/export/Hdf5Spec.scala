@@ -323,6 +323,41 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("global heap collections honor libhdf5's constraints") {
+    // (a) minimum collection size 4096, surplus carried by a
+    // free-space object; (b) >65535 objects roll over to a second
+    // collection (the object index is a u16)
+    val f = new Hdf5.File
+    val small = Seq("alpha", "beta")
+    val smallAddr = f.vlenStrDataset(small)
+    val n = 70000
+    val big = (0 until n).map(i => s"v$i")
+    val bigAddr = f.vlenStrDataset(big)
+    val rootAddr = f.group(Seq("s" -> smallAddr, "b" -> bigAddr))
+    val dir = Files.createTempDirectory("vlen-gcol")
+    val p = dir.resolve("g.h5").toString
+    Files.write(Paths.get(p), f.finish(rootAddr))
+    val raw = Files.readAllBytes(Paths.get(p))
+    // every GCOL must declare size >= 4096
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var gcols = 0
+    var i = 0
+    while (i + 4 <= raw.length) {
+      if (raw(i) == 'G' && raw(i + 1) == 'C' && raw(i + 2) == 'O' &&
+          raw(i + 3) == 'L' && i % 8 == 0) {
+        val size = bb.getLong(i + 8)
+        assert(size >= 4096, s"GCOL at $i declares $size bytes")
+        gcols += 1
+        i += size.toInt // skip the collection body
+      } else i += 1
+    }
+    assert(gcols == 3, s"expected 1 small + 2 rollover collections, found $gcols")
+    // and everything reads back exactly
+    val root = H5Read.read(p)
+    assert(strs(root.children("s")) == small)
+    assert(strs(root.children("b")) == big)
+  }
+
   test("vlen dataset with only empty strings writes no heap at all") {
     val f = new Hdf5.File
     val dsAddr = f.vlenStrDataset(Seq("", "", ""))
