@@ -18,11 +18,18 @@ object Filters {
     if (x >= n) period - 1 - x else x
   }
 
-  /** separable gaussian blur, radius = ceil(truncate*sigma) with
-    * truncate=4 (scipy/skimage default), reflect boundary */
+  @inline private def clampIdx(i: Int, n: Int): Int =
+    if (i < 0) 0 else if (i >= n) n - 1 else i
+
+  /** separable gaussian blur, radius = int(truncate*sigma + 0.5) with
+    * truncate=4 and 'nearest' (edge-replicate) boundary — the exact
+    * defaults of skimage.filters.gaussian, which the reference calls
+    * everywhere (otsu.py:30, li.py:38-40, watershed.py smoothing);
+    * scipy's own gaussian_filter defaults to reflect, but skimage
+    * overrides mode='nearest'. */
   def gaussian(img: Array[Float], h: Int, w: Int, sigma: Double): Array[Float] = {
     if (sigma <= 0) return img.clone()
-    val radius = math.ceil(4.0 * sigma).toInt
+    val radius = (4.0 * sigma + 0.5).toInt
     val kernel = new Array[Double](2 * radius + 1)
     var s = 0.0
     var i = -radius
@@ -42,7 +49,7 @@ object Filters {
       while (c < w) {
         var acc = 0.0; var k = -radius
         while (k <= radius) {
-          acc += kernel(k + radius) * img(r * w + reflect(c + k, w)); k += 1
+          acc += kernel(k + radius) * img(r * w + clampIdx(c + k, w)); k += 1
         }
         tmp(r * w + c) = acc.toFloat; c += 1
       }
@@ -55,7 +62,7 @@ object Filters {
       while (c < w) {
         var acc = 0.0; var k = -radius
         while (k <= radius) {
-          acc += kernel(k + radius) * tmp(reflect(r + k, h) * w + c); k += 1
+          acc += kernel(k + radius) * tmp(clampIdx(r + k, h) * w + c); k += 1
         }
         out(r * w + c) = acc.toFloat; c += 1
       }
@@ -64,8 +71,10 @@ object Filters {
     out
   }
 
-  /** Sobel gradient magnitude with skimage's 1/4-normalized kernels:
-    * sqrt(gx² + gy²), reflect boundary. */
+  /** Sobel gradient magnitude with skimage's 1/4-normalized kernels
+    * and the final 1/sqrt(ndim) magnitude normalization of
+    * skimage.filters.sobel (sqrt(gx² + gy²)/sqrt(2) in 2-D), reflect
+    * boundary (ndi.convolve default). */
   def sobel(img: Array[Float], h: Int, w: Int): Array[Float] = {
     val out = new Array[Float](h * w)
     var r = 0
@@ -78,7 +87,7 @@ object Filters {
           (p(1, -1) + 2 * p(1, 0) + p(1, 1))) / 4.0
         val gx = ((p(-1, -1) + 2 * p(0, -1) + p(1, -1)) -
           (p(-1, 1) + 2 * p(0, 1) + p(1, 1))) / 4.0
-        out(r * w + c) = math.sqrt(gx * gx + gy * gy).toFloat
+        out(r * w + c) = (math.sqrt(gx * gx + gy * gy) / math.sqrt(2.0)).toFloat
         c += 1
       }
       r += 1
@@ -102,8 +111,12 @@ object Filters {
     buf.result()
   }
 
-  /** median filter with a disk footprint, reflect boundary
-    * (skimage.filters.median / rank.median) */
+  /** median filter with a disk footprint, skimage.filters.rank.median
+    * semantics (the reference's otsu.py:27,35): out-of-image pixels are
+    * NOT part of the window (the cython rank kernels bounds-check and
+    * skip, no padding), and the median of an n-pixel window is the
+    * first value whose cumulative count exceeds n/2 — the upper-middle
+    * for even n. */
   def medianDisk(img: Array[Float], h: Int, w: Int, radius: Int): Array[Float] = {
     val offs = diskOffsets(radius)
     val out = new Array[Float](h * w)
@@ -112,16 +125,18 @@ object Filters {
     while (r < h) {
       var c = 0
       while (c < w) {
+        var n = 0
         var i = 0
         while (i < offs.length) {
           val (dr, dc) = offs(i)
-          window(i) = img(reflect(r + dr, h) * w + reflect(c + dc, w))
+          val rr = r + dr; val cc = c + dc
+          if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
+            window(n) = img(rr * w + cc); n += 1
+          }
           i += 1
         }
-        java.util.Arrays.sort(window)
-        // even-count medians take the lower-middle (rank filters return
-        // an existing pixel value, like skimage.rank)
-        out(r * w + c) = window((window.length - 1) / 2)
+        java.util.Arrays.sort(window, 0, n)
+        out(r * w + c) = window(n / 2)
         c += 1
       }
       r += 1

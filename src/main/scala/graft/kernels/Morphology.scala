@@ -20,9 +20,12 @@ object Morphology {
         var i = 0
         while (all && i < offs.length) {
           val rr = r + offs(i)._1; val cc = c + offs(i)._2
-          // out-of-bounds counts as background (border_value=0, the
-          // scipy binary_erosion default used by skimage)
-          if (rr < 0 || rr >= h || cc < 0 || cc >= w || !mask(rr * w + cc)) all = false
+          // out-of-bounds counts as FOREGROUND: skimage.morphology.
+          // binary_erosion passes border_value=True to ndi so erosion
+          // never eats the image border — the edge-XOR view
+          // (features/intensity.py:80-81) depends on this for masks
+          // touching their bbox crop
+          if (rr >= 0 && rr < h && cc >= 0 && cc < w && !mask(rr * w + cc)) all = false
           i += 1
         }
         out(r * w + c) = all
@@ -117,9 +120,12 @@ object Morphology {
   }
 
   /** remove connected components with area < minSize
-    * (skimage.morphology.remove_small_objects, 8-conn) */
+    * (skimage.morphology.remove_small_objects — its DEFAULT is
+    * connectivity=1, i.e. 4-conn, which the reference relies on in
+    * otsu.py/li.py cleanup and mask_post_process; diagonal-only
+    * touching blobs are separate components here) */
   def removeSmallObjects(mask: Array[Boolean], h: Int, w: Int, minSize: Int): Array[Boolean] = {
-    val labels = label(mask, h, w)
+    val labels = label(mask, h, w, connectivity = 1)
     val n = labelCount(labels)
     val areas = new Array[Int](n + 1)
     var i = 0
@@ -133,22 +139,50 @@ object Morphology {
     out
   }
 
-  /** fill background holes with area < threshold — holes are background
-    * components (4-conn, the skimage default for remove_small_holes)
-    * not touching the image border */
-  def removeSmallHoles(mask: Array[Boolean], h: Int, w: Int, areaThreshold: Int): Array[Boolean] = {
+  /** fill background holes with area < threshold. Implemented exactly
+    * as skimage.morphology.remove_small_holes: complement →
+    * remove_small_objects(connectivity=1) → complement. No border
+    * special-casing — a small background bay touching the image edge
+    * IS filled when it forms its own component, and the threshold is a
+    * double because the reference passes the float (h*w)/4
+    * (otsu.py:39, li.py:41: strict `area < threshold` comparison). */
+  def removeSmallHoles(mask: Array[Boolean], h: Int, w: Int, areaThreshold: Double): Array[Boolean] = {
     val inv = new Array[Boolean](h * w)
     var i = 0
     while (i < mask.length) { inv(i) = !mask(i); i += 1 }
     val labels = label(inv, h, w, connectivity = 1)
     val n = labelCount(labels)
     val areas = new Array[Int](n + 1)
+    i = 0
+    while (i < labels.length) {
+      if (labels(i) > 0) areas(labels(i)) += 1
+      i += 1
+    }
+    val out = mask.clone()
+    i = 0
+    while (i < labels.length) {
+      val l = labels(i)
+      if (l > 0 && areas(l) < areaThreshold) out(i) = true
+      i += 1
+    }
+    out
+  }
+
+  /** scipy.ndimage.binary_fill_holes: background components (4-conn)
+    * NOT connected to the image border become foreground — used by
+    * regionprops' filled image, which unlike remove_small_holes never
+    * fills border-touching background. */
+  def fillHoles(mask: Array[Boolean], h: Int, w: Int): Array[Boolean] = {
+    val inv = new Array[Boolean](h * w)
+    var i = 0
+    while (i < mask.length) { inv(i) = !mask(i); i += 1 }
+    val labels = label(inv, h, w, connectivity = 1)
+    val n = labelCount(labels)
     val touchesBorder = new Array[Boolean](n + 1)
     i = 0
     while (i < labels.length) {
       val l = labels(i)
       if (l > 0) {
-        areas(l) += 1
         val r = i / w; val c = i % w
         if (r == 0 || r == h - 1 || c == 0 || c == w - 1) touchesBorder(l) = true
       }
@@ -157,8 +191,7 @@ object Morphology {
     val out = mask.clone()
     i = 0
     while (i < labels.length) {
-      val l = labels(i)
-      if (l > 0 && !touchesBorder(l) && areas(l) < areaThreshold) out(i) = true
+      if (labels(i) > 0 && !touchesBorder(labels(i))) out(i) = true
       i += 1
     }
     out

@@ -6,9 +6,9 @@ package graft.kernels
   * moments in (row, col) order with `m00` = area, axis lengths from
   * the inertia tensor eigenvalues, perimeter via the weighted
   * border-configuration histogram, Crofton perimeter with 4
-  * directions, solidity vs the rasterized convex hull, Feret diameter
-  * as the max pairwise distance between hull vertices of pixel
-  * corners.
+  * directions, solidity vs the rasterized diamond-offset convex hull
+  * (skimage's offset_coordinates), Feret diameter over the
+  * marching-squares contour of the convex image.
   */
 object RegionProps {
 
@@ -108,10 +108,13 @@ object RegionProps {
     }
     val hu = huMoments(nu)
 
-    // inertia tensor (skimage): [[mu20, -mu11], [-mu11, mu02]] / mu00
-    val t00 = mu(2)(0) / m00
+    // inertia tensor (skimage): [[mu02, -mu11], [-mu11, mu20]] / mu00 —
+    // the diagonal holds the second moment of every axis EXCEPT its
+    // own (see skimage issue #3229); swapping them exchanges the
+    // exported inertia_tensor-0-0 / -1-1 columns
+    val t00 = mu(0)(2) / m00
     val t01 = -mu(1)(1) / m00
-    val t11 = mu(0)(2) / m00
+    val t11 = mu(2)(0) / m00
     // eigenvalues
     val tr = t00 + t11
     val det = t00 * t11 - t01 * t01
@@ -122,12 +125,15 @@ object RegionProps {
     val minorAxis = 4.0 * math.sqrt(math.max(0, eig1))
     val eccentricity =
       if (eig0 == 0) 0.0 else math.sqrt(1.0 - eig1 / eig0)
-    // skimage orientation: angle of the major axis vs the vertical
-    // (row) axis, in (-pi/2, pi/2]
+    // skimage orientation (regionprops): with the inertia tensor flat
+    // as (a, b, b, c) = (mu02, -mu11, -mu11, mu20)/mu00:
+    //   a==c → ±pi/4 by the sign of b;  else 0.5·atan2(-2b, c-a)
+    // which in raw moments is 0.5·atan2(2·mu11, mu20-mu02) — note the
+    // SIGNS: the naive 0.5·atan2(-2·mu11, mu02-mu20) lands a pi/2
+    // rotation away on every tilted region
     val orientation = {
-      val a = mu(2)(0) / m00; val b = mu(1)(1) / m00; val c2 = mu(0)(2) / m00
-      if (a - c2 == 0) { if (b < 0) -math.Pi / 4 else math.Pi / 4 }
-      else 0.5 * math.atan2(-2 * b, c2 - a)
+      if (t00 - t11 == 0) { if (t01 < 0) -math.Pi / 4 else math.Pi / 4 }
+      else 0.5 * math.atan2(-2 * t01, t11 - t00)
     }
 
     val equivDiameter = math.sqrt(4.0 * area / math.Pi)
@@ -140,9 +146,14 @@ object RegionProps {
     val perimCrofton = perimeterCrofton(mask, h, w)
 
     val hull = convexHull(mask, h, w)
-    val convexArea = rasterizedHullArea(hull, minR, maxR, minC, maxC, w)
+    val convex = convexImage(hull, h, w)
+    val convexArea = {
+      var n = 0L; var i = 0
+      while (i < convex.length) { if (convex(i)) n += 1; i += 1 }
+      n
+    }
     val solidity = if (convexArea == 0) 0.0 else area.toDouble / convexArea
-    val feret = feretDiameterMax(hull)
+    val feret = feretDiameterMax(convex, h, w)
 
     val out = new Array[Double](NumProps)
     var k = 0
@@ -195,10 +206,10 @@ object RegionProps {
     Array(h0, h1, h2, h3, h4, h5, h6)
   }
 
-  /** area with holes filled (background components not touching the
-    * border become foreground) */
+  /** area with holes filled (ndi.binary_fill_holes: background
+    * components not touching the border become foreground) */
   def filledArea(mask: Array[Boolean], h: Int, w: Int): Long = {
-    val filled = Morphology.removeSmallHoles(mask, h, w, Int.MaxValue)
+    val filled = Morphology.fillHoles(mask, h, w)
     var n = 0L; var i = 0
     while (i < filled.length) { if (filled(i)) n += 1; i += 1 }
     n
@@ -304,8 +315,12 @@ object RegionProps {
     total
   }
 
-  /** convex hull (monotone chain) over the 4 corner points of every
-    * border pixel — hull in CCW order */
+  /** convex hull (monotone chain) over the DIAMOND offset points of
+    * every pixel — skimage.morphology.convex_hull_image with
+    * offset_coordinates=True adds (±0.5, 0) and (0, ±0.5) per pixel
+    * (`_offsets_diamond`), NOT the four corners: corner points admit
+    * centers the diamond hull excludes (e.g. two diagonal pixels) and
+    * inflate convex_area/deflate solidity. Hull in CCW order. */
   def convexHull(mask: Array[Boolean], h: Int, w: Int): Array[(Double, Double)] = {
     val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var r = 0
@@ -313,9 +328,8 @@ object RegionProps {
       var c = 0
       while (c < w) {
         if (mask(r * w + c)) {
-          // pixel corners (r±0.5, c±0.5)
-          pts += ((r - 0.5, c - 0.5)); pts += ((r - 0.5, c + 0.5))
-          pts += ((r + 0.5, c - 0.5)); pts += ((r + 0.5, c + 0.5))
+          pts += ((r - 0.5, c.toDouble)); pts += ((r + 0.5, c.toDouble))
+          pts += ((r.toDouble, c - 0.5)); pts += ((r.toDouble, c + 0.5))
         }
         c += 1
       }
@@ -347,25 +361,6 @@ object RegionProps {
     hull.toArray
   }
 
-  /** convex area as skimage computes it: count of pixels whose centers
-    * fall inside (or on) the hull polygon */
-  def rasterizedHullArea(hull: Array[(Double, Double)],
-      minR: Int, maxR: Int, minC: Int, maxC: Int, w: Int): Long = {
-    if (hull.isEmpty) return 0L
-    if (hull.length <= 2) return (maxR - minR + 1).toLong * (maxC - minC + 1)
-    var count = 0L
-    var r = minR
-    while (r <= maxR) {
-      var c = minC
-      while (c <= maxC) {
-        if (pointInConvex(hull, r.toDouble, c.toDouble)) count += 1
-        c += 1
-      }
-      r += 1
-    }
-    count
-  }
-
   private def pointInConvex(hull: Array[(Double, Double)], r: Double, c: Double): Boolean = {
     var i = 0
     while (i < hull.length) {
@@ -377,16 +372,57 @@ object RegionProps {
     true
   }
 
-  /** max pairwise distance between hull vertices (rotating-calipers
-    * unnecessary at these hull sizes) */
-  def feretDiameterMax(hull: Array[(Double, Double)]): Double = {
+  /** convex image: pixels whose centers fall inside (or on) the hull */
+  def convexImage(hull: Array[(Double, Double)], h: Int, w: Int): Array[Boolean] = {
+    val out = new Array[Boolean](h * w)
+    if (hull.isEmpty) return out
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        out(r * w + c) =
+          if (hull.length <= 2)
+            hull.exists(p => p._1 - 0.5 <= r && r <= p._1 + 0.5 &&
+              p._2 - 0.5 <= c && c <= p._2 + 0.5)
+          else pointInConvex(hull, r.toDouble, c.toDouble)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** skimage regionprops feret_diameter_max: max pairwise distance
+    * over the marching-squares contour (find_contours at level 0.5 of
+    * the zero-padded CONVEX image) — for a binary image those contour
+    * vertices are exactly the midpoints between 4-adjacent in/out
+    * pixel pairs (outside counts as out). A single pixel yields a
+    * diamond of radius 0.5 → feret 1.0, not the corner diagonal √2. */
+  def feretDiameterMax(convex: Array[Boolean], h: Int, w: Int): Double = {
+    val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        if (convex(r * w + c)) {
+          @inline def out(rr: Int, cc: Int): Boolean =
+            rr < 0 || rr >= h || cc < 0 || cc >= w || !convex(rr * w + cc)
+          if (out(r - 1, c)) pts += ((r - 0.5, c.toDouble))
+          if (out(r + 1, c)) pts += ((r + 0.5, c.toDouble))
+          if (out(r, c - 1)) pts += ((r.toDouble, c - 0.5))
+          if (out(r, c + 1)) pts += ((r.toDouble, c + 0.5))
+        }
+        c += 1
+      }
+      r += 1
+    }
     var best = 0.0
     var i = 0
-    while (i < hull.length) {
+    while (i < pts.length) {
       var j = i + 1
-      while (j < hull.length) {
-        val dr = hull(i)._1 - hull(j)._1
-        val dc = hull(i)._2 - hull(j)._2
+      while (j < pts.length) {
+        val dr = pts(i)._1 - pts(j)._1
+        val dc = pts(i)._2 - pts(j)._2
         val d = dr * dr + dc * dc
         if (d > best) best = d
         j += 1

@@ -46,36 +46,56 @@ object Thresholds {
     bestT
   }
 
-  /** Li's iterative minimum-cross-entropy threshold (Li & Tam 1998,
-    * skimage.filters.threshold_li). Operates on values shifted to be
-    * positive; iterates t ← (μ₁−μ₀)/(ln μ₁ − ln μ₀) to convergence. */
-  def li(img: Array[Float], tol: Double = 1e-5, maxIter: Int = 100): Double = {
+  /** Li's iterative minimum-cross-entropy threshold exactly as
+    * skimage.filters.threshold_li computes it for float input: values
+    * are ALWAYS shifted by the image min (li needs logs of
+    * non-negative means), the iteration starts from the mean of the
+    * shifted image (not a midpoint — Li's fixed-point iteration is not
+    * globally convergent, so the starting point is part of the
+    * semantics), the stop tolerance is half the minimum spacing
+    * between distinct values, and a zero background mean falls back to
+    * mean_fore/2 (the log(0) guard). Result is shifted back. */
+  def li(img: Array[Float], maxIter: Int = 256): Double = {
     val (mn, mx) = Stats.minMax(img)
     if (mx == mn) return mn
-    // shift so all values > 0 (li needs logs)
-    val shift = if (mn <= 0) -mn + 1e-6 else 0.0
-    var t = (mn + mx) / 2.0 + shift
+    // tolerance = min(diff(unique(shifted))) / 2, like skimage float path
+    val sortedVals = img.clone()
+    java.util.Arrays.sort(sortedVals)
+    var tol = Double.MaxValue
+    var i = 1
+    while (i < sortedVals.length) {
+      val d = (sortedVals(i) - sortedVals(i - 1)).toDouble
+      if (d > 0 && d < tol) tol = d
+      i += 1
+    }
+    tol /= 2
+    val shift = mn.toDouble
+    var tNext = {
+      var s = 0.0; var j = 0
+      while (j < img.length) { s += img(j) - shift; j += 1 }
+      s / img.length
+    }
+    var tCurr = -2 * tol
     var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      var s0 = 0.0; var n0 = 0L; var s1 = 0.0; var n1 = 0L
-      var i = 0
-      while (i < img.length) {
-        val v = img(i) + shift
-        if (v <= t) { s0 += v; n0 += 1 } else { s1 += v; n1 += 1 }
-        i += 1
+    while (math.abs(tNext - tCurr) > tol && iter < maxIter) {
+      tCurr = tNext
+      var sF = 0.0; var nF = 0L; var sB = 0.0; var nB = 0L
+      var j = 0
+      while (j < img.length) {
+        val v = img(j) - shift
+        if (v > tCurr) { sF += v; nF += 1 } else { sB += v; nB += 1 }
+        j += 1
       }
-      if (n0 == 0 || n1 == 0) done = true
+      if (nF == 0 || nB == 0) { tCurr = tNext /* converged degenerate */ }
       else {
-        val m0 = s0 / n0; val m1 = s1 / n1
-        val tNew =
-          if (m0 <= 0 || math.abs(math.log(m1) - math.log(m0)) < 1e-12) (m0 + m1) / 2
-          else (m1 - m0) / (math.log(m1) - math.log(m0))
-        if (math.abs(tNew - t) < tol) done = true
-        t = tNew
+        val meanFore = sF / nF
+        val meanBack = sB / nB
+        tNext =
+          if (meanBack == 0.0) meanFore / 2.0
+          else (meanBack - meanFore) / (math.log(meanBack) - math.log(meanFore))
       }
       iter += 1
     }
-    t - shift
+    tNext + shift
   }
 }

@@ -84,9 +84,24 @@ object Masking {
         // sobel; rescale*max; median(disk5); otsu; holes(area/4);
         // objects(20); label (masking/otsu.py:8-52)
         val (_, mx) = Stats.minMax(x)
+        // numpy.digitize over histogram_bin_edges(x, 512): equal-width
+        // edges, right-open bins, index 1..512 — and pixels at the
+        // exact max land in bin 513 (digitize returns len(edges) past
+        // the last edge), which the reference keeps as-is
         val base: Array[Float] =
-          if (mx > 512) Filters.quantize(x, 512).map(v => (v + 1).toFloat)
-          else x
+          if (mx > 512) {
+            val (dmn, dmx) = Stats.minMax(x)
+            val span = (dmx - dmn).toDouble
+            x.map { v =>
+              if (v >= dmx) 513f
+              else {
+                var b = ((v - dmn) / span * 512.0).toInt + 1
+                if (b < 1) b = 1
+                if (b > 512) b = 512
+                b.toFloat
+              }
+            }
+          } else x
         val med = Filters.medianDisk(base, h, w, 5)
         val sub = new Array[Float](h * w)
         var i = 0
@@ -94,11 +109,13 @@ object Masking {
         val smooth = Filters.gaussian(sub, h, w, 0.5)
         val edges = Filters.sobel(smooth, h, w)
         val (bmn, bmx) = Stats.minMax(base)
-        val resc = Filters.rescale01(edges).map(v => (v * bmx).toFloat)
+        // (p * x.max()).astype('uint16') — float TRUNCATION to integer
+        // values before the second rank median and the otsu threshold
+        val resc = Filters.rescale01(edges).map(v => (v * bmx).toInt.toFloat)
         val med2 = Filters.medianDisk(resc, h, w, 5)
         val t = Thresholds.otsu(med2)
         val bin = med2.map(_ > t)
-        finishBinary(bin, h, w, holeArea = h * w / 4, minSize = 20)
+        finishBinary(bin, h, w, holeArea = h * w / 4.0, minSize = 20)
 
       case Li(smoothPerChannel) =>
         // gaussian σ[c]; sobel; gaussian 2σ[c]; li; cleanup
@@ -179,11 +196,11 @@ object Masking {
     val g2 = Filters.gaussian(edges, h, w, sigma * 2)
     val t = Thresholds.li(g2)
     val bin = g2.map(t < _)
-    finishBinary(bin, h, w, holeArea = h * w / 4, minSize = 20)
+    finishBinary(bin, h, w, holeArea = h * w / 4.0, minSize = 20)
   }
 
   private def finishBinary(bin: Array[Boolean], h: Int, w: Int,
-      holeArea: Int, minSize: Int): (Array[Boolean], Int) = {
+      holeArea: Double, minSize: Int): (Array[Boolean], Int) = {
     val noHoles = Morphology.removeSmallHoles(bin, h, w, holeArea)
     val big = Morphology.removeSmallObjects(noHoles, h, w, minSize)
     val labels = Morphology.label(big, h, w)

@@ -28,8 +28,9 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(Filters.sobel(flat, 8, 8).forall(_ == 0f))
     val step = img(8, 8)((_, c) => if (c < 4) 0f else 1f)
     val s = Filters.sobel(step, 8, 8)
-    // columns 3 and 4 carry the edge; interior rows see |gx| = 1
-    assert(math.abs(s(2 * 8 + 3) - 1.0f) < 1e-5)
+    // columns 3 and 4 carry the edge; interior rows see |gx|/sqrt(2)
+    // (skimage.filters.sobel normalizes the magnitude by sqrt(ndim))
+    assert(math.abs(s(2 * 8 + 3) - 1.0 / math.sqrt(2.0)) < 1e-5)
     assert(s(2 * 8 + 0) == 0f)
   }
 
@@ -219,9 +220,13 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(p(n("moments_central-1-0")) == 0.0)
     // mu20 of 5 cols at offsets -2..2, 5 rows each: 5*sum(d^2)=5*10=50
     assert(p(n("moments_central-2-0")) == 50.0)
-    assert(p(n("inertia_tensor-0-0")) == 2.0) // mu20/mu00
-    // feret: corner-to-corner of the 5x5 pixel footprint = 5*sqrt(2)
-    assert(math.abs(p(n("feret_diameter_max")) - 5 * math.sqrt(2)) < 1e-9)
+    assert(p(n("inertia_tensor-0-0")) == 2.0) // mu02/mu00 (= mu20 here)
+    // feret: max distance over the marching-squares contour of the
+    // convex image (skimage) — e.g. (-0.5, 2+0)..(4.5-offset): the
+    // extreme pair is (r=-0.5,c=cmin)..(r=4.5,c=cmax) = sqrt(5^2+4^2);
+    // the corner-to-corner 5*sqrt(2) of the pixel footprint is NOT a
+    // contour point pair (marching squares cuts corners)
+    assert(math.abs(p(n("feret_diameter_max")) - math.sqrt(41.0)) < 1e-9)
     // major/minor axes of a square: 4*sqrt(eig) with eig = 2
     assert(math.abs(p(n("major_axis_length")) - 4 * math.sqrt(2)) < 1e-9)
     assert(math.abs(p(n("minor_axis_length")) - 4 * math.sqrt(2)) < 1e-9)
