@@ -144,6 +144,42 @@ object Filters {
     out
   }
 
+  /** median filter with a SQUARE size×size window, scipy.ndimage.
+    * median_filter semantics (the reference's illumination correction,
+    * jones_2006.py:93-95 with size=50): reflect boundary, even sizes
+    * span offsets -(size/2) .. size-size/2-1, and the median is the
+    * rank size²/2 element (0-based) of the window — scipy implements
+    * median_filter as rank_filter(rank = n // 2). */
+  def medianSquare(img: Array[Float], h: Int, w: Int, size: Int): Array[Float] = {
+    val lo = -(size / 2)
+    val hi = size - size / 2 - 1
+    val n = size * size
+    val window = new Array[Float](n)
+    val out = new Array[Float](h * w)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var k = 0
+        var dr = lo
+        while (dr <= hi) {
+          var dc = lo
+          while (dc <= hi) {
+            window(k) = img(reflect(r + dr, h) * w + reflect(c + dc, w))
+            k += 1
+            dc += 1
+          }
+          dr += 1
+        }
+        java.util.Arrays.sort(window)
+        out(r * w + c) = window(n / 2)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** grayscale erosion (min) over a disk footprint, reflect boundary */
   def erodeGray(img: Array[Float], h: Int, w: Int, radius: Int): Array[Float] =
     rankExtreme(img, h, w, radius, isMin = true)

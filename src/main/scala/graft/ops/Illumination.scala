@@ -56,11 +56,12 @@ object Illumination {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
-  /** per-group correction image: mean → square-window median filter
-    * (size ~ reference median_filter_size, here a disk radius) →
-    * zeros→1 (`_finish`, jones_2006.py:38-55) */
+  /** per-group correction image: mean → scipy median_filter with a
+    * square size×size window (the reference's median_filter_size=50
+    * default, jones_2006.py:63,93-95) → zeros→1 (`_finish`,
+    * jones_2006.py:38-55) */
   def correctionImages(spark: SparkSession, ds: Dataset[ImageEvent],
-      medianRadius: Int = 5): Map[String, Array[Float]] = {
+      medianSize: Int = 50): Map[String, Array[Float]] = {
     import spark.implicits._
     // Aggregator via groupByKey.agg: partial aggregation per partition
     // (ObjectHashAggregate), only ngroups image-sized buffers shuffle.
@@ -77,7 +78,7 @@ object Illumination {
         val plane = new Array[Float](h * w)
         var i = 0
         while (i < h * w) { plane(i) = (buf(4 + ch * h * w + i) / count).toFloat; i += 1 }
-        val filtered = Filters.medianDisk(plane, h, w, medianRadius)
+        val filtered = Filters.medianSquare(plane, h, w, medianSize)
         i = 0
         while (i < h * w) {
           corr(ch * h * w + i) = if (filtered(i) == 0f) 1f else filtered(i)
@@ -91,9 +92,9 @@ object Illumination {
 
   /** divide: pixels /= correction[group] (jones_2006.py:96-100) */
   def correct(spark: SparkSession, ds: Dataset[ImageEvent],
-      medianRadius: Int = 5): Dataset[ImageEvent] = {
+      medianSize: Int = 50): Dataset[ImageEvent] = {
     val cached = ds.cache()
-    val corr = correctionImages(spark, cached, medianRadius)
+    val corr = correctionImages(spark, cached, medianSize)
     divide(spark, cached, corr)
   }
 

@@ -322,8 +322,12 @@ object Masking {
           if (combined(i) == 0) { sumCOut += v; nCOut += 1 }
           i += 1
         }
+        // reference (masking/__init__.py:208-214): per-channel
+        // background is GUARDED to 0 when the mask covers everything,
+        // but combined_background is numpy's unguarded empty-slice
+        // mean — NaN when the combined mask has no background
         bg(c) = if (nOut == 0) 0.0 else sumOut / nOut
-        cbg(c) = if (nCOut == 0) 0.0 else sumCOut / nCOut
+        cbg(c) = if (nCOut == 0) Double.NaN else sumCOut / nCOut
         c += 1
       }
       e.copy(combinedMask = combined, background = bg, combinedBackground = cbg)

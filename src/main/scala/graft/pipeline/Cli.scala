@@ -185,9 +185,12 @@ object Cli {
       projectOp = Option(root.get("project")).flatMap(p => Option(p.get("op"))).map(_.asText()),
       illuminationCorrection = root.has("illumination_correction") &&
         !root.get("illumination_correction").isNull,
-      illuminationMedianRadius = Option(root.get("illumination_correction"))
-        .filterNot(_.isNull).flatMap(n => Option(n.get("median_radius")))
-        .map(_.asInt()).getOrElse(5),
+      // settings.median_filter_size, like the reference's
+      // illumination_correction settings dict (jones_2006.correct)
+      illuminationMedianSize = Option(root.get("illumination_correction"))
+        .filterNot(_.isNull).flatMap(n =>
+          Option(n.get("median_filter_size")).orElse(Option(n.get("median_radius"))))
+        .map(_.asInt()).getOrElse(50),
       illuminationPrecomputed = Option(root.get("illumination_correction"))
         .filterNot(_.isNull).flatMap(n => Option(n.get("precomputed")))
         .map(_.asText()),

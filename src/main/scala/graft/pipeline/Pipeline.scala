@@ -37,7 +37,7 @@ final case class PipelineConfig(
     combinedIndices: Seq[Int] = null,
     projectOp: Option[String] = None,
     illuminationCorrection: Boolean = false,
-    illuminationMedianRadius: Int = 5,
+    illuminationMedianSize: Int = 50,
     illuminationPrecomputed: Option[String] = None,
     segment: Option[Segmentation.SegmentSpec] = None,
     segmentParentChannel: Int = 0,
@@ -70,7 +70,7 @@ object Pipeline {
     cfg.illuminationPrecomputed match {
       case Some(path) => ds = Illumination.correctPrecomputed(spark, ds, path)
       case None if cfg.illuminationCorrection =>
-        ds = Illumination.correct(spark, ds, cfg.illuminationMedianRadius)
+        ds = Illumination.correct(spark, ds, cfg.illuminationMedianSize)
       case None =>
     }
     cfg.segment.foreach { spec =>

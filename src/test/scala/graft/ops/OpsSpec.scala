@@ -61,7 +61,7 @@ class OpsSpec extends SparkSpec {
   test("illumination correction divides by the group mean image") {
     import spark.implicits._
     // all images identical within a group -> corrected pixels ≈ px/median-filtered(px)
-    val out = Illumination.correct(spark, fixture(), medianRadius = 2).collect()
+    val out = Illumination.correct(spark, fixture(), medianSize = 5).collect()
     assert(out.length == 10)
     out.foreach(e => assert(e.hasPixels))
     // arange image / its median-filtered self: center pixels ≈ 1
@@ -71,9 +71,9 @@ class OpsSpec extends SparkSpec {
   }
 
   test("illumination precomputed path: save/load roundtrip equals direct") {
-    val direct = Illumination.correct(spark, fixture(), medianRadius = 2)
+    val direct = Illumination.correct(spark, fixture(), medianSize = 5)
       .collect().sortBy(_.idx)
-    val images = Illumination.correctionImages(spark, fixture(), medianRadius = 2)
+    val images = Illumination.correctionImages(spark, fixture(), medianSize = 5)
     val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
     graft.export.Export.saveCorrectionImages(spark, images, s"$dir/corr.parquet")
     val pre = Illumination.correctPrecomputed(spark, fixture(), s"$dir/corr.parquet")

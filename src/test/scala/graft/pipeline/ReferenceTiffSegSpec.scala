@@ -20,7 +20,7 @@ class ReferenceTiffSegSpec extends SparkSpec {
     val cfg = PipelineConfig(
       channelNames = Seq("DAPI", "actin"),
       illuminationCorrection = true,
-      illuminationMedianRadius = 5, // reference median_filter_size: 11
+      illuminationMedianSize = 11, // reference tiff_seg.yml median_filter_size: 11
       segment = Some(graft.ops.Segmentation.CellposeShaped(
         parentChannelIndex = 1, dapiChannelIndex = 0, cellDiameter = 20)),
       segmentParentChannel = 1,
