@@ -171,8 +171,98 @@ object Filters {
           }
           dr += 1
         }
-        java.util.Arrays.sort(window)
-        out(r * w + c) = window(n / 2)
+        // rank selection, not a full sort: same element, O(n) per pixel
+        out(r * w + c) = quickSelect(window, n, n / 2)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Hoare quickselect over a(0 until n): value at sorted rank k.
+    * Deterministic middle pivot — the inputs are image windows, not
+    * adversarial. Mutates `a`. */
+  private def quickSelect(a: Array[Float], n: Int, k: Int): Float = {
+    var lo = 0
+    var hi = n - 1
+    while (lo < hi) {
+      val pivot = a((lo + hi) >>> 1)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (a(i) < pivot) i += 1
+        while (a(j) > pivot) j -= 1
+        if (i <= j) {
+          val t = a(i); a(i) = a(j); a(j) = t
+          i += 1; j -= 1
+        }
+      }
+      if (k <= j) hi = j
+      else if (k >= i) lo = i
+      else return a(k)
+    }
+    a(lo)
+  }
+
+  @inline private def mirror(i: Int, n: Int): Int = {
+    // numpy.pad mode='reflect': edge NOT duplicated (d c b | a b c d | c b a)
+    if (n == 1) return 0
+    val period = 2 * n - 2
+    var x = ((i % period) + period) % period
+    if (x >= n) period - x else x
+  }
+
+  /** Non-local means denoising with UNIFORM patch weighting — the
+    * semantics of skimage.restoration.denoise_nl_means(fast_mode=True),
+    * which the reference's watershed-DAPI segmenter calls with
+    * patch_size=3, patch_distance=2 (segmentation/watershed_dapi.py:44;
+    * h=0.1 and sigma=0 defaults). For every pixel, candidate patches
+    * within `patchDistance` are weighted exp(−max(d²−2σ², 0)/h²) where
+    * d² is the mean squared difference over the patch; the center
+    * naturally gets weight 1. Borders are numpy-pad 'reflect'
+    * (edge NOT duplicated — unlike scipy's reflect). Direct evaluation
+    * (h·w·(2d+1)²·s² ops) computes exactly what skimage's
+    * integral-image fast path computes. */
+  def nlMeansDenoise(img: Array[Float], h: Int, w: Int,
+      patchSize: Int = 3, patchDistance: Int = 2,
+      filterH: Double = 0.1, sigma: Double = 0.0): Array[Float] = {
+    val off = patchSize / 2
+    val h2 = filterH * filterH
+    val twoVar = 2.0 * sigma * sigma
+    val s2 = (patchSize * patchSize).toDouble
+    val out = new Array[Float](h * w)
+    @inline def at(r: Int, c: Int): Double = img(mirror(r, h) * w + mirror(c, w))
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var wsum = 0.0
+        var acc = 0.0
+        var dr = -patchDistance
+        while (dr <= patchDistance) {
+          var dc = -patchDistance
+          while (dc <= patchDistance) {
+            var d2 = 0.0
+            var pr = -off
+            while (pr <= off) {
+              var pc = -off
+              while (pc <= off) {
+                val diff = at(r + pr, c + pc) - at(r + dr + pr, c + dc + pc)
+                d2 += diff * diff
+                pc += 1
+              }
+              pr += 1
+            }
+            val dist = math.max(d2 / s2 - twoVar, 0.0)
+            val wgt = math.exp(-dist / h2)
+            wsum += wgt
+            acc += wgt * at(r + dr, c + dc)
+            dc += 1
+          }
+          dr += 1
+        }
+        out(r * w + c) = (acc / wsum).toFloat
         c += 1
       }
       r += 1

@@ -27,8 +27,10 @@ object Segmentation {
     def expansionPx: Double = 0.0
   }
 
-  /** watershed-DAPI (C10): gaussian denoise (stand-in for NL-means —
-    * same role, JVM-implementable) → Otsu foreground → EDT →
+  /** watershed-DAPI (C10): NL-means denoise (uniform-patch, the
+    * fast_mode semantics of skimage.restoration.denoise_nl_means with
+    * the reference's patch_size=3, patch_distance=2) → Otsu foreground
+    * → EDT →
     * peak_local_max(min_distance = cellDiameter, border-excluded like
     * skimage's default) → markers labeled in scan order →
     * watershed(−EDT) over the WHOLE plane (the reference floods
@@ -37,7 +39,7 @@ object Segmentation {
       expansionFactor: Double = 0.1) extends Segmenter {
     override def expansionPx: Double = cellDiameter * expansionFactor
     def segment(plane: Array[Float], h: Int, w: Int): Array[Int] = {
-      val den = Filters.gaussian(plane, h, w, 1.0)
+      val den = Filters.nlMeansDenoise(plane, h, w)
       val t = Thresholds.otsu(den)
       val fg = den.map(_ > t)
       val dist = Watershed.distanceTransform(fg, h, w)

@@ -34,6 +34,48 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(s(2 * 8 + 0) == 0f)
   }
 
+  test("nlMeansDenoise: constant invariance, smoothing, reflect border") {
+    // constant image is a fixed point (all weights 1, every patch equal)
+    val flat = Array.fill(49)(3.5f)
+    assert(Filters.nlMeansDenoise(flat, 7, 7).forall(v => math.abs(v - 3.5f) < 1e-6))
+    // an impulse is pulled toward the background but not eliminated
+    val imp = Array.fill(49)(0f); imp(3 * 7 + 3) = 1f
+    val den = Filters.nlMeansDenoise(imp, 7, 7)
+    assert(den(3 * 7 + 3) < 1f && den(3 * 7 + 3) > 0f)
+    // independent recompute on an explicitly numpy-'reflect'-padded
+    // array (edge not duplicated) must agree exactly
+    val rng = new scala.util.Random(9)
+    val h = 6; val w = 5
+    val img = Array.fill(h * w)(rng.nextFloat())
+    val pad = 2 + 1 // patchDistance + patch offset
+    val ph = h + 2 * pad; val pw = w + 2 * pad
+    def mirrorIdx(i: Int, n: Int): Int = {
+      val period = 2 * n - 2
+      val x = ((i % period) + period) % period
+      if (x >= n) period - x else x
+    }
+    val padded = Array.tabulate(ph * pw) { i =>
+      val r = i / pw - pad; val c = i % pw - pad
+      img(mirrorIdx(r, h) * w + mirrorIdx(c, w))
+    }
+    val got = Filters.nlMeansDenoise(img, h, w)
+    for (r <- 0 until h; c <- 0 until w) {
+      var wsum = 0.0; var acc = 0.0
+      for (dr <- -2 to 2; dc <- -2 to 2) {
+        var d2 = 0.0
+        for (pr <- -1 to 1; pc <- -1 to 1) {
+          val a = padded((r + pad + pr) * pw + (c + pad + pc))
+          val b = padded((r + pad + dr + pr) * pw + (c + pad + dc + pc))
+          d2 += (a - b).toDouble * (a - b)
+        }
+        val wgt = math.exp(-math.max(d2 / 9.0, 0.0) / 0.01)
+        wsum += wgt
+        acc += wgt * padded((r + pad + dr) * pw + (c + pad + dc))
+      }
+      assert(math.abs(got(r * w + c) - acc / wsum) < 1e-6, s"($r,$c)")
+    }
+  }
+
   test("medianDisk removes isolated impulse noise") {
     val base = Array.fill(81)(1f)
     base(4 * 9 + 4) = 100f
