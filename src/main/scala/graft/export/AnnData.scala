@@ -27,12 +27,23 @@ object AnnData {
     val metaCols = schema.fields.filter(_.name.contains("meta")).map(_.name)
     val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
     val dirB = dir; val nameB = filename
+    // the session's spark.hadoop.* settings (credentials, defaultFS)
+    // must reach the executor-side FileSystem — a fresh Configuration
+    // would silently drop them for s3a/hdfs destinations. Hadoop's
+    // Configuration is not serializable, so ship the entries.
+    val hadoopEntries = {
+      val it = df.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val mat = rows.toArray
       val bytes = partitionBytes(mat, schema, featCols, metaCols, fieldType)
       val dirPath = new org.apache.hadoop.fs.Path(dirB)
-      val fs = org.apache.hadoop.fs.FileSystem.get(dirPath.toUri,
-        new org.apache.hadoop.conf.Configuration())
+      val conf = new org.apache.hadoop.conf.Configuration()
+      hadoopEntries.foreach { case (k, v) => conf.set(k, v) }
+      val fs = org.apache.hadoop.fs.FileSystem.get(dirPath.toUri, conf)
       fs.mkdirs(dirPath)
       val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, s"$nameB.$pid.h5ad"), true)
       try out.write(bytes) finally out.close()

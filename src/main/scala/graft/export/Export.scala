@@ -21,6 +21,48 @@ object Export {
     out.write.mode("overwrite").parquet(path)
   }
 
+  /** K1 with the reference's file naming: one
+    * `{filename}.{partition}.parquet` per partition directly in the
+    * output directory (export/parquet.py:24-27 name_function, no
+    * _metadata file). Spark writes its part files to a scratch dir and
+    * the driver renames them — same bytes, reference layout. */
+  def parquetPartFiles(df: DataFrame, outputDir: String, filename: String,
+      coalesce: Int = 0): Unit = {
+    val scratch = s"$outputDir/.${filename}_spark_tmp"
+    val out = if (coalesce > 0) df.coalesce(coalesce) else df
+    out.write.mode("overwrite").parquet(scratch)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(scratch),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(s"$outputDir/$filename.$i.parquet"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+  }
+
+  /** channel_boundaries.csv exactly as the reference writes it
+    * (main.py:49-60): one row per group, wide `{channel}_min`/
+    * `{channel}_max` columns, the group key as the unnamed index. */
+  def channelBoundariesCsv(minmax: Map[(String, Int), (Double, Double)],
+      channelNames: Seq[String], path: String): Unit = {
+    val header = "," + channelNames.flatMap(c =>
+      Seq(s"${c}_min", s"${c}_max")).mkString(",")
+    val groups = minmax.keys.map(_._1).toSeq.distinct.sorted
+    val sb = new StringBuilder(header + "\n")
+    groups.foreach { g =>
+      val cells = channelNames.indices.flatMap { c =>
+        val (lo, hi) = minmax.getOrElse((g, c), (Double.NaN, Double.NaN))
+        Seq(lo.toString, hi.toString)
+      }
+      sb.append(g + "," + cells.mkString(",") + "\n")
+    }
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
   /** K3: per-group per-channel min/max quantiles → one small CSV
     * written on the driver (main.py:49-60 — the only collect() in the
     * pipeline, ngroups×C rows by construction) */
@@ -37,12 +79,15 @@ object Export {
     * a pass-through side write inside mapPartitions. */
   def npyMasks(ds: Dataset[ImageEvent], dir: String): Dataset[ImageEvent] = {
     import graft.core.Codecs._
-    Files.createDirectories(Paths.get(dir))
+    // reference layout (segmentation/__init__.py:61-65): a masks/
+    // subdirectory, one file per FOV named by the joined group keys
+    // ("_".join) — our group string already joins them with '/'
+    Files.createDirectories(Paths.get(dir, "masks"))
     ds.mapPartitions { events =>
       events.map { e =>
         if (e.hasMask) {
-          val name = s"${e.group}_${e.idx}_${e.id}.npy"
-          writeNpyInt(Paths.get(dir, name).toString, e.mask,
+          val name = s"${e.group.replace('/', '_')}.npy"
+          writeNpyInt(Paths.get(dir, "masks", name).toString, e.mask,
             Seq(e.channels, e.height, e.width))
         }
         e
@@ -53,7 +98,7 @@ object Export {
   /** minimal .npy v1.0 writer (int32, C order) */
   private[export] def writeNpyInt(path: String, data: Array[Int], shape: Seq[Int]): Unit = {
     val headerBody =
-      s"{'descr': '<i4', 'fortran_order': False, 'shape': (${shape.mkString(", ")}), }"
+      s"{'descr': '<i4', 'fortran_order': False, 'shape': (${shape.mkString(", ")}${if (shape.length == 1) "," else ""}), }"
     // pad header so that magic(6)+ver(2)+len(2)+header is a multiple of 64
     val unpadded = 10 + headerBody.length + 1
     val pad = (64 - unpadded % 64) % 64

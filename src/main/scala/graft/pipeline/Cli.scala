@@ -70,31 +70,43 @@ object Cli {
     // and the quantiles export, so the exported extents reflect every
     // configured stage (projection, illumination, segmentation,
     // sampling, mask filters) exactly as the branches saw them
+    val cfgNeedsBoundaries = wantQuantiles ||
+      Option(root.get("normalization")).filterNot(_.isNull)
+        .flatMap(n => Option(n.get("quantile"))).exists(_.asBoolean())
     val prepared =
-      if (wantQuantiles) Pipeline.prepare(spark, source, cfg).cache()
+      if (cfgNeedsBoundaries) Pipeline.prepare(spark, source, cfg).cache()
       else Pipeline.prepare(spark, source, cfg)
     val table = Pipeline.runPrepared(spark, prepared, cfg)
     Files.createDirectories(Paths.get(outputDir))
 
     val coalesce = exportNode.flatMap(e => Option(e.get("coalesce"))).map(_.asInt()).getOrElse(0)
+    // export.filename names the partition objects, exactly like the
+    // reference ({filename}.{partition}.parquet / .h5ad, main.py:271)
+    val filename = exportNode.flatMap(e => Option(e.get("filename")))
+      .map(_.asText()).getOrElse("features")
     exportNode.flatMap(e => Option(e.get("format"))).map(_.asText()).getOrElse("parquet") match {
       case "anndata" => // K2: one .h5ad per partition
         val t = if (coalesce > 0) table.coalesce(coalesce) else table
-        graft.export.AnnData.export(t, outputDir, "features")
+        graft.export.AnnData.export(t, outputDir, filename)
       case _ =>
-        Export.parquet(table, s"$outputDir/features.parquet", coalesce)
+        Export.parquetPartFiles(table, outputDir, filename, coalesce)
     }
 
-    if (wantQuantiles) {
-      // K3: quantiles of the post-mask stream (main.py:49-60,240) —
-      // masked extents from the first mask branch over the SAME
-      // prepared stream the feature run consumed
+    if (cfg.normalize || wantQuantiles) {
+      // channel_boundaries.csv whenever normalization runs
+      // (main.py:49-60,240): wide {channel}_min/{channel}_max columns
+      // indexed by group, extents from the first mask branch over the
+      // SAME prepared stream the feature run consumed
       val firstBranch = Masking.branch(prepared, cfg.branches.head.method,
         cfg.mainChannelIndex, cfg.combinedIndices)
       val mm = Normalization.groupMinMax(spark, firstBranch)
-      Export.quantilesCsv(mm, s"$outputDir/quantiles.csv")
-      prepared.unpersist()
+      if (cfg.normalize)
+        Export.channelBoundariesCsv(mm, cfg.channelNames,
+          s"$outputDir/channel_boundaries.csv")
+      if (wantQuantiles) // legacy long-form export kept under its flag
+        Export.quantilesCsv(mm, s"$outputDir/quantiles.csv")
     }
+    if (wantQuantiles || cfg.normalize) prepared.unpersist(false)
   }
 
   private def strings(n: JsonNode): Seq[String] =
@@ -118,8 +130,9 @@ object Cli {
         val meta = Tiff.loadMeta(spark, strings(load.get("paths")), load.get("regex").asText())
         Tiff.loadPixels(meta, strings(load.get("channels")))
       case "multiframe_tiff" =>
+        val mfChannels = Option(load.get("channels")).map(ints).orNull
         strings(load.get("paths"))
-          .map(Tiff.loadMultiframeDirectory(spark, _))
+          .map(Tiff.loadMultiframeDirectory(spark, _, mfChannels))
           .reduceLeft(_ unionByName _).as(graft.core.Codecs.imageEventEncoder)
       case "zarr" =>
         val regex = Option(load.get("regex")).map(_.asText()).orNull
@@ -217,6 +230,8 @@ object Cli {
         .flatMap(s => Option(s.get("export_masks"))).map(_.asText()),
       maskFilters = maskFilters,
       branches = branches,
+      combinedIndices = Option(root.get("mask_combined_indices"))
+        .orElse(Option(root.get("combined_indices"))).map(ints).orNull,
       populationFilter = Option(root.get("filter")).filterNot(_.isNull)
         .flatMap(f => Option(f.get("population"))).exists(_.asBoolean()),
       normalize = Option(root.get("normalization")).filterNot(_.isNull)

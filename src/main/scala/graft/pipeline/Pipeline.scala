@@ -35,6 +35,11 @@ final case class PipelineConfig(
     channelNames: Seq[String],
     mainChannelIndex: Int = 0,
     combinedIndices: Seq[Int] = null,
+    /** the reference ALWAYS adds an unmasked "raw" branch (types=
+      * ["raw"], prefix "raw") whenever masks are configured
+      * (main.py:206: images_dict["raw"] = images) — raw intensity
+      * stats per channel on the un-masked pixels */
+    rawBranch: Boolean = true,
     projectOp: Option[String] = None,
     illuminationCorrection: Boolean = false,
     illuminationMedianSize: Int = 50,
@@ -52,6 +57,16 @@ final case class PipelineConfig(
     nPartitions: Int = 0)
 
 object Pipeline {
+
+  /** reference prefix rule (main.py:244-246): every mask branch is
+    * prefixed by its name; only the mask-LESS config ("no") goes
+    * unprefixed. `exportPrefix` still overrides. */
+  private def branchPrefix(b: MaskBranchConfig): String =
+    b.exportPrefix.getOrElse(if (b.name == "no") null else b.name)
+
+  /** raw branch accompanies every masked config (never the "no" one) */
+  private def includeRaw(cfg: PipelineConfig): Boolean =
+    cfg.rawBranch && !cfg.branches.forall(_.name == "no")
 
   /** run the full pipeline on a source dataset → wide feature table */
   def run(spark: SparkSession, source: Dataset[ImageEvent],
@@ -107,15 +122,22 @@ object Pipeline {
     else {
       // aggregate-bearing branches: per-branch plans from one cached
       // parent, joined on the stable event UID
-      val parent = if (cfg.branches.length > 1) ds.cache() else ds
+      val withRaw = cfg.branches.length > 1 || includeRaw(cfg)
+      val parent = if (withRaw || cfg.branches.length > 1) ds.cache() else ds
       val branchTables = cfg.branches.map { b =>
         var branch = Masking.branch(parent, b.method, cfg.mainChannelIndex, cfg.combinedIndices)
         if (cfg.populationFilter) branch = PopulationFilter(spark, branch)
         if (cfg.normalize) branch = Normalization.normalize(spark, branch)
-        val prefix = if (cfg.branches.length > 1) b.name else b.exportPrefix.orNull
         Features.extract(branch, cfg.channelNames,
-          b.featureTypes.getOrElse(cfg.featureTypes), prefix)
-      }
+          b.featureTypes.getOrElse(cfg.featureTypes), branchPrefix(b))
+      } ++ (if (includeRaw(cfg)) {
+        // the reference's raw branch rides through the same per-branch
+        // loop (filter + normalization) WITHOUT any masking
+        var raw = parent
+        if (cfg.populationFilter) raw = PopulationFilter(spark, raw)
+        if (cfg.normalize) raw = Normalization.normalize(spark, raw)
+        Seq(Features.extract(raw, cfg.channelNames, Seq("raw"), "raw"))
+      } else Nil)
       branchTables.reduceLeft { (a, b) =>
         a.join(b.drop("meta_group"), // group is branch-invariant; keep one copy
           a("meta_path") === b("meta_path") && a("meta_idx") === b("meta_idx") &&
@@ -136,25 +158,34 @@ object Pipeline {
       val names = Features.featureNames(cfg.channelNames, types)
       (b, types.toArray, names, names.zipWithIndex.toMap)
     }
-    val prefixes = cfg.branches.map(b =>
-      if (cfg.branches.length > 1) b.name else b.exportPrefix.orNull)
+    val prefixes = cfg.branches.map(branchPrefix)
     val metaFields = Features.schema(cfg.channelNames, cfg.featureTypes, null)
       .fields.take(4)
+    val rawNames =
+      if (includeRaw(cfg)) Features.featureNames(cfg.channelNames, Seq("raw"))
+      else Seq.empty
     val featFields = prefixes.zip(perBranch).flatMap { case (p, (_, _, names, _)) =>
       names.map(n => org.apache.spark.sql.types.StructField(
         Features.renamed(n, p, isLoaderMeta = false),
         org.apache.spark.sql.types.DoubleType))
-    }
+    } ++ rawNames.map(n => org.apache.spark.sql.types.StructField(
+      Features.renamed(n, "raw", isLoaderMeta = false),
+      org.apache.spark.sql.types.DoubleType))
     val sch = StructType(metaFields ++ featFields)
     val enc = org.apache.spark.sql.Encoders.row(sch)
     val mainCh = cfg.mainChannelIndex
     val combined = cfg.combinedIndices
     val channelNames = cfg.channelNames
+    val rawInfo =
+      if (rawNames.nonEmpty) Some((rawNames, rawNames.zipWithIndex.toMap))
+      else None
     ds.map({ e =>
       val cells = perBranch.iterator.flatMap { case (b, typesArr, names, nameIdx) =>
         val be = Masking.branchRecord(b.method, mainCh, combined)(e)
         Features.featureCells(be, channelNames, typesArr, names, nameIdx)
-      }.toArray
+      }.toArray ++ rawInfo.toArray.flatMap { case (names, nameIdx) =>
+        Features.featureCells(e, channelNames, Array("raw"), names, nameIdx)
+      }
       org.apache.spark.sql.Row.fromSeq(
         Seq[Any](e.path, e.idx, e.group, e.id) ++ cells)
     })(enc)

@@ -269,9 +269,16 @@ object Czi {
         sceneIdxs.filter(i => p.findPrefixMatchOf(names(i)).isDefined)
       } else sceneIdxs
     val groups = if (regex == null) Seq.empty else Tiff.namedGroups(regex)
+    // the reference enumerates range(im.shape[0]) tiles — the DEFAULT
+    // (first) scene's mosaic-tile count — for EVERY selected scene
+    // (czi.py:91: the AICSImage is never switched to the scene being
+    // listed), so a file whose scenes have differing tile counts gets
+    // the first scene's count applied to all. Replicated faithfully.
+    val defaultScene = sceneIdxs.headOption.getOrElse(0)
+    val tiles = index.entries.filter(_.start("S") == defaultScene)
+      .map(_.start("M")).distinct.sorted
     val rows = for {
       s <- wanted
-      tiles = index.entries.filter(_.start("S") == s).map(_.start("M")).distinct.sorted
       t <- tiles
     } yield {
       val name = names(s)
@@ -279,7 +286,10 @@ object Czi {
         if (regex == null) Map.empty
         else regex.r.findFirstMatchIn(name) match {
           case Some(m) => groups.map(g => g -> m.group(g)).toMap
-          case None => Map.empty
+          case None => throw new IllegalArgumentException(
+            // re.search(regex, scene).groupdict() raises on no match
+            // (czi.py:88) — silence here would drop meta columns
+            s"scene name '$name' does not match regex '$regex'")
         }
       (path, name, s, t, meta)
     }

@@ -44,6 +44,14 @@ object Tiff {
       (path, g("id"), g("channel"), g - "id" - "channel")
     }.toDF("path", "id", "channel", "meta")
     val channels = df.select("channel").distinct().collect().map(_.getString(0)).sorted
+    // pandas pivot raises ValueError on duplicate (id, channel) index
+    // entries (tiff.py:145) — an unordered first() would silently load
+    // DIFFERENT pixel data across reruns, so fail the same way
+    val dups = df.groupBy("id", "channel").count().filter(col("count") > 1)
+      .select("id", "channel").collect()
+    require(dups.isEmpty,
+      s"duplicate (id, channel) tiff files for: ${dups.take(5).mkString(", ")} — " +
+        "the reference's pandas pivot rejects this layout (Index contains duplicate entries)")
     val pivoted = df.groupBy("id")
       .pivot("channel", channels)
       .agg(first("path"))
@@ -114,18 +122,30 @@ object Tiff {
   }
 
   /** S4: multiframe TIFF — every page is a channel
-    * (loading/multiframe_tiff.py:27-50); group = parent directory name */
+    * (loading/multiframe_tiff.py:27-50). Listing follows the
+    * reference's recursive glob over "*.tiff" at every depth (exact
+    * .tiff suffix, multiframe_tiff.py:68) and group is
+    * the FULL parent path (`str(p.parent)`, :69) — the grouping key
+    * of illumination/normalization, so a basename-only group would
+    * merge sibling plates. */
   def loadMultiframeDirectory(spark: SparkSession, dir: String,
       channels: Seq[Int] = null): Dataset[ImageEvent] = {
     import spark.implicits._
     import Codecs._
-    val files = listFiles(Paths.get(dir), ".tif").map(_.toString)
+    val files = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      java.nio.file.Files.walk(Paths.get(dir)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".tiff")) buf += p.toString
+      }
+      buf.sorted.toSeq
+    }
     spark.createDataset(files).mapPartitions { paths =>
       paths.map { p =>
         val (px, c, h, w) = decodeMultiframe(p, channels)
         ImageEvent.fromPixels(
           path = p, idx = p.hashCode.toLong & 0xffffffffL,
-          group = Paths.get(p).getParent.getFileName.toString,
+          group = Paths.get(p).getParent.toString,
           meta = Map.empty, channels = c, height = h, width = w, pixels = px)
       }
     }

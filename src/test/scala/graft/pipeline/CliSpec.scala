@@ -15,7 +15,7 @@ class CliSpec extends SparkSpec {
         |  "feature_extraction": {"types": ["regions", "intensity"]},
         |  "export": {"coalesce": 1, "quantiles_csv": true} }""".stripMargin)
     Cli.run(spark, out, config.toString)
-    val features = spark.read.parquet(s"$out/features.parquet")
+    val features = spark.read.parquet(s"$out/features.0.parquet") // reference {filename}.{i}.parquet layout
     assert(features.count() == 6)
     assert(features.columns.exists(_.startsWith("feat_")))
     val q = Files.readString(Paths.get(out, "quantiles.csv"))

@@ -94,7 +94,13 @@ class PipelineSpec extends SparkSpec {
     val b = graft.ops.Features.extract(
       Masking.branch(Synthetic.conftest(spark, 6), Masking.Spot(3), 0),
       Seq("ch0", "ch1", "ch2"), Seq("regions", "bbox", "intensity"), "b")
-    val joined = a.join(b.drop("meta_group"), Seq("meta_path", "meta_idx", "meta_id"))
+    // the reference's mandatory unmasked raw branch (main.py:206)
+    val raw = graft.ops.Features.extract(
+      Synthetic.conftest(spark, 6),
+      Seq("ch0", "ch1", "ch2"), Seq("raw"), "raw")
+    val joined = a
+      .join(b.drop("meta_group"), Seq("meta_path", "meta_idx", "meta_id"))
+      .join(raw.drop("meta_group"), Seq("meta_path", "meta_idx", "meta_id"))
     assert(fused.count() == 6 && joined.count() == 6)
     val fCols = fused.columns.sorted
     assert(fCols.toSeq == joined.columns.sorted.toSeq)

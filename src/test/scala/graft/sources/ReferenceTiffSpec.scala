@@ -39,8 +39,8 @@ class ReferenceTiffSpec extends SparkSpec {
       // float32 intensity data: finite, non-constant
       assert(e.pixels.forall(v => !v.isNaN && !v.isInfinite))
       assert(e.pixels.distinct.length > 10)
-      // group = parent directory name (multiframe_tiff semantics)
-      assert(e.group == "images")
+      // group = FULL parent path (multiframe_tiff.py:69 str(p.parent))
+      assert(e.group == "/root/reference/test/data/images")
     }
   }
 }

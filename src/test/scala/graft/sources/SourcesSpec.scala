@@ -69,7 +69,7 @@ class SourcesSpec extends SparkSpec {
     assert(events.length == 1)
     val e = events.head
     assert(e.channels == 4 && e.height == 5 && e.width == 6)
-    assert(e.group == dir.getFileName.toString)
+    assert(e.group == dir.toString) // full parent path, like str(p.parent)
     for (c <- 0 until 4) assert(e.pixels(c * 30) == c * 100f)
   }
 
