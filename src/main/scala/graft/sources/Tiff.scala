@@ -95,11 +95,14 @@ object Tiff {
     * (loading/tiff.py:161-170) */
   def loadPixels(meta: DataFrame, channels: Seq[String]): Dataset[ImageEvent] = {
     import Codecs._
-    val chIdx = channels.zipWithIndex.toMap
     val fields = meta.schema.fieldNames
     val idIdx = fields.indexOf("id")
     val metaIdx = fields.indexOf("meta")
     val chFieldIdx = channels.map(c => fields.indexOf(c))
+    // the event's `path` is the FIRST PIVOT COLUMN's file
+    // (tiff.py:156: df["path"] = df.iloc[:, 0] — sorted channel order),
+    // not the first *requested* channel's
+    val pathIdx = fields.indexWhere(f => f != "id" && f != "meta")
     meta.mapPartitions { rows =>
       rows.map { row =>
         val planes = chFieldIdx.map(i => decodePlane(row.getString(i)))
@@ -112,7 +115,7 @@ object Tiff {
         }
         val metaMap = row.getMap[String, String](metaIdx).toMap
         ImageEvent.fromPixels(
-          path = row.getString(chFieldIdx.head),
+          path = row.getString(pathIdx),
           idx = row.getString(idIdx).hashCode.toLong & 0xffffffffL,
           group = metaMap.getOrElse("group", "all"),
           meta = metaMap + ("id" -> row.getString(idIdx)),
