@@ -87,10 +87,14 @@ object Synthetic {
       }
       b += 1
     }
-    // low deterministic background so thresholds see two classes
+    // low deterministic background so thresholds see two classes.
+    // Seed streams are disjoint PER EVENT (mix(idx) spreads events
+    // ~2^64 apart): a plain idx*131 + i overlapped 97% of consecutive
+    // events' seeds, making their "random" backgrounds shifted copies
+    val eventSeed = mix(idx)
     var i = 0
     while (i < px.length) {
-      px(i) = (px(i) + 5.0 + 2.0 * unif(idx * 131 + i)).toFloat
+      px(i) = (px(i) + 5.0 + 2.0 * unif(eventSeed + i)).toFloat
       i += 1
     }
     px

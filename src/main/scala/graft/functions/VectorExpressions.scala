@@ -36,14 +36,23 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+  // can yield NULL from non-null inputs (null element / length
+  // mismatch), so nullability must not derive from the children alone
+  override def nullable: Boolean = true
 
+  /** SQL-lambda parity: zip_with pads a length mismatch with null and
+    * aggregate propagates null elements — so mismatched lengths and
+    * null elements yield NULL here too, never a silently-truncated or
+    * zero-filled dot product. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -56,12 +65,17 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -81,12 +95,14 @@ case class FloatL2Norm(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_norm"
+  override def nullable: Boolean = true // null element -> NULL
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var acc = 0.0
     var i = 0
     while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null // lambda parity: null element -> NULL
       acc += x.getFloat(i).toDouble * x.getFloat(i).toDouble
       i += 1
     }
@@ -100,9 +116,10 @@ case class FloatL2Norm(child: Expression) extends UnaryExpression {
       s"""
          |double $acc = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $a.getFloat($i);
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
     })
 

@@ -17,14 +17,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "float_dot takes 2 arguments")
+        if (children.length != 2)
+          org.apache.spark.sql.GraftBridge.wrongNumArgs("float_dot", 2, children.length)
         FloatDotProduct(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("float_norm"),
       new ExpressionInfo(classOf[FloatL2Norm].getName, "float_norm"),
       (children: Seq[Expression]) => {
-        require(children.length == 1, "float_norm takes 1 argument")
+        if (children.length != 1)
+          org.apache.spark.sql.GraftBridge.wrongNumArgs("float_norm", 1, children.length)
         FloatL2Norm(children(0))
       }))
   }

@@ -40,11 +40,20 @@ object Streaming {
     * the 100 TB-stream shape: state size tracks the horizon's distinct
     * digests, never the full history). */
   def dedupStream(docs: DataFrame, textCol: String = "text",
-      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("digest", md5(col(textCol)))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("digest")
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    val digested = docs.withColumn("digest", md5(col(textCol)))
+    val deduped =
+      if (docs.isStreaming)
+        digested.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("digest")
+      else
+        // batch parity: dropDuplicatesWithinWatermark is
+        // streaming-only (UnsupportedOperationChecker rejects it on a
+        // static frame); the batch equivalent of "first occurrence per
+        // digest" is a plain digest dedup
+        digested.dropDuplicates("digest")
+    deduped.drop("digest") // internal helper column, not caller schema
+  }
 
   /** stream-stream attribution join: each purchase joined to the same
     * user's clicks within the preceding `horizon` — the streaming form
@@ -75,31 +84,64 @@ object Streaming {
 
   case class EventRow(event_id: Long, user_id: Long, ts: Timestamp,
       event_type: String, value: Double)
+
+  /** boundary conversion from the raw (nullable) events schema:
+    * EventRow's primitive fields would NPE on NULL user_id/value
+    * during deserialization, so nulls are filtered here — the same
+    * exclusion q26's as-of join applies. */
+  def eventRows(df: DataFrame): Dataset[EventRow] = {
+    import org.apache.spark.sql.functions.col
+    implicit val enc = Encoders.product[EventRow]
+    df.filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .as[EventRow]
+  }
   case class UserState(n: Long, sum: Double, max: Double)
   case class UserUpdate(user_id: Long, n: Long, sum: Double, max: Double)
 
   /** per-user running stats via flatMapGroupsWithState: the custom
     * keyed-state pattern (mapGroupsWithState family). Emits one update
-    * row per key per micro-batch. */
-  def runningUserStats(events: Dataset[EventRow]): Dataset[UserUpdate] = {
+    * row per key per micro-batch. State is WATERMARK-BOUNDED: a user
+    * idle past `idleHorizon` of event time is evicted (EventTime
+    * timeout), so state tracks the active-user set, not every user
+    * ever seen — the 100 TB-stream posture of this module. */
+  def runningUserStats(events: Dataset[EventRow],
+      idleHorizon: String = "24 hours"): Dataset[UserUpdate] = {
     implicit val stateEnc = Encoders.product[UserState]
     implicit val outEnc = Encoders.product[UserUpdate]
     implicit val keyEnc = Encoders.scalaLong
-    events
+    implicit val rowEnc = Encoders.product[EventRow]
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(idleHorizon)) match {
+      case iv => iv.days.toLong * 86400000L + iv.microseconds / 1000L
+    }
+    events.toDF()
+      .withWatermark("ts", idleHorizon)
+      .as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserState, UserUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
-          var s = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue))
-          var touched = false
-          rows.foreach { r =>
-            s = UserState(s.n + 1, s.sum + r.value, math.max(s.max, r.value))
-            touched = true
+          if (state.hasTimedOut) {
+            state.remove() // idle past the horizon: evict
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue))
+            var touched = false
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              s = UserState(s.n + 1, s.sum + r.value, math.max(s.max, r.value))
+              touched = true
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            if (touched) {
+              state.update(s)
+              state.setTimeoutTimestamp(maxTs + horizonMs)
+              Iterator.single(UserUpdate(user, s.n, s.sum, s.max))
+            } else Iterator.empty
           }
-          if (touched) {
-            state.update(s)
-            Iterator.single(UserUpdate(user, s.n, s.sum, s.max))
-          } else Iterator.empty
       }
   }
 
@@ -129,19 +171,31 @@ object Streaming {
             state.remove()
             Iterator.single(SessionOut(user, s.start, s.end, s.n, closed = true))
           } else {
-            val times = rows.map(_.ts.getTime).toSeq
+            val times = rows.map(_.ts.getTime).toArray.sorted
             if (times.isEmpty) Iterator.empty
             else {
-              val prev = state.getOption
-              val s = prev match {
-                case Some(p) => SessionState(math.min(p.start, times.min),
-                  math.max(p.end, times.max), p.n + times.size)
-                case None => SessionState(times.min, times.max, times.size.toLong)
+              // fold the (state ++ sorted batch) into gap-delimited
+              // sessions: a new event farther than gapMs past the
+              // current session end STARTS A NEW SESSION and closes
+              // the old one — the timeout only covers silence with no
+              // later data, it cannot split within the data path
+              var sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+              state.getOption.foreach(sessions += _)
+              times.foreach { t =>
+                if (sessions.nonEmpty && t <= sessions.last.end + gapMs) {
+                  val cur = sessions.last
+                  sessions(sessions.length - 1) = SessionState(
+                    math.min(cur.start, t), math.max(cur.end, t), cur.n + 1)
+                } else sessions += SessionState(t, t, 1L)
               }
-              state.update(s)
+              val closed = sessions.init.map(cs =>
+                SessionOut(user, cs.start, cs.end, cs.n, closed = true))
+              val open = sessions.last
+              state.update(open)
               // close when the watermark passes the session end + gap
-              state.setTimeoutTimestamp(s.end + gapMs)
-              Iterator.single(SessionOut(user, s.start, s.end, s.n, closed = false))
+              state.setTimeoutTimestamp(open.end + gapMs)
+              (closed :+ SessionOut(user, open.start, open.end, open.n,
+                closed = false)).iterator
             }
           }
       }

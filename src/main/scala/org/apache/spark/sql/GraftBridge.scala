@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** the analyzer-facing wrong-arity error (AnalysisException with the
+    * standard WRONG_NUM_ARGS class), so SQL users of graft's functions
+    * get the same error shape as builtins instead of a raw
+    * IllegalArgumentException escaping the FunctionBuilder */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected.toString), actual)
 }

@@ -30,8 +30,8 @@ class VectorExpressionsSpec extends SparkSpec {
       (Some(Array(1.0f, 2.0f)), Some(Array(3.0f))),
       (None: Option[Array[Float]], Some(Array(1.0f)))).toDF("a", "b")
     val out = df.select(VectorFunctions.floatDot(col("a"), col("b"))).collect()
-    assert(out(0).getDouble(0) == 3.0) // min-length loop
-    assert(out(1).isNullAt(0))         // null propagates
+    assert(out(0).isNullAt(0)) // length mismatch -> NULL (zip_with parity)
+    assert(out(1).isNullAt(0)) // null input propagates
   }
 
   test("SQL registration via GraftExtensions, codegen plan") {
@@ -49,5 +49,29 @@ class VectorExpressionsSpec extends SparkSpec {
     val filePlan = spark.sql("SELECT float_norm(embedding) FROM emb")
       .queryExecution.executedPlan.toString
     assert(filePlan.contains("*(1)"), filePlan)
+  }
+
+  test("null elements and length mismatches yield NULL, like the SQL lambdas") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+    val r = df.select(
+      expr("float_dot(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(1.0 as float), cast(2.0 as float)))").as("nullElem"),
+      expr("float_dot(array(cast(1.0 as float)), " +
+        "array(cast(1.0 as float), cast(2.0 as float)))").as("lenMismatch"),
+      expr("float_norm(array(cast(null as float)))").as("nullNorm"),
+      expr("float_dot(array(cast(1.0 as float)), array(cast(3.0 as float)))").as("ok"))
+      .collect().head
+    assert(r.isNullAt(0), "null element must propagate to NULL")
+    assert(r.isNullAt(1), "length mismatch must be NULL, not truncated")
+    assert(r.isNullAt(2))
+    assert(r.getDouble(3) == 3.0)
+  }
+
+  test("wrong arity raises an AnalysisException, not an internal error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT float_dot(array(cast(1.0 as float)))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("float_dot"))
   }
 }

@@ -113,6 +113,51 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(_.user_id == 2).forall(!_.closed))
   }
 
+  test("sessionize splits by gap INSIDE a batch, not only via timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, user: Long, tsMs: Long) =
+      EventRow(id, user, new Timestamp(tsMs), "click", 1.0)
+    val stream = MemoryStream[EventRow]
+    // two bursts separated by far more than the 3s gap, SAME batch
+    stream.addData(Seq(ev(1, 1, 1000), ev(2, 1, 2000),
+      ev(3, 1, 5000000), ev(4, 1, 5001000)))
+    val q = sessionize(stream.toDS().toDF().as[EventRow], gapMs = 3000)
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("gap_sessions").as[SessionOut].collect()
+    // first burst must close as its own session within the data path
+    assert(out.exists(s => s.start == 1000 && s.end == 2000 && s.n == 2 && s.closed))
+    assert(out.exists(s => s.start == 5000000 && s.end == 5001000 && s.n == 2 && !s.closed))
+  }
+
+  test("dedupStream runs on static frames too and keeps the caller schema") {
+    import spark.implicits._
+    val batch = Seq((1L, "a", new Timestamp(1000)), (2L, "a", new Timestamp(2000)),
+      (3L, "b", new Timestamp(3000)))
+      .toDF("doc_id", "text", "ts")
+    val out = dedupStream(batch)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "ts")) // no digest leak
+    assert(out.count() == 2)
+    assert(out.select("text").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("eventRows drops null-keyed rows instead of NPEing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, 7L, new Timestamp(1000), "click", 1.0),
+      Row(2L, null, new Timestamp(2000), "click", 2.0),
+      Row(3L, 8L, new Timestamp(3000), "click", null))
+    val df = spark.createDataFrame(rows, schema)
+    assert(eventRows(df).collect().map(_.event_id).toSeq == Seq(1L))
+  }
+
   test("stream-stream attribution join matches the batch join on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
