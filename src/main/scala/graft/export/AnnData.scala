@@ -114,9 +114,11 @@ object AnnData {
         case StringType =>
           strArray(rows.map(r => Option(r.getAs[String](colIdx(name))).getOrElse("")).toSeq)
         case LongType | IntegerType | ShortType | BooleanType |
-            TimestampType | DateType =>
-          val vals = rows.map(r =>
-            if (r.isNullAt(colIdx(name))) 0L else numeric(r, colIdx(name)).toLong)
+            TimestampType | DateType
+            if !rows.exists(_.isNullAt(colIdx(name))) =>
+          // pandas float-promotes an int column holding any NaN; the
+          // I64 path is only faithful when the column has no nulls
+          val vals = rows.map(r => numeric(r, colIdx(name)).toLong)
           f.dataset(Seq(n.toLong), Hdf5.I64, Hdf5.i64Raw(vals),
             Seq(Attr(Enc, StrV("array")), Attr(EncV, StrV("0.2.0"))))
         case _ =>

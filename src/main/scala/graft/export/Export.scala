@@ -37,9 +37,19 @@ object Export {
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(_.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
+    // clear stale `{filename}.{i}.parquet` from a previous (possibly
+    // larger) run: rename-onto-existing fails on HDFS, and survivors
+    // with higher indices would be read alongside the new files
+    val outDirPath = new org.apache.hadoop.fs.Path(outputDir)
+    if (fs.exists(outDirPath)) {
+      val stale = s"\\Q$filename\\E\\.\\d+\\.parquet".r
+      fs.listStatus(outDirPath)
+        .filter(st => stale.pattern.matcher(st.getPath.getName).matches)
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     parts.zipWithIndex.foreach { case (st, i) =>
-      fs.rename(st.getPath,
-        new org.apache.hadoop.fs.Path(s"$outputDir/$filename.$i.parquet"))
+      val target = new org.apache.hadoop.fs.Path(s"$outputDir/$filename.$i.parquet")
+      require(fs.rename(st.getPath, target), s"rename ${st.getPath} -> $target failed")
     }
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
   }

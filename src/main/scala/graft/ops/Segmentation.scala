@@ -194,6 +194,10 @@ object Segmentation {
           val livePos = batch.zipWithIndex.filter(_._1.hasPixels)
           val segmentedAt: Map[Int, graft.core.ImageEvent] =
             livePos.groupBy(_._1.channels).iterator.flatMap { case (nCh, group) =>
+              require(cfg.parentChannelIndex < nCh && cfg.dapiChannelIndex < nCh,
+                s"cellpose parent/dapi channel (${cfg.parentChannelIndex}/" +
+                  s"${cfg.dapiChannelIndex}) out of range for a batch of " +
+                  s"$nCh-channel events (e.g. ${group.head._1.path})")
               def planes(ch: Int) = group.map { case (e, _) =>
                 (e.plane(ch), e.plane(cfg.dapiChannelIndex), e.height, e.width)
               }

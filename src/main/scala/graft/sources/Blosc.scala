@@ -44,9 +44,11 @@ object Blosc {
     var b = 0
     while (b < nblocks) {
       val bsize = math.min(blocksize, nbytes - b * blocksize)
-      val leftover = bsize % math.max(typesize, 1) != 0
+      // c-blosc's `leftoverblock`: the final PARTIAL block (when nbytes isn't
+      // a blocksize multiple) is never split, regardless of typesize math.
+      val leftoverblock = b == nblocks - 1 && nbytes % blocksize != 0
       val splittable = typesize > 1 && typesize <= MaxSplits &&
-        blocksize / typesize >= MinBufferSize && !leftover
+        blocksize / typesize >= MinBufferSize && !leftoverblock
       val nsplits = if (splittable) typesize else 1
       val neblock = bsize / nsplits
       var src = starts(b)

@@ -240,6 +240,20 @@ class Hdf5Spec extends SparkSpec {
     assert(v.attrs("column-order") == Seq.empty[String])
   }
 
+  test("nullable int obs columns promote to float64+NaN (pandas semantics)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(5L), 1.0), ("b", None, 2.0), ("c", Some(-2L), 3.0))
+      .toDF("meta_path", "meta_n", "feat_v").coalesce(1)
+    val dir = Files.createTempDirectory("anndata-nulls").toString
+    AnnData.export(df, dir, "f")
+    val root = H5Read.read(s"$dir/f.0.h5ad")
+    val col = root.children("obs").children("meta_n")
+    assert(col.dtype == "float8", s"expected F64 promotion, got ${col.dtype}")
+    val bb = ByteBuffer.wrap(col.data).order(ByteOrder.LITTLE_ENDIAN)
+    val vals = Array.tabulate(3)(i => bb.getDouble(i * 8))
+    assert(vals(0) == 5.0 && vals(1).isNaN && vals(2) == -2.0)
+  }
+
   test("one .h5ad per partition, partition-local indices") {
     import spark.implicits._
     val df = (0 until 10).map(i => (s"p$i", i.toDouble))

@@ -66,6 +66,17 @@ class CellposeSpec extends SparkSpec {
     assert(run(2) == run(128))
   }
 
+  test("parent/dapi channel index beyond an event's channel count fails loudly") {
+    val src = Synthetic.cells(spark, 2, channels = 2)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Segmentation.segmentCellpose(src,
+        Segmentation.CellposeShaped(parentChannelIndex = 5, dapiChannelIndex = 0,
+          cellDiameter = 8)).collect()
+    }
+    val msg = Option(ex.getCause).getOrElse(ex).getMessage
+    assert(msg.contains("cellpose parent/dapi channel"), s"got: $msg")
+  }
+
   test("tombstones pass through segmentCellpose in order") {
     import graft.core.Codecs._
     val src = Synthetic.cells(spark, 4, channels = 2)

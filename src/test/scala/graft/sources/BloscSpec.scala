@@ -26,6 +26,33 @@ class BloscSpec extends SparkSpec {
     assert(Blosc.unshuffle(shuffled, 2).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 9))
   }
 
+  test("partial last block is a leftoverblock: never split") {
+    // Two-block frame, typesize=2, blocksize=256, nbytes=386: the last
+    // block is 130 bytes (typesize-divisible, but nbytes % blocksize != 0)
+    // so c-blosc marks it leftover and writes ONE stream, not typesize.
+    val typesize = 2
+    val blocksize = 256
+    val nbytes = 386
+    val expected = Array.tabulate[Byte](nbytes)(i => ((i * 7 + 3) % 251).toByte)
+    def shuffleBlock(data: Array[Byte]): Array[Byte] = {
+      val items = data.length / typesize
+      val out = new Array[Byte](data.length)
+      for (j <- 0 until typesize; i <- 0 until items)
+        out(j * items + i) = data(i * typesize + j)
+      out
+    }
+    val b0 = shuffleBlock(expected.slice(0, 256))   // split: 2 stored streams of 128
+    val b1 = shuffleBlock(expected.slice(256, 386)) // leftover: 1 stored stream of 130
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + (4 + 128) * 2 + 4 + 130)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte).put((0x1 | 0x20).toByte).put(typesize.toByte)
+    bb.putInt(nbytes).putInt(blocksize).putInt(bb.capacity)
+    bb.putInt(24).putInt(24 + (4 + 128) * 2)
+    bb.putInt(128).put(b0, 0, 128).putInt(128).put(b0, 128, 128)
+    bb.putInt(130).put(b1)
+    assert(Blosc.decode(bb.array).toSeq == expected.toSeq)
+  }
+
   test("reference fixture chunks decode to the exact advertised size") {
     assume(Files.exists(Paths.get(fixture)))
     for (chunk <- Seq("0", "1")) {
