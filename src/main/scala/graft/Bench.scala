@@ -11,10 +11,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/parquet-footer init otherwise lands
-    // on whichever query runs first (~5s of noise)
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    // untimed warmup: JVM/codegen/parquet-footer init otherwise lands on
+    // whichever query runs first. Warm EVERY table (not just lineitem —
+    // round-2 bench charged d01/d02 ~5s of classload for reading
+    // documents.parquet cold) plus one throwaway registry query for the
+    // codegen/UDF classload path.
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try spark.read.parquet(f.getPath).count()
+        catch { case _: Throwable => } // events.parquet nanos: footer still warmed
+      }
+    SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
+    spark.catalog.clearCache()
+    System.gc()
     // deterministic order; caches are per-query scoped — clear between
     // queries so one query's persisted subplans can't poison the next
     // (shared local JVM heap)

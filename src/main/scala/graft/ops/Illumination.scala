@@ -65,29 +65,44 @@ object Illumination {
     import spark.implicits._
     // Aggregator via groupByKey.agg: partial aggregation per partition
     // (ObjectHashAggregate), only ngroups image-sized buffers shuffle.
-    val sums = ds.filter(_.hasPixels)
+    // The O(C·H·W·window) median-filter finish runs in the same
+    // executor stage via the typed map — mirroring the reference's
+    // task-side `_finish` (jones_2006.py:109-118) — so the driver only
+    // ever receives the ngroups finished correction images.
+    correctionDataset(spark, ds, medianSize).collect().toMap
+  }
+
+  /** the distributed plan behind [[correctionImages]], pre-collect —
+    * exposed so specs can pin the finish to an executor stage */
+  private[graft] def correctionDataset(spark: SparkSession, ds: Dataset[ImageEvent],
+      medianSize: Int): Dataset[(String, Array[Float])] = {
+    import spark.implicits._
+    ds.filter(_.hasPixels)
       .groupByKey(_.group)
       .agg(new MeanImageAgg().toColumn)
-      .collect()
-    sums.map { case (g, buf) =>
-      val c = buf(1).toInt; val h = buf(2).toInt; val w = buf(3).toInt
-      val count = buf(0)
-      val corr = new Array[Float](c * h * w)
-      var ch = 0
-      while (ch < c) {
-        val plane = new Array[Float](h * w)
-        var i = 0
-        while (i < h * w) { plane(i) = (buf(4 + ch * h * w + i) / count).toFloat; i += 1 }
-        val filtered = Filters.medianSquare(plane, h, w, medianSize)
-        i = 0
-        while (i < h * w) {
-          corr(ch * h * w + i) = if (filtered(i) == 0f) 1f else filtered(i)
-          i += 1
-        }
-        ch += 1
+      .map { case (g, buf) => g -> finishCorrection(buf, medianSize) }
+  }
+
+  /** mean → scipy-style square median filter → zeros→1, one group's
+    * buffer in, one finished correction image out (executor-side) */
+  private[ops] def finishCorrection(buf: Array[Double], medianSize: Int): Array[Float] = {
+    val c = buf(1).toInt; val h = buf(2).toInt; val w = buf(3).toInt
+    val count = buf(0)
+    val corr = new Array[Float](c * h * w)
+    var ch = 0
+    while (ch < c) {
+      val plane = new Array[Float](h * w)
+      var i = 0
+      while (i < h * w) { plane(i) = (buf(4 + ch * h * w + i) / count).toFloat; i += 1 }
+      val filtered = Filters.medianSquare(plane, h, w, medianSize)
+      i = 0
+      while (i < h * w) {
+        corr(ch * h * w + i) = if (filtered(i) == 0f) 1f else filtered(i)
+        i += 1
       }
-      g -> corr
-    }.toMap
+      ch += 1
+    }
+    corr
   }
 
   /** divide: pixels /= correction[group] (jones_2006.py:96-100) */

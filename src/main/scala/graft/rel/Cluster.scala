@@ -86,12 +86,14 @@ object Cluster {
     val maxRounds = 50
     while (!converged && rounds < maxRounds) {
       val next = smallStar(spark, largeStar(spark, edges)).localCheckpoint()
-      // fixpoint test: edge sets equal ⟺ same size and empty anti-join
-      // (both sides are distinct by construction). Two tiny jobs per
-      // round on the already-checkpointed tables.
-      val sameSize = next.count() == edges.count()
-      converged = sameSize &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // fixpoint test: both sides are distinct by construction, so the
+      // edge sets are equal ⟺ their symmetric difference is empty —
+      // ONE job per round (unionAll + count-by-edge + take(1)) on the
+      // already-checkpointed tables, not count() + anti-join.
+      converged = next.unionByName(edges)
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1)
+        .isEmpty
       edges = next
       rounds += 1
     }

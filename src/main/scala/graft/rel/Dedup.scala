@@ -223,6 +223,10 @@ object Dedup {
       .select(explode(pairsOfIds(col("ids"))).as("p"))
       .select(col("p._1").as("da"), col("p._2").as("db"))
       .distinct()
+      // tiny by construction, but referenced by TWO broadcast joins
+      // below — materialize once so the signature scan + bucket
+      // aggregate don't run once per broadcast subtree
+      .localCheckpoint()
     val jaccardOfTexts = udf { (ta: String, tb: String) =>
       val a = shingleSet(ta)
       val bSet = new java.util.HashSet[String]()

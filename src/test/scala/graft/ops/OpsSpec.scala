@@ -70,6 +70,18 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(center - 1.0) < 0.35)
   }
 
+  test("illumination finish (median filter) runs in an executor stage") {
+    val plan = Illumination.correctionDataset(spark, fixture(), medianSize = 5)
+      .queryExecution.executedPlan.toString
+    // the typed map carrying finishCorrection sits ABOVE the aggregate:
+    // the per-group median filter is task-side work, the driver only
+    // collects finished images
+    val agg = plan.indexOf("ObjectHashAggregate")
+    val mapEl = plan.indexOf("MapElements")
+    assert(agg >= 0 && mapEl >= 0 && mapEl < agg,
+      s"expected MapElements above ObjectHashAggregate:\n$plan")
+  }
+
   test("illumination precomputed path: save/load roundtrip equals direct") {
     val direct = Illumination.correct(spark, fixture(), medianSize = 5)
       .collect().sortBy(_.idx)
