@@ -7,11 +7,11 @@ import java.nio.charset.StandardCharsets
   * heap + v1 B-tree + symbol nodes, v1 object headers, contiguous
   * layout, global heap collections) to emit AnnData `.h5ad` containers
   * (reference K2, export/anndata.py:12-60) from a JVM with no HDF5
-  * binding. String datasets use the variable-length encoding libhdf5
-  * writes (class-9 vlen datatype + GCOL global heap collections);
-  * string attributes stay fixed-length null-terminated ASCII (also
-  * spec-valid and h5py-readable). Verified structurally by the
-  * independent reader in Hdf5Spec.
+  * binding. String datasets AND string attributes use the
+  * variable-length encoding h5py writes for `str` data (class-9 vlen
+  * datatype, UTF-8 charset, GCOL global heap collections), so both
+  * round-trip through h5py as Python str unchanged. Verified
+  * structurally by the independent reader in Hdf5Spec.
   */
 object Hdf5 {
 
@@ -90,17 +90,22 @@ object Hdf5 {
 
   /** variable-length string (class 9): each element is a 16-byte
     * (length, global-heap collection address, object index) reference —
-    * the encoding libhdf5/h5py write for str data. Base type: 1-byte
-    * null-terminated ASCII string. */
+    * the encoding libhdf5/h5py write for str data. Charset UTF-8 on
+    * both the vlen and its base type, exactly like h5py's str dtype,
+    * so h5py decodes values back to Python str (not bytes). */
   case object VlenStr extends Dtype {
     val size = 16
     def encode(b: Buf): Unit = {
       b.u8(0x19) // version 1, class 9 (variable-length)
       b.u8(0x01) // bits 0-3: vlen type = string; bits 4-7: padding 0
-      b.u8(0x00) // bits 8-11: charset 0 (ASCII)
+      b.u8(0x01) // bits 8-11: charset 1 (UTF-8)
       b.u8(0)
       b.u32(16)
-      Str(1).encode(b) // base datatype
+      // base datatype: 1-byte null-terminated UTF-8 string
+      b.u8(0x13) // version 1, class 3 (string)
+      b.u8(0x10) // bits 0-3: null-terminated; bits 4-7: charset UTF-8
+      b.u8(0); b.u8(0)
+      b.u32(1)
     }
   }
 
@@ -130,17 +135,9 @@ object Hdf5 {
     java.util.Arrays.copyOf(raw, size)
   }
 
-  private def attrBody(a: Attr): Array[Byte] = {
-    val (dt, ds, data) = a.value match {
-      case StrV(v) =>
-        val size = v.getBytes(StandardCharsets.US_ASCII).length + 1
-        (dtypeBytes(Str(size)), dataspaceBytes(Seq.empty), strBytes(v, size))
-      case StrArrV(vs) =>
-        val size = math.max(1, vs.map(_.getBytes(StandardCharsets.US_ASCII).length).foldLeft(0)(math.max)) + 1
-        (dtypeBytes(Str(size)), dataspaceBytes(Seq(vs.length.toLong)),
-          vs.flatMap(strBytes(_, size)).toArray)
-    }
-    val nameB = a.name.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
+  private def packAttr(name: String, dt: Array[Byte], ds: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val nameB = name.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
     val b = new Buf
     b.u8(1); b.u8(0)
     b.u16(nameB.length)
@@ -212,10 +209,17 @@ object Hdf5 {
       * (index 0), and at most 65535 objects per collection (the index
       * is a u16) — a new collection starts when one fills up. */
     def vlenStrDataset(vals: Seq[String], attrs: Seq[Attr] = Seq.empty): Long = {
+      val raw = writeVlenRefs(vals.map(_.getBytes(StandardCharsets.UTF_8)))
+      dataset(Seq(vals.length.toLong), VlenStr, raw, attrs)
+    }
+
+    /** write string payloads into GCOL collections and return the
+      * packed 16-byte (length, collection addr, index) vlen references
+      * — shared by vlen datasets and vlen attributes */
+    private def writeVlenRefs(strBytes: Seq[Array[Byte]]): Array[Byte] = {
       val MinCollection = 4096L
       val MaxObjects = 65535
-      val strBytes = vals.map(_.getBytes(StandardCharsets.US_ASCII))
-      val refs = Array.fill(vals.length)((0, 0L)) // (heap index, collection addr)
+      val refs = Array.fill(strBytes.length)((0, 0L)) // (heap index, collection addr)
       // batch non-empty strings into <=65535-object collections
       val nonEmpty = strBytes.zipWithIndex.filter(_._1.nonEmpty)
       nonEmpty.grouped(MaxObjects).foreach { batch =>
@@ -255,7 +259,19 @@ object Hdf5 {
         raw.u64(addr)
         raw.u32(idx.toLong)
       }
-      dataset(Seq(vals.length.toLong), VlenStr, raw.result(), attrs)
+      raw.result()
+    }
+
+    /** attribute message body: vlen UTF-8 string scalar/array — the
+      * string payloads go to the global heap first (like h5py's str
+      * attrs), then the body carries the 16-byte references */
+    private[Hdf5] def attrBody(a: Attr): Array[Byte] = a.value match {
+      case StrV(v) =>
+        packAttr(a.name, dtypeBytes(VlenStr), dataspaceBytes(Seq.empty),
+          writeVlenRefs(Seq(v.getBytes(StandardCharsets.UTF_8))))
+      case StrArrV(vs) =>
+        packAttr(a.name, dtypeBytes(VlenStr), dataspaceBytes(Seq(vs.length.toLong)),
+          writeVlenRefs(vs.map(_.getBytes(StandardCharsets.UTF_8))))
     }
 
     /** old-style group over already-written children. All links live in

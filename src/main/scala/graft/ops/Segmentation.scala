@@ -182,7 +182,48 @@ object Segmentation {
     * parent labels (numpy.repeat default, cellpose.py:111). Tombstones
     * pass through in order. */
   def segmentCellpose(ds: Dataset[ImageEvent], cfg: CellposeShaped): Dataset[ImageEvent] =
-    ds.mapPartitions { it =>
+    ds.mapPartitions(cellposePartitions(cfg))
+
+  /** R5: the cellpose stage tagged for GPU scheduling — the Spark
+    * equivalent of the reference's dask GPU worker resources
+    * (utils/util.py:72,117-118, segmentation/__init__.py:31-33). A
+    * custom [[org.apache.spark.resource.ResourceProfile]] requests
+    * `gpuPerTask` GPUs per task, and the cellpose mapPartitions runs
+    * on an RDD carrying it (Catalyst plans can't carry resource hints,
+    * so this one stage round-trips Dataset→RDD→Dataset on the same
+    * encoder). Custom profiles are only schedulable on YARN/K8s/
+    * standalone with dynamic allocation (Spark's documented support
+    * matrix) — elsewhere (e.g. local mode) tagging would enqueue a job
+    * that never schedules, so the stage falls back to the default
+    * profile with identical semantics, mirroring the reference's CPU
+    * fallback (`mode != "grpc" or not gpu` path). */
+  def segmentCellposeGpu(ds: Dataset[ImageEvent], cfg: CellposeShaped,
+      gpuPerTask: Double = 1.0): Dataset[ImageEvent] = {
+    val sc = ds.sparkSession.sparkContext
+    val clusterManaged = sc.master.startsWith("yarn") ||
+      sc.master.startsWith("k8s://") || sc.master.startsWith("spark://")
+    val dynAlloc = sc.getConf.getBoolean("spark.dynamicAllocation.enabled",
+      defaultValue = false)
+    val rdd = ds.rdd.mapPartitions(cellposePartitions(cfg))
+    val tagged =
+      if (clusterManaged && dynAlloc) rdd.withResources(cellposeGpuProfile(gpuPerTask))
+      else rdd
+    ds.sparkSession.createDataset(tagged)(graft.core.Codecs.imageEventEncoder)
+  }
+
+  /** task/executor GPU requests for the cellpose stage (1 executor GPU,
+    * `gpuPerTask` per task — fractional amounts express task packing,
+    * e.g. 0.25 = 4 concurrent cellpose tasks per device) */
+  def cellposeGpuProfile(gpuPerTask: Double): org.apache.spark.resource.ResourceProfile = {
+    import org.apache.spark.resource.{ExecutorResourceRequests, ResourceProfileBuilder, TaskResourceRequests}
+    new ResourceProfileBuilder()
+      .require(new TaskResourceRequests().resource("gpu", gpuPerTask))
+      .require(new ExecutorResourceRequests().resource("gpu", 1))
+      .build()
+  }
+
+  private def cellposePartitions(cfg: CellposeShaped)(
+      it: Iterator[ImageEvent]): Iterator[ImageEvent] = {
       val model = CellposeModels.forWorker(cfg.model)
       it.grouped(cfg.batchSize).flatMap { batch =>
         val live = batch.filter(_.hasPixels)

@@ -403,13 +403,31 @@ object RelQueries {
           .orderBy("event_type")
     },
 
-    // L1/L2: exact-k random sample — not oracle-reproducible (seeded rand
-    // is engine-specific); driver records a rows-only check.
-    Q.noOracle("q23_sample_exact_k") { (s, d) =>
-      orders(s, d)
+    // L1/L2: exact-k random sample. The sampled SET is not
+    // oracle-reproducible (seeded rand is engine-specific), but its
+    // CONTRACT is: the query runs the sample twice and emits a
+    // one-row summary — k returned, k distinct, k present in the
+    // input (semi-join), and the symmetric difference of the two
+    // runs (0 ⟺ same seed → identical sample) — all constants the
+    // driver's DuckDB oracle replays literally at any sf ≥ 50 orders.
+    Q("q23_sample_exact_k",
+      """SELECT CAST(50 AS BIGINT) AS k_returned,
+        | CAST(50 AS BIGINT) AS k_distinct,
+        | CAST(50 AS BIGINT) AS k_in_input,
+        | CAST(0 AS BIGINT) AS rerun_diff""".stripMargin) { (s, d) =>
+      def sample = orders(s, d)
         .orderBy(rand(42), col("o_orderkey"))
         .limit(50)
         .select("o_orderkey", "o_totalprice")
+      val one = sample
+      val two = sample
+      val diff = one.exceptAll(two).unionAll(two.exceptAll(one))
+      val inInput = one.join(orders(s, d).select("o_orderkey"), Seq("o_orderkey"),
+        "left_semi")
+      one.agg(count(lit(1)).as("k_returned"),
+          countDistinct(col("o_orderkey")).as("k_distinct"))
+        .crossJoin(inInput.agg(count(lit(1)).as("k_in_input")))
+        .crossJoin(diff.agg(count(lit(1)).as("rerun_diff")))
     },
 
     // Composite analytics shape (TPC-H Q3 family): selective filters on

@@ -195,7 +195,17 @@ object Czi {
   private[sources] def readSubBlockPlane(ch: FileChannel,
       e: SubBlockEntry): (Array[Float], Int, Int) = {
     require(e.compression == 0 || e.compression == 5 || e.compression == 6,
-      s"unsupported CZI subblock compression ${e.compression} (JPEG-XR is out of scope)")
+      if (e.compression == 4)
+        "CZI subblock is JPEG-XR-compressed (compression=4). No JVM JPEG-XR " +
+          "codec exists, so this reader cannot decode it. Convert the file " +
+          "once up front and re-point the source at the result — either " +
+          "re-export from ZEN with compression set to none/zstd, or run " +
+          "`bfconvert in.czi out.ome.tiff` (Bio-Formats) and use the TIFF " +
+          "loader. The scan/meta path works on JPEG-XR files; only pixel " +
+          "load is blocked."
+      else
+        s"unsupported CZI subblock compression ${e.compression} " +
+          "(supported: 0=none, 5=zstd0, 6=zstd1)")
     val (id, _) = segmentHeader(ch, e.filePosition)
     require(id == "ZISRAWSUBBLOCK", s"directory points at $id, not a subblock")
     val dataStart = e.filePosition + SegHeaderLen

@@ -13,7 +13,8 @@ object H5Read {
       dims: Seq[Long],
       dtype: String,
       data: Array[Byte],
-      vlenStrs: Seq[String] = Seq.empty)
+      vlenStrs: Seq[String] = Seq.empty,
+      attrDtypes: Map[String, String] = Map.empty)
 
   def read(path: String): H5Obj = {
     val raw = Files.readAllBytes(Paths.get(path))
@@ -35,6 +36,7 @@ object H5Read {
     val nMsgs = bb.getShort(a + 2) & 0xffff
     var p = a + 16
     var attrs = Map.empty[String, Any]
+    var attrDtypes = Map.empty[String, String]
     var children = Map.empty[String, H5Obj]
     var dims: Seq[Long] = Seq.empty
     var dtype = ""
@@ -57,8 +59,9 @@ object H5Read {
           dataAddr = bb.getLong(body + 2)
           dataSize = bb.getLong(body + 10)
         case 0x000C =>
-          val (name, value) = parseAttr(bb, body)
+          val (name, value, tp) = parseAttr(bb, body)
           attrs += name -> value
+          attrDtypes += name -> tp
         case 0x0011 =>
           val btree = bb.getLong(body)
           val heap = bb.getLong(body + 8)
@@ -87,7 +90,7 @@ object H5Read {
         }
       } else Seq.empty[String]
     H5Obj(attrs, children, dims, if (dtype.isEmpty) "" else s"$dtype$dtypeSize",
-      data, vlen)
+      data, vlen, attrDtypes)
   }
 
   /** resolve one object out of a GCOL global heap collection */
@@ -132,7 +135,7 @@ object H5Read {
 
   private def pad8(n: Int): Int = (n + 7) / 8 * 8
 
-  private def parseAttr(bb: ByteBuffer, p: Int): (String, Any) = {
+  private def parseAttr(bb: ByteBuffer, p: Int): (String, Any, String) = {
     require(bb.get(p) == 1, "attribute message version must be 1")
     val nameSize = bb.getShort(p + 2) & 0xffff
     val dtSize = bb.getShort(p + 4) & 0xffff
@@ -145,9 +148,21 @@ object H5Read {
     val rank = bb.get(q + 1) & 0xff
     val n = if (rank == 0) -1 else bb.getLong(q + 8).toInt
     q += pad8(dsSize)
-    require(tp == "str", "attr reader supports strings only")
-    if (n < 0) (name, readFixedStr(bb, q, elemSize))
-    else (name, (0 until n).map(i => readFixedStr(bb, q + i * elemSize, elemSize)))
+    def vlenAt(off: Int): String = {
+      val len = bb.getInt(off)
+      val heapAddr = bb.getLong(off + 4)
+      val heapIdx = bb.getInt(off + 12)
+      if (len == 0) "" else readGlobalHeapObject(bb, heapAddr, heapIdx, len)
+    }
+    tp match {
+      case "str" =>
+        if (n < 0) (name, readFixedStr(bb, q, elemSize), tp)
+        else (name, (0 until n).map(i => readFixedStr(bb, q + i * elemSize, elemSize)), tp)
+      case "vlenstr" =>
+        if (n < 0) (name, vlenAt(q), tp)
+        else (name, (0 until n).map(i => vlenAt(q + i * 16)), tp)
+      case other => throw new IllegalStateException(s"unsupported attr datatype $other")
+    }
   }
 
   private def readCStr(bb: ByteBuffer, p: Int): String = {
@@ -238,6 +253,15 @@ class Hdf5Spec extends SparkSpec {
     val v = root.children("var")
     assert(strs(v.children("_index")) == Seq("feat_area_ch0", "feat_mean_ch0"))
     assert(v.attrs("column-order") == Seq.empty[String])
+
+    // every string attribute is written VARIABLE-length (class 9, the
+    // encoding h5py itself uses for str attrs, so values round-trip as
+    // Python str) — scalar and array-valued alike
+    def allAttrDtypes(o: H5Read.H5Obj): Seq[String] =
+      o.attrDtypes.values.toSeq ++ o.children.values.flatMap(allAttrDtypes)
+    val dts = allAttrDtypes(root)
+    assert(dts.nonEmpty && dts.forall(_ == "vlenstr"),
+      s"expected all-vlen attr dtypes, got ${dts.distinct}")
   }
 
   test("nullable int obs columns promote to float64+NaN (pandas semantics)") {

@@ -7,6 +7,27 @@ import graft.core.Synthetic
   * executor-singleton model cache, batch plumbing, tombstones. */
 class CellposeSpec extends SparkSpec {
 
+  test("R5: gpu profile requests task+executor GPUs; gpu path falls back and matches on local") {
+    val rp = Segmentation.cellposeGpuProfile(0.5)
+    assert(rp.taskResources("gpu").amount == 0.5)
+    assert(rp.executorResources("gpu").amount == 1.0)
+    // local master rejects custom profiles at tagging time — the gpu
+    // path must degrade to the default profile with identical output
+    val cfg = Segmentation.CellposeShaped(parentChannelIndex = 0,
+      dapiChannelIndex = 0, cellDiameter = 8)
+    def key(e: graft.core.ImageEvent) = (e.path, e.idx, e.id)
+    val cpu = Segmentation.segmentCellpose(Synthetic.cells(spark, 6, channels = 2), cfg)
+      .collect().sortBy(key)
+    val gpu = Segmentation.segmentCellposeGpu(Synthetic.cells(spark, 6, channels = 2), cfg)
+      .collect().sortBy(key)
+    assert(cpu.length == gpu.length)
+    cpu.zip(gpu).foreach { case (a, b) =>
+      assert(key(a) == key(b))
+      assert(java.util.Arrays.equals(a.mask, b.mask))
+      assert(a.regions.toSeq == b.regions.toSeq)
+    }
+  }
+
   test("assignChildren replicates the >10%-overlap rule") {
     // parent: label 1 covers cells 0-9, label 2 covers 10-19
     val parent = Array.fill(10)(1) ++ Array.fill(10)(2) ++ Array.fill(4)(0)

@@ -9,8 +9,10 @@ class ReferenceE2eSpec extends SparkSpec {
 
   test("scip_zarr.yml shape on test.zarr: 10 rows, all branch families") {
     assume(Files.exists(Paths.get("/root/reference/test/data/test.zarr")))
-    val df = graft.rel.PipelineQueries.all
-      .find(_.name == "p07_reference_e2e").get.fn(spark, sfDir)
+    // the raw wide feature table (the registry entry wraps this in the
+    // per-row digest for the driver's value gate)
+    val df = graft.rel.PipelineQueries.digestables
+      .find(_._1 == "p07_reference_e2e").get._2(spark, sfDir)
     val rows = df.collect()
     // limit -1 => every input event appears (test_main expected_n=10)
     assert(rows.length == 10)

@@ -36,6 +36,18 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean IVF recall@10 = $mean")
   }
 
+  test("registry s02/s04 outputs carry recall_at_10 >= 0.9 at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    Seq("s02_knn_lsh", "s04_knn_ivf").foreach { n =>
+      val df = Similarity.all.find(_.name == n).get.fn(spark, dir)
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$n returned no rows")
+      val rec = rows.head.getAs[Double]("recall_at_10")
+      assert(rows.forall(_.getAs[Double]("recall_at_10") == rec))
+      assert(rec >= 0.9, s"$n recall_at_10 = $rec")
+    }
+  }
+
   test("kmeans quantizer is deterministic and balanced-ish") {
     val vecs = Array.tabulate(256)(i =>
       Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))

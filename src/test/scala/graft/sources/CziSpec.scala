@@ -158,6 +158,6 @@ class CziSpec extends SparkSpec {
         java.nio.channels.FileChannel.open(java.nio.file.Paths.get(p),
           java.nio.file.StandardOpenOption.READ), patched)
     }
-    assert(err.getMessage.contains("JPEG-XR is out of scope"))
+    assert(err.getMessage.contains("bfconvert") && err.getMessage.contains("JPEG-XR"))
   }
 }
