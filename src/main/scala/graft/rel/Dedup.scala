@@ -483,6 +483,12 @@ object Dedup {
 
   // ---- declared queries ---------------------------------------------------
 
+  /** decontamination n-gram length (word-level). Real pipelines use
+    * 8–13; 5 keeps the planted near-dups of the synthetic corpus
+    * detectable. Declared BEFORE `all`: the oracle SQL interpolates it
+    * at object init. */
+  val DecontamN = 5
+
   val all: Seq[Q] = Seq(
     // Exact dedup via content digest: one hash-aggregate, keeps the
     // smallest doc_id per distinct text (deterministic survivor).
@@ -611,6 +617,42 @@ object Dedup {
 
     // SemDeDup: embedding-cluster dedup — nearest-centroid assignment
     // + in-cluster cosine pruning, fully oracle-checked.
-    Q("d08_semdedup", semdedupOracle) { (s, d) => semdedup(s, d, 0.4) }
+    Q("d08_semdedup", semdedupOracle) { (s, d) => semdedup(s, d, 0.4) },
+
+    // Benchmark decontamination: flag training documents sharing any
+    // word n-gram with an evaluation set (the GPT-3/PaLM-style overlap
+    // check; eval = doc_id < 20 here). Scale shape: the eval side is
+    // benchmark-sized by definition — its distinct grams aggregate
+    // small and BROADCAST; the training corpus streams through one
+    // exploded pass and a broadcast semi-join, so nothing
+    // corpus-sized ever shuffles. Per-doc hit counts shuffle only
+    // matched (doc, gram) pairs.
+    Q("d09_decontaminate",
+      s"""WITH words AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(w[i:i+${DecontamN - 1}], ' ') AS g
+         |  FROM words, unnest(range(1, len(w) - ${DecontamN - 2})) AS t(i)
+         |  WHERE len(w) >= $DecontamN),
+         |eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20)
+         |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+         |FROM grams g JOIN eval_grams e USING (g)
+         |WHERE g.doc_id >= 20
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = filter(split(col("text"), " "), t => length(t) > 0)
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= DecontamN)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - (DecontamN - 1)),
+          i => array_join(slice(col("w"), i, lit(DecontamN)), " "))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") < 20).select("g").distinct()
+      grams.filter(col("doc_id") >= 20)
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_hits"))
+        .orderBy("doc_id")
+    }
   )
 }

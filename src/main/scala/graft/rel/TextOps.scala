@@ -78,6 +78,13 @@ object TextOps {
     out.asScala.toSeq
   }
 
+  // RE2-compatible PII patterns (shared verbatim by the Spark plan and
+  // the DuckDB oracle — no lookaround, no backreferences). Declared
+  // BEFORE `all`: the oracle SQL interpolates them at object init.
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
   val all: Seq[Q] = Seq(
     // Token counting: whitespace tokens + distinct counts.
     Q("t01_token_stats",
@@ -332,6 +339,96 @@ object TextOps {
         .flatMap { case (id, t) => winnow(t).iterator.map(p => (id, p._1, p._2)) }
         .toDF("doc_id", "pos", "fp")
         .orderBy("doc_id", "pos", "fp")
+    },
+
+    // PII scrubbing: regex detect-and-redact for emails, IPv4s, and
+    // phone numbers — the standard pre-training redaction pass. The
+    // corpus text carries no PII, so each doc gets a deterministic
+    // doc_id-derived suffix injected first; the scrub then provably
+    // fires on every row and the oracle replays the same injection +
+    // RE2-compatible patterns (no lookaround/backrefs, so Java and
+    // DuckDB regex semantics agree). Pure per-row codegen — one
+    // whole-stage pass, no shuffle at any scale.
+    Q("t11_pii_scrub",
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or 555-' ||
+         |      lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+         |      lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+         |      ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 3) % 256)::VARCHAR AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, t,
+         |  regexp_replace(t, '$PiiEmail', '<EMAIL>', 'g') AS t1 FROM injected),
+         |s2 AS (SELECT doc_id, t, t1,
+         |  regexp_replace(t1, '$PiiIpv4', '<IP>', 'g') AS t2 FROM s1)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$PiiEmail')) AS n_email,
+         |  len(regexp_extract_all(t1, '$PiiIpv4')) AS n_ip,
+         |  len(regexp_extract_all(t2, '$PiiPhone')) AS n_phone,
+         |  md5(regexp_replace(t2, '$PiiPhone', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM s2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 3) % 256).cast("string"))
+      val afterEmail = regexp_replace(t, PiiEmail, "<EMAIL>")
+      val afterIp = regexp_replace(afterEmail, PiiIpv4, "<IP>")
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"), afterEmail.as("t1"), afterIp.as("t2"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(PiiEmail)).cast("long").as("n_email"),
+          regexp_count(col("t1"), lit(PiiIpv4)).cast("long").as("n_ip"),
+          regexp_count(col("t2"), lit(PiiPhone)).cast("long").as("n_phone"),
+          md5(regexp_replace(col("t2"), PiiPhone, "<PHONE>")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Boilerplate scoring (CCNet/line-dedup family, word-gram form):
+    // per document, the fraction of its word 3-grams that are
+    // corpus-frequent (appear in >= 3 distinct docs). Scale shape: the
+    // doc-frequency aggregate shuffles md5(gram) digests, never gram
+    // text; the frequent set (boilerplate is small by definition)
+    // broadcasts back for a per-position membership count — the corpus
+    // itself never self-joins or re-shuffles.
+    Q("t12_boilerplate",
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, md5(array_to_string(w[i:i+2], ' ')) AS h
+        |  FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 3),
+        |freq AS (
+        |  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT g.doc_id,
+        |  count(*) AS n_grams,
+        |  count(*) FILTER (WHERE f.h IS NOT NULL) AS n_frequent,
+        |  round(count(*) FILTER (WHERE f.h IS NOT NULL)::DOUBLE / count(*), 6)
+        |    AS boilerplate_frac
+        |FROM grams g LEFT JOIN freq f ON g.h = f.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = filter(split(col("text"), " "), t => length(t) > 0)
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => md5(array_join(slice(col("w"), i, lit(3)), " ")))).as("h"))
+        .cache()
+      val freq = grams.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("h"), lit(1).as("is_freq"))
+      grams.join(broadcast(freq), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("is_freq")).as("n_frequent"),
+          round(count(col("is_freq")).cast("double") / count(lit(1)), 6)
+            .as("boilerplate_frac"))
+        .orderBy("doc_id")
     }
   )
 }

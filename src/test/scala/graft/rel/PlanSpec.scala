@@ -66,6 +66,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d09/t12: gram-set joins broadcast the small side, never shuffle-join the corpus") {
+    Seq("d09_decontaminate", "t12_boilerplate").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+      assert(!p.contains("ShuffledHashJoin"), s"$q: $p")
+    }
+  }
+
+  test("t11: PII scrub is one codegen pass — no shuffle except the output sort") {
+    val p = plan("t11_pii_scrub")
+    // a single Exchange (the final presentation orderBy); no join, no agg
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q24: stratified sample is a partial+final object aggregate, no window sort") {
     val p = plan("q24_stratified_sample")
     // bounded top-k Aggregator → ObjectHashAggregate with a partial

@@ -1,0 +1,86 @@
+package graft.rel
+
+import graft.SparkSpec
+
+/** Semantic cross-checks for the round-3 training-data operators
+  * (d09 decontamination, t11 PII scrub, t12 boilerplate): each query's
+  * distributed result is compared against a direct in-memory
+  * recomputation from the same parquet inputs. */
+class TrainingDataOpsSpec extends SparkSpec {
+
+  private lazy val docs: Seq[(Long, String)] = {
+    import org.apache.spark.sql.functions.col
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+  }
+
+  private def wordGrams(text: String, n: Int): Seq[String] = {
+    val w = text.split(" ").filter(_.nonEmpty)
+    if (w.length < n) Seq.empty
+    else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+  }
+
+  test("d09: flagged docs and hit counts match a brute-force overlap check") {
+    val n = Dedup.DecontamN
+    val evalGrams = docs.filter(_._1 < 20).flatMap(d => wordGrams(d._2, n)).toSet
+    val expected = docs.filter(_._1 >= 20)
+      .map { case (id, t) => id -> wordGrams(t, n).distinct.count(evalGrams.contains) }
+      .filter(_._2 > 0).toMap
+    val got = SparkEntryLookup("d09_decontaminate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong })
+    assert(got.nonEmpty, "corpus plants near-dups — expected at least one hit")
+  }
+
+  test("t11: counts and scrubbed md5 match an in-JVM regex replay; no PII survives") {
+    val rows = SparkEntryLookup("t11_pii_scrub")(spark, sfDir).collect()
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val injected = byId(id) +
+        s" contact user$id@mail.example.com or 555-" +
+        f"${id % 1000}%03d-${(id * 7) % 10000}%04d" +
+        s" ip 10.0.${id % 256}.${(id * 3) % 256}"
+      val afterEmail = injected.replaceAll(TextOps.PiiEmail, "<EMAIL>")
+      val afterIp = afterEmail.replaceAll(TextOps.PiiIpv4, "<IP>")
+      val scrubbed = afterIp.replaceAll(TextOps.PiiPhone, "<PHONE>")
+      assert(r.getLong(1) == TextOps.PiiEmail.r.findAllIn(injected).size) // n_email
+      assert(r.getLong(2) == TextOps.PiiIpv4.r.findAllIn(afterEmail).size) // n_ip
+      assert(r.getLong(3) == TextOps.PiiPhone.r.findAllIn(afterIp).size) // n_phone
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1 && r.getLong(3) >= 1,
+        s"injected PII must be detected (doc $id)")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(scrubbed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(4) == md5, s"scrub divergence on doc $id")
+      Seq(TextOps.PiiEmail, TextOps.PiiIpv4, TextOps.PiiPhone).foreach { p =>
+        assert(p.r.findFirstIn(scrubbed).isEmpty, s"PII survives scrub: doc $id")
+      }
+    }
+  }
+
+  test("t12: boilerplate fractions match a brute-force doc-frequency check") {
+    val grams = docs.map { case (id, t) => id -> wordGrams(t, 3) }
+      .filter(_._2.nonEmpty)
+    val docFreq = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = grams.map { case (id, gs) =>
+      val freqHits = gs.count(g => docFreq(g) >= 3)
+      (id, gs.size.toLong, freqHits.toLong,
+        BigDecimal(freqHits.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = SparkEntryLookup("t12_boilerplate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, s"doc ${g._1}: ${g._4} vs ${e._4}")
+    }
+  }
+
+  private object SparkEntryLookup {
+    def apply(name: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      graft.SparkEntry.queries(name)
+  }
+}
