@@ -35,7 +35,12 @@ object Cluster {
         "duplicates first (d01) or tighten the pair threshold before clustering")
 
   /** One large-star round: every node links its strictly-larger
-    * neighbors to the minimum of its closed neighborhood. */
+    * neighbors to the minimum of its closed neighborhood. The output
+    * is NOT deduplicated — the small-star round that always follows
+    * dedups in its own neighbor-set fold, saving one (u,v) shuffle per
+    * round (duplicates only fatten its collect_list transiently, and
+    * the degree guard stays conservative: dup-counting can only trip
+    * it earlier). */
   private def largeStar(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     edges.select(col("u"), col("v"))
@@ -45,9 +50,10 @@ object Cluster {
       .flatMap { case (u, ns) =>
         checkDegree(u, ns.length)
         val m = math.min(u, ns.min)
-        ns.iterator.filter(_ > u).map(v => (v, m))
+        val seen = new java.util.HashSet[Long]()
+        ns.iterator.filter(v => v > u && seen.add(v)).map(v => (v, m))
       }
-      .toDF("u", "v").distinct()
+      .toDF("u", "v")
   }
 
   /** One small-star round: every node links its smaller-or-equal
