@@ -32,6 +32,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("p08 batch sessionization equals streaming sessionize on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batch = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .limit(800).cache()
+    val rows = batch.select("event_id", "user_id", "ts", "event_type", "value")
+      .as[EventRow].collect()
+
+    val stream = MemoryStream[EventRow]
+    stream.addData(rows.toSeq)
+    val q = sessionize(stream.toDS(),
+        gapMs = graft.rel.PipelineQueries.SessionGapMs)
+      .writeStream.format("memory").queryName("p08_sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // one batch → every session emitted exactly once (init closed,
+    // final one open per user)
+    val streamed = spark.table("p08_sessions")
+      .select("user_id", "start", "end", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // the registry batch query on the SAME rows: re-express via a temp
+    // parquet dir so the query's events reader sees identical input
+    val dir = java.nio.file.Files.createTempDirectory("p08-parity").toString
+    batch.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batched = graft.SparkEntry.queries("p08_user_sessions")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == batched)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup keeps the first occurrence of each digest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
