@@ -623,6 +623,23 @@ object RelQueries {
         .filter(col("pri") === 2)
         .select("event_id", "user_id", "ts_us", "click_id", "click_ts_us")
         .orderBy("event_id")
+    },
+
+    // Sketch-based distinct counting with an in-query self-audit: the
+    // exact count(DISTINCT) is what the oracle replays; the HLL++
+    // sketch (approx_count_distinct, rsd 5%) is the 100 TB product
+    // path — a one-pass, fixed-size, mergeable aggregate with NO
+    // distinct-key shuffle — and the query asserts its own error
+    // bound by emitting |approx−exact|/exact ≤ 3·rsd as a column.
+    Q("q30_distinct_sketch",
+      """SELECT count(DISTINCT l_orderkey) AS n_exact, true AS approx_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("n_approx"))
+        .select(col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.15).as("approx_ok"))
     }
   )
 }
