@@ -348,9 +348,13 @@ object Features {
         }
       i += 1
     }
+    // one matrix+properties pass per (distance, angle) — hoisted out of
+    // the per-prop loop (recomputing the co-occurrence matrices per
+    // property is |Props|× redundant work, O(H·W) each on real images)
+    val perDistAll = GlcmDistances.map(d => Glcm.meanStdOverAngles(q, h, w, levels, d))
     var k = 0
     Glcm.Props.indices.foreach { p =>
-      val perDist = GlcmDistances.map(d => Glcm.meanStdOverAngles(q, h, w, levels, d)(p))
+      val perDist = perDistAll.map(_(p))
       perDist.foreach { ms => out(k) = ms._1; k += 1 }
       perDist.foreach { ms => out(k) = ms._2; k += 1 }
     }

@@ -341,6 +341,76 @@ object TextOps {
         .orderBy("doc_id", "pos", "fp")
     },
 
+    // Sequence packing for pretraining (the GPT-style concat-and-chunk
+    // layout): each doc gets its global token offset, its context
+    // window (pack) id at L=2048, and whether it straddles a window
+    // boundary. The global running sum is a DISTRIBUTED TWO-PHASE
+    // PREFIX SUM — per-partition totals collect (one long per
+    // partition), the driver cumsums them, and a broadcast offset
+    // vector seeds a second per-partition pass. A window over a
+    // single global ORDER BY (the oracle's formulation) would funnel
+    // 100 TB through one partition; this shape never does.
+    Q("t13_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, start_tok,
+        |  start_tok // 2048 AS pack_id,
+        |  (start_tok // 2048) != ((start_tok + n - 1) // 2048) AS crosses_boundary
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val PackLen = 2048L
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .as[(Long, Long)]
+        .cache() // both prefix-sum phases must see identical partitions
+      val totals = toks.rdd
+        .mapPartitionsWithIndex { case (pid, it) =>
+          var sum = 0L; it.foreach(sum += _._2); Iterator.single((pid, sum))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = s.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+      toks.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = offsets.value(pid)
+        it.map { case (id, n) => val start = run; run += n; (id, n, start) }
+      }.toDF("doc_id", "n_tokens", "start_tok")
+        .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+          expr(s"start_tok div $PackLen").as("pack_id"),
+          (expr(s"start_tok div $PackLen") =!=
+            expr(s"(start_tok + n_tokens - 1) div $PackLen")).as("crosses_boundary"))
+        .orderBy("doc_id")
+    },
+
+    // RAG-style chunking: overlapping character windows (512 chars,
+    // 64 overlap → stride 448) exploded one row per chunk. Pure
+    // per-row explode — no shuffle beyond the presentation sort.
+    Q("t14_chunk_overlap",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(length(text) - 64, 1), 448)) AS off
+        |  FROM documents)
+        |SELECT doc_id, off AS chunk_start,
+        |  substr(text, (off + 1)::INT, 512) AS chunk
+        |FROM c JOIN documents USING (doc_id)
+        |ORDER BY doc_id, chunk_start""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            greatest(length(col("text")).cast("long") - 65L, lit(0L)),
+            lit(448L))).as("off"))
+        .select(col("doc_id"), col("off").as("chunk_start"),
+          col("text").substr(col("off").cast("int") + 1, lit(512)).as("chunk"))
+        .orderBy("doc_id", "chunk_start")
+    },
+
     // PII scrubbing: regex detect-and-redact for emails, IPv4s, and
     // phone numbers — the standard pre-training redaction pass. The
     // corpus text carries no PII, so each doc gets a deterministic

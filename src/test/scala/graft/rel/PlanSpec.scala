@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("t13: distributed prefix sum never funnels through one partition") {
+    val p = plan("t13_sequence_packing")
+    // the naive formulation (global ORDER BY window) would plan an
+    // Exchange SinglePartition; the two-phase prefix sum must not
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q24: stratified sample is a partial+final object aggregate, no window sort") {
     val p = plan("q24_stratified_sample")
     // bounded top-k Aggregator → ObjectHashAggregate with a partial
