@@ -64,4 +64,45 @@ object ScaleOps {
       .agg(sum(col("_psum")).as("sum_" + valueCol),
         sum(col("_pn")).as("n"))
   }
+
+  /** Exclusive prefix sum of `valueCol` (long) in global `keyCol`
+    * (long) order, as a distributed TWO-PHASE pass: range-partition by
+    * key, per-partition totals collect to the driver (one long per
+    * partition), their cumulative sums broadcast back, and a second
+    * per-partition pass emits each row's running offset. The naive
+    * formulation — `sum() OVER (ORDER BY key)` with no partitioning —
+    * funnels the entire dataset through ONE reducer; this never does
+    * (PlanSpec pins no SinglePartition exchange on t13, its consumer).
+    *
+    * Output columns: keyCol, valueCol, "prefix". Handles empty range
+    * partitions (their total is 0, offsets stay aligned by partition
+    * id). The input is cached for the two passes and unpersisted
+    * before return — the result itself is plain rows.
+    */
+  def prefixSum(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df
+      .select(col(keyCol).cast("long"), col(valueCol).cast("long"))
+      .repartitionByRange(col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .as[(Long, Long)]
+      .cache() // both phases must see identical partitions
+    val totals = parted.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator.single((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val out = parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = offsets.value(pid)
+      it.map { case (k, v) => val p = run; run += v; (k, v, p) }
+    }.toDF(keyCol, valueCol, "prefix")
+      // materialize before unpersist so the cache isn't yanked from
+      // under a lazy consumer
+      .localCheckpoint()
+    parted.unpersist()
+    out
+  }
 }

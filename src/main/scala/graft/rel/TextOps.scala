@@ -363,25 +363,11 @@ object TextOps {
         |  start_tok // 2048 AS pack_id,
         |  (start_tok // 2048) != ((start_tok + n - 1) // 2048) AS crosses_boundary
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
       val PackLen = 2048L
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
-        .repartitionByRange(col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .as[(Long, Long)]
-        .cache() // both prefix-sum phases must see identical partitions
-      val totals = toks.rdd
-        .mapPartitionsWithIndex { case (pid, it) =>
-          var sum = 0L; it.foreach(sum += _._2); Iterator.single((pid, sum))
-        }
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = s.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
-      toks.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var run = offsets.value(pid)
-        it.map { case (id, n) => val start = run; run += n; (id, n, start) }
-      }.toDF("doc_id", "n_tokens", "start_tok")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      ScaleOps.prefixSum(toks, "doc_id", "n_tokens")
+        .withColumnRenamed("prefix", "start_tok")
         .select(col("doc_id"), col("n_tokens"), col("start_tok"),
           expr(s"start_tok div $PackLen").as("pack_id"),
           (expr(s"start_tok div $PackLen") =!=

@@ -43,6 +43,32 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS li_agg_bucketed")
   }
 
+  test("prefixSum is a correct global exclusive prefix, empty partitions included") {
+    import spark.implicits._
+    // 990 rows pile on one key: range partitioning crams them into few
+    // partitions and leaves others empty/sparse — the offset vector
+    // must stay aligned by partition id regardless
+    val rows = (0 until 1000).map(i =>
+      (if (i < 990) 5L else 1000L + i, (i % 7 + 1).toLong))
+    val got = ScaleOps.prefixSum(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == rows.length)
+    // emitted prefixes, in prefix order, must be the exact running sum
+    var run = 0L
+    got.sortBy(_._3).foreach { case (_, v, p) =>
+      assert(p == run, s"prefix $p != running $run"); run += v
+    }
+    assert(run == rows.map(_._2).sum)
+    // key-order contract: for k1 < k2, every k1 row precedes every k2 row
+    val span = got.groupBy(_._1).map { case (k, g) =>
+      k -> (g.map(_._3).min, g.map(t => t._3 + t._2).max)
+    }.toSeq.sortBy(_._1)
+    span.sliding(2).foreach {
+      case Seq((_, (_, endA)), (_, (startB, _))) => assert(endA <= startB)
+      case _ =>
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = li.groupBy("l_returnflag")
