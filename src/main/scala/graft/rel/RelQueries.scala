@@ -640,6 +640,88 @@ object RelQueries {
         .select(col("n_exact"),
           (abs(col("n_approx") - col("n_exact")).cast("double") /
             col("n_exact") <= 0.15).as("approx_ok"))
+    },
+
+    // Set operators with SQL set semantics (implicit distinct):
+    // customers holding both open and finished orders vs open-only.
+    // Spark plans INTERSECT/EXCEPT as hash aggregate + one hash
+    // left-semi/left-anti join keyed on the column set — a single
+    // key-shuffle each, no sort, no cross product; both sides here
+    // prune to the one join column before any exchange.
+    Q("q31_set_ops",
+      """SELECT 'both' AS op, o_custkey AS custkey FROM
+        | (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'open_only' AS op, o_custkey AS custkey FROM
+        | (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY op, custkey""".stripMargin) { (s, d) =>
+      val open = orders(s, d).filter(col("o_orderstatus") === "O")
+        .select("o_custkey")
+      val fin = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_custkey")
+      open.intersect(fin)
+        .select(lit("both").as("op"), col("o_custkey").as("custkey"))
+        .unionAll(open.except(fin)
+          .select(lit("open_only").as("op"), col("o_custkey").as("custkey")))
+        .orderBy("op", "custkey")
+    },
+
+    // Skew-salted aggregation as a first-class query (ScaleOps
+    // .saltedSumCount): `lang` is the canonical hot key of an LLM
+    // corpus (one language dominating), and the salt spreads it over 8
+    // sub-keys so no single reducer owns the hot group — AQE handles
+    // skewed *joins*, this is the aggregation-side counterpart.
+    // n_chars is integral, so the two-phase sum is exact and the
+    // result is bit-identical to the direct groupBy (ScaleOpsSpec).
+    Q("q32_salted_agg",
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        | count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      ScaleOps.saltedSumCount(documents(s, d), "lang", "n_chars", 8)
+        .orderBy("lang")
+    },
+
+    // Bloom-filter semi-join — Spark's runtime-filter/DPP idea made
+    // explicit: the selective dim key set folds to ~KB of Bloom bits
+    // (df.stat.bloomFilter → one aggregate, driver gets bits not
+    // keys), the bits broadcast, and the fact side pre-filters in a
+    // narrow scan with NO shuffle of non-matching rows. At 100 TB the
+    // fact table never shuffles on the join key at all; only the
+    // Bloom-surviving sliver (matches + fpp·misses) reaches the exact
+    // verify join. Self-audit: exact_matches is the oracle-replayable
+    // semi-join count; no_false_negatives certifies every exact match
+    // passed the filter (the Bloom contract); fp_bounded certifies the
+    // measured false-positive rate among true misses ≤ 3×fpp.
+    Q("q33_bloom_semi",
+      """SELECT count(*) AS exact_matches,
+        | CAST(1 AS BIGINT) AS no_false_negatives,
+        | CAST(1 AS BIGINT) AS fp_bounded
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""".stripMargin) { (s, d) =>
+      val keys = part(s, d).filter(col("p_size") >= 40).select("p_partkey")
+      val bloom = keys.stat.bloomFilter("p_partkey", 1 << 14, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val might = udf((k: Long) => bc.value.mightContainLong(k))
+      val li = lineitem(s, d).select("l_partkey")
+      val passed = li.filter(might(col("l_partkey")))
+      val exactAll = li.join(broadcast(keys),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      val exactPassed = passed.join(broadcast(keys),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      exactAll.agg(count(lit(1)).as("exact_matches"))
+        .crossJoin(passed.agg(count(lit(1)).as("_bloom_pass")))
+        .crossJoin(exactPassed.agg(count(lit(1)).as("_exact_passed")))
+        .crossJoin(li.agg(count(lit(1)).as("_n")))
+        .select(col("exact_matches"),
+          (col("_exact_passed") === col("exact_matches")).cast("bigint")
+            .as("no_false_negatives"),
+          ((col("_bloom_pass") - col("_exact_passed")).cast("double") /
+            greatest(lit(1L), col("_n") - col("exact_matches")) <= 0.03)
+            .cast("bigint").as("fp_bounded"))
     }
   )
 }

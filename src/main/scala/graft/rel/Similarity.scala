@@ -250,6 +250,89 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---- PQ (product quantization: ADC scan + exact re-rank) ---------------
+
+  /** ANN via product quantization (Jégou et al. 2011): the unit sphere
+    * splits into `m` orthogonal subspaces, each k-means'd to `ks`
+    * centroids on a bounded training sample (same 4096-cap as IVF), and
+    * every corpus vector is stored as `m` one-byte centroid codes —
+    * dim 64 float32 (256 B) compresses to 16 B, a 16× memory cut, which
+    * is what makes a 100 TB embedding corpus scannable from RAM.
+    * Retrieval is asymmetric distance (ADC): a query precomputes an
+    * m×ks table of per-subspace partial dot products; scoring a corpus
+    * vector is then m table lookups + adds over the CODES — the full
+    * float vectors never enter the scan. The ADC top-`shortlist` is
+    * exact-re-ranked with true cosines (the FAISS refine shape: fetch
+    * only shortlist×nQueries full vectors), so recall survives the
+    * quantization distortion of isotropic random test vectors.
+    */
+  def knnPq(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      m: Int = 16, ks: Int = 32, shortlist: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val sample = e.select(col("embedding")).limit(4096)
+      .as[Array[Float]].collect().map(unit)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      kmeansCentroids(sample.map(v => java.util.Arrays.copyOfRange(
+        v, mi * sub, (mi + 1) * sub)), ks, iters = 8)
+    }
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val encodeUdf = udf { (v: Array[Float]) =>
+      val u = unit(v); val cbs = bc.value
+      Array.tabulate(m) { mi =>
+        val cb = cbs(mi)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var dd = 0.0; var j = 0
+          while (j < sub) {
+            val d = u(mi * sub + j) - cb(c)(j); dd += d * d; j += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        best.toByte
+      }
+    }
+    // ADC over codes only — (qid, nid, adc) is all that reaches the
+    // top-k; vectors are re-fetched for the shortlist alone
+    val adcUdf = udf { (q: Array[Float], code: Array[Byte]) =>
+      val u = unit(q); val cbs = bc.value
+      var s = 0.0; var mi = 0
+      while (mi < m) {
+        val cb = cbs(mi)(code(mi) & 0xff)
+        var j = 0
+        while (j < sub) { s += u(mi * sub + j) * cb(j); j += 1 }
+        mi += 1
+      }
+      s
+    }
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val codes = e.select(col("vec_id").as("nid"),
+      encodeUdf(col("embedding")).as("code"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+    val short = codes.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adcUdf(col("qe"), col("code")).as("adc"))
+      .withColumn("rn0", row_number().over(wAdc))
+      .filter(col("rn0") <= shortlist)
+      .select("qid", "nid")
+    // refine: broadcast the (nQueries×shortlist)-row shortlist back
+    // against the corpus to fetch true vectors, then exact cosine
+    val withVecs = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(queries), Seq("qid"))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    withVecs.select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Append a `recall_at_10` column (vs the exact brute-force top-k of
     * the SAME query set, computed in the same job) to an ANN result —
     * the approximate paths' rows-only driver check then carries the
@@ -296,6 +379,11 @@ object Similarity {
     Q.noOracle("s04_knn_ivf") { (s, d) =>
       withRecall(s, d, nQueries = 5, k = 10)(
         knnIvf(s, d, nQueries = 5, k = 10, nList = 16, nProbe = 12))
+    },
+    // PQ-compressed ADC scan + exact re-rank of the shortlist; recall
+    // carried in-result like s02/s04 (≥0.9 asserted in SimilaritySpec).
+    Q.noOracle("s05_knn_pq") { (s, d) =>
+      withRecall(s, d, nQueries = 5, k = 10)(knnPq(s, d, nQueries = 5, k = 10))
     },
 
     // Vector norms / normalization as a plain columnar transform.

@@ -485,6 +485,58 @@ object TextOps {
           round(count(col("is_freq")).cast("double") / count(lit(1)), 6)
             .as("boilerplate_frac"))
         .orderBy("doc_id")
+    },
+
+    // Statistical-LM quality scoring (the CCNet/Wenzek 2020 signal,
+    // here with the LM trained on the corpus itself): per-document
+    // mean negative log-likelihood under an add-0.5-smoothed bigram
+    // model. High nll = atypical text (noise, mojibake, spam); the
+    // classic perplexity-bucket filter for pretraining data. Scale
+    // shape: the model is two aggregates keyed on token/bigram —
+    // O(vocab) and O(vocab²) rows, both ≪ corpus and both broadcast
+    // back — and scoring is one pass over exploded doc bigrams
+    // re-aggregated per doc; the corpus never self-joins. At web
+    // scale the model tables stay broadcastable because vocab is
+    // capped (hash the tail into an UNK bucket); here the vocab is
+    // tiny so the broadcast is exact.
+    Q("t15_lm_perplexity",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+        |vv AS (SELECT count(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS t(i)
+        |  WHERE len(ts) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT b.doc_id, -ln((g.c2 + 0.5) / (u.c1 + 0.5 * vv.v)) AS nll
+        |  FROM bi b JOIN big g USING (w1, w2) JOIN uni u ON u.tok = b.w1
+        |  CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ts = filter(split(col("text"), " "), t => length(t) > 0)
+      val toks = Tables.documents(s, d).select(col("doc_id"), ts.as("ts"))
+      val uni = toks.select(explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val bi = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+        .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val vv = uni.agg(count(lit(1)).as("v"))
+      bi.join(broadcast(big), Seq("w1", "w2"))
+        .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"),
+          (-log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5))).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("nll"))
+        .orderBy("doc_id")
     }
   )
 }

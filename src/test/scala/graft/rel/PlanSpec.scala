@@ -119,6 +119,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p) // it IS a join — just on the bucket key
   }
 
+  test("q33: bloom pre-filter keeps every join broadcast — the fact side never shuffles on the key") {
+    val p = plan("q33_bloom_semi")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q31: set ops plan as aggregate + hash semi/anti join, no sort or cartesian") {
+    val p = plan("q31_set_ops")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t15: LM model tables broadcast back — the corpus never shuffle-joins itself") {
+    val p = plan("t15_lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s05: ADC scans codes only; the refine join fetches the shortlist by broadcast") {
+    val p = plan("s05_knn_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen spans exist in the executed per-row transforms") {
     // Spark's higher-order array expressions (filter/transform lambdas)
     // are interpreted and legitimately sit OUTSIDE codegen spans; the

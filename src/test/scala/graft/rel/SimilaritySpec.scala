@@ -36,9 +36,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean IVF recall@10 = $mean")
   }
 
-  test("registry s02/s04 outputs carry recall_at_10 >= 0.9 at sf0.01") {
+  test("PQ ANN recall@10 vs brute force is >= 0.9 (ADC + exact re-rank)") {
+    val brute = topk(Similarity.knnBrute(spark, sfDir, nQueries = 5, k = 10))
+    val pq = topk(Similarity.knnPq(spark, sfDir, nQueries = 5, k = 10))
+    val recalls = brute.map { case (q, bs) =>
+      val ps = pq.getOrElse(q, Seq.empty).toSet
+      bs.count(ps.contains).toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    // the 64-row shortlist re-ranked exactly must recover nearly all of
+    // the true top-10 even on isotropic random vectors
+    assert(mean >= 0.9, s"mean PQ recall@10 = $mean")
+  }
+
+  test("PQ codes are m bytes and deterministic") {
+    val df = Similarity.knnPq(spark, sfDir, nQueries = 2, k = 5)
+    val a = df.collect().map(_.toSeq)
+    val b = Similarity.knnPq(spark, sfDir, nQueries = 2, k = 5)
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("registry s02/s04/s05 outputs carry recall_at_10 >= 0.9 at sf0.01") {
     val dir = "/root/testdata/sf0.01"
-    Seq("s02_knn_lsh", "s04_knn_ivf").foreach { n =>
+    Seq("s02_knn_lsh", "s04_knn_ivf", "s05_knn_pq").foreach { n =>
       val df = Similarity.all.find(_.name == n).get.fn(spark, dir)
       val rows = df.collect()
       assert(rows.nonEmpty, s"$n returned no rows")
