@@ -489,6 +489,74 @@ object Dedup {
     * at object init. */
   val DecontamN = 5
 
+  /** substring-dedup window, in tokens (Lee et al. 2021 use 50 BPE
+    * tokens; 8 words keeps the synthetic corpus's planted near-dups
+    * detectable at these doc lengths). */
+  val SpanW = 8
+
+  /** Exact substring-span dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", word-window form):
+    * a position is duplicated when its [[SpanW]]-token window occurs
+    * ≥2 times anywhere in the corpus (other docs or the same doc);
+    * per doc, duplicated positions merge into maximal removal spans
+    * (interval union of [p, p+W-1]) — the spans a substring-dedup
+    * pass would cut, reported with their token coverage.
+    *
+    * Scale shape: positional windows shuffle as md5 digests (16 B,
+    * never text) into ONE count aggregate; the duplicated-gram set
+    * (true duplication is corpus-small) broadcasts back against the
+    * positions; span merging is a compiled per-doc pass over that
+    * doc's duplicated positions only — the corpus never self-joins.
+    * The suffix-array of the paper is the single-machine tool for the
+    * same predicate; fixed-width windows are its shuffle-friendly
+    * distributed form. */
+  def substringSpansOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = filter(split(col("text"), " "), t => length(t) > 0)
+    val toks = docs.select(col("doc_id"), w.as("w"))
+    val base = toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    val grams = toks.filter(size(col("w")) >= SpanW)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (SpanW - 1)),
+        i => struct(i.as("p"),
+          md5(array_join(slice(col("w"), i, lit(SpanW)), " ")).as("h"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
+      .cache()
+    val dups = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val perDoc = grams.join(broadcast(dups), Seq("h"))
+      .select(col("doc_id"), col("p")).as[(Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (d, it) =>
+        // interval union of same-width windows: positions are distinct
+        // and sorted, so a window extends the current span iff its
+        // start is within W of the previous start (≡ start ≤ end + 1)
+        val ps = it.map(_._2).toArray.sorted
+        var spans = 0L; var covered = 0L
+        var start = -1; var end = -1
+        ps.foreach { p =>
+          if (start < 0) { start = p; end = p + SpanW - 1; spans = 1 }
+          else if (p <= end + 1) end = p + SpanW - 1
+          else {
+            covered += end - start + 1
+            start = p; end = p + SpanW - 1; spans += 1
+          }
+        }
+        if (start >= 0) covered += end - start + 1
+        (d, ps.length.toLong, spans, covered)
+      }
+      .toDF("doc_id", "n_dup_grams", "n_spans", "tokens_covered")
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_covered"), lit(0L)).as("tokens_covered"),
+        round(coalesce(col("tokens_covered"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     // Exact dedup via content digest: one hash-aggregate, keeps the
     // smallest doc_id per distinct text (deterministic survivor).
@@ -653,6 +721,46 @@ object Dedup {
         .groupBy("doc_id")
         .agg(countDistinct(col("g")).as("n_hits"))
         .orderBy("doc_id")
+    },
+
+    // Exact substring-span dedup (see substringSpansOn). Oracle
+    // replays the positional windows and the interval union as
+    // gaps-and-islands: a new island starts when the gap between
+    // consecutive duplicated positions exceeds the window width.
+    Q("d10_substring_spans",
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+         |  FROM documents),
+         |base AS (SELECT doc_id, len(w) AS n_tokens FROM toks),
+         |grams AS (
+         |  SELECT doc_id, i AS p, md5(array_to_string(w[i:i+${SpanW - 1}], ' ')) AS h
+         |  FROM toks, unnest(range(1, len(w) - ${SpanW - 2})) AS t(i)
+         |  WHERE len(w) >= $SpanW),
+         |dups AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+         |dp AS (SELECT g.doc_id, g.p FROM grams g JOIN dups USING (h)),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |    sum(CASE WHEN p - prev > $SpanW THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |  FROM (SELECT doc_id, p,
+         |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+         |        FROM dp)),
+         |spans AS (
+         |  SELECT doc_id, island, max(p) - min(p) + $SpanW AS cov,
+         |         count(*) AS ng
+         |  FROM isl GROUP BY doc_id, island),
+         |agg AS (
+         |  SELECT doc_id, sum(ng) AS n_dup_grams, count(*) AS n_spans,
+         |         sum(cov) AS tokens_covered
+         |  FROM spans GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.tokens_covered, 0) AS BIGINT) AS tokens_covered,
+         |  round(coalesce(a.tokens_covered, 0)::DOUBLE / b.n_tokens, 6) AS dup_frac
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      substringSpansOn(s, Tables.documents(s, d))
     }
   )
 }

@@ -83,4 +83,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.fnv1a64("a") == 0xaf63dc4c8601ec8cL)
     assert(Dedup.fnv1a64("foobar") == 0x85944171f73967e8L)
   }
+
+  test("substring spans: hand-derived intervals on a planted corpus") {
+    import spark.implicits._
+    // W=8. doc 0 and doc 1 share tokens a1..a10 (positions 1-10 in
+    // both): duplicated 8-gram starts {1,2,3} → ONE span covering
+    // tokens 1..10. doc 2 is all-unique. doc 3 repeats its own first
+    // 8 tokens at position 20 (within-doc duplication counts).
+    val shared = (1 to 10).map("a" + _).mkString(" ")
+    val u = (1 to 12).map("u" + _).mkString(" ")
+    val b8 = (1 to 8).map("b" + _).mkString(" ")
+    val mid = (1 to 11).map("m" + _).mkString(" ")
+    val docs = Seq(
+      (0L, shared + " x1 x2"),            // 12 tokens
+      (1L, shared + " y1 y2 y3"),         // 13 tokens
+      (2L, u),                            // 12 tokens, no dups
+      (3L, b8 + " " + mid + " " + b8)     // 27 tokens, self-repeat at p=20
+    ).toDF("doc_id", "text")
+    val rows = Dedup.substringSpansOn(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(0L) == ((12L, 3L, 1L, 10L)), rows(0L))
+    assert(rows(1L) == ((13L, 3L, 1L, 10L)), rows(1L))
+    assert(rows(2L) == ((12L, 0L, 0L, 0L)), rows(2L))
+    // doc 3: dup starts {1, 20} — gap 19 > 8 → two spans of 8 tokens
+    assert(rows(3L) == ((27L, 2L, 2L, 16L)), rows(3L))
+  }
 }
