@@ -722,6 +722,53 @@ object RelQueries {
           ((col("_bloom_pass") - col("_exact_passed")).cast("double") /
             greatest(lit(1L), col("_n") - col("exact_matches")) <= 0.03)
             .cast("bigint").as("fp_bounded"))
+    },
+
+    // Event-time RANGE window frame (distinct from q17's running
+    // row frame): per user, the trailing-1-hour mean event value.
+    // Frame bounds are VALUE-based (micros), so peers and gaps behave
+    // identically in both engines; the mean is computed as an exact
+    // integer cent-sum over the frame divided once, which keeps the
+    // hash bit-stable under any in-frame accumulation order. One
+    // shuffle on user_id; frames evaluate in a single sorted pass per
+    // partition (no self-join formulation of the sliding window).
+    Q("q34_range_frame",
+      """SELECT event_id, user_id,
+        | round((sum(CAST(round(value * 100) AS BIGINT))
+        |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |        / (100.0 * count(*)
+        |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)), 4)
+        |   AS avg_1h
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val frame = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(round(col("value") * 100).cast("long")).over(frame) /
+            (count(lit(1)).over(frame) * 100.0), 4).as("avg_1h"))
+        .orderBy("event_id")
+    },
+
+    // Quantile sketch with an in-query self-audit (the q30 pattern for
+    // quantiles): the exact interpolated median is what the oracle
+    // replays; approx_percentile (Greenwald-Khanna, the 100 TB path —
+    // one pass, bounded memory, mergeable, no global sort) asserts its
+    // own error bound in-result. q25 keeps exact per-group quantiles;
+    // this is the corpus-wide sketch form.
+    Q("q35_quantile_sketch",
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        | true AS approx_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("_exact"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("_approx"))
+        .select(round(col("_exact"), 2).as("p50_exact"),
+          (abs(col("_approx") - col("_exact")) / col("_exact") <= 0.05)
+            .as("approx_ok"))
     }
   )
 }

@@ -84,4 +84,26 @@ class ScaleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  test("p10 partitioned layout prunes: a lang filter reads only that partition") {
+    // run the registry query to (re)write the partitioned layout
+    val rows = graft.SparkEntry.queries("p10_partitioned_write")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("layout_ok") == 1L), rows.mkString(","))
+    val out = "/tmp/graft-sink-fixtures/docs_by_lang_" +
+      new java.io.File(sfDir).getName
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory prune), not
+    // as a post-scan data filter over all partitions
+    assert(plan.contains("PartitionFilters"), plan)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("lang"), pf)
+    // and the pruned read returns exactly the en rows
+    val expect = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").count()
+    assert(pruned.count() == expect)
+  }
 }
