@@ -65,6 +65,30 @@ object ScaleOps {
         sum(col("_pn")).as("n"))
   }
 
+  /** k best rows per key via the engine's native whole-operator
+    * ([[graft.plans.TopKPerKeyPlan]] → partial per-partition bounded
+    * heaps → key-clustered final merge): the scale replacement for
+    * `row_number().over(Window.partitionBy(...)) <= k`, which
+    * shuffles and sorts EVERY row. Only ≤ partitions·keys·k rows
+    * reach the exchange; no partition ever sorts. `orderBy` is
+    * (column, ascending) pairs and should be a total order (add a
+    * unique tiebreak column) for a deterministic result set; row
+    * order within the result is unspecified, like any aggregate. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Expression, SortOrder}
+    val lp = org.apache.spark.sql.GraftBridge.analyzed(df)
+    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"topKPerKey: no column '$n' in [${lp.output.map(_.name).mkString(", ")}]"))
+    val keys = keyCols.map(attr(_): Expression)
+    val ord = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    org.apache.spark.sql.GraftBridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerKeyPlan(keys, ord, k, lp))
+  }
+
   /** Exclusive prefix sum of `valueCol` (long) in global `keyCol`
     * (long) order, as a distributed TWO-PHASE pass: range-partition by
     * key, per-partition totals collect to the driver (one long per

@@ -313,12 +313,16 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val codes = e.select(col("vec_id").as("nid"),
       encodeUdf(col("embedding")).as("code"))
-    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
-    val short = codes.crossJoin(broadcast(queries))
+    // shortlist via the native bounded top-k operator (partial heaps +
+    // survivor-only exchange — graft.plans.TopKPerKeyPlan) instead of
+    // a window row_number, which would shuffle and sort every scored
+    // candidate; (adc desc, nid) is a total order, so the shortlist
+    // set is deterministic
+    val scored = codes.crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), adcUdf(col("qe"), col("code")).as("adc"))
-      .withColumn("rn0", row_number().over(wAdc))
-      .filter(col("rn0") <= shortlist)
+    val short = ScaleOps.topKPerKey(scored, Seq("qid"),
+        Seq(("adc", false), ("nid", true)), shortlist)
       .select("qid", "nid")
     // refine: broadcast the (nQueries×shortlist)-row shortlist back
     // against the corpus to fetch true vectors, then exact cosine

@@ -19,4 +19,17 @@ object GraftBridge {
   def wrongNumArgs(name: String, expected: Int, actual: Int): Nothing =
     throw org.apache.spark.sql.errors.QueryCompilationErrors
       .wrongNumArgsError(name, Seq(expected.toString), actual)
+
+  /** DataFrame over a custom LogicalPlan (graft's whole-operator
+    * nodes, e.g. TopKPerKeyPlan) — `Dataset.ofRows` moved to the
+    * `classic` implementation package in Spark 4. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** resolved output attributes of a DataFrame's analyzed plan, for
+    * constructing custom plan nodes against existing frames */
+  def analyzed(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.rel.{ScaleOps, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The whole-operator extension (TopKPerKeyPlan → Strategy →
+  * partial/final execs): result parity with the window idiom it
+  * replaces, and the plan shape that makes it the scale path
+  * (bounded heaps + one exchange of survivors, no sort, no window).
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def li = Tables.lineitem(spark, sfDir)
+    .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+    df.select("l_orderkey", "l_linenumber", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  test("topKPerKey equals the window row_number idiom on a total order") {
+    val k = 7
+    val native = ScaleOps.topKPerKey(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)), k)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    val windowed = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    assert(asSet(native) == asSet(windowed))
+  }
+
+  test("plan: partial + exchange + final, no sort, no window") {
+    val df = ScaleOps.topKPerKey(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)), 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(p.contains("Exchange"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.toLowerCase.contains("sortexec"), p)
+    // the exchange sits between partial and final (survivors only)
+    val iPartial = p.indexOf("TopKPerKeyPartial")
+    val iFinal = p.indexOf("TopKPerKeyFinal")
+    val iExchange = p.indexOf("Exchange")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"final=$iFinal exchange=$iExchange partial=$iPartial\n$p")
+  }
+
+  test("k beyond the group size returns whole groups") {
+    val small = li.limit(40)
+    val native = ScaleOps.topKPerKey(small, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)), 100000)
+    assert(native.count() == small.count())
+  }
+
+  test("deterministic across runs under a total order") {
+    def run() = asSet(ScaleOps.topKPerKey(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)), 11))
+    assert(run() == run())
+  }
+
+  test("unknown column fails loudly with the available names") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.topKPerKey(li, Seq("nope"), Seq(("l_orderkey", true)), 3)
+    }
+    assert(e.getMessage.contains("nope") &&
+      e.getMessage.contains("l_returnflag"))
+  }
+}

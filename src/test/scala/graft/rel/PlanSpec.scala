@@ -143,6 +143,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("s05_knn_pq")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the shortlist is the native bounded top-k operator, not a
+    // window sort over every scored candidate
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
   }
 
   test("whole-stage codegen spans exist in the executed per-row transforms") {
