@@ -38,6 +38,22 @@ object Similarity {
        | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
        |    * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
 
+  /** Rank the k best candidates per query from a (qid, nid, c) scored
+    * frame: the native bounded top-k operator reduces each query's
+    * candidates to k with per-partition heaps (only survivors shuffle
+    * — graft.plans.TopKPerKeyPlan), then row_number assigns ranks over
+    * the nQueries×k survivor set. The window sort that used to see
+    * EVERY scored candidate now sees k rows per query. (c desc, nid)
+    * is a total order, so set and ranks are identical to the plain
+    * window form. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    ScaleOps.topKPerKey(scored, Seq("qid"), Seq(("c", false), ("nid", true)), k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Brute-force exact top-k: broadcast query set, one corpus pass,
     * per-query rank. */
   def knnBrute(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
@@ -48,11 +64,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("c"))
-    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
-      .orderBy("qid", "rn")
+    rankTopK(scored, k)
   }
 
   // ---- LSH (random hyperplanes, multi-table) -----------------------------
@@ -147,11 +159,7 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
       .groupBy("qid", "nid").agg(first("c").as("c"))
-    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
-      .orderBy("qid", "rn")
+    rankTopK(scored, k)
   }
 
   // ---- IVF (inverted file index via k-means coarse quantizer) -----------
@@ -243,11 +251,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
-    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
-      .orderBy("qid", "rn")
+    rankTopK(scored, k)
   }
 
   // ---- PQ (product quantization: ADC scan + exact re-rank) ---------------
@@ -329,12 +333,8 @@ object Similarity {
     val withVecs = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
       .join(broadcast(short), Seq("nid"))
       .join(broadcast(queries), Seq("qid"))
-    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
-    withVecs.select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"), col("rn"))
-      .orderBy("qid", "rn")
+    rankTopK(withVecs.select(col("qid"), col("nid"),
+      cosine(col("qe"), col("ne")).as("c")), k)
   }
 
   /** Append a `recall_at_10` column (vs the exact brute-force top-k of
