@@ -769,6 +769,31 @@ object RelQueries {
         .select(round(col("_exact"), 2).as("p50_exact"),
           (abs(col("_approx") - col("_exact")) / col("_exact") <= 0.05)
             .as("approx_ok"))
+    },
+
+    // GROUPING SETS — the explicit-lattice third of the rollup (q19) /
+    // cube (q27) family: only the requested groupings materialize
+    // (here the two 1-D marginals + grand total, NOT the 2-D cells).
+    // Same execution shape as cube: one Expand to 3 grouping ids, one
+    // partial+final aggregate — not one scan per grouping.
+    Q("q36_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
     }
   )
 }
