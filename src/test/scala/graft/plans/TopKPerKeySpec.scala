@@ -72,4 +72,33 @@ class TopKPerKeySpec extends SparkSpec {
     assert(e.getMessage.contains("nope") &&
       e.getMessage.contains("l_returnflag"))
   }
+
+  test("null keys and null order values follow window null semantics") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, Int)](
+      (1L, 5.0, 1), (1L, null, 2), (1L, 3.0, 3), (1L, 9.0, 4),
+      (null, 2.0, 5), (null, 1.0, 6), (2L, 7.0, 7)
+    ).toDF("k", "v", "id")
+    val native = ScaleOps.topKPerKey(df, Seq("k"),
+      Seq(("v", false), ("id", true)), 2)
+      .select("id").collect().map(_.getInt(0)).toSet
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("id").collect().map(_.getInt(0)).toSet
+    // null key is a group of its own; null v sorts per SortOrder's
+    // default null ordering — identical to the window idiom
+    assert(native == windowed, s"native=$native windowed=$windowed")
+  }
+
+  test("single upstream partition still yields the partial/final pair") {
+    val one = li.coalesce(1)
+    val df = ScaleOps.topKPerKey(one, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)), 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    assert(df.groupBy("l_returnflag").count().collect()
+      .forall(_.getLong(1) <= 3))
+  }
 }
