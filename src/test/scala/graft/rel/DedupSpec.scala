@@ -84,6 +84,43 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.fnv1a64("foobar") == 0x85944171f73967e8L)
   }
 
+  test("substring spans match a driver-side brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val W = Dedup.SpanW
+    // small vocab + short docs force frequent real collisions
+    def doc(): Array[String] =
+      Array.fill(W + rnd.nextInt(30))("w" + rnd.nextInt(6))
+    (0 until 3).foreach { trial =>
+      val corpus = Array.fill(30)(doc())
+      val docs = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      // brute force: count every W-window occurrence corpus-wide,
+      // then per doc merge duplicated starts into interval unions
+      val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+      corpus.foreach(ws => ws.sliding(W).foreach { g =>
+        counts(g.toSeq) = counts.getOrElse(g.toSeq, 0) + 1
+      })
+      val expect = corpus.zipWithIndex.map { case (ws, i) =>
+        val dupStarts = ws.sliding(W).zipWithIndex
+          .collect { case (g, p) if counts(g.toSeq) >= 2 => p + 1 }.toArray
+        var spans = 0L; var covered = 0L; var start = -1; var end = -1
+        dupStarts.foreach { p =>
+          if (start < 0) { start = p; end = p + W - 1; spans = 1 }
+          else if (p <= end + 1) end = p + W - 1
+          else { covered += end - start + 1; start = p; end = p + W - 1; spans += 1 }
+        }
+        if (start >= 0) covered += end - start + 1
+        i.toLong -> ((ws.length.toLong, dupStarts.length.toLong, spans, covered))
+      }.toMap
+      val got = Dedup.substringSpansOn(spark, docs).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("substring spans: hand-derived intervals on a planted corpus") {
     import spark.implicits._
     // W=8. doc 0 and doc 1 share tokens a1..a10 (positions 1-10 in
