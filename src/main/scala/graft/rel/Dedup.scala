@@ -723,6 +723,45 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Edit-distance verification of the LSH near-dup pairs — the
+    // second-stage filter real dedup pipelines run after candidate
+    // generation (Jaccard is token-set; Levenshtein is positional, so
+    // it catches reordered-token false "near-dups"). Scale shape: the
+    // pair list is corpus-small by definition and BROADCASTS twice
+    // against the streamed documents table to fetch both texts; the
+    // O(len²) DP runs per pair, never per corpus row. Oracle replays
+    // the exact-Jaccard pair predicate and DuckDB's levenshtein
+    // (identical unit-cost DP).
+    Q("d11_editdist_verify",
+      shingleOracleCte +
+        """, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          |prs AS (
+          |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |jp AS (
+          |  SELECT da, db FROM prs
+          |   JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+          |  WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.8)
+          |SELECT jp.da, jp.db,
+          |  levenshtein(a.text, b.text) AS edit_dist,
+          |  round(1.0 - levenshtein(a.text, b.text)::DOUBLE /
+          |    greatest(length(a.text), length(b.text)), 6) AS edit_sim
+          |FROM jp JOIN documents a ON jp.da = a.doc_id
+          |        JOIN documents b ON jp.db = b.doc_id
+          |ORDER BY da, db""".stripMargin) { (s, d) =>
+      val pairs = minhashNearDup(s, d, 0.8).select("da", "db")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withA = docs.join(broadcast(pairs), col("doc_id") === col("da"))
+        .select(col("da"), col("db"), col("text").as("ta"))
+      docs.join(broadcast(withA), col("doc_id") === col("db"))
+        .select(col("da"), col("db"),
+          levenshtein(col("ta"), col("text")).as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("ta"), col("text")).cast("double") /
+            greatest(length(col("ta")), length(col("text"))), 6).as("edit_sim"))
+        .orderBy("da", "db")
+    },
+
     // Exact substring-span dedup (see substringSpansOn). Oracle
     // replays the positional windows and the interval union as
     // gaps-and-islands: a new island starts when the gap between

@@ -794,6 +794,29 @@ object RelQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty"))
         .orderBy("rf", "ls")
+    },
+
+    // Full-outer join (customers without orders keep null stats, and
+    // vice versa). Broadcast hash join cannot serve full-outer, so the
+    // naive plan is SortMergeJoin; the shuffle_hash hint keeps it a
+    // ShuffledHashJoin — same single key-shuffle, NO per-partition
+    // sort — the right call whenever one side's partitions fit in
+    // memory (the aggregated side here is one row per customer).
+    Q("q37_outer_join",
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        | c_mktsegment, n_orders
+        |FROM customer FULL OUTER JOIN
+        | (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        | ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val ords = orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      customer(s, d).select("c_custkey", "c_mktsegment")
+        .join(ords.hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"))
+        .orderBy("custkey")
     }
   )
 }

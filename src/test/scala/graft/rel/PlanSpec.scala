@@ -148,6 +148,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
   }
 
+  test("q37: full-outer joins via shuffle-hash, not sort-merge") {
+    val p = plan("q37_outer_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d11: pair list broadcasts against the streamed corpus, never shuffle-joins") {
+    val p = plan("d11_editdist_verify")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
   test("whole-stage codegen spans exist in the executed per-row transforms") {
     // Spark's higher-order array expressions (filter/transform lambdas)
     // are interpreted and legitimately sit OUTSIDE codegen spans; the
