@@ -67,11 +67,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def nodeName: String =
     if (finalPhase) "TopKPerKeyFinal" else "TopKPerKeyPartial"
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val kk = k
     val childOutput = child.output
+    val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val base = GenerateOrdering.generate(sortOrder, childOutput)
@@ -99,6 +104,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         }
       }
       heaps.valuesIterator.flatMap(_.iterator)
+        .map { r => numOutputRows += 1; r }
     }, preservesPartitioning = true)
   }
 }
