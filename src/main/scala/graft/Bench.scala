@@ -22,8 +22,15 @@ object Bench {
         try spark.read.parquet(f.getPath).count()
         catch { case _: Throwable => } // events.parquet nanos: footer still warmed
       }
-    SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    // one relational query (first alphabetically) + one imaging
+    // pipeline query: the p-family's synthetic sources, kernel JIT,
+    // and wide feature plans otherwise charge their first-run warmup
+    // to whichever p-query times first (observed p01 8.4s cold vs
+    // 3.3s warm)
+    Seq(SparkEntry.queries.toSeq.sortBy(_._1).headOption.map(_._1),
+        Some("p01_pipeline_e2e")).flatten.distinct.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => }
     }
     spark.catalog.clearCache()
     System.gc()

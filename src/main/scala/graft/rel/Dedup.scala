@@ -515,11 +515,15 @@ object Dedup {
     val w = filter(split(col("text"), " "), t => length(t) > 0)
     val toks = docs.select(col("doc_id"), w.as("w"))
     val base = toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    // 64-bit digest prefix: at any realistic dedup scale a birthday
+    // collision on 16 hex chars is ~n²/2⁶⁵ — negligible — and the
+    // shuffled key halves vs the full md5 string
     val grams = toks.filter(size(col("w")) >= SpanW)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - (SpanW - 1)),
         i => struct(i.as("p"),
-          md5(array_join(slice(col("w"), i, lit(SpanW)), " ")).as("h"))))
+          substring(md5(array_join(slice(col("w"), i, lit(SpanW)), " ")), 1, 16)
+            .as("h"))))
         .as("g"))
       .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
       .cache()
@@ -772,7 +776,8 @@ object Dedup {
          |  FROM documents),
          |base AS (SELECT doc_id, len(w) AS n_tokens FROM toks),
          |grams AS (
-         |  SELECT doc_id, i AS p, md5(array_to_string(w[i:i+${SpanW - 1}], ' ')) AS h
+         |  SELECT doc_id, i AS p,
+         |    substr(md5(array_to_string(w[i:i+${SpanW - 1}], ' ')), 1, 16) AS h
          |  FROM toks, unnest(range(1, len(w) - ${SpanW - 2})) AS t(i)
          |  WHERE len(w) >= $SpanW),
          |dups AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
