@@ -337,6 +337,95 @@ object Similarity {
       cosine(col("qe"), col("ne")).as("c")), k)
   }
 
+  // ---- MMR (maximal marginal relevance diversity re-rank) ----------------
+
+  /** internal: double dot product of two (unit) float vectors */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var j = 0
+    while (j < a.length) { s += a(j).toDouble * b(j); j += 1 }
+    s
+  }
+
+  /** MMR re-rank (Carbonell & Goldstein 1998) — the retrieval-stage
+    * diversifier RAG pipelines run after ANN: greedily pick
+    * argmax λ·sim(q,d) − (1−λ)·max_picked sim(d,p), trading relevance
+    * against redundancy so near-duplicate hits don't crowd the k slots.
+    *
+    * Scale shape: the corpus-wide work is exactly an ANN shortlist
+    * (bounded top-`shortlist` per query via the native TopKPerKey
+    * operator); vectors are fetched for the shortlist alone by
+    * broadcast join, and the O(shortlist²) greedy loop runs per query
+    * in one compiled flatMapGroups — never corpus-wide. Each output
+    * row carries the intra-list mean cosine of the plain top-k vs the
+    * MMR pick (`div_plain` / `div_mmr`) as the in-result audit. */
+  private[rel] def mmrRerankOn(spark: SparkSession, emb: DataFrame,
+      nQueries: Int, k: Int, shortlist: Int = 50,
+      lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("c"))
+    val short = ScaleOps.topKPerKey(scored, Seq("qid"),
+      Seq(("c", false), ("nid", true)), shortlist)
+    emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(short), Seq("nid"))
+      .select(col("qid"), col("nid"), col("c"), col("ne"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(t => (-t._3, t._2))
+        val units = cands.map(t => unit(t._4))
+        val n = cands.length
+        val kk = math.min(k, n)
+        def pairAvg(idx: Seq[Int]): Double =
+          if (idx.length < 2) 0.0
+          else {
+            var s = 0.0; var cnt = 0
+            var i = 0
+            while (i < idx.length) {
+              var j = i + 1
+              while (j < idx.length) {
+                s += dotD(units(idx(i)), units(idx(j))); cnt += 1; j += 1
+              }
+              i += 1
+            }
+            s / cnt
+          }
+        val picked = new scala.collection.mutable.ArrayBuffer[Int](kk)
+        val avail = scala.collection.mutable.BitSet(0 until n: _*)
+        while (picked.length < kk) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          avail.foreach { i =>
+            val maxSim =
+              if (picked.isEmpty) 0.0
+              else picked.iterator.map(p => dotD(units(i), units(p))).max
+            val sc = lambda * cands(i)._3 - (1 - lambda) * maxSim
+            // ties break on the smaller nid — deterministic pick order
+            if (sc > bestScore ||
+                (sc == bestScore && best >= 0 && cands(i)._2 < cands(best)._2)) {
+              best = i; bestScore = sc
+            }
+          }
+          picked += best; avail -= best
+        }
+        def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+        val divPlain = r6(pairAvg(0 until kk))
+        val divMmr = r6(pairAvg(picked.toSeq))
+        picked.iterator.zipWithIndex.map { case (i, r) =>
+          (qid, cands(i)._2, r6(cands(i)._3), r + 1, divPlain, divMmr)
+        }
+      }
+      .toDF("qid", "nid", "cos", "rank", "div_plain", "div_mmr")
+      .orderBy("qid", "rank")
+  }
+
+  def mmrRerank(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int): DataFrame =
+    mmrRerankOn(spark, Tables.embeddings(spark, dir), nQueries, k)
+
   /** Append a `recall_at_10` column (vs the exact brute-force top-k of
     * the SAME query set, computed in the same job) to an ANN result —
     * the approximate paths' rows-only driver check then carries the
@@ -388,6 +477,12 @@ object Similarity {
     // carried in-result like s02/s04 (≥0.9 asserted in SimilaritySpec).
     Q.noOracle("s05_knn_pq") { (s, d) =>
       withRecall(s, d, nQueries = 5, k = 10)(knnPq(s, d, nQueries = 5, k = 10))
+    },
+    // MMR diversity re-rank of the ANN shortlist; every row carries
+    // the plain-vs-MMR intra-list similarity audit (SimilaritySpec
+    // pins the planted-geometry semantics).
+    Q.noOracle("s06_mmr_rerank") { (s, d) =>
+      mmrRerank(s, d, nQueries = 5, k = 10)
     },
 
     // Vector norms / normalization as a plain columnar transform.

@@ -69,6 +69,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR re-rank swaps a redundant near-duplicate for the diverse candidate") {
+    import spark.implicits._
+    val s19 = math.sqrt(0.19).toFloat
+    val s18 = math.sqrt(1.0 - 0.905 * 0.905).toFloat
+    // query e1; v2 most relevant (0.905) and nearly identical to v1
+    // (0.9, mutual sim ~0.9999); v3 mirrored across e1 (rel 0.9,
+    // sim(v2,v3) = 0.63)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, s19, 0f, 0f)),
+      (2L, Array(0.905f, s18, 0f, 0f)),
+      (3L, Array(0.9f, -s19, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.mmrRerankOn(spark, emb, nQueries = 1, k = 2)
+      .collect()
+    val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      .map(r => r.getAs[Long]("nid"))
+    // plain top-2 would be {2, 1}; MMR keeps the most relevant v2 and
+    // swaps the near-duplicate v1 for the mirrored v3
+    assert(byRank.toSeq == Seq(2L, 3L), byRank.toSeq)
+    val r0 = rows.head
+    assert(r0.getAs[Double]("div_mmr") < r0.getAs[Double]("div_plain"), r0)
+  }
+
+  test("MMR on the registry corpus is deterministic and audited") {
+    val df = Similarity.mmrRerank(spark, sfDir, nQueries = 3, k = 5)
+    val a = df.collect().map(_.toSeq)
+    assert(a.nonEmpty && a.length == 15)
+    val b = Similarity.mmrRerank(spark, sfDir, nQueries = 3, k = 5)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // the audit columns are constant per query and within [-1, 1]
+    df.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("div_plain")) <= 1.0)
+      assert(math.abs(r.getAs[Double]("div_mmr")) <= 1.0)
+    }
+  }
+
   test("kmeans quantizer is deterministic and balanced-ish") {
     val vecs = Array.tabulate(256)(i =>
       Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
