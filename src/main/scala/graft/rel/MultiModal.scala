@@ -96,6 +96,82 @@ object MultiModal {
       extractMediaFeatures(withPayload)
         .select("doc_id", "n_bytes", "width", "height", "channels", "byte_sum")
         .orderBy("doc_id")
+    },
+
+    // Frame sampling — the video path of the multimodal brief: treat
+    // the payload as fixed-size frames (64 B here; a real container
+    // parser slots into the same loop) and keep every 2nd frame. A
+    // pure per-row flatMap: one narrow pass, rows explode to the
+    // sampled frames only — at scale this is the shape that lets the
+    // downstream model stage see a bounded frame rate instead of
+    // every frame. Oracle hex-expands the same windows.
+    Q("m03_frame_sample",
+      """WITH b AS (
+        |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, f.f AS frame_idx,
+        |    CAST(list_sum(list_transform(
+        |      generate_series(f.f*64+1, least((f.f+1)*64, n)::INT),
+        |      i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)) AS BIGINT)
+        |      AS frame_sum
+        |  FROM b, unnest(range(0, ((n+63)//64)::INT)) AS f(f)
+        |  WHERE f.f % 2 = 0)
+        |SELECT doc_id, frame_idx, frame_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, p) =>
+          val nFrames = (p.length + 63) / 64
+          (0 until nFrames by 2).iterator.map { f =>
+            var sum = 0L
+            var i = f * 64
+            val end = math.min((f + 1) * 64, p.length)
+            while (i < end) { sum += p(i) & 0xff; i += 1 }
+            (id, f, sum)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_sum")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // Resize/thumbnail stub — the image path: deterministic strided
+    // downsample to ≤16 sample points (a real resize kernel slots
+    // into the same per-row map; the stride arithmetic and the
+    // columnar shape are what the plan sees either way). Narrow
+    // per-row pass, no shuffle but the presentation sort.
+    Q("m04_resize_thumb",
+      """WITH b AS (
+        |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, least(16, n) AS thumb_px,
+        |    CAST(list_sum(list_transform(
+        |      generate_series(0, least(16, n)::INT - 1),
+        |      j -> ('0x' || substr(hex(p),
+        |             2*(j*greatest(1, n//16)) + 1, 2))::BIGINT)) AS BIGINT)
+        |      AS thumb_sum
+        |  FROM b WHERE n > 0)
+        |SELECT doc_id, thumb_px, thumb_sum
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .filter(_._2.length > 0)
+        .map { case (id, p) =>
+          val n = p.length
+          val m = math.min(16, n)
+          val k = math.max(1, n / 16)
+          var sum = 0L
+          var j = 0
+          while (j < m) { sum += p(j * k) & 0xff; j += 1 }
+          (id, m, sum)
+        }
+        .toDF("doc_id", "thumb_px", "thumb_sum")
+        .orderBy("doc_id")
     }
   )
 }

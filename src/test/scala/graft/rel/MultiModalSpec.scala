@@ -32,6 +32,28 @@ class MultiModalSpec extends SparkSpec {
     assert(z.getLong(0) == 0 && z.getInt(1) == 0 && z.getLong(4) == 0)
   }
 
+  test("frame sampling: registry query matches a driver-side recompute incl. partial tails") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = texts.flatMap { case (id, t) =>
+      val p = t.getBytes("UTF-8")
+      val nFrames = (p.length + 63) / 64
+      (0 until nFrames by 2).map { f =>
+        (id, f, p.slice(f * 64, math.min((f + 1) * 64, p.length))
+          .map(b => (b & 0xff).toLong).sum)
+      }
+    }.toSet
+    // the corpus has non-multiple-of-64 docs, so partial tail frames
+    // are genuinely exercised
+    assert(texts.values.exists(_.getBytes("UTF-8").length % 64 != 0))
+    val got = MultiModal.all.find(_.name == "m03_frame_sample").get
+      .fn(spark, sfDir)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("media features match a driver-side recompute (distributed == local)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
