@@ -65,6 +65,48 @@ object ScaleOps {
         sum(col("_pn")).as("n"))
   }
 
+  /** Z-order (Morton) clustered write — the lakehouse data-layout
+    * technique (Delta/Iceberg `OPTIMIZE ZORDER`) for tables filtered
+    * on MORE THAN ONE dimension: each row's two cluster columns are
+    * rank-normalized to 21 bits and bit-interleaved into one z-value;
+    * range-partitioning + sorting on z makes every output file a
+    * bounded RECTANGLE in (c1, c2) space instead of a full-width
+    * stripe. A linear sort serves only its own sort column — a filter
+    * on the other column touches every file; the z-layout keeps both
+    * columns' per-file min/max tight, so parquet file- and
+    * row-group-stats pruning works for either dimension (file-count
+    * property asserted in ScaleOpsSpec). Normalization bounds come
+    * from one 4-scalar aggregate over the input.
+    */
+  def zOrderWrite(df: DataFrame, c1: String, c2: String, path: String,
+      nFiles: Int): Unit = {
+    val bounds = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    val (lo1, hi1, lo2, hi2) =
+      (bounds.getDouble(0), bounds.getDouble(1),
+        bounds.getDouble(2), bounds.getDouble(3))
+    val zUdf = udf { (a: Double, b: Double) =>
+      val bits = 21
+      def norm(v: Double, lo: Double, hi: Double): Long =
+        if (hi <= lo) 0L
+        else math.min(((v - lo) / (hi - lo) * ((1L << bits) - 1)).toLong,
+          (1L << bits) - 1)
+      val x = norm(a, lo1, hi1); val y = norm(b, lo2, hi2)
+      var z = 0L; var i = 0
+      while (i < bits) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    df.withColumn("_z", zUdf(col(c1).cast("double"), col(c2).cast("double")))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** k best rows per key via the engine's native whole-operator
     * ([[graft.plans.TopKPerKeyPlan]] → partial per-partition bounded
     * heaps → key-clustered final merge): the scale replacement for

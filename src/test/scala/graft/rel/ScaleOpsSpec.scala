@@ -85,6 +85,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("z-order layout bounds BOTH dimensions per file; linear sort only one") {
+    import java.io.File
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val zDir = "/tmp/graft-sink-fixtures/events_zorder"
+    val linDir = "/tmp/graft-sink-fixtures/events_linear"
+    ScaleOps.zOrderWrite(ev, "user_id", "ts_us", zDir, 8)
+    ev.repartitionByRange(8, col("ts_us")).sortWithinPartitions("ts_us")
+      .write.mode("overwrite").parquet(linDir)
+    // lossless round trips
+    assert(spark.read.parquet(zDir).count() == ev.count())
+    assert(spark.read.parquet(linDir).count() == ev.count())
+    def files(dir: String): Seq[String] =
+      Option(new File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    def userRanges(dir: String): Seq[(Long, Long)] =
+      files(dir).map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("user_id"), max("user_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val Row4 = ev.agg(min("user_id"), max("user_id")).head()
+    val (uLo, uHi) = (Row4.getLong(0), Row4.getLong(1))
+    // a filter on the NON-sort dimension: users in the first quarter
+    val qHi = uLo + (uHi - uLo) / 4
+    def touched(dir: String): Int =
+      userRanges(dir).count { case (lo, hi) => lo <= qHi && hi >= uLo }
+    val zTouched = touched(zDir)
+    val linTouched = touched(linDir)
+    // linear-by-time files all span the full user range -> all touched;
+    // z-order files are rectangles, so most fall outside the user band
+    assert(linTouched == files(linDir).size, s"lin=$linTouched")
+    assert(zTouched * 2 <= linTouched,
+      s"z-order touched $zTouched of ${files(zDir).size} vs linear $linTouched")
+  }
+
   test("p10 partitioned layout prunes: a lang filter reads only that partition") {
     // run the registry query to (re)write the partitioned layout
     val rows = graft.SparkEntry.queries("p10_partitioned_write")(spark, sfDir)
