@@ -817,6 +817,65 @@ object RelQueries {
         .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("c_mktsegment"), col("n_orders"))
         .orderBy("custkey")
+    },
+
+    // Iterative graph dataflow: 10 synchronized PageRank power
+    // iterations (d=0.85) on the undirected bipartite user↔event_type
+    // graph. The d07 star-contraction pattern generalized: each
+    // iteration is ONE shuffle keyed on the destination node
+    // (contribution aggregate), lineage cut per round with
+    // localCheckpoint so the plan doesn't grow — the canonical "would
+    // this still run at 100 TB" iterative shape (edge table sharded
+    // by key, rank state ≪ edges). The oracle unrolls the same 10
+    // iterations as chained CTEs; ranks round to 6 decimals and order
+    // by node, so FP association-order ulps can't flip the hash.
+    Q("q38_pagerank", {
+      val iters = (1 to 10).map { k =>
+        s"""r$k AS (
+           |  SELECT d.src AS node,
+           |    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.c, 0) AS rank
+           |  FROM deg d LEFT JOIN (
+           |    SELECT u.dst AS node, sum(r.rank / dg.deg) AS c
+           |    FROM und u JOIN r${k - 1} r ON u.src = r.node
+           |      JOIN deg dg ON u.src = dg.src
+           |    GROUP BY u.dst) s ON d.src = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT 'u:' || user_id AS src, 't:' || event_type AS dst
+         |  FROM events),
+         |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT d.src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg d),
+         |$iters
+         |SELECT node, round(rank, 6) AS rank
+         |FROM r10 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val e = events(s, d)
+        .select(concat(lit("u:"), col("user_id")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"))
+        .distinct()
+      val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val n = deg.count()
+      val nodes = deg.select(col("src").as("node"))
+      var rank = nodes.withColumn("rank", lit(1.0 / n))
+      for (_ <- 1 to 10) {
+        val contrib = und
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+          .groupBy("node").agg(sum(col("c")).as("in"))
+        rank = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("in"), lit(0.0)))
+              .as("rank"))
+          .localCheckpoint()
+      }
+      rank.select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
     }
   )
 }
