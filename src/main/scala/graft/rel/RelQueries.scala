@@ -2,7 +2,7 @@ package graft.rel
 
 import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 
 /** The declared relational operator surface of the engine (SURVEY.md
   * §2.2): every dataflow primitive the reference pipeline uses —
@@ -876,6 +876,60 @@ object RelQueries {
       }
       rank.select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
+    },
+
+    // Heavy hitters (Misra-Gries) with exact verification — the
+    // one-pass trending-items primitive: a 64-counter mergeable
+    // summary guarantees every token with frequency > n/65 survives
+    // the sketch; candidates (≤64 of them) are then EXACTLY counted
+    // in a second pass that filters to the candidate set BEFORE any
+    // shuffle. The naive plan shuffles the full vocab-keyed token
+    // stream; this shuffles 64-entry maps (pass 1) + counts for ≤64
+    // tokens (pass 2) — the d04 candidates-then-verify shape applied
+    // to frequency. Output = exact counts of tokens ≥ 2.5% of the
+    // stream, so the oracle is plain SQL.
+    Q("q39_heavy_hitters",
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |                            t -> length(t) > 0)) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w)
+        |SELECT tok, count(*) AS n_tok FROM w, tot
+        |GROUP BY tok, tot.n HAVING count(*) >= tot.n / 40.0
+        |ORDER BY n_tok DESC, tok""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(filter(split(col("text"), " "),
+          t => length(t) > 0)).as("tok"))
+      val mg = new Aggregator[String, Map[String, Long], Map[String, Long]] {
+        val K = 64
+        def zero: Map[String, Long] = Map.empty
+        private def shrink(m: Map[String, Long]): Map[String, Long] =
+          if (m.size <= K) m
+          else {
+            // subtract the (K+1)-th largest count from all, drop <= 0
+            val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(K)
+            m.flatMap { case (t, c) =>
+              if (c - cut > 0) Some(t -> (c - cut)) else None
+            }
+          }
+        def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+          shrink(b.updated(t, b.getOrElse(t, 0L) + 1))
+        def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+          shrink(b.foldLeft(a) { case (m, (t, c)) =>
+            m.updated(t, m.getOrElse(t, 0L) + c)
+          })
+        def finish(m: Map[String, Long]): Map[String, Long] = m
+        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Map[String, Long]]]
+        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Map[String, Long]]]
+      }
+      val candidates = toks.as[String].select(mg.toColumn).head().keys.toSeq
+      // exact verify: filter to the ≤32 candidates BEFORE the shuffle
+      val n = toks.count()
+      toks.filter(col("tok").isin(candidates: _*))
+        .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+        .filter(col("n_tok") >= n / 40.0)
+        .orderBy(col("n_tok").desc, col("tok"))
     }
   )
 }

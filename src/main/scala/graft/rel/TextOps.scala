@@ -537,6 +537,45 @@ object TextOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("nll"))
         .orderBy("doc_id")
+    },
+
+    // Character-entropy quality signal: Shannon entropy of the char
+    // distribution per document. Low entropy = repetitive/degenerate
+    // text, anomalously high = mojibake/binary noise — the cheap
+    // first-pass filter before LM scoring (t15). Pure per-row
+    // compiled pass, no shuffle but the presentation sort.
+    Q("t16_char_entropy",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, length(text)),
+        |                          i -> text[i])) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY 1)
+        |SELECT f.doc_id, t.n AS n_chars_counted,
+        |  round(-sum((f.c::DOUBLE / t.n) * ln(f.c::DOUBLE / t.n)), 4)
+        |    AS char_entropy
+        |FROM f JOIN t USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .map { case (id, t) =>
+          val counts = new java.util.HashMap[Char, Long]()
+          var i = 0
+          while (i < t.length) {
+            counts.merge(t.charAt(i), 1L, (a, b) => a + b); i += 1
+          }
+          val n = t.length.toDouble
+          var h = 0.0
+          counts.forEach { (_, c) =>
+            val p = c / n; h -= p * math.log(p)
+          }
+          (id, t.length.toLong, math.rint(h * 1e4) / 1e4)
+        }
+        .toDF("doc_id", "n_chars_counted", "char_entropy")
+        .orderBy("doc_id")
     }
   )
 }
