@@ -83,4 +83,18 @@ class TrainingDataOpsSpec extends SparkSpec {
     def apply(name: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       graft.SparkEntry.queries(name)
   }
+
+  test("q39 heavy hitters equals the exact full-groupBy answer (sketch loses nothing)") {
+    // the MG sketch only generates CANDIDATES; this pins that the
+    // verified output equals the brute-force frequency filter — i.e.
+    // the 64-counter guarantee covers the n/40 threshold on this corpus
+    val toks = docs.flatMap(_._2.split(' ').filter(_.nonEmpty))
+    val n = toks.size
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= n / 40.0).toMap
+    val got = SparkEntryLookup("q39_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    assert(got.nonEmpty, "threshold must bite on the test corpus")
+  }
 }
