@@ -426,20 +426,94 @@ object Similarity {
       k: Int): DataFrame =
     mmrRerankOn(spark, Tables.embeddings(spark, dir), nQueries, k)
 
-  /** Append a `recall_at_10` column (vs the exact brute-force top-k of
-    * the SAME query set, computed in the same job) to an ANN result —
-    * the approximate paths' rows-only driver check then carries the
-    * quantitative signal directly: every output row shows the measured
-    * recall, spec-asserted ≥ 0.9. */
-  private[rel] def withRecall(spark: SparkSession, dir: String, nQueries: Int,
-      k: Int)(ann: DataFrame): DataFrame = {
+  /** Max queries the exact-recall audit replays through brute force.
+    * The audit's cost is one corpus pass scoring `min(nQueries,
+    * MaxAuditQueries)` broadcast queries — bounded regardless of how
+    * many queries the production ANN path serves, so the approximate
+    * index stays the job and the audit stays a constant-size probe. */
+  val MaxAuditQueries = 32
+
+  /** Deterministic evenly-strided audit sample of the query ids
+    * (production query set = vec_id < nQueries, so qids are 0-based). */
+  private[rel] def auditQids(nQueries: Int,
+      maxAudit: Int = MaxAuditQueries): Seq[Long] =
+    if (nQueries <= maxAudit) (0L until nQueries.toLong).toSeq
+    else (0 until maxAudit).map(i => (i.toLong * nQueries) / maxAudit)
+
+  /** Exact brute-force top-k SET for a bounded qid sample — the audit's
+    * ground truth. No rank window: the native bounded top-k operator
+    * alone (survivor-only exchange), since the audit only needs set
+    * membership. The query side is the SAMPLED ids only (spec-pinned),
+    * never the full production query set. */
+  private[rel] def bruteTopKSet(spark: SparkSession, dir: String,
+      qids: Seq[Long], k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("c"))
+    ScaleOps.topKPerKey(scored, Seq("qid"), Seq(("c", false), ("nid", true)), k)
+      .select("qid", "nid")
+  }
+
+  /** Fold an ANN result into its one-row driver-checkable contract:
+    * `(k_rows, recall_ok, dedup_ok, queries_audited)` — all BIGINT, all
+    * constant when the index is healthy, so the oracle is a literal
+    * SELECT and the driver hash-checks the audit itself. `recall_ok` is
+    * recall@k ≥ 0.9 measured against exact brute force over the
+    * deterministic ≤[[MaxAuditQueries]]-query sample (never the full
+    * query set — the production plan stays sublinear in corpus work).
+    * `dedup_ok` pins no (qid, nid) appears twice; `k_rows` pins the
+    * exact output cardinality. */
+  private[rel] def annContract(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, maxAudit: Int = MaxAuditQueries)(
+      ann: DataFrame): DataFrame = {
+    val qids = auditQids(nQueries, maxAudit)
     val annC = ann.cache()
-    val brute = knnBrute(spark, dir, nQueries, k).select(col("qid"), col("nid"))
-    // brute is nQueries·k rows — broadcast so the semi-join can never
+    val counts = annC.agg(
+      count(lit(1)).as("k_rows"),
+      (countDistinct(col("qid"), col("nid")) === count(lit(1)))
+        .cast("long").as("dedup_ok"))
+    // brute set is |qids|·k rows — broadcast so the semi-join can never
     // degrade to a shuffle join on unknown cache stats
-    val recall = annC.join(broadcast(brute), Seq("qid", "nid"), "left_semi")
-      .agg(round(count(lit(1)) / (nQueries.toDouble * k), 4).as("recall_at_10"))
-    annC.crossJoin(recall) // one-row side — planned as a broadcast
+    val brute = bruteTopKSet(spark, dir, qids, k)
+    val needed = math.ceil(0.9 * qids.size * k).toLong
+    val recall = annC.filter(col("qid").isInCollection(qids))
+      .join(broadcast(brute), Seq("qid", "nid"), "left_semi")
+      .agg((count(lit(1)) >= needed).cast("long").as("recall_ok"))
+    counts.crossJoin(recall) // two one-row sides — broadcast
+      .select(col("k_rows"), col("recall_ok"), col("dedup_ok"),
+        lit(qids.size.toLong).as("queries_audited"))
+  }
+
+  /** The literal-SELECT oracle for [[annContract]] at the registry's
+    * nQueries=5, k=10 shape. */
+  private def annContractOracle(nQueries: Int, k: Int): String =
+    s"""SELECT CAST(${nQueries * k} AS BIGINT) AS k_rows,
+       | CAST(1 AS BIGINT) AS recall_ok,
+       | CAST(1 AS BIGINT) AS dedup_ok,
+       | CAST($nQueries AS BIGINT) AS queries_audited""".stripMargin
+
+  /** One-row contract for the MMR re-rank: ranks are exactly 1..k per
+    * query, the rank-1 pick is the pure-relevance argmax (MMR's first
+    * pick has no diversity penalty), and the MMR pick set is never MORE
+    * self-similar than the plain top-k (`div_mmr ≤ div_plain`). */
+  private[rel] def mmrContract(k: Int)(m: DataFrame): DataFrame = {
+    val per = m.groupBy("qid").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("rank")).as("ndr"),
+      max("rank").as("maxr"),
+      max("div_mmr").as("dm"), max("div_plain").as("dp"),
+      max("cos").as("maxc"),
+      max(when(col("rank") === 1, col("cos"))).as("c1"))
+    per.agg(
+      sum("n").cast("long").as("k_rows"),
+      min((col("n") === k && col("ndr") === k && col("maxr") === k)
+        .cast("long")).as("ranks_ok"),
+      min((col("dm") <= col("dp") + lit(1e-9)).cast("long")).as("div_ok"),
+      min((col("c1") >= col("maxc") - lit(1e-9)).cast("long")).as("top1_ok"))
   }
 
   val all: Seq[Q] = Seq(
@@ -458,31 +532,37 @@ object Similarity {
       knnBrute(s, d, nQueries = 5, k = 10)
     },
 
-    // ANN paths — engine-specific hashing/clustering, so the result set
-    // has no DuckDB oracle; every row carries the measured recall vs
-    // the brute-force top-k computed in the same job (≥0.9 asserted in
-    // SimilaritySpec).
-    Q.noOracle("s02_knn_lsh") { (s, d) =>
-      withRecall(s, d, nQueries = 5, k = 10)(knnLsh(s, d, nQueries = 5, k = 10))
+    // ANN paths — engine-specific hashing/clustering, so the neighbor
+    // SET has no DuckDB oracle; instead each registry entry folds its
+    // result into the one-row measured contract (recall@10 ≥ 0.9 vs
+    // exact brute force over the bounded audit sample, exact output
+    // cardinality, no duplicate pair), which IS hash-checked against a
+    // literal-SELECT oracle. Neighbor-level semantics live in
+    // SimilaritySpec (recall floors, determinism, planted geometry).
+    Q("s02_knn_lsh", annContractOracle(5, 10)) { (s, d) =>
+      annContract(s, d, nQueries = 5, k = 10)(
+        knnLsh(s, d, nQueries = 5, k = 10))
     },
-    // nProbe=8 of nList=16 here: the driver corpus is isotropic random
+    // nProbe=12 of nList=16 here: the driver corpus is isotropic random
     // vectors — IVF's worst case, recall ≈ fraction probed. On real
     // clustered embeddings the nProbe/nList ratio drops an order of
     // magnitude; both are per-call knobs.
-    Q.noOracle("s04_knn_ivf") { (s, d) =>
-      withRecall(s, d, nQueries = 5, k = 10)(
+    Q("s04_knn_ivf", annContractOracle(5, 10)) { (s, d) =>
+      annContract(s, d, nQueries = 5, k = 10)(
         knnIvf(s, d, nQueries = 5, k = 10, nList = 16, nProbe = 12))
     },
-    // PQ-compressed ADC scan + exact re-rank of the shortlist; recall
-    // carried in-result like s02/s04 (≥0.9 asserted in SimilaritySpec).
-    Q.noOracle("s05_knn_pq") { (s, d) =>
-      withRecall(s, d, nQueries = 5, k = 10)(knnPq(s, d, nQueries = 5, k = 10))
+    // PQ-compressed ADC scan + exact re-rank of the shortlist.
+    Q("s05_knn_pq", annContractOracle(5, 10)) { (s, d) =>
+      annContract(s, d, nQueries = 5, k = 10)(knnPq(s, d, nQueries = 5, k = 10))
     },
-    // MMR diversity re-rank of the ANN shortlist; every row carries
-    // the plain-vs-MMR intra-list similarity audit (SimilaritySpec
-    // pins the planted-geometry semantics).
-    Q.noOracle("s06_mmr_rerank") { (s, d) =>
-      mmrRerank(s, d, nQueries = 5, k = 10)
+    // MMR diversity re-rank of the ANN shortlist, folded to its
+    // one-row contract (ranks exact, first pick = relevance argmax,
+    // diversity never worse than plain top-k); the planted-geometry
+    // swap semantics are pinned in SimilaritySpec.
+    Q("s06_mmr_rerank",
+      """SELECT CAST(50 AS BIGINT) AS k_rows, CAST(1 AS BIGINT) AS ranks_ok,
+        | CAST(1 AS BIGINT) AS div_ok, CAST(1 AS BIGINT) AS top1_ok""".stripMargin) { (s, d) =>
+      mmrContract(k = 10)(mmrRerank(s, d, nQueries = 5, k = 10))
     },
 
     // Vector norms / normalization as a plain columnar transform.

@@ -57,16 +57,49 @@ class SimilaritySpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
-  test("registry s02/s04/s05 outputs carry recall_at_10 >= 0.9 at sf0.01") {
+  test("registry s02/s04/s05 contracts are green at sf0.01 (recall_ok, dedup_ok, k_rows)") {
     val dir = "/root/testdata/sf0.01"
     Seq("s02_knn_lsh", "s04_knn_ivf", "s05_knn_pq").foreach { n =>
-      val df = Similarity.all.find(_.name == n).get.fn(spark, dir)
-      val rows = df.collect()
-      assert(rows.nonEmpty, s"$n returned no rows")
-      val rec = rows.head.getAs[Double]("recall_at_10")
-      assert(rows.forall(_.getAs[Double]("recall_at_10") == rec))
-      assert(rec >= 0.9, s"$n recall_at_10 = $rec")
+      val rows = Similarity.all.find(_.name == n).get.fn(spark, dir).collect()
+      assert(rows.length == 1, s"$n contract must be one row")
+      val r = rows.head
+      assert(r.getAs[Long]("k_rows") == 50L, s"$n k_rows = $r")
+      assert(r.getAs[Long]("recall_ok") == 1L, s"$n recall not >= 0.9: $r")
+      assert(r.getAs[Long]("dedup_ok") == 1L, s"$n emitted duplicate pairs: $r")
+      assert(r.getAs[Long]("queries_audited") == 5L, r.toString)
     }
+  }
+
+  test("s06 MMR contract is green at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.all.find(_.name == "s06_mmr_rerank").get
+      .fn(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("k_rows") == 50L, r.toString)
+    assert(r.getAs[Long]("ranks_ok") == 1L, r.toString)
+    assert(r.getAs[Long]("div_ok") == 1L, r.toString)
+    assert(r.getAs[Long]("top1_ok") == 1L, r.toString)
+  }
+
+  test("recall audit is bounded: brute-force leg sees only the <=32-query sample") {
+    // the deterministic stride sample caps the audit regardless of how
+    // many queries the production path serves
+    assert(Similarity.auditQids(5) == (0L until 5L).toSeq)
+    assert(Similarity.auditQids(1000).length == Similarity.MaxAuditQueries)
+    assert(Similarity.auditQids(1000) == Similarity.auditQids(1000)) // deterministic
+    assert(Similarity.auditQids(1000).distinct.length == Similarity.MaxAuditQueries)
+    // DataFrame-level: bruteTopKSet's query side is the sampled ids only
+    val qids = Similarity.auditQids(4, maxAudit = 2)
+    assert(qids == Seq(0L, 2L))
+    val brute = Similarity.bruteTopKSet(spark, sfDir, qids, k = 3)
+    val gotQids = brute.select("qid").distinct().collect().map(_.getLong(0)).sorted
+    assert(gotQids.toSeq == qids, s"brute leg scored extra queries: ${gotQids.toSeq}")
+    // and the contract reports exactly how many queries were audited
+    val c = Similarity.annContract(spark, sfDir, nQueries = 4, k = 3, maxAudit = 2)(
+      Similarity.knnBrute(spark, sfDir, nQueries = 4, k = 3)).collect().head
+    assert(c.getAs[Long]("queries_audited") == 2L, c.toString)
+    assert(c.getAs[Long]("recall_ok") == 1L, c.toString) // brute vs itself
   }
 
   test("MMR re-rank swaps a redundant near-duplicate for the diverse candidate") {
