@@ -48,10 +48,23 @@ object Bench {
       System.gc()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // truncation-proof artifact: sorted keys + 4-decimal rounding keep
+    // the single JSON line ~2.3 KB (the driver's stdout tail capture
+    // cut the unsorted ~4.6 KB r3 line mid-map), it prints LAST so a
+    // tail keeps it whole, and the same line also goes to a file as
+    // belt-and-braces.
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => } // bench still reported via stdout
+    println(full)
     spark.stop()
   }
 }

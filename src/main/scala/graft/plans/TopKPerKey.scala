@@ -30,6 +30,17 @@ import scala.collection.mutable
   * under `order` (ties broken by the ordering itself — callers pass a
   * total order, e.g. score DESC + id ASC, for a deterministic set).
   * Row order WITHIN the result is unspecified, as with any aggregate.
+  *
+  * Memory envelope: the PARTIAL phase sees every key of its input
+  * partition, so its state would be O(distinct-keys·k) unguarded. It
+  * therefore flushes — emits the current heaps downstream and resets —
+  * whenever the map reaches `spark.graft.topk.maxStateKeys` (default
+  * 131072), trading a little extra shuffle volume (≤ one extra k-batch
+  * per key per flush) for a hard state bound; correctness is unchanged
+  * because the final phase re-merges per key. The FINAL phase cannot
+  * flush early (it must see a key's every survivor before emitting k),
+  * but its state is only O(keys-in-reducer·k) = distinct-keys/shuffle-
+  * partitions · k, which the exchange already bounds.
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
@@ -77,6 +88,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val kk = k
     val childOutput = child.output
     val numOutputRows = longMetric("numOutputRows")
+    // partial-phase state bound: flush heaps downstream when the key
+    // map reaches this size (final phase must aggregate fully per key)
+    val maxStateKeys =
+      conf.getConfString("spark.graft.topk.maxStateKeys", "131072").toInt
+    val canFlush = !finalPhase
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val base = GenerateOrdering.generate(sortOrder, childOutput)
@@ -87,8 +103,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         def compare(a: UnsafeRow, b: UnsafeRow): Int = base.compare(a, b)
       }
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      it.foreach { row =>
-        val unsafe = row.asInstanceOf[UnsafeRow]
+      def insert(unsafe: UnsafeRow): Unit = {
         val key = keyProj(unsafe)
         val heap = heaps.get(key) match {
           case Some(h) => h
@@ -103,8 +118,32 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap.enqueue(unsafe.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
-        .map { r => numOutputRows += 1; r }
+      // materializing a flush is O(state) — the same order as the state
+      // it replaces, which clear() then releases
+      def flush(): Iterator[UnsafeRow] = {
+        val a = heaps.valuesIterator.flatMap(_.iterator).toArray
+        heaps.clear()
+        a.iterator
+      }
+      new Iterator[InternalRow] {
+        private var cur: Iterator[UnsafeRow] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!cur.hasNext && (it.hasNext || heaps.nonEmpty)) {
+            if (!it.hasNext) cur = flush()
+            else {
+              val unsafe = it.next().asInstanceOf[UnsafeRow]
+              if (canFlush && heaps.size >= maxStateKeys &&
+                  !heaps.contains(keyProj(unsafe))) cur = flush()
+              insert(unsafe)
+            }
+          }
+          cur.hasNext
+        }
+        def next(): InternalRow = {
+          numOutputRows += 1
+          cur.next()
+        }
+      }
     }, preservesPartitioning = true)
   }
 }

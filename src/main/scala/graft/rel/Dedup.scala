@@ -529,8 +529,15 @@ object Dedup {
       .cache()
     val dups = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
-    val perDoc = grams.join(broadcast(dups), Seq("h"))
-      .select(col("doc_id"), col("p")).as[(Long, Int)]
+    // materialize the (corpus-small) duplicated positions eagerly so
+    // the big gram cache can be released HERE — without this the
+    // full positional explode stays pinned in executor memory for the
+    // session's lifetime (Verify / interactive use; Bench clears
+    // caches between queries anyway)
+    val dupPositions = grams.join(broadcast(dups), Seq("h"))
+      .select(col("doc_id"), col("p")).localCheckpoint()
+    grams.unpersist()
+    val perDoc = dupPositions.as[(Long, Int)]
       .groupByKey(_._1)
       .mapGroups { (d, it) =>
         // interval union of same-width windows: positions are distinct

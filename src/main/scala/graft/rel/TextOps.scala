@@ -562,17 +562,24 @@ object TextOps {
         .as[(Long, String)]
         .filter(_._2.nonEmpty)
         .map { case (id, t) =>
-          val counts = new java.util.HashMap[Char, Long]()
+          // iterate CODE POINTS, not UTF-16 units: the oracle's
+          // text[i] indexes Unicode characters, so surrogate pairs
+          // (emoji, CJK extensions) must count as one char on both
+          // sides or n_chars_counted and the distribution diverge
+          val counts = new java.util.HashMap[Int, Long]()
           var i = 0
+          var n = 0L
           while (i < t.length) {
-            counts.merge(t.charAt(i), 1L, (a, b) => a + b); i += 1
+            val cp = t.codePointAt(i)
+            counts.merge(cp, 1L, (a, b) => a + b)
+            n += 1
+            i += Character.charCount(cp)
           }
-          val n = t.length.toDouble
           var h = 0.0
           counts.forEach { (_, c) =>
-            val p = c / n; h -= p * math.log(p)
+            val p = c / n.toDouble; h -= p * math.log(p)
           }
-          (id, t.length.toLong, math.rint(h * 1e4) / 1e4)
+          (id, n, math.rint(h * 1e4) / 1e4)
         }
         .toDF("doc_id", "n_chars_counted", "char_entropy")
         .orderBy("doc_id")

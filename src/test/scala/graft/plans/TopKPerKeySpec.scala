@@ -32,6 +32,26 @@ class TopKPerKeySpec extends SparkSpec {
     assert(asSet(native) == asSet(windowed))
   }
 
+  test("partial-phase state guard: tiny maxStateKeys still yields exact results") {
+    // l_orderkey is high-cardinality per partition — with the flush
+    // threshold at 4 keys the partial phase flushes thousands of
+    // times, and the final merge must still produce exactly the
+    // window-idiom set (flushing only ever duplicates per-key
+    // k-batches across the exchange, never loses rows)
+    val k = 3
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    val windowed = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    val expected = asSet(windowed)
+    spark.conf.set("spark.graft.topk.maxStateKeys", "4")
+    try {
+      val native = ScaleOps.topKPerKey(li, Seq("l_orderkey"),
+        Seq(("l_extendedprice", false), ("l_linenumber", true)), k)
+      assert(asSet(native) == expected)
+    } finally spark.conf.unset("spark.graft.topk.maxStateKeys")
+  }
+
   test("plan: partial + exchange + final, no sort, no window") {
     val df = ScaleOps.topKPerKey(li, Seq("l_returnflag"),
       Seq(("l_extendedprice", false), ("l_orderkey", true),
