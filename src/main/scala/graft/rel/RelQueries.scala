@@ -419,13 +419,13 @@ object RelQueries {
         .orderBy(rand(42), col("o_orderkey"))
         .limit(50)
         .select("o_orderkey", "o_totalprice")
-      // materialize the first draw ONCE (localCheckpoint) and reuse it
-      // for the k/distinct/in-input legs — only the rerun-diff leg
-      // genuinely needs a second, independent evaluation of the plan
-      // (same seed ⟹ identical sample), so the query runs 2 sample
-      // jobs, not 5
+      // materialize each draw ONCE (localCheckpoint): the first is
+      // reused by the k/distinct/in-input legs, the second is a
+      // genuine independent re-evaluation of the plan (same seed ⟹
+      // identical sample) whose result the symmetric difference then
+      // reads twice — 2 sample jobs total instead of 5
       val one = sample.localCheckpoint()
-      val two = sample
+      val two = sample.localCheckpoint()
       val diff = one.exceptAll(two).unionAll(two.exceptAll(one))
       val inInput = one.join(orders(s, d).select("o_orderkey"), Seq("o_orderkey"),
         "left_semi")

@@ -471,19 +471,21 @@ object Similarity {
       nQueries: Int, k: Int, maxAudit: Int = MaxAuditQueries)(
       ann: DataFrame): DataFrame = {
     val qids = auditQids(nQueries, maxAudit)
-    val annC = ann.cache()
-    val counts = annC.agg(
-      count(lit(1)).as("k_rows"),
-      (countDistinct(col("qid"), col("nid")) === count(lit(1)))
-        .cast("long").as("dedup_ok"))
-    // brute set is |qids|·k rows — broadcast so the semi-join can never
-    // degrade to a shuffle join on unknown cache stats
+    // brute set is |qids|·k rows — broadcast, tag hits with a
+    // left-outer join, and fold EVERYTHING into one aggregate over a
+    // single evaluation of the ANN plan (no cache, no crossJoin of
+    // separate audit legs)
     val brute = bruteTopKSet(spark, dir, qids, k)
+      .withColumn("_hit", lit(1))
     val needed = math.ceil(0.9 * qids.size * k).toLong
-    val recall = annC.filter(col("qid").isInCollection(qids))
-      .join(broadcast(brute), Seq("qid", "nid"), "left_semi")
-      .agg((count(lit(1)) >= needed).cast("long").as("recall_ok"))
-    counts.crossJoin(recall) // two one-row sides — broadcast
+    ann.join(broadcast(brute), Seq("qid", "nid"), "left_outer")
+      .agg(
+        count(lit(1)).as("k_rows"),
+        (sum(when(col("_hit") === 1 &&
+          col("qid").isInCollection(qids), 1L).otherwise(0L)) >= needed)
+          .cast("long").as("recall_ok"),
+        (countDistinct(col("qid"), col("nid")) === count(lit(1)))
+          .cast("long").as("dedup_ok"))
       .select(col("k_rows"), col("recall_ok"), col("dedup_ok"),
         lit(qids.size.toLong).as("queries_audited"))
   }
