@@ -872,17 +872,21 @@ object RelQueries {
       val n = deg.count()
       val nodes = deg.select(col("src").as("node"))
       var rank = nodes.withColumn("rank", lit(1.0 / n))
-      for (_ <- 1 to 10) {
+      for (i <- 1 to 10) {
         val contrib = und
           .join(rank.withColumnRenamed("node", "src"), Seq("src"))
           .join(deg, Seq("src"))
           .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
           .groupBy("node").agg(sum(col("c")).as("in"))
-        rank = nodes.join(contrib, Seq("node"), "left")
+        val next = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(0.15 / n) + lit(0.85) * coalesce(col("in"), lit(0.0)))
               .as("rank"))
-          .localCheckpoint()
+        // lineage cut every OTHER round: the plan between cuts stays
+        // bounded at two joined iterations while halving the eager
+        // materialization jobs (the rank state is tiny — the cut is
+        // about plan growth, not data volume)
+        rank = if (i % 2 == 0) next.localCheckpoint() else next
       }
       rank.select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")

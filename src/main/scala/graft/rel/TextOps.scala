@@ -15,6 +15,28 @@ object TextOps {
   private def tokens(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
+  /** (codepoint count, Shannon entropy rounded to 4 decimals) of the
+    * character distribution. Iterates CODE POINTS, not UTF-16 units:
+    * the t16 oracle's `text[i]` indexes Unicode characters, so
+    * surrogate pairs (emoji, CJK extensions) must count as one char on
+    * both sides or n_chars_counted and the distribution diverge. */
+  private[rel] def charEntropy(t: String): (Long, Double) = {
+    val counts = new java.util.HashMap[Int, Long]()
+    var i = 0
+    var n = 0L
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    counts.forEach { (_, c) =>
+      val p = c / n.toDouble; h -= p * math.log(p)
+    }
+    (n, math.rint(h * 1e4) / 1e4)
+  }
+
   /** Rolling polynomial hash (h*31 + codepoint) mod 1e9+7 — the
     * document-fingerprint primitive (also the shingle hash for
     * winnowing-style fingerprints). Kept in a UDF: per-char loops are
@@ -561,26 +583,7 @@ object TextOps {
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .filter(_._2.nonEmpty)
-        .map { case (id, t) =>
-          // iterate CODE POINTS, not UTF-16 units: the oracle's
-          // text[i] indexes Unicode characters, so surrogate pairs
-          // (emoji, CJK extensions) must count as one char on both
-          // sides or n_chars_counted and the distribution diverge
-          val counts = new java.util.HashMap[Int, Long]()
-          var i = 0
-          var n = 0L
-          while (i < t.length) {
-            val cp = t.codePointAt(i)
-            counts.merge(cp, 1L, (a, b) => a + b)
-            n += 1
-            i += Character.charCount(cp)
-          }
-          var h = 0.0
-          counts.forEach { (_, c) =>
-            val p = c / n.toDouble; h -= p * math.log(p)
-          }
-          (id, n, math.rint(h * 1e4) / 1e4)
-        }
+        .map { case (id, t) => val (n, h) = charEntropy(t); (id, n, h) }
         .toDF("doc_id", "n_chars_counted", "char_entropy")
         .orderBy("doc_id")
     }

@@ -14,6 +14,18 @@ class TrainingDataOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
   }
 
+  test("t16 charEntropy counts code points, not UTF-16 units (non-BMP goldens)") {
+    // U+1F600 is a surrogate pair: 4 emoji = 4 chars of ONE symbol →
+    // entropy 0. A UTF-16-unit iteration would see 8 units of 2
+    // distinct surrogates and report (8, ln 2) — the ADVICE bug.
+    assert(TextOps.charEntropy("😀😀😀😀") == (4L, 0.0))
+    // alternating BMP/non-BMP: 4 chars, two symbols at p=1/2 → ln 2
+    assert(TextOps.charEntropy("a😀a😀") == (4L, 0.6931))
+    // pure-BMP baseline unchanged by the codepoint walk
+    assert(TextOps.charEntropy("abab") == (4L, 0.6931))
+    assert(TextOps.charEntropy("𝕏y") == (2L, 0.6931))
+  }
+
   private def wordGrams(text: String, n: Int): Seq[String] = {
     val w = text.split(" ").filter(_.nonEmpty)
     if (w.length < n) Seq.empty
