@@ -63,7 +63,9 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => } // bench still reported via stdout
+    catch { // bench still reported via stdout; fatal errors propagate
+      case scala.util.control.NonFatal(_) =>
+    }
     println(full)
     spark.stop()
   }

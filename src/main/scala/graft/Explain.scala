@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    // audit FULL plans: suppress optimization-only lineage cuts, whose
+    // eager localCheckpoint would run real jobs at DataFrame build and
+    // hide the checkpointed subtree behind Scan ExistingRDD
+    sys.props("graft.lineage.nocut") = "true"
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1).toSeq match {
       case Seq() | Seq("all") => SparkEntry.queries.keys.toSeq.sorted

@@ -226,7 +226,7 @@ object Dedup {
       // tiny by construction, but referenced by TWO broadcast joins
       // below — materialize once so the signature scan + bucket
       // aggregate don't run once per broadcast subtree
-      .localCheckpoint()
+      .transform(Lineage.cut)
     val jaccardOfTexts = udf { (ta: String, tb: String) =>
       val a = shingleSet(ta)
       val bSet = new java.util.HashSet[String]()
@@ -535,7 +535,7 @@ object Dedup {
     // session's lifetime (Verify / interactive use; Bench clears
     // caches between queries anyway)
     val dupPositions = grams.join(broadcast(dups), Seq("h"))
-      .select(col("doc_id"), col("p")).localCheckpoint()
+      .select(col("doc_id"), col("p")).transform(Lineage.cut)
     grams.unpersist()
     val perDoc = dupPositions.as[(Long, Int)]
       .groupByKey(_._1)

@@ -424,8 +424,8 @@ object RelQueries {
       // genuine independent re-evaluation of the plan (same seed ⟹
       // identical sample) whose result the symmetric difference then
       // reads twice — 2 sample jobs total instead of 5
-      val one = sample.localCheckpoint()
-      val two = sample.localCheckpoint()
+      val one = Lineage.cut(sample)
+      val two = Lineage.cut(sample)
       val diff = one.exceptAll(two).unionAll(two.exceptAll(one))
       val inInput = one.join(orders(s, d).select("o_orderkey"), Seq("o_orderkey"),
         "left_semi")
@@ -866,9 +866,9 @@ object RelQueries {
           concat(lit("t:"), col("event_type")).as("dst"))
         .distinct()
       val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+        .transform(Lineage.cut)
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+        .transform(Lineage.cut)
       val n = deg.count()
       val nodes = deg.select(col("src").as("node"))
       var rank = nodes.withColumn("rank", lit(1.0 / n))
@@ -886,7 +886,7 @@ object RelQueries {
         // bounded at two joined iterations while halving the eager
         // materialization jobs (the rank state is tiny — the cut is
         // about plan growth, not data volume)
-        rank = if (i % 2 == 0) next.localCheckpoint() else next
+        rank = if (i % 2 == 0) Lineage.cut(next) else next
       }
       rank.select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")

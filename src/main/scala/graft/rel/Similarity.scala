@@ -414,11 +414,16 @@ object Similarity {
         def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
         val divPlain = r6(pairAvg(0 until kk))
         val divMmr = r6(pairAvg(picked.toSeq))
+        // shortlist-side max relevance (cands is sorted by cos desc):
+        // the contract's "first pick = relevance argmax" check needs a
+        // reference OUTSIDE the picked set, or a greedy bug that drops
+        // the argmax entirely would go unseen
+        val topCos = r6(cands(0)._3)
         picked.iterator.zipWithIndex.map { case (i, r) =>
-          (qid, cands(i)._2, r6(cands(i)._3), r + 1, divPlain, divMmr)
+          (qid, cands(i)._2, r6(cands(i)._3), r + 1, divPlain, divMmr, topCos)
         }
       }
-      .toDF("qid", "nid", "cos", "rank", "div_plain", "div_mmr")
+      .toDF("qid", "nid", "cos", "rank", "div_plain", "div_mmr", "top_cos")
       .orderBy("qid", "rank")
   }
 
@@ -478,11 +483,12 @@ object Similarity {
     val brute = bruteTopKSet(spark, dir, qids, k)
       .withColumn("_hit", lit(1))
     val needed = math.ceil(0.9 * qids.size * k).toLong
+    // brute holds only sampled qids, so a _hit row is in the sample by
+    // construction — no extra qid predicate needed
     ann.join(broadcast(brute), Seq("qid", "nid"), "left_outer")
       .agg(
         count(lit(1)).as("k_rows"),
-        (sum(when(col("_hit") === 1 &&
-          col("qid").isInCollection(qids), 1L).otherwise(0L)) >= needed)
+        (sum(when(col("_hit") === 1, 1L).otherwise(0L)) >= needed)
           .cast("long").as("recall_ok"),
         (countDistinct(col("qid"), col("nid")) === count(lit(1)))
           .cast("long").as("dedup_ok"))
@@ -496,7 +502,7 @@ object Similarity {
     s"""SELECT CAST(${nQueries * k} AS BIGINT) AS k_rows,
        | CAST(1 AS BIGINT) AS recall_ok,
        | CAST(1 AS BIGINT) AS dedup_ok,
-       | CAST($nQueries AS BIGINT) AS queries_audited""".stripMargin
+       | CAST(${math.min(nQueries, MaxAuditQueries)} AS BIGINT) AS queries_audited""".stripMargin
 
   /** One-row contract for the MMR re-rank: ranks are exactly 1..k per
     * query, the rank-1 pick is the pure-relevance argmax (MMR's first
@@ -508,7 +514,10 @@ object Similarity {
       countDistinct(col("rank")).as("ndr"),
       max("rank").as("maxr"),
       max("div_mmr").as("dm"), max("div_plain").as("dp"),
-      max("cos").as("maxc"),
+      // shortlist-side max relevance, NOT max over the picked rows —
+      // the latter would be self-referential and blind to a greedy
+      // bug that drops the argmax from the pick set
+      max("top_cos").as("maxc"),
       max(when(col("rank") === 1, col("cos"))).as("c1"))
     per.agg(
       sum("n").cast("long").as("k_rows"),

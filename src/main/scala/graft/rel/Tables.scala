@@ -54,3 +54,19 @@ object Q {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 }
+
+/** Lineage cuts that stay out of the plan audit's way. */
+object Lineage {
+  /** `localCheckpoint` unless the plan-audit context disabled cuts
+    * (`-Dgraft.lineage.nocut=true`, set by [[graft.Explain]]): an
+    * eager checkpoint at DataFrame-BUILD time runs real jobs during
+    * `Explain` and replaces the checkpointed subtree with `Scan
+    * ExistingRDD` in the audited plan, hiding its joins/aggregates
+    * from the shape summary. Only for cuts that are pure
+    * optimizations — driver-side fixpoint loops (d07) and
+    * collect-based offsets (t13) need genuine materialization and
+    * keep calling localCheckpoint directly. */
+  def cut(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.lineage.nocut").contains("true")) df
+    else df.localCheckpoint()
+}

@@ -124,6 +124,9 @@ class SimilaritySpec extends SparkSpec {
     assert(byRank.toSeq == Seq(2L, 3L), byRank.toSeq)
     val r0 = rows.head
     assert(r0.getAs[Double]("div_mmr") < r0.getAs[Double]("div_plain"), r0)
+    // shortlist-side max relevance column: v2's cos 0.905, and the
+    // rank-1 pick carries exactly that relevance
+    assert(math.abs(r0.getAs[Double]("top_cos") - 0.905) < 1e-6, r0)
   }
 
   test("MMR on the registry corpus is deterministic and audited") {
