@@ -52,6 +52,36 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxStateKeys")
   }
 
+  test("randomized parity with the window idiom (keys, k, partitions, flush threshold)") {
+    import spark.implicits._
+    // deterministic pseudo-random datasets: vary key cardinality, k,
+    // input partitioning, and the flush threshold; (value desc, id)
+    // is always a total order so the expected set is unique
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(40)
+      val nRows = 200 + rnd.nextInt(1500)
+      val k = 1 + rnd.nextInt(9)
+      val nParts = 1 + rnd.nextInt(7)
+      val maxState = if (seed % 2 == 0) 1 + rnd.nextInt(5) else 131072
+      val rows = (0 until nRows).map { id =>
+        (rnd.nextInt(nKeys), rnd.nextInt(50).toDouble, id.toLong)
+      }
+      val df = rows.toDF("key", "value", "id").repartition(nParts)
+      val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(t => (-t._2, t._3)).take(k)
+      }.toSet
+      spark.conf.set("spark.graft.topk.maxStateKeys", maxState.toString)
+      try {
+        val got = ScaleOps.topKPerKey(df, Seq("key"),
+            Seq(("value", false), ("id", true)), k)
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+        assert(got == expected,
+          s"seed=$seed nKeys=$nKeys k=$k parts=$nParts maxState=$maxState")
+      } finally spark.conf.unset("spark.graft.topk.maxStateKeys")
+    }
+  }
+
   test("plan: partial + exchange + final, no sort, no window") {
     val df = ScaleOps.topKPerKey(li, Seq("l_returnflag"),
       Seq(("l_extendedprice", false), ("l_orderkey", true),
