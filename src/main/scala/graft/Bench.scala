@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Cumulative task-level I/O counters — snapshot deltas around each
+    * query give measured per-query shuffle/input volume, the direct
+    * evidence for the "shuffles carry digests, never text/pixels"
+    * scale claims (best-effort: listener events are async, so a small
+    * tail may attribute to the next query; the artifact is
+    * diagnostic, not a gate). */
+  private final class IoListener extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val input = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def snapshot(): (Long, Long, Long) =
+      (shuffleWrite.get, shuffleRead.get, input.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,7 +62,10 @@ object Bench {
     // deterministic order; caches are per-query scoped — clear between
     // queries so one query's persisted subplans can't poison the next
     // (shared local JVM heap)
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val before = io.snapshot()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -46,7 +74,11 @@ object Bench {
       // queries otherwise pay wildly varying GC debt left by precursors
       // (observed d04 swinging 7s..30s with identical plans)
       System.gc()
-      name -> dt
+      // GC pause above also lets the async listener bus drain, keeping
+      // the per-query attribution of the I/O counters honest
+      val after = io.snapshot()
+      name -> (dt, after._1 - before._1, after._2 - before._2,
+        after._3 - before._3)
     }.toMap
     // truncation-proof artifact: sorted keys + 4-decimal rounding keep
     // the single JSON line ~2.3 KB (the driver's stdout tail capture
@@ -54,19 +86,27 @@ object Bench {
     // tail keeps it whole, and the same line also goes to a file as
     // belt-and-braces.
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + r4(v) }
+    val sorted = results.toSeq.sortBy(_._1)
+    val qs = sorted.map { case (k, v) => "\"" + k + "\":" + r4(v._1) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full =
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // the one-line stdout contract stays compact (just timings); the
+    // measured per-query I/O (shuffle write/read + scan input, MB)
+    // goes to the file artifact only
+    val stdoutLine =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}}"""
+    val ioJson = sorted.map { case (k, v) =>
+      "\"" + k + "\":{\"sw_mb\":" + r4(v._2 / 1e6) + ",\"sr_mb\":" +
+        r4(v._3 / 1e6) + ",\"in_mb\":" + r4(v._4 / 1e6) + "}"
+    }.mkString("{", ",", "}")
+    val fileLine = stdoutLine.dropRight(1) + s""","io":$ioJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath), (full + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outPath), (fileLine + "\n").getBytes("UTF-8"))
     catch { // bench still reported via stdout; fatal errors propagate
       case scala.util.control.NonFatal(_) =>
     }
-    println(full)
+    println(stdoutLine)
     spark.stop()
   }
 }
