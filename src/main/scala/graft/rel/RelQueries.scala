@@ -944,6 +944,43 @@ object RelQueries {
         .groupBy("tok").agg(count(lit(1)).as("n_tok"))
         .filter(col("n_tok") >= n / 40.0)
         .orderBy(col("n_tok").desc, col("tok"))
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis 2006)
+    // — the curriculum/quality-weighted selection step of a training
+    // pipeline ("take k documents with probability ∝ weight", here
+    // weight = n_chars, i.e. token-budget-proportional). Each row gets
+    // an EXPONENTIAL-sort key ln(u)/w from a DETERMINISTIC uniform u
+    // (md5(doc_id) top 13 hex digits / 2^52 — engine-reproducible, so
+    // the oracle replays the identical draw); the sample IS the global
+    // top-k by that key. Scale shape: ONE narrow pass computes keys,
+    // TakeOrdered keeps k per partition and merges k at the driver —
+    // no shuffle of the corpus, no global sort (the ES paper's
+    // reservoir form, distributed). Only exact integer columns are
+    // emitted: the float key stays internal, so cross-engine libm
+    // ulps cannot touch the hash (selection flips would need an
+    // order-statistic gap below 1 ulp — vanishing at any n).
+    Q("q40_weighted_sample",
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+        |      / 4503599627370496.0 AS u,
+        |    CAST(greatest(n_chars, 1) AS DOUBLE) AS wt
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars, ln(u) / wt AS es FROM w),
+        |top AS (SELECT doc_id, n_chars FROM k
+        |        ORDER BY es DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long") / lit(4503599627370496.0) // 2^52: exact div
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (log(u) / greatest(col("n_chars"), lit(1L)).cast("double"))
+            .as("es"))
+        .orderBy(col("es").desc, col("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     }
   )
 }

@@ -14,6 +14,27 @@ class TrainingDataOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
   }
 
+  test("q40 weighted sample: deterministic, k rows, weight-skewed, no shuffle") {
+    val q = RelQueries.all.find(_.name == "q40_weighted_sample").get
+    val df = q.fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    // deterministic draw: identical on re-run
+    val again = q.fn(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // P(pick) ∝ n_chars ⟹ the sample's mean length exceeds the
+    // corpus mean (size-biased sampling is longer in expectation)
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    val corpusMean = docs.map(_._2.length).sum.toDouble / docs.size
+    assert(sampleMean > corpusMean,
+      s"weighted sample not size-biased: $sampleMean <= $corpusMean")
+    // scale shape: per-partition top-k merged at the driver
+    // (TakeOrderedAndProject), never a global sort of the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("t16 charEntropy counts code points, not UTF-16 units (non-BMP goldens)") {
     // U+1F600 is a surrogate pair: 4 emoji = 4 chars of ONE symbol →
     // entropy 0. A UTF-16-unit iteration would see 8 units of 2
