@@ -981,6 +981,59 @@ object RelQueries {
         .limit(100)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // Temperature-based multilingual sampling (the XLM-R / mC4 step:
+    // draw languages with p_l ∝ n_l^α so low-resource languages are
+    // upsampled; α = 0.5 here). Per-lang budgets k_l = ⌊K·√n_l / Σ√n⌋
+    // are computed from a tiny lang-count aggregate; within each
+    // language, documents rank by deterministic md5 order and the
+    // first k_l survive. Cross-engine exactness by construction:
+    // sqrt is IEEE-exact-rounded in both engines, Σ√n is summed in
+    // SORTED lang order on both sides (oracle: running-sum window;
+    // engine: foldLeft over sorted langs), and md5-hex ordering is
+    // plain byte order — so the floor can't flip. Scale shape: the
+    // corpus pass is ONE TopKPerKey (per-partition k_max-bounded
+    // heaps, survivor-only exchange); the rank window then sees only
+    // ≤ langs·k_max survivors, and budgets broadcast.
+    Q("q41_temperature_sample",
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (SELECT lang, sqrt(CAST(n_l AS DOUBLE)) AS wl FROM c),
+        |z AS (SELECT max(zz) AS z FROM
+        |        (SELECT sum(wl) OVER (ORDER BY lang) AS zz FROM w)),
+        |t AS (SELECT lang, CAST(floor(200 * wl / z.z) AS BIGINT) AS k_l
+        |      FROM w, z),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents WHERE lang IS NOT NULL)
+        |SELECT r.doc_id, r.lang, r.rn FROM r JOIN t USING (lang)
+        |WHERE r.rn <= t.k_l ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 200
+      val docs = documents(s, d).filter(col("lang").isNotNull)
+      // lang histogram: bounded by the language inventory, sorted so
+      // the float accumulation order matches the oracle's window
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val wl = counts.map { case (l, n) => (l, math.sqrt(n.toDouble)) }
+      val z = wl.foldLeft(0.0)(_ + _._2)
+      val targets = wl.map { case (l, w) =>
+        (l, math.floor(K * w / z).toLong)
+      }
+      val kMax = math.max(1L, targets.map(_._2).max).toInt
+      val tDf = s.createDataFrame(targets.toSeq).toDF("lang", "k_l")
+      val keyed = docs.select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val short = ScaleOps.topKPerKey(keyed, Seq("lang"),
+        Seq(("h", true), ("doc_id", true)), kMax)
+      short.withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+        .join(broadcast(tDf), Seq("lang"))
+        .filter(col("rn") <= col("k_l"))
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")
     }
   )
 }

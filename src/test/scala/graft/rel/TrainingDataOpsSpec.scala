@@ -35,6 +35,33 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q41 temperature sampling upsamples low-resource languages") {
+    val q = RelQueries.all.find(_.name == "q41_temperature_sample").get
+    val rows = q.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // per-lang sampled counts and corpus counts
+    val sampled = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val corpus = docs.map(_._1).size // not by lang; recompute from table
+    val byLang = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("lang").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble)).toMap
+    // α = 0.5 < 1 ⟹ the sampling RATE k_l/n_l strictly decreases with
+    // n_l: the rarest language is sampled at a higher rate than the
+    // most common one
+    val rates = byLang.collect { case (l, n) if sampled.contains(l) =>
+      (n, sampled(l) / n)
+    }.toSeq.sortBy(_._1)
+    assert(rates.size >= 2, s"need >=2 langs, got $rates")
+    assert(rates.head._2 > rates.last._2,
+      s"rarest lang not upsampled: $rates (corpus=$corpus)")
+    // deterministic
+    val again = q.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("t16 charEntropy counts code points, not UTF-16 units (non-BMP goldens)") {
     // U+1F600 is a surrogate pair: 4 emoji = 4 chars of ONE symbol →
     // entropy 0. A UTF-16-unit iteration would see 8 units of 2
