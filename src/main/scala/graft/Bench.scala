@@ -6,9 +6,9 @@ object Bench {
   /** Cumulative task-level I/O counters — snapshot deltas around each
     * query give measured per-query shuffle/input volume, the direct
     * evidence for the "shuffles carry digests, never text/pixels"
-    * scale claims (best-effort: listener events are async, so a small
-    * tail may attribute to the next query; the artifact is
-    * diagnostic, not a gate). */
+    * scale claims. Attribution is exact: the listener bus is drained
+    * (GraftBridge.drainListenerBus) before every snapshot, so no
+    * in-flight task-end event can land in a neighboring query. */
   private final class IoListener extends org.apache.spark.scheduler.SparkListener {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
@@ -64,8 +64,12 @@ object Bench {
     // (shared local JVM heap)
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
+    def ioSnapshot(): (Long, Long, Long) = {
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      io.snapshot()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val before = io.snapshot()
+      val before = ioSnapshot()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -74,9 +78,7 @@ object Bench {
       // queries otherwise pay wildly varying GC debt left by precursors
       // (observed d04 swinging 7s..30s with identical plans)
       System.gc()
-      // GC pause above also lets the async listener bus drain, keeping
-      // the per-query attribution of the I/O counters honest
-      val after = io.snapshot()
+      val after = ioSnapshot()
       name -> (dt, after._1 - before._1, after._2 - before._2,
         after._3 - before._3)
     }.toMap

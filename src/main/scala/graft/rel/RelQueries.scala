@@ -985,25 +985,28 @@ object RelQueries {
 
     // Temperature-based multilingual sampling (the XLM-R / mC4 step:
     // draw languages with p_l ∝ n_l^α so low-resource languages are
-    // upsampled; α = 0.5 here). Per-lang budgets k_l = ⌊K·√n_l / Σ√n⌋
-    // are computed from a tiny lang-count aggregate; within each
+    // upsampled; α = 0.5 here). Per-lang budgets k_l = (K·⌊√n_l⌋) div
+    // Σ⌊√n⌋ come from a tiny lang-count aggregate; within each
     // language, documents rank by deterministic md5 order and the
-    // first k_l survive. Cross-engine exactness by construction:
-    // sqrt is IEEE-exact-rounded in both engines, Σ√n is summed in
-    // SORTED lang order on both sides (oracle: running-sum window;
-    // engine: foldLeft over sorted langs), and md5-hex ordering is
-    // plain byte order — so the floor can't flip. Scale shape: the
-    // corpus pass is ONE TopKPerKey (per-partition k_max-bounded
-    // heaps, survivor-only exchange); the rank window then sees only
+    // first k_l survive. The contract is INTEGER-exact by
+    // construction — no float arithmetic crosses engines: ⌊√n⌋ equals
+    // exact isqrt for n ≤ 2^52 (IEEE sqrt is correctly rounded and
+    // the m²−1 gap 1/2m only dips under ulp/2 past 2^52), the
+    // normalizer is an order-free integer sum (a float Σ√n would NOT
+    // be reproducible — DuckDB's window sum associates as a segment
+    // tree for ≥32 groups), budgets are integer floor-division, and
+    // md5-hex ordering is plain byte order. Scale shape: the corpus
+    // pass is ONE TopKPerKey (per-partition k_max-bounded heaps,
+    // survivor-only exchange); the rank window then sees only
     // ≤ langs·k_max survivors, and budgets broadcast.
     Q("q41_temperature_sample",
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents
         |           WHERE lang IS NOT NULL GROUP BY lang),
-        |w AS (SELECT lang, sqrt(CAST(n_l AS DOUBLE)) AS wl FROM c),
-        |z AS (SELECT max(zz) AS z FROM
-        |        (SELECT sum(wl) OVER (ORDER BY lang) AS zz FROM w)),
-        |t AS (SELECT lang, CAST(floor(200 * wl / z.z) AS BIGINT) AS k_l
-        |      FROM w, z),
+        |w AS (SELECT lang,
+        |        CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS wl
+        |      FROM c),
+        |z AS (SELECT CAST(sum(wl) AS BIGINT) AS z FROM w),
+        |t AS (SELECT lang, (200 * wl) // z.z AS k_l FROM w, z),
         |r AS (SELECT doc_id, lang,
         |        row_number() OVER (PARTITION BY lang
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
@@ -1011,29 +1014,32 @@ object RelQueries {
         |SELECT r.doc_id, r.lang, r.rn FROM r JOIN t USING (lang)
         |WHERE r.rn <= t.k_l ORDER BY r.doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val K = 200
+      val K = 200L
       val docs = documents(s, d).filter(col("lang").isNotNull)
-      // lang histogram: bounded by the language inventory, sorted so
-      // the float accumulation order matches the oracle's window
+      // lang histogram: bounded by the language inventory
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-      val wl = counts.map { case (l, n) => (l, math.sqrt(n.toDouble)) }
-      val z = wl.foldLeft(0.0)(_ + _._2)
-      val targets = wl.map { case (l, w) =>
-        (l, math.floor(K * w / z).toLong)
+      if (counts.isEmpty) {
+        // empty/all-null-lang input: empty result, same schema as the
+        // oracle's (which selects from an empty join cleanly)
+        docs.limit(0).select(col("doc_id"), col("lang"), lit(0L).as("rn"))
+      } else {
+        val wl = counts.map { case (l, n) => (l, math.sqrt(n.toDouble).toLong) }
+        val z = wl.map(_._2).sum // integer: exact in any order
+        val targets = wl.map { case (l, w) => (l, K * w / z) }
+        val kMax = math.max(1L, targets.map(_._2).max).toInt
+        val tDf = s.createDataFrame(targets.toSeq).toDF("lang", "k_l")
+        val keyed = docs.select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("h"))
+        val short = ScaleOps.topKPerKey(keyed, Seq("lang"),
+          Seq(("h", true), ("doc_id", true)), kMax)
+        short.withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+          .join(broadcast(tDf), Seq("lang"))
+          .filter(col("rn") <= col("k_l"))
+          .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+          .orderBy("doc_id")
       }
-      val kMax = math.max(1L, targets.map(_._2).max).toInt
-      val tDf = s.createDataFrame(targets.toSeq).toDF("lang", "k_l")
-      val keyed = docs.select(col("doc_id"), col("lang"),
-        md5(col("doc_id").cast("string")).as("h"))
-      val short = ScaleOps.topKPerKey(keyed, Seq("lang"),
-        Seq(("h", true), ("doc_id", true)), kMax)
-      short.withColumn("rn", row_number().over(
-          Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
-        .join(broadcast(tDf), Seq("lang"))
-        .filter(col("rn") <= col("k_l"))
-        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
-        .orderBy("doc_id")
     }
   )
 }

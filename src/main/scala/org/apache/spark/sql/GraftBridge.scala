@@ -32,4 +32,11 @@ object GraftBridge {
   def analyzed(df: DataFrame):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** block until the async listener bus has delivered every queued
+    * event (`listenerBus` is private[spark]) — graft.Bench snapshots
+    * task-metric counters per query and needs exact attribution, not
+    * whatever happens to have drained */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -73,10 +73,14 @@ class TopKPerKeySpec extends SparkSpec {
       }.toSet
       spark.conf.set("spark.graft.topk.maxStateKeys", maxState.toString)
       try {
-        val got = ScaleOps.topKPerKey(df, Seq("key"),
+        val collected = ScaleOps.topKPerKey(df, Seq("key"),
             Seq(("value", false), ("id", true)), k)
-          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
-        assert(got == expected,
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+        // exact cardinality BEFORE the set compare: a flush-path bug
+        // that re-emits survivors would still satisfy set equality
+        assert(collected.length == expected.size,
+          s"seed=$seed: ${collected.length} rows, expected ${expected.size}")
+        assert(collected.toSet == expected,
           s"seed=$seed nKeys=$nKeys k=$k parts=$nParts maxState=$maxState")
       } finally spark.conf.unset("spark.graft.topk.maxStateKeys")
     }

@@ -42,7 +42,6 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     // per-lang sampled counts and corpus counts
     val sampled = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
-    val corpus = docs.map(_._1).size // not by lang; recompute from table
     val byLang = Tables.documents(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("lang").isNotNull)
       .groupBy("lang").count().collect()
@@ -54,8 +53,7 @@ class TrainingDataOpsSpec extends SparkSpec {
       (n, sampled(l) / n)
     }.toSeq.sortBy(_._1)
     assert(rates.size >= 2, s"need >=2 langs, got $rates")
-    assert(rates.head._2 > rates.last._2,
-      s"rarest lang not upsampled: $rates (corpus=$corpus)")
+    assert(rates.head._2 > rates.last._2, s"rarest lang not upsampled: $rates")
     // deterministic
     val again = q.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
