@@ -138,4 +138,71 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column =
     floatDot(a, b) / (floatNorm(a) * floatNorm(b))
+
+  /** packed (table << 16 | bucket) sign-LSH index keys, array<int> */
+  def lshKeys(a: Column): Column =
+    GraftBridge.column(LshIndexKeys(GraftBridge.expression(a)))
+}
+
+/** Multi-table sign-LSH index keys as a native expression — the
+  * 100 TB index-build hot path (every corpus vector hashes into
+  * LshTables buckets once). A Scala UDF here pays Catalyst→Scala
+  * array conversion and boxing per row; this stays a primitive loop
+  * on ArrayData inside whole-stage codegen (via a static kernel call
+  * — the hyperplane cache lives in graft.rel.Similarity). Output:
+  * array<int> of (table << 16) | bucket packed keys, length
+  * LshTables, never null elements. Null input elements → NULL (lambda
+  * parity with the engine's other vector expressions). */
+case class LshIndexKeys(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_index_keys"
+  override def nullable: Boolean = true // null element -> NULL
+
+  override def nullSafeEval(a: Any): Any =
+    LshKernel.packedKeys(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.LshKernel.packedKeys($a);
+         |if (${ev.value} == null) ${ev.isNull} = true;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshIndexKeys =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[LshIndexKeys]] (generated code calls the
+  * static forwarder). Kept free of Row/encoder machinery: reads
+  * ArrayData directly, one float[] materialization per row, reuses
+  * the per-JVM hyperplane cache. */
+object LshKernel {
+  def packedKeys(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val v = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null // null element -> NULL result
+      v(i) = a.getFloat(i)
+      i += 1
+    }
+    val tables = graft.rel.Similarity.LshTables
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      out(t) = (t << 16) | graft.rel.Similarity.lshBucket(t, v)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -99,7 +99,7 @@ object Similarity {
   }
 
   /** Signature of v in one table: LshBits sign bits. */
-  private[rel] def lshBucket(table: Int, v: Array[Float]): Int = {
+  private[graft] def lshBucket(table: Int, v: Array[Float]): Int = {
     val tablePlanes = planes(v.length)(table)
     var bucket = 0
     var h = 0
@@ -137,25 +137,27 @@ object Similarity {
   /** ANN top-k via multi-table sign-LSH: the corpus is indexed once into
     * L=16 tables of 2^8 buckets (explode ×L — the standard LSH space/
     * recall trade); queries probe their bucket ± 1 bit in every table.
-    * The corpus-side join key is (table, bucket): cost scales with
-    * candidate collisions, never n². Recall vs `knnBrute` asserted in
-    * SimilaritySpec. */
+    * The join key is the packed (table << 16 | bucket) int: cost scales
+    * with candidate collisions, never n². The CORPUS side (the 100 TB
+    * side) hashes through the native codegen expression
+    * (graft.functions.LshIndexKeys) — no per-row UDF conversion on the
+    * index build; the 5-row query side keeps a plain UDF. Recall vs
+    * `knnBrute` asserted in SimilaritySpec. */
   def knnLsh(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val corpusKeysUdf = udf { (v: Array[Float]) => corpusKeys(v) }
-    val queryKeysUdf = udf { (v: Array[Float]) => queryKeys(v) }
+    val queryKeysUdf = udf { (v: Array[Float]) =>
+      queryKeys(v).map { case (t, b) => (t << 16) | b }
+    }
     val e = Tables.embeddings(spark, dir)
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        explode(corpusKeysUdf(col("embedding"))).as("tb"))
-      .select(col("nid"), col("ne"), col("tb._1").as("t"), col("tb._2").as("bucket"))
+      explode(graft.functions.VectorFunctions.lshKeys(col("embedding"))).as("k"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(queryKeysUdf(col("embedding"))).as("tb"))
-      .select(col("qid"), col("qe"), col("tb._1").as("t"), col("tb._2").as("bucket"))
+        explode(queryKeysUdf(col("embedding"))).as("k"))
     // a pair may collide in several tables: score every collision (the
     // codegen'd dot is cheap) and dedup on the bare (qid, nid, score) —
     // deduping BEFORE scoring would shuffle the embedding arrays
     // themselves, which dominates at any scale
-    val scored = corpus.join(broadcast(queries), Seq("t", "bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("k"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
       .groupBy("qid", "nid").agg(first("c").as("c"))

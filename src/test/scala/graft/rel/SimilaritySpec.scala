@@ -153,6 +153,32 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.distinct.length > 1)
   }
 
+  test("native lsh_index_keys expression matches the Scala corpus keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 17 - 8) * 0.25f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        graft.functions.VectorFunctions.lshKeys(col("embedding")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val expected = Similarity.corpusKeys(v).map { case (t, b) => (t << 16) | b }
+      assert(got(id) == expected, s"vec $id")
+    }
+    // null element -> NULL (parity with the other vector expressions)
+    val withNull = Seq((0L, Array[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.lshKeys(
+        col("embedding").cast("array<float>")).as("ks"))
+    assert(withNull.collect().head.isNullAt(0))
+    // the s02 corpus side indexes through the native expression, not a UDF
+    val plan = Similarity.knnLsh(spark, sfDir, nQueries = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("lsh_index_keys"), plan.take(2000))
+  }
+
   test("LSH bucket function is deterministic and tables differ") {
     val v = Array.tabulate(64)(i => (i * 0.1f) - 3.2f)
     assert(Similarity.lshBucket(0, v) == Similarity.lshBucket(0, v))
