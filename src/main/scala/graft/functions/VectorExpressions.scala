@@ -182,11 +182,63 @@ case class LshIndexKeys(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Static kernel for [[LshIndexKeys]] (generated code calls the
-  * static forwarder). Kept free of Row/encoder machinery: reads
-  * ArrayData directly, one float[] materialization per row, reuses
-  * the per-JVM hyperplane cache. */
+/** The sign-LSH hashing kernel (Charikar 2002) — lives in the
+  * functions tier so the codegen expression above has no dependency
+  * on the rel query layer; `graft.rel.Similarity` delegates here.
+  * Static forwarders make every method callable from Janino-generated
+  * code. */
 object LshKernel {
+  val Bits = 8    // bits per table → ~n/2^Bits vectors per bucket
+  val Tables = 16 // independent tables; recall = 1-(1-p^b)^L per probe
+  // the packed key is (table << 16) | bucket: bucket bits must fit
+  // below bit 16 and table ids in the positive int range above it
+  require(Bits <= 16 && Tables <= (1 << 15),
+    s"packed-key scheme requires Bits <= 16 and Tables <= 32768, got $Bits/$Tables")
+
+  /** Deterministic Rademacher hyperplane for (table, bit): component j
+    * from a splitmix stream mapped to ±1 (sign LSH needs only symmetric
+    * zero-mean components). */
+  def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      var z = ((table.toLong * 64 + bit) << 32 | j.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      if (z >= 0) 1.0 else -1.0
+    }
+
+  /** hyperplanes are deterministic — materialize them once per JVM per
+    * dim instead of re-deriving (and re-allocating) Tables×Bits arrays
+    * for every vector hashed */
+  @volatile private var planeCache: (Int, Array[Array[Array[Double]]]) = null
+  private def planes(dim: Int): Array[Array[Array[Double]]] = {
+    val c = planeCache
+    if (c != null && c._1 == dim) c._2
+    else {
+      val p = Array.tabulate(Tables, Bits)((t, b) => hyperplane(t, b, dim))
+      planeCache = (dim, p)
+      p
+    }
+  }
+
+  /** Signature of v in one table: Bits sign bits. */
+  def lshBucket(table: Int, v: Array[Float]): Int = {
+    val tablePlanes = planes(v.length)(table)
+    var bucket = 0
+    var h = 0
+    while (h < Bits) {
+      val plane = tablePlanes(h)
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += plane(j) * v(j); j += 1 }
+      if (s > 0) bucket |= (1 << h)
+      h += 1
+    }
+    bucket
+  }
+
+  /** [[LshIndexKeys]] eval: reads ArrayData directly (no Row/encoder
+    * machinery), one float[] materialization per row. */
   def packedKeys(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val v = new Array[Float](n)
@@ -196,11 +248,10 @@ object LshKernel {
       v(i) = a.getFloat(i)
       i += 1
     }
-    val tables = graft.rel.Similarity.LshTables
-    val out = new Array[Int](tables)
+    val out = new Array[Int](Tables)
     var t = 0
-    while (t < tables) {
-      out(t) = (t << 16) | graft.rel.Similarity.lshBucket(t, v)
+    while (t < Tables) {
+      out(t) = (t << 16) | lshBucket(t, v)
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

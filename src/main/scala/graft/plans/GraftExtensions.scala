@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatDotProduct, FloatL2Norm}
+import graft.functions.{FloatDotProduct, FloatL2Norm, LshIndexKeys}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length != 1)
           org.apache.spark.sql.GraftBridge.wrongNumArgs("float_norm", 1, children.length)
         FloatL2Norm(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_index_keys"),
+      new ExpressionInfo(classOf[LshIndexKeys].getName, "lsh_index_keys"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          org.apache.spark.sql.GraftBridge.wrongNumArgs("lsh_index_keys", 1, children.length)
+        LshIndexKeys(children(0))
       }))
   }
 }

@@ -68,51 +68,17 @@ object Similarity {
   }
 
   // ---- LSH (random hyperplanes, multi-table) -----------------------------
+  // The hashing kernel itself (hyperplanes, bucket signature, packed
+  // keys) lives in graft.functions.LshKernel — the codegen-expression
+  // tier must not depend on this query layer; delegations below keep
+  // the rel-side API stable.
 
-  val LshBits = 8    // bits per table → ~n/2^8 vectors per bucket
-  val LshTables = 16 // independent tables; recall = 1-(1-p^b)^L per probe
-
-  /** Deterministic Rademacher hyperplane for (table, bit): component j
-    * from a splitmix stream mapped to ±1 (sign LSH needs only symmetric
-    * zero-mean components — Charikar 2002). */
-  private[rel] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { j =>
-      var z = ((table.toLong * 64 + bit) << 32 | j.toLong) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      if (z >= 0) 1.0 else -1.0
-    }
-
-  /** hyperplanes are deterministic — materialize them once per JVM per
-    * dim instead of re-deriving (and re-allocating) 128 arrays for
-    * every vector hashed */
-  @volatile private var planeCache: (Int, Array[Array[Array[Double]]]) = null
-  private[rel] def planes(dim: Int): Array[Array[Array[Double]]] = {
-    val c = planeCache
-    if (c != null && c._1 == dim) c._2
-    else {
-      val p = Array.tabulate(LshTables, LshBits)((t, b) => hyperplane(t, b, dim))
-      planeCache = (dim, p)
-      p
-    }
-  }
+  val LshBits: Int = graft.functions.LshKernel.Bits
+  val LshTables: Int = graft.functions.LshKernel.Tables
 
   /** Signature of v in one table: LshBits sign bits. */
-  private[graft] def lshBucket(table: Int, v: Array[Float]): Int = {
-    val tablePlanes = planes(v.length)(table)
-    var bucket = 0
-    var h = 0
-    while (h < LshBits) {
-      val plane = tablePlanes(h)
-      var s = 0.0
-      var j = 0
-      while (j < v.length) { s += plane(j) * v(j); j += 1 }
-      if (s > 0) bucket |= (1 << h)
-      h += 1
-    }
-    bucket
-  }
+  private[rel] def lshBucket(table: Int, v: Array[Float]): Int =
+    graft.functions.LshKernel.lshBucket(table, v)
 
   /** All (table, bucket) keys for a corpus vector — the LSH "index". */
   private[rel] def corpusKeys(v: Array[Float]): Seq[(Int, Int)] =
@@ -136,8 +102,10 @@ object Similarity {
 
   /** ANN top-k via multi-table sign-LSH: the corpus is indexed once into
     * L=16 tables of 2^8 buckets (explode ×L — the standard LSH space/
-    * recall trade); queries probe their bucket ± 1 bit in every table.
-    * The join key is the packed (table << 16 | bucket) int: cost scales
+    * recall trade); queries probe their bucket plus every Hamming-1 and
+    * Hamming-2 neighbor in every table (37 probe keys/table — see
+    * queryKeys). The join key is the packed (table << 16 | bucket) int:
+    * cost scales
     * with candidate collisions, never n². The CORPUS side (the 100 TB
     * side) hashes through the native codegen expression
     * (graft.functions.LshIndexKeys) — no per-row UDF conversion on the

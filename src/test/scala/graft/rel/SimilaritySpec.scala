@@ -177,6 +177,12 @@ class SimilaritySpec extends SparkSpec {
     val plan = Similarity.knnLsh(spark, sfDir, nQueries = 2, k = 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("lsh_index_keys"), plan.take(2000))
+    // and it is SQL-registered through the session extension
+    val viaSql = spark.sql(
+      "SELECT lsh_index_keys(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)))")
+      .collect().head.getSeq[Int](0)
+    assert(viaSql == Similarity.corpusKeys(Array(1.0f, -2.0f))
+      .map { case (t, b) => (t << 16) | b })
   }
 
   test("LSH bucket function is deterministic and tables differ") {
