@@ -12,6 +12,23 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("Lineage.cut: checkpoints by default, transparent under the plan-audit flag") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.nation(spark, sfDir).select(col("n_nationkey"))
+    // default: an eager localCheckpoint — the plan collapses to a scan
+    // of the materialized RDD
+    val cut = Lineage.cut(df)
+    assert(cut.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      cut.queryExecution.analyzed)
+    // audit mode (set by graft.Explain): the cut is a no-op so the full
+    // lineage stays visible and no jobs run at build time
+    sys.props("graft.lineage.nocut") = "true"
+    try {
+      val uncut = Lineage.cut(df)
+      assert(uncut eq df, "nocut mode must return the frame unchanged")
+    } finally sys.props.remove("graft.lineage.nocut")
+  }
+
   test("q02: filter is pushed into the parquet scan") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters: ["), p)
