@@ -82,33 +82,36 @@ object Bench {
       name -> (dt, after._1 - before._1, after._2 - before._2,
         after._3 - before._3)
     }.toMap
-    // truncation-proof artifact: sorted keys + 4-decimal rounding keep
-    // the single JSON line ~2.3 KB (the driver's stdout tail capture
-    // cut the unsorted ~4.6 KB r3 line mid-map), it prints LAST so a
-    // tail keeps it whole, and the same line also goes to a file as
-    // belt-and-braces.
+    // Truncation-proof reporting. The driver tail-captures stdout, and
+    // both the r3 (~4.6 KB unsorted) and r4 (~2.3 KB sorted) single
+    // lines lost their HEAD to the capture window — an unparseable
+    // fragment. So: the full per-query map prints FIRST (losing its
+    // head costs nothing; the file artifact is the lossless record),
+    // and the LAST line is a compact ~0.6 KB summary — total plus the
+    // slowest-12 per-query timings — that any tail capture keeps whole.
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
     val sorted = results.toSeq.sortBy(_._1)
-    val qs = sorted.map { case (k, v) => "\"" + k + "\":" + r4(v._1) }
-      .mkString("{", ",", "}")
+    def qJson(entries: Seq[(String, (Double, Long, Long, Long))]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + r4(v._1) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    // the one-line stdout contract stays compact (just timings); the
-    // measured per-query I/O (shuffle write/read + scan input, MB)
-    // goes to the file artifact only
-    val stdoutLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}}"""
     val ioJson = sorted.map { case (k, v) =>
       "\"" + k + "\":{\"sw_mb\":" + r4(v._2 / 1e6) + ",\"sr_mb\":" +
         r4(v._3 / 1e6) + ",\"in_mb\":" + r4(v._4 / 1e6) + "}"
     }.mkString("{", ",", "}")
-    val fileLine = stdoutLine.dropRight(1) + s""","io":$ioJson}"""
+    // file artifact: everything (all timings + measured per-query I/O)
+    val fileLine =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"io":$ioJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (fileLine + "\n").getBytes("UTF-8"))
     catch { // bench still reported via stdout; fatal errors propagate
       case scala.util.control.NonFatal(_) =>
     }
-    println(stdoutLine)
+    println(s"""{"metric":"per_query","unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir"}""")
+    val slowest = sorted.sortBy(-_._2._1).take(12).sortBy(_._1)
+    println(
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest_12_of_${results.size}","full_artifact":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -209,17 +209,16 @@ object LshKernel {
 
   /** hyperplanes are deterministic — materialize them once per JVM per
     * dim instead of re-deriving (and re-allocating) Tables×Bits arrays
-    * for every vector hashed */
-  @volatile private var planeCache: (Int, Array[Array[Array[Double]]]) = null
-  private def planes(dim: Int): Array[Array[Array[Double]]] = {
-    val c = planeCache
-    if (c != null && c._1 == dim) c._2
-    else {
-      val p = Array.tabulate(Tables, Bits)((t, b) => hyperplane(t, b, dim))
-      planeCache = (dim, p)
-      p
-    }
-  }
+    * for every vector hashed. Keyed by dim (not a single slot): two
+    * dimensionalities hashed concurrently in one executor — e.g. the
+    * registry's 64-dim corpus plus an ad-hoc SQL `lsh_index_keys` call
+    * of another dim — must not thrash the cache back to per-row
+    * re-derivation on the codegen hot path. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Array[Double]]]]
+  private def planes(dim: Int): Array[Array[Array[Double]]] =
+    planeCache.computeIfAbsent(dim,
+      d => Array.tabulate(Tables, Bits)((t, b) => hyperplane(t, b, d)))
 
   /** Signature of v in one table: Bits sign bits. */
   def lshBucket(table: Int, v: Array[Float]): Int = {

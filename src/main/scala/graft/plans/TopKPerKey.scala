@@ -103,8 +103,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         def compare(a: UnsafeRow, b: UnsafeRow): Int = base.compare(a, b)
       }
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      def insert(unsafe: UnsafeRow): Unit = {
-        val key = keyProj(unsafe)
+      // `key` is the caller's keyProj output for `unsafe` — projected
+      // once per row (the flush guard needs it too; projecting again
+      // here would double key-projection work for every row once the
+      // map sits at maxStateKeys)
+      def insert(key: UnsafeRow, unsafe: UnsafeRow): Unit = {
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
@@ -132,9 +135,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             if (!it.hasNext) cur = flush()
             else {
               val unsafe = it.next().asInstanceOf[UnsafeRow]
+              val key = keyProj(unsafe)
               if (canFlush && heaps.size >= maxStateKeys &&
-                  !heaps.contains(keyProj(unsafe))) cur = flush()
-              insert(unsafe)
+                  !heaps.contains(key)) cur = flush()
+              insert(key, unsafe)
             }
           }
           cur.hasNext

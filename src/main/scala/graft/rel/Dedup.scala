@@ -536,7 +536,11 @@ object Dedup {
     // caches between queries anyway)
     val dupPositions = grams.join(broadcast(dups), Seq("h"))
       .select(col("doc_id"), col("p")).transform(Lineage.cut)
-    grams.unpersist()
+    // release only when the cut above actually materialized: in nocut
+    // (plan-audit) mode nothing has run yet, and unpersisting here
+    // would recompute the full positional explode for both consumers
+    // if the audited plan were ever executed
+    if (Lineage.cutsEnabled) grams.unpersist()
     val perDoc = dupPositions.as[(Long, Int)]
       .groupByKey(_._1)
       .mapGroups { (d, it) =>
@@ -566,6 +570,78 @@ object Dedup {
         round(coalesce(col("tokens_covered"), lit(0L)).cast("double") /
           col("n_tokens"), 6).as("dup_frac"))
       .orderBy("doc_id")
+  }
+
+  /** Exact embedding-cosine near-dup — the quadratic ground-truth
+    * variant (d04 LSH / d08 SemDeDup are the scale paths). The corpus
+    * never collects to the driver whole: the broadcast side iterates
+    * disjoint id-blocks of at most `spark.graft.d06.blockRows` rows
+    * (~17 MB of 64-dim float32 at the default 65536), each scanned
+    * against the full distributed corpus in a compiled loop that skips
+    * ids ≤ the probe's — every pair lands exactly once, in the block
+    * holding its larger id, so the pair set and each cosine are
+    * bit-identical for ANY block count (spec-pinned). Driver heap
+    * holds ONE block during collection; completed blocks live in the
+    * block manager (TorrentBroadcast, MEMORY_AND_DISK), so the blocked
+    * dimension is disk-bounded, not heap-bounded. Returns the block
+    * count alongside the frame for the spec.
+    *
+    * Total comparisons stay n²/2 — inherent to the exact predicate;
+    * what tiling buys is that no single allocation anywhere scales
+    * with the corpus. */
+  private[rel] def embeddingNearDupBlocked(s: SparkSession, d: String,
+      threshold: Double): (DataFrame, Int) = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val blockRows =
+      s.conf.getOption("spark.graft.d06.blockRows").getOrElse("65536").toInt
+    require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    val n = e.count()
+    val numBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    val perBlock = (0 until numBlocks).map { b =>
+      // membership by id mod: any disjoint partition of the corpus
+      // works — block sizes are ~uniform because ids are dense here;
+      // a skew-robust variant would range-partition on md5(vec_id)
+      val block = e.filter(col("vec_id") % numBlocks === b)
+        .as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      val norms = block.map { case (_, v) =>
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(ss)
+      }
+      val bc = s.sparkContext.broadcast((block, norms))
+      e.mapPartitions { rows =>
+        val (corp, ns) = bc.value
+        val ids = corp.map(_._1)
+        rows.flatMap { case (ida, va) =>
+          var na = 0.0
+          var i = 0
+          while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
+          val normA = math.sqrt(na)
+          // scan only this block's ids strictly above the probe's
+          val start = java.util.Arrays.binarySearch(ids, ida + 1) match {
+            case neg if neg < 0 => -neg - 1
+            case pos => pos
+          }
+          (start until corp.length).iterator.flatMap { j =>
+            val vb = corp(j)._2
+            var dot = 0.0
+            var k = 0
+            while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+            val c = dot / (normA * ns(j))
+            if (c >= threshold) Iterator.single((ida, corp(j)._1, c))
+            else Iterator.empty
+          }
+        }
+      }
+    }
+    val pairs = perBlock.reduce(_ union _)
+    (pairs.toDF("va", "vb", "c")
+      .select(col("va"), col("vb"), round(col("c"), 6).as("cos"))
+      .orderBy("va", "vb"), numBlocks)
   }
 
   val all: Seq[Q] = Seq(
@@ -634,11 +710,12 @@ object Dedup {
 
     // Embedding-cosine near-dup: exact all-pairs at a threshold — the
     // ground-truth variant (the LSH paths d04/s02 are the scale path).
-    // Executed as a broadcast block-compute: norms precomputed once per
-    // vector (sequential double accumulation = the oracle's
-    // list_sum order, bit-identical), corpus broadcast sorted by id,
-    // each partition scans its rows against higher ids in a compiled
-    // loop — no per-pair array allocation, no catalyst lambda overhead.
+    // Tiled broadcast blocks (see embeddingNearDupBlocked): the corpus
+    // never collects whole; norms precompute once per vector
+    // (sequential double accumulation = the oracle's list_sum order,
+    // bit-identical) and each partition scans its rows against the
+    // block's higher ids in a compiled loop — no per-pair array
+    // allocation, no catalyst lambda overhead.
     Q("d06_embedding_neardup",
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         | round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -652,46 +729,7 @@ object Dedup {
         |   / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
         |      * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.4
         |ORDER BY va, vb""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-      // corpus + norms broadcast once (the exact variant is quadratic
-      // by definition; at larger n the broadcast side becomes the
-      // blocked dimension of a tiled cross join)
-      val corpus = e.collect().sortBy(_._1)
-      val norms = corpus.map { case (_, v) =>
-        var ss = 0.0; var i = 0
-        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(ss)
-      }
-      val bc = s.sparkContext.broadcast((corpus, norms))
-      val threshold = 0.4
-      e.mapPartitions { rows =>
-        val (corp, ns) = bc.value
-        val ids = corp.map(_._1)
-        rows.flatMap { case (ida, va) =>
-          var na = 0.0
-          var i = 0
-          while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
-          val normA = math.sqrt(na)
-          val start = java.util.Arrays.binarySearch(ids, ida + 1) match {
-            case neg if neg < 0 => -neg - 1
-            case pos => pos
-          }
-          (start until corp.length).iterator.flatMap { j =>
-            val vb = corp(j)._2
-            var dot = 0.0
-            var k = 0
-            while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-            val c = dot / (normA * ns(j))
-            if (c >= threshold) Iterator.single((ida, corp(j)._1, c))
-            else Iterator.empty
-          }
-        }
-      }.toDF("va", "vb", "c")
-        .select(col("va"), col("vb"), round(col("c"), 6).as("cos"))
-        .orderBy("va", "vb")
+      embeddingNearDupBlocked(s, d, 0.4)._1
     },
 
     // SemDeDup: embedding-cluster dedup — nearest-centroid assignment

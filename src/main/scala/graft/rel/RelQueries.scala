@@ -960,6 +960,16 @@ object RelQueries {
     // emitted: the float key stays internal, so cross-engine libm
     // ulps cannot touch the hash (selection flips would need an
     // order-statistic gap below 1 ulp — vanishing at any n).
+    // Accepted flake bound: a cross-engine selection flip requires the
+    // top-k boundary gap |es(k) − es(k+1)| to dip under ~1 ulp of the
+    // key (JVM Math.log vs DuckDB libm agree to ≤1 ulp). Measured at
+    // sf0.01: gap 1.76e-5 on keys of magnitude 7.8e-4 — a 2.3e-2
+    // relative gap, ~14 orders above the 2.2e-16 ulp scale; u carries
+    // 52 fresh hash bits per row, so keys stay continuously spread for
+    // any weight scheme whose weights don't collapse the hash term. If
+    // a future scheme produces clustered keys (many equal weights AND
+    // near-equal u), switch the boundary comparator to the md5 hex
+    // string within each weight bucket — exact in both engines.
     Q("q40_weighted_sample",
       """WITH w AS (
         |  SELECT doc_id, n_chars,
@@ -1016,30 +1026,29 @@ object RelQueries {
       import org.apache.spark.sql.expressions.Window
       val K = 200L
       val docs = documents(s, d).filter(col("lang").isNotNull)
-      // lang histogram: bounded by the language inventory
-      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-      if (counts.isEmpty) {
-        // empty/all-null-lang input: empty result, same schema as the
-        // oracle's (which selects from an empty join cleanly)
-        docs.limit(0).select(col("doc_id"), col("lang"), lit(0L).as("rn"))
-      } else {
-        val wl = counts.map { case (l, n) => (l, math.sqrt(n.toDouble).toLong) }
-        val z = wl.map(_._2).sum // integer: exact in any order
-        val targets = wl.map { case (l, w) => (l, K * w / z) }
-        val kMax = math.max(1L, targets.map(_._2).max).toInt
-        val tDf = s.createDataFrame(targets.toSeq).toDF("lang", "k_l")
-        val keyed = docs.select(col("doc_id"), col("lang"),
-          md5(col("doc_id").cast("string")).as("h"))
-        val short = ScaleOps.topKPerKey(keyed, Seq("lang"),
-          Seq(("h", true), ("doc_id", true)), kMax)
-        short.withColumn("rn", row_number().over(
-            Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
-          .join(broadcast(tDf), Seq("lang"))
-          .filter(col("rn") <= col("k_l"))
-          .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
-          .orderBy("doc_id")
-      }
+      // per-lang budgets fold INTO the plan (no driver round-trip):
+      // the histogram aggregate is bounded by the language inventory,
+      // its whole-relation window normalizer Σ⌊√n⌋ runs over those few
+      // rows, and the budget frame broadcasts back. The TopKPerKey
+      // bound needs a plan-time scalar, and k_l = (K·wl) div Σwl ≤ K
+      // always (wl ≤ Σwl), so K itself is the bound — no collect.
+      // Empty/all-null-lang input degrades cleanly: empty histogram →
+      // empty broadcast side → empty inner join, same schema.
+      val targets = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        .select(col("lang"),
+          floor(sqrt(col("n_l").cast("double"))).as("wl"))
+        .select(col("lang"),
+          expr(s"($K * wl) div (sum(wl) OVER ())").as("k_l"))
+      val keyed = docs.select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val short = ScaleOps.topKPerKey(keyed, Seq("lang"),
+        Seq(("h", true), ("doc_id", true)), K.toInt)
+      short.withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+        .join(broadcast(targets), Seq("lang"))
+        .filter(col("rn") <= col("k_l"))
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")
     }
   )
 }

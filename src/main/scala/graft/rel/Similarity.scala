@@ -197,6 +197,24 @@ object Similarity {
       }
       .sortBy(_._2).take(nProbe).map(_._1)
 
+  /** Deterministic hash-ordered quantizer training sample: the top-`n`
+    * corpus rows by `(md5(vec_id), vec_id)` — a uniform draw in the
+    * FAISS sense, and partition-invariant (spec-pinned). A bare
+    * `limit(n)` pulls whichever partitions answer first: harmless at
+    * sandbox scale, but at 100× the sample is first-partition-biased
+    * (skewed centroids → skewed cells → hot probe buckets). The
+    * hash-order top-n plans as TakeOrderedAndProject — ≤ n rows kept
+    * per partition, n merged at the driver, no corpus shuffle. */
+  private[rel] def trainingSample(e: DataFrame, n: Int): Array[Array[Float]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("embedding"), md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(n)
+      .select("embedding").as[Array[Float]]
+      .collect().map(unit)
+  }
+
   /** ANN top-k via IVF: corpus partitioned into nList k-means cells
     * (ONE assignment pass, shuffle key = cell); queries probe their
     * nProbe nearest cells. Unlike LSH there is no index replication —
@@ -206,9 +224,8 @@ object Similarity {
       nList: Int = 16, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    // train the coarse quantizer on a bounded sample
-    val sample = e.select(col("embedding")).limit(4096)
-      .as[Array[Float]].collect().map(unit)
+    // train the coarse quantizer on a bounded deterministic sample
+    val sample = trainingSample(e, 4096)
     val centroids = kmeansCentroids(sample, nList, iters = 8)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Array[Float]) => nearestCells(unit(v), bc.value, 1).head }
@@ -244,8 +261,8 @@ object Similarity {
       m: Int = 16, ks: Int = 32, shortlist: Int = 64): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val sample = e.select(col("embedding")).limit(4096)
-      .as[Array[Float]].collect().map(unit)
+    // same bounded deterministic sample as IVF (see trainingSample)
+    val sample = trainingSample(e, 4096)
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -475,15 +492,20 @@ object Similarity {
        | CAST(${math.min(nQueries, MaxAuditQueries)} AS BIGINT) AS queries_audited""".stripMargin
 
   /** One-row contract for the MMR re-rank: ranks are exactly 1..k per
-    * query, the rank-1 pick is the pure-relevance argmax (MMR's first
-    * pick has no diversity penalty), and the MMR pick set is never MORE
-    * self-similar than the plain top-k (`div_mmr ≤ div_plain`). */
+    * query, and the rank-1 pick is the pure-relevance argmax (MMR's
+    * first pick has no diversity penalty). Both are THEOREMS of the
+    * greedy, so they belong in the always-on oracle. `div_mmr ≤
+    * div_plain` deliberately is NOT here: the greedy optimizes
+    * relevance minus MAX-pairwise similarity, not the mean-pairwise
+    * statistic div_* reports, so MMR gives no guarantee on it — on an
+    * adversarial corpus the mean could flip despite correct behavior.
+    * That property is pinned on the current fixtures (where it holds)
+    * in SimilaritySpec instead. */
   private[rel] def mmrContract(k: Int)(m: DataFrame): DataFrame = {
     val per = m.groupBy("qid").agg(
       count(lit(1)).as("n"),
       countDistinct(col("rank")).as("ndr"),
       max("rank").as("maxr"),
-      max("div_mmr").as("dm"), max("div_plain").as("dp"),
       // shortlist-side max relevance, NOT max over the picked rows —
       // the latter would be self-referential and blind to a greedy
       // bug that drops the argmax from the pick set
@@ -493,7 +515,6 @@ object Similarity {
       sum("n").cast("long").as("k_rows"),
       min((col("n") === k && col("ndr") === k && col("maxr") === k)
         .cast("long")).as("ranks_ok"),
-      min((col("dm") <= col("dp") + lit(1e-9)).cast("long")).as("div_ok"),
       min((col("c1") >= col("maxc") - lit(1e-9)).cast("long")).as("top1_ok"))
   }
 
@@ -537,12 +558,13 @@ object Similarity {
       annContract(s, d, nQueries = 5, k = 10)(knnPq(s, d, nQueries = 5, k = 10))
     },
     // MMR diversity re-rank of the ANN shortlist, folded to its
-    // one-row contract (ranks exact, first pick = relevance argmax,
-    // diversity never worse than plain top-k); the planted-geometry
-    // swap semantics are pinned in SimilaritySpec.
+    // one-row contract (ranks exact, first pick = relevance argmax);
+    // the planted-geometry swap semantics AND the fixture-level
+    // div_mmr <= div_plain property are pinned in SimilaritySpec (the
+    // latter is not an MMR theorem, so it stays out of the oracle).
     Q("s06_mmr_rerank",
       """SELECT CAST(50 AS BIGINT) AS k_rows, CAST(1 AS BIGINT) AS ranks_ok,
-        | CAST(1 AS BIGINT) AS div_ok, CAST(1 AS BIGINT) AS top1_ok""".stripMargin) { (s, d) =>
+        | CAST(1 AS BIGINT) AS top1_ok""".stripMargin) { (s, d) =>
       mmrContract(k = 10)(mmrRerank(s, d, nQueries = 5, k = 10))
     },
 

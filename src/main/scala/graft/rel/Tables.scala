@@ -66,7 +66,14 @@ object Lineage {
     * optimizations — driver-side fixpoint loops (d07) and
     * collect-based offsets (t13) need genuine materialization and
     * keep calling localCheckpoint directly. */
+  /** False only in the plan-audit context. Callers that release a
+    * cache because a [[cut]] downstream of it has materialized must
+    * gate the release on this — in nocut mode nothing materialized, so
+    * an eager unpersist would drop the cache before any use. */
+  def cutsEnabled: Boolean =
+    !sys.props.get("graft.lineage.nocut").contains("true")
+
   def cut(df: DataFrame): DataFrame =
-    if (sys.props.get("graft.lineage.nocut").contains("true")) df
+    if (!cutsEnabled) df
     else df.localCheckpoint()
 }

@@ -37,6 +37,24 @@ class DedupSpec extends SparkSpec {
       s"identical docs missing from simhash: ${identical.diff(sim)}")
   }
 
+  test("d06 tiled broadcast: multi-block result is bit-identical to single-block") {
+    // force tiny blocks: the 100-vector sf0.001 corpus must split into
+    // >1 broadcast blocks, and the pair set + cosines must match the
+    // single-block run exactly (every pair lands once, in the block
+    // holding its larger id, with identical accumulation order)
+    spark.conf.set("spark.graft.d06.blockRows", "7")
+    try {
+      val (multi, nbMulti) = Dedup.embeddingNearDupBlocked(spark, sfDir, 0.4)
+      assert(nbMulti > 1, s"expected >1 blocks at blockRows=7, got $nbMulti")
+      val multiRows = multi.collect().toSeq
+      spark.conf.set("spark.graft.d06.blockRows", "1000000")
+      val (single, nbSingle) = Dedup.embeddingNearDupBlocked(spark, sfDir, 0.4)
+      assert(nbSingle == 1)
+      val singleRows = single.collect().toSeq
+      assert(multiRows.nonEmpty && multiRows == singleRows)
+    } finally spark.conf.unset("spark.graft.d06.blockRows")
+  }
+
   test("semdedup matches a driver-side brute force") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sfDir)

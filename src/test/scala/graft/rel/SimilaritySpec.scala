@@ -78,8 +78,15 @@ class SimilaritySpec extends SparkSpec {
     val r = rows.head
     assert(r.getAs[Long]("k_rows") == 50L, r.toString)
     assert(r.getAs[Long]("ranks_ok") == 1L, r.toString)
-    assert(r.getAs[Long]("div_ok") == 1L, r.toString)
     assert(r.getAs[Long]("top1_ok") == 1L, r.toString)
+    // div_mmr <= div_plain is NOT an MMR theorem (the greedy optimizes
+    // max-pairwise, div_* reports mean-pairwise), so it lives here on
+    // the current fixtures rather than in the always-on oracle
+    Similarity.mmrRerank(spark, dir, nQueries = 5, k = 10).collect()
+      .foreach { p =>
+        assert(p.getAs[Double]("div_mmr") <=
+          p.getAs[Double]("div_plain") + 1e-9, p.toString)
+      }
   }
 
   test("recall audit is bounded: brute-force leg sees only the <=32-query sample") {
@@ -140,6 +147,19 @@ class SimilaritySpec extends SparkSpec {
     df.collect().foreach { r =>
       assert(math.abs(r.getAs[Double]("div_plain")) <= 1.0)
       assert(math.abs(r.getAs[Double]("div_mmr")) <= 1.0)
+    }
+  }
+
+  test("IVF/PQ training sample is deterministic and partition-invariant") {
+    // the quantizer trains on a hash-ordered top-n, not a bare limit(n)
+    // (which pulls whichever partitions answer first — at scale a
+    // first-partition-biased, skew-prone sample)
+    val e = Tables.embeddings(spark, sfDir)
+    val a = Similarity.trainingSample(e, 64)
+    val b = Similarity.trainingSample(e.repartition(7), 64)
+    assert(a.length == 64 && b.length == 64)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.sameElements(y), "sample differs under repartition(7)")
     }
   }
 
