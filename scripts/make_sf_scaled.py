@@ -75,8 +75,12 @@ for name in ("nation", "region"):
 def doc_copy(t, i):
     t = off(t, "doc_id", DOC, i)
     texts = t.column("text").to_pylist()
+    # suffix only NON-empty tokens: consecutive/leading spaces split to
+    # "" which the engine's tokenizers filter out — appending _i there
+    # would mint tokens that exist in copies i>0 but not copy 0
     suffixed = [None if x is None else
-                " ".join(w + f"_{i}" for w in x.split(" ")) for x in texts]
+                " ".join(w + f"_{i}" if w else w for w in x.split(" "))
+                for x in texts]
     idx = t.schema.get_field_index("text")
     return t.set_column(idx, "text", pa.array(suffixed, pa.string()))
 
@@ -85,8 +89,11 @@ copies("documents", doc_copy)
 def emb_copy(t, i):
     t = off(t, "vec_id", VEC, i)
     vecs = t.column("embedding").to_pylist()
-    r = (7 * i) % 64
-    rotated = [None if v is None else v[r:] + v[:r] for v in vecs]
+    # rotation modulo the ACTUAL vector length — a fixed %64 would be
+    # the identity for dims < the rotation amount, silently recreating
+    # the cross-copy exact-duplicate cliques this exists to avoid
+    rotated = [None if not v else v[(7 * i) % len(v):] + v[:(7 * i) % len(v)]
+               for v in vecs]
     idx = t.schema.get_field_index("embedding")
     return t.set_column(idx, "embedding",
                         pa.array(rotated, t.schema.field("embedding").type))

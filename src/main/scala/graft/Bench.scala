@@ -105,8 +105,14 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (fileLine + "\n").getBytes("UTF-8"))
-    catch { // bench still reported via stdout; fatal errors propagate
-      case scala.util.control.NonFatal(_) =>
+    catch {
+      // the file is the LOSSLESS record (stdout only guarantees the
+      // compact total line survives capture) — a failed write must be
+      // loud, even though the run itself still reports via stdout
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"WARN: bench artifact write to $outPath failed: $e — " +
+            "full per-query timings/IO survive only in stdout")
     }
     println(s"""{"metric":"per_query","unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir"}""")
     val slowest = sorted.sortBy(-_._2._1).take(12).sortBy(_._1)

@@ -216,9 +216,21 @@ object LshKernel {
     * re-derivation on the codegen hot path. */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Array[Double]]]]
-  private def planes(dim: Int): Array[Array[Array[Double]]] =
-    planeCache.computeIfAbsent(dim,
-      d => Array.tabulate(Tables, Bits)((t, b) => hyperplane(t, b, d)))
+  // executor-lifetime memory bound: lsh_index_keys is SQL-registered,
+  // so nothing guarantees uniform array lengths — ragged input must
+  // not grow the cache without limit (Tables×Bits×dim doubles per
+  // entry). Beyond the cap, extra dims recompute per row: degraded
+  // speed on pathological input, never unbounded memory.
+  private val MaxCachedDims = 64
+  private def planes(dim: Int): Array[Array[Array[Double]]] = {
+    val cached = planeCache.get(dim)
+    if (cached != null) cached
+    else {
+      val p = Array.tabulate(Tables, Bits)((t, b) => hyperplane(t, b, dim))
+      if (planeCache.size < MaxCachedDims) planeCache.putIfAbsent(dim, p)
+      p
+    }
+  }
 
   /** Signature of v in one table: Bits sign bits. */
   def lshBucket(table: Int, v: Array[Float]): Int = {

@@ -575,16 +575,28 @@ object Dedup {
   /** Exact embedding-cosine near-dup — the quadratic ground-truth
     * variant (d04 LSH / d08 SemDeDup are the scale paths). The corpus
     * never collects to the driver whole: the broadcast side iterates
-    * disjoint id-blocks of at most `spark.graft.d06.blockRows` rows
-    * (~17 MB of 64-dim float32 at the default 65536), each scanned
-    * against the full distributed corpus in a compiled loop that skips
-    * ids ≤ the probe's — every pair lands exactly once, in the block
-    * holding its larger id, so the pair set and each cosine are
-    * bit-identical for ANY block count (spec-pinned). Driver heap
-    * holds ONE block during collection; completed blocks live in the
-    * block manager (TorrentBroadcast, MEMORY_AND_DISK), so the blocked
-    * dimension is disk-bounded, not heap-bounded. Returns the block
-    * count alongside the frame for the spec.
+    * disjoint hash-assigned id-blocks of ~`spark.graft.d06.blockRows`
+    * rows (~17 MB of 64-dim float32 at the default 65536), each
+    * scanned against the full distributed corpus in a compiled loop
+    * that skips ids ≤ the probe's — every pair lands exactly once, in
+    * the block holding its larger id, so the pair set and each cosine
+    * are bit-identical for ANY block count (spec-pinned). Block
+    * membership is `xxhash64(vec_id) mod numBlocks`: uniform for any
+    * id distribution (dense, strided, post-filter — an id-modulo
+    * scheme degenerates when ids share a stride), so block sizes
+    * concentrate tightly around blockRows; a pathological overload
+    * fails loudly below instead of silently re-growing the driver
+    * collect this exists to remove. Driver heap holds ONE block during
+    * collection; completed blocks live in the block manager
+    * (TorrentBroadcast, MEMORY_AND_DISK), so the aggregate broadcast
+    * footprint across blocks is corpus-sized ON DISK while heap stays
+    * block-bounded. Returns the block count alongside the frame for
+    * the spec.
+    *
+    * Build cost: one count + one filtered scan per block (O(numBlocks)
+    * driver-blocking jobs) — bounded by the query's own O(n²·d)
+    * compute, which scans the corpus numBlocks times anyway. The
+    * left-deep union collapses via Catalyst's CombineUnions.
     *
     * Total comparisons stay n²/2 — inherent to the exact predicate;
     * what tiling buys is that no single allocation anywhere scales
@@ -601,12 +613,16 @@ object Dedup {
     val n = e.count()
     val numBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
     val perBlock = (0 until numBlocks).map { b =>
-      // membership by id mod: any disjoint partition of the corpus
-      // works — block sizes are ~uniform because ids are dense here;
-      // a skew-robust variant would range-partition on md5(vec_id)
-      val block = e.filter(col("vec_id") % numBlocks === b)
+      val block = e.filter(pmod(xxhash64(col("vec_id")), lit(numBlocks)) === b)
         .as[(Long, Array[Float])]
         .collect().sortBy(_._1)
+      // multinomial concentration puts hash-uniform block sizes within
+      // a few percent of blockRows; 4× means something is wrong
+      // (duplicate vec_ids?) — fail before the broadcast, loudly
+      require(numBlocks == 1 || block.length <= 4L * blockRows + 64,
+        s"d06 block $b holds ${block.length} rows (bound ${blockRows}): " +
+          "hash-uniform assignment should concentrate tightly — check " +
+          "vec_id for mass duplication, or raise spark.graft.d06.blockRows")
       val norms = block.map { case (_, v) =>
         var ss = 0.0; var i = 0
         while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }

@@ -57,6 +57,13 @@ object Q {
 
 /** Lineage cuts that stay out of the plan audit's way. */
 object Lineage {
+  /** False only in the plan-audit context. Callers that release a
+    * cache because a [[cut]] downstream of it has materialized must
+    * gate the release on this — in nocut mode nothing materialized, so
+    * an eager unpersist would drop the cache before any use. */
+  def cutsEnabled: Boolean =
+    !sys.props.get("graft.lineage.nocut").contains("true")
+
   /** `localCheckpoint` unless the plan-audit context disabled cuts
     * (`-Dgraft.lineage.nocut=true`, set by [[graft.Explain]]): an
     * eager checkpoint at DataFrame-BUILD time runs real jobs during
@@ -66,13 +73,6 @@ object Lineage {
     * optimizations — driver-side fixpoint loops (d07) and
     * collect-based offsets (t13) need genuine materialization and
     * keep calling localCheckpoint directly. */
-  /** False only in the plan-audit context. Callers that release a
-    * cache because a [[cut]] downstream of it has materialized must
-    * gate the release on this — in nocut mode nothing materialized, so
-    * an eager unpersist would drop the cache before any use. */
-  def cutsEnabled: Boolean =
-    !sys.props.get("graft.lineage.nocut").contains("true")
-
   def cut(df: DataFrame): DataFrame =
     if (!cutsEnabled) df
     else df.localCheckpoint()
