@@ -27,8 +27,20 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# --skip-oracle=a,b,c : omit named queries from the DuckDB compare
+# (used for the 10x-scale gate, where a few ground-truth oracles are
+# themselves quadratic in DuckDB — the Spark side still runs them)
+skip = set()
+for a in sys.argv:
+    if a.startswith("--skip-oracle="):
+        skip = set(a.split("=", 1)[1].split(","))
 ok = fail = 0
+skipped = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print(f"SKIPPED  {name} (oracle too heavy at this SF)")
+        skipped += 1
+        continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"MISSING  {name} (no spark output)"); fail += 1; continue

@@ -38,10 +38,6 @@ object Hdf5 {
     def bytes(b: Array[Byte]): Unit = { ensure(b.length); System.arraycopy(b, 0, arr, len, b.length); len += b.length }
     def zeros(n: Int): Unit = { ensure(n); len += n }
     def align8(): Long = { while (len % 8 != 0) u8(0); pos }
-    def patchU64(at: Long, v: Long): Unit = {
-      var i = 0; var x = v
-      while (i < 8) { arr(at.toInt + i) = (x & 0xff).toByte; x >>= 8; i += 1 }
-    }
     def result(): Array[Byte] = java.util.Arrays.copyOf(arr, len)
   }
 
@@ -76,15 +72,6 @@ object Hdf5 {
       b.u8(0); b.u8(0)
       b.u32(8)
       b.u16(0); b.u16(64)
-    }
-  }
-  /** fixed-length null-terminated ASCII string of `size` bytes */
-  final case class Str(size: Int) extends Dtype {
-    def encode(b: Buf): Unit = {
-      b.u8(0x13) // version 1, class 3 (string)
-      b.u8(0x00) // null-terminated, ASCII
-      b.u8(0); b.u8(0)
-      b.u32(size.toLong)
     }
   }
 
@@ -130,11 +117,6 @@ object Hdf5 {
 
   private def pad8(n: Int): Int = (n + 7) / 8 * 8
 
-  private def strBytes(s: String, size: Int): Array[Byte] = {
-    val raw = s.getBytes(StandardCharsets.US_ASCII)
-    java.util.Arrays.copyOf(raw, size)
-  }
-
   private def packAttr(name: String, dt: Array[Byte], ds: Array[Byte],
       data: Array[Byte]): Array[Byte] = {
     val nameB = name.getBytes(StandardCharsets.US_ASCII) :+ 0.toByte
@@ -158,6 +140,14 @@ object Hdf5 {
   private def writeObjectHeader(b: Buf, msgs: Seq[Msg]): Long = {
     val encoded = msgs.map { m =>
       val padded = pad8(m.body.length)
+      // the per-message size field is u16: a body over 65528 bytes
+      // (e.g. an attribute holding thousands of strings) would wrap
+      // modulo 2^16 and write a silently corrupt file — fail loudly;
+      // oversized attr payloads belong in a dataset, not an attribute
+      require(padded <= 0xFFF8,
+        s"object-header message type ${m.tpe} is ${m.body.length} B — " +
+          "exceeds the HDF5 v1 u16 message-size limit (65528); store " +
+          "large payloads as a dataset instead of an attribute")
       (m.tpe, m.body, padded)
     }
     val total = encoded.map(8 + _._3).sum
@@ -365,6 +355,4 @@ object Hdf5 {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     vals.foreach(bb.putLong); bb.array()
   }
-  def strRaw(vals: Seq[String], size: Int): Array[Byte] =
-    vals.flatMap(strBytes(_, size)).toArray
 }

@@ -256,11 +256,22 @@ object Similarity {
     * exact-re-ranked with true cosines (the FAISS refine shape: fetch
     * only shortlist×nQueries full vectors), so recall survives the
     * quantization distortion of isotropic random test vectors.
-    */
+    *
+    * `shortlist = 0` (the default) resolves to `max(64, 2⌈√n⌉)`: the
+    * count of corpus vectors whose ADC noise overlaps the true top-k
+    * boundary grows with n, so a FIXED shortlist silently decays —
+    * measured at the 10× probe: 20k isotropic vectors need ≥128 for
+    * recall@10 ≥ 0.9 where 64 sufficed at 2k (the adaptive default
+    * gives 283 there, 64 at ≤1024 — small-corpus behavior unchanged).
+    * √n keeps the refine join sublinear (1e9 vectors → 63k-row
+    * shortlist per query, still broadcast-sized). */
   def knnPq(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      m: Int = 16, ks: Int = 32, shortlist: Int = 64): DataFrame = {
+      m: Int = 16, ks: Int = 32, shortlist: Int = 0): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
+    val shortlistN =
+      if (shortlist > 0) shortlist
+      else math.max(64, 2 * math.ceil(math.sqrt(e.count().toDouble)).toInt)
     // same bounded deterministic sample as IVF (see trainingSample)
     val sample = trainingSample(e, 4096)
     val dim = sample(0).length
@@ -313,7 +324,7 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), adcUdf(col("qe"), col("code")).as("adc"))
     val short = ScaleOps.topKPerKey(scored, Seq("qid"),
-        Seq(("adc", false), ("nid", true)), shortlist)
+        Seq(("adc", false), ("nid", true)), shortlistN)
       .select("qid", "nid")
     // refine: broadcast the (nQueries×shortlist)-row shortlist back
     // against the corpus to fetch true vectors, then exact cosine

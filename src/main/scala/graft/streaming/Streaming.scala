@@ -86,14 +86,14 @@ object Streaming {
       event_type: String, value: Double)
 
   /** boundary conversion from the raw (nullable) events schema:
-    * EventRow's primitive fields would NPE on NULL user_id/value
-    * during deserialization, so nulls are filtered here — the same
-    * exclusion q26's as-of join applies. */
+    * EventRow's primitive fields would NPE on NULL during
+    * deserialization, so EVERY primitive-typed field is null-filtered
+    * here (event_id included) — the same exclusion q26's as-of join
+    * applies. */
   def eventRows(df: DataFrame): Dataset[EventRow] = {
-    import org.apache.spark.sql.functions.col
     implicit val enc = Encoders.product[EventRow]
-    df.filter(col("user_id").isNotNull && col("value").isNotNull &&
-        col("ts").isNotNull)
+    df.filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("ts").isNotNull)
       .select("event_id", "user_id", "ts", "event_type", "value")
       .as[EventRow]
   }
@@ -112,11 +112,15 @@ object Streaming {
     implicit val outEnc = Encoders.product[UserUpdate]
     implicit val keyEnc = Encoders.scalaLong
     implicit val rowEnc = Encoders.product[EventRow]
-    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-        .fromString(idleHorizon)) match {
-      case iv => iv.days.toLong * 86400000L + iv.microseconds / 1000L
-    }
+        .fromString(idleHorizon))
+    // month-denominated horizons have no fixed millisecond length —
+    // silently treating them as 0 would evict active users instantly
+    require(iv.months == 0,
+      s"idleHorizon '$idleHorizon' uses months — give a fixed-length " +
+        "horizon (days/hours/minutes)")
+    val horizonMs = iv.days.toLong * 86400000L + iv.microseconds / 1000L
     events.toDF()
       .withWatermark("ts", idleHorizon)
       .as[EventRow]
@@ -149,7 +153,19 @@ object Streaming {
     * closed after `gapMs` of event-time silence, enforced by the
     * watermark (EventTimeTimeout) — the canonical
     * flatMapGroupsWithState pattern. The caller must put a watermark
-    * on `ts` before grouping (done here). */
+    * on `ts` before grouping (done here).
+    *
+    * Out-of-order contract (append mode): a late-but-valid event (≥
+    * watermark) merges correctly with the carried open session — it
+    * extends it only when actually within `gapMs` reach (bidirectional
+    * check), bridges it with other spans of the same batch, or forms
+    * its own earlier session otherwise. The one append-mode boundary:
+    * a session already EMITTED closed via the data path is final — a
+    * later event that would have bridged it yields a separate session
+    * rather than a retraction (exact batch parity therefore holds
+    * whenever late events don't land inside an already-closed span's
+    * gap reach; tighten `watermark` toward `gapMs` to shrink that
+    * window). */
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, start: Long, end: Long, n: Long, closed: Boolean)
 
@@ -174,19 +190,35 @@ object Streaming {
             val times = rows.map(_.ts.getTime).toArray.sorted
             if (times.isEmpty) Iterator.empty
             else {
-              // fold the (state ++ sorted batch) into gap-delimited
-              // sessions: a new event farther than gapMs past the
-              // current session end STARTS A NEW SESSION and closes
-              // the old one — the timeout only covers silence with no
-              // later data, it cannot split within the data path
-              var sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-              state.getOption.foreach(sessions += _)
+              // 1) gap-split the batch's own (sorted) times into spans:
+              // an event farther than gapMs past the current span end
+              // starts a new span
+              val spans = scala.collection.mutable.ArrayBuffer.empty[SessionState]
               times.foreach { t =>
-                if (sessions.nonEmpty && t <= sessions.last.end + gapMs) {
-                  val cur = sessions.last
-                  sessions(sessions.length - 1) = SessionState(
-                    math.min(cur.start, t), math.max(cur.end, t), cur.n + 1)
-                } else sessions += SessionState(t, t, 1L)
+                if (spans.nonEmpty && t <= spans.last.end + gapMs) {
+                  val cur = spans.last
+                  spans(spans.length - 1) = SessionState(
+                    cur.start, math.max(cur.end, t), cur.n + 1)
+                } else spans += SessionState(t, t, 1L)
+              }
+              // 2) merge the carried open session by gap REACH, not
+              // list position: it unions exactly the spans within
+              // gapMs of it (possibly bridging several); a span wholly
+              // before start-gap or after end+gap stays separate — a
+              // naive "extend the last" would swallow a late event
+              // into the open session across an arbitrary silence
+              val sessions = state.getOption match {
+                case None => spans
+                case Some(st) =>
+                  val (touch, apart) = spans.partition(sp =>
+                    sp.start <= st.end + gapMs && st.start <= sp.end + gapMs)
+                  val merged = touch.foldLeft(st) { (a, b) =>
+                    SessionState(math.min(a.start, b.start),
+                      math.max(a.end, b.end), a.n + b.n)
+                  }
+                  // gap-split guarantees apart-spans are > gapMs from
+                  // every touch-span AND from st, so one pass suffices
+                  (apart :+ merged).sortBy(_.start)
               }
               val closed = sessions.init.map(cs =>
                 SessionOut(user, cs.start, cs.end, cs.n, closed = true))

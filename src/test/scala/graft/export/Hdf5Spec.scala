@@ -341,6 +341,18 @@ class Hdf5Spec extends SparkSpec {
     assert(root.children("obs").attrs("column-order") == cols)
   }
 
+  test("oversized attribute payloads fail loudly instead of wrapping the u16 size") {
+    // v1 object-header message sizes are u16: a >65528 B attr body
+    // would wrap modulo 2^16 and write a silently corrupt file
+    val f = new Hdf5.File
+    val huge = Seq.tabulate(5000)(i => s"name_$i")
+    val ex = intercept[IllegalArgumentException] {
+      f.dataset(Seq(1L), Hdf5.F64, Hdf5.f64Raw(Array(1.0)),
+        Seq(Hdf5.Attr("names", Hdf5.StrArrV(huge))))
+    }
+    assert(ex.getMessage.contains("message-size limit"))
+  }
+
   test("vlen string datasets: global heap roundtrip incl. empty and long values") {
     val f = new Hdf5.File
     val vals = Seq("", "a", "x" * 100, "", "mixed-Ascii_09", "y" * 7, "z" * 8)

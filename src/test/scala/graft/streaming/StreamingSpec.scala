@@ -188,9 +188,42 @@ class StreamingSpec extends SparkSpec {
     val rows = java.util.Arrays.asList(
       Row(1L, 7L, new Timestamp(1000), "click", 1.0),
       Row(2L, null, new Timestamp(2000), "click", 2.0),
-      Row(3L, 8L, new Timestamp(3000), "click", null))
+      Row(3L, 8L, new Timestamp(3000), "click", null),
+      Row(null, 9L, new Timestamp(4000), "click", 4.0)) // primitive too
     val df = spark.createDataFrame(rows, schema)
     assert(eventRows(df).collect().map(_.event_id).toSeq == Seq(1L))
+  }
+
+  test("sessionize: a late-but-valid event beyond gap reach forms its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, user: Long, t: Long) =
+      EventRow(id, user, new Timestamp(t), "click", 1.0)
+    val stream = MemoryStream[EventRow]
+    // gap 5s, watermark 10 minutes: late events stay valid
+    val q = sessionize(stream.toDS(), gapMs = 5000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 1, 100000)) // open session [100s]
+      q.processAllAvailable()
+      // 70s is >5s BEFORE the open session: batch semantics = two
+      // sessions; a naive "extend the open session" would merge them
+      // across a 30s silence
+      stream.addData(ev(2, 1, 70000))
+      q.processAllAvailable()
+      // and an in-reach late event still extends backwards correctly
+      stream.addData(ev(3, 1, 97000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_sessions").as[SessionOut].collect()
+      .filter(_.user_id == 1)
+    // the 70s event closed as its own singleton...
+    assert(out.exists(s => s.start == 70000 && s.end == 70000 && s.n == 1 && s.closed),
+      out.mkString(";"))
+    // ...and the open session absorbed 97s (within 5s of 100s)
+    assert(out.exists(s => s.start == 97000 && s.end == 100000 && s.n == 2 && !s.closed),
+      out.mkString(";"))
   }
 
   test("stream-stream attribution join matches the batch join on the same rows") {
