@@ -139,7 +139,10 @@ object Czi {
     if (id != "ZISRAWMETADATA") return Map.empty
     val fixed = readBytes(ch, metaPos + SegHeaderLen, 8)
     val xmlSize = fixed.getInt
-    if (xmlSize <= 0 || xmlSize > used) return Map.empty
+    // the XML begins after the 256-byte fixed part of the segment
+    // body: bounding by `used` alone would let a corrupt xmlSize read
+    // past the segment into the next segment's bytes
+    if (xmlSize <= 0 || xmlSize > used - 256) return Map.empty
     val xml = new String(
       readBytes(ch, metaPos + SegHeaderLen + 256, xmlSize).array(),
       StandardCharsets.UTF_8)
@@ -343,6 +346,11 @@ object Czi {
           if (channels != null) channels
           else blocks.map(_.start("C")).distinct.sorted
         val zs = blocks.map(_.start("Z")).distinct.sorted
+        // a (scene, tile) with no subblocks (scenes with differing
+        // mosaic tile counts) must name itself, not die on planes.head
+        require(blocks.nonEmpty,
+          s"no subblocks for scene $s tile $tile in $path - the scene " +
+            "has fewer mosaic tiles than the directory's maximum")
         val planes = for (c <- chans; z <- zs) yield {
           val b = blocks.find(e => e.start("C") == c && e.start("Z") == z)
             .getOrElse(throw new IllegalStateException(

@@ -27,11 +27,13 @@ object Zarr {
   final case class ZarrMeta(
       shape: Seq[Int], chunks: Seq[Int], dtype: String,
       compressor: String, objectNumbers: Seq[Long], recordShapes: Seq[Seq[Int]],
-      vlenDtype: Option[String] = None) {
+      vlenDtype: Option[String] = None, fillValue: Double = 0.0) {
     def zlib: Boolean = compressor == "zlib"
   }
 
-  private def mapper = new ObjectMapper()
+  // ObjectMapper construction is heavyweight and the instance is
+  // thread-safe for reads — build once, not twice per readMeta
+  private val mapper = new ObjectMapper()
 
   def readMeta(path: String): ZarrMeta = {
     val za = mapper.readTree(Files.readAllBytes(Paths.get(path, ".zarray")))
@@ -43,12 +45,32 @@ object Zarr {
         require(id == "zlib" || id == "blosc", s"unsupported zarr compressor: $id")
         id
       }
-    // numcodecs vlen-array filter: object arrays of ragged numeric rows
+    // numcodecs vlen-array filter: object arrays of ragged numeric rows.
+    // Any OTHER filter (delta, quantize, fixedscaleoffset, ...) changes
+    // the byte semantics — ignoring one would decode silently corrupt
+    // values, so unknown filters fail loudly like unknown compressors
+    val filterIds = Option(za.get("filters")).filterNot(_.isNull)
+      .map(fs => (0 until fs.size()).map(fs.get(_).get("id").asText()))
+      .getOrElse(Seq.empty)
+    val unknownFilters = filterIds.filterNot(_ == "vlen-array")
+    require(unknownFilters.isEmpty,
+      s"unsupported zarr filters $unknownFilters in $path - decoding " +
+        "without applying them would silently corrupt values")
     val vlenDtype = Option(za.get("filters")).filterNot(_.isNull).flatMap { fs =>
       (0 until fs.size()).map(fs.get)
         .find(f => f.get("id").asText() == "vlen-array")
         .map(_.get("dtype").asText())
     }
+    // zarr v2: an absent chunk file means a chunk full of fill_value
+    val fillValue = Option(za.get("fill_value")).filterNot(_.isNull).map { n =>
+      if (n.isTextual) n.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => throw new IllegalArgumentException(
+          s"unsupported textual fill_value '$other'")
+      } else n.asDouble()
+    }.getOrElse(0.0)
     require(za.get("order").asText() == "C", "only C-order zarr supported")
     val shape = (0 until za.get("shape").size()).map(za.get("shape").get(_).asInt())
     val chunks = (0 until za.get("chunks").size()).map(za.get("chunks").get(_).asInt())
@@ -66,19 +88,19 @@ object Zarr {
         (on, sh)
       } else (Seq.empty[Long], Seq.empty[Seq[Int]])
     ZarrMeta(shape, chunks, za.get("dtype").asText(), comp, objNums, recShapes,
-      vlenDtype)
+      vlenDtype, fillValue)
   }
 
   /** per-partition decompressed-chunk cache: partition rows are
     * typically chunk-adjacent, so retaining the last chunk avoids
     * re-reading + re-inflating it once per row */
   final class ChunkCache {
-    private var key: (String, Int) = null
+    private var key: (String, String) = null
     private var bytes: Array[Byte] = null
-    def get(path: String, m: ZarrMeta, chunkIdx: Int): Array[Byte] = {
-      if (key == null || key != ((path, chunkIdx))) {
-        bytes = readChunk(path, m, s"$chunkIdx.0")
-        key = (path, chunkIdx)
+    def get(path: String, m: ZarrMeta, name: String): Array[Byte] = {
+      if (key == null || key != ((path, name))) {
+        bytes = readChunk(path, m, name)
+        key = (path, name)
       }
       bytes
     }
@@ -97,7 +119,7 @@ object Zarr {
     val chunkIdx = idx / chunkRows
     val rowInChunk = idx % chunkRows
     val raw =
-      if (cache != null) cache.get(path, m, chunkIdx)
+      if (cache != null) cache.get(path, m, s"$chunkIdx.0")
       else readChunk(path, m, s"$chunkIdx.0")
     sliceFloats(raw, m.dtype, rowInChunk * rowLen, rowLen)
   }
@@ -110,7 +132,7 @@ object Zarr {
     val chunkIdx = idx / chunkRows
     val itemInChunk = idx % chunkRows
     val raw =
-      if (cache != null) cache.get(path, m, chunkIdx)
+      if (cache != null) cache.get(path, m, s"$chunkIdx")
       else readChunk(path, m, s"$chunkIdx")
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val count = bb.getInt(0)
@@ -120,21 +142,52 @@ object Zarr {
     while (i < itemInChunk) { off += 4 + bb.getInt(off); i += 1 }
     val nb = bb.getInt(off)
     val dtype = m.vlenDtype.get
-    val elemSize = dtype match {
-      case "<u2" | "<i2" => 2
-      case "<f4" | "<i4" | "<u4" => 4
-      case "<f8" => 8
-      case other => throw new IllegalArgumentException(s"unsupported vlen dtype: $other")
-    }
     sliceFloats(java.util.Arrays.copyOfRange(raw, off + 4, off + 4 + nb),
-      dtype, 0, nb / elemSize)
+      dtype, 0, nb / elemSize(dtype))
+  }
+
+  private def elemSize(dtype: String): Int = dtype match {
+    case "<u2" | "<i2" => 2
+    case "<f4" | "<i4" | "<u4" => 4
+    case "<f8" => 8
+    case other => throw new IllegalArgumentException(s"unsupported zarr dtype: $other")
+  }
+
+  /** zarr v2 semantics: a chunk file that was never written (e.g.
+    * write_empty_chunks=False) IS a chunk full of fill_value — crash
+    * here and every all-padding chunk kills the partition */
+  private def fillChunk(m: ZarrMeta): Array[Byte] = {
+    val elems = m.chunks.product
+    val es = elemSize(m.dtype)
+    val out = new Array[Byte](elems * es)
+    if (m.fillValue != 0.0) {
+      val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      m.dtype match {
+        case "<f4" => while (i < elems) { bb.putFloat(i * 4, m.fillValue.toFloat); i += 1 }
+        case "<f8" => while (i < elems) { bb.putDouble(i * 8, m.fillValue); i += 1 }
+        case "<u2" | "<i2" =>
+          while (i < elems) { bb.putShort(i * 2, m.fillValue.toInt.toShort); i += 1 }
+        case "<i4" | "<u4" =>
+          while (i < elems) { bb.putInt(i * 4, m.fillValue.toInt); i += 1 }
+        case other => // unreachable: elemSize already rejected it
+          throw new IllegalArgumentException(s"unsupported zarr dtype: $other")
+      }
+    }
+    out
   }
 
   private def readChunk(path: String, m: ZarrMeta, name: String): Array[Byte] = {
     // vlen chunks of a 1-D array are named "<i>", 2-D row chunks "<i>.0"
-    val f0 = Paths.get(path, name)
-    val f = if (Files.exists(f0) || !name.endsWith(".0")) f0
-            else Paths.get(path, name.stripSuffix(".0"))
+    val f = Paths.get(path, name)
+    if (!Files.exists(f)) {
+      // vlen fill synthesis is undefined (item count unknowable): fail
+      // with the semantics named instead of NoSuchFileException
+      require(m.vlenDtype.isEmpty,
+        s"missing vlen chunk $name in $path (zarr treats absent chunks " +
+          "as fill_value, which has no defined vlen encoding)")
+      return fillChunk(m)
+    }
     val bytes = Files.readAllBytes(f)
     if (m.compressor == "blosc") Blosc.decode(bytes)
     else if (!m.zlib) bytes
@@ -188,9 +241,16 @@ object Zarr {
     val m = readMeta(path)
     val metaCols: Map[String, String] =
       if (regex == null) Map.empty
-      else regex.r.findFirstMatchIn(path)
-        .map(mm => Tiff.namedGroups(regex).map(g => g -> mm.group(g)).toMap)
-        .getOrElse(Map.empty)
+      else {
+        // a non-matching regex must fail like the reference's
+        // re.search(...).groupdict() (and like Czi.metaFromDirectory):
+        // silently empty meta would drop metadata columns AND collapse
+        // the record into the default "all" group
+        val mm = regex.r.findFirstMatchIn(path).getOrElse(
+          throw new IllegalArgumentException(
+            s"regex '$regex' does not match zarr path $path"))
+        Tiff.namedGroups(regex).map(g => g -> mm.group(g)).toMap
+      }
     m.objectNumbers.zipWithIndex.map { case (obj, i) =>
       (path, i, obj, metaCols)
     }.toDF("path", "zarr_idx", "object_number", "meta")
@@ -216,6 +276,11 @@ object Zarr {
         val flat = readRow(path, zm, zi, chunkCache)
         val Seq(c0, h, w) = zm.recordShapes(zi)
         val wanted = if (channels == null) 0 until c0 else channels
+        // numpy raises IndexError here; reading past c0 would silently
+        // hand the event zero-padding as a "channel"
+        require(wanted.forall(c => c >= 0 && c < c0),
+          s"channel selection $wanted out of range for record $zi " +
+            s"with $c0 channels ($path)")
         val ps = h * w
         val px = new Array[Float](wanted.length * ps)
         wanted.zipWithIndex.foreach { case (c, j) =>
@@ -247,6 +312,9 @@ object Zarr {
           val flat = readRow(e.path, zm, zi, chunkCache)
           val Seq(c0, h, w) = zm.recordShapes(zi)
           val wanted = if (channels == null) 0 until c0 else channels
+          require(wanted.forall(c => c >= 0 && c < c0),
+            s"channel selection $wanted out of range for record $zi " +
+              s"with $c0 channels (${e.path})")
           val ps = h * w
           val px = new Array[Float](wanted.length * ps)
           wanted.zipWithIndex.foreach { case (c, j) =>

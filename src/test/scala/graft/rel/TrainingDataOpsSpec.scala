@@ -60,6 +60,20 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("q41 degrades cleanly on empty/all-null-lang input (no division guard needed)") {
+    // the budgets fold in-plan (histogram → window Σ → div): an empty
+    // histogram must flow through as an empty broadcast join with the
+    // output schema intact, not a runtime error — this pins the
+    // behavior the old driver-side branch handled explicitly
+    val dir = java.nio.file.Files.createTempDirectory("q41-empty").toString
+    Tables.documents(spark, sfDir).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = RelQueries.all.find(_.name == "q41_temperature_sample").get
+    val out = q.fn(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "rn"))
+    assert(out.count() == 0)
+  }
+
   test("t16 charEntropy counts code points, not UTF-16 units (non-BMP goldens)") {
     // U+1F600 is a surrogate pair: 4 emoji = 4 chars of ONE symbol →
     // entropy 0. A UTF-16-unit iteration would see 8 units of 2

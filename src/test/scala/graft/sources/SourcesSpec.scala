@@ -126,6 +126,37 @@ class SourcesSpec extends SparkSpec {
     assert(events.map(_.idx).toSeq == Seq(1000L, 1001L, 1002L, 1003L))
   }
 
+  test("zarr: absent chunk files read as fill_value (write_empty_chunks=False)") {
+    val dir = writeZarr(Seq((2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2)))
+    // delete the second chunk file: zarr v2 says it IS a fill chunk
+    Files.delete(dir.resolve("1.0"))
+    val meta = Zarr.metaFromDirectory(spark, dir.toString)
+    val events = Zarr.loadPixels(meta).collect().sortBy(_.meta("zarr_idx").toInt)
+    assert(events.length == 4)
+    assert(events(0).pixels(1) == 1f) // stored chunk intact
+    assert(events(2).pixels.forall(_ == 0f)) // fill chunk
+    assert(events(3).pixels.forall(_ == 0f))
+  }
+
+  test("zarr: unknown filters and out-of-range channels fail loudly") {
+    val dir = writeZarr(Seq((2, 2, 2)))
+    // out-of-range channel: numpy raises IndexError; we must not hand
+    // back zero padding as a "channel"
+    val meta = Zarr.metaFromDirectory(spark, dir.toString)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Zarr.loadPixels(meta, Seq(0, 2)).collect()
+    }
+    assert(ex.getCause != null || ex.getMessage.contains("channel"))
+    // unknown filter: decoding without applying it would corrupt values
+    val za = Files.readString(dir.resolve(".zarray"))
+      .replace("\"filters\":null", "\"filters\":[{\"id\":\"delta\",\"dtype\":\"<f4\"}]")
+    Files.writeString(dir.resolve(".zarray"), za)
+    val ex2 = intercept[IllegalArgumentException] {
+      Zarr.readMeta(dir.toString)
+    }
+    assert(ex2.getMessage.contains("filters"))
+  }
+
   test("zarr: channel selection and reload-after-tombstone (S7)") {
     import spark.implicits._
     import graft.core.Codecs._
