@@ -136,12 +136,68 @@ object Watershed {
     * distance to that SEED, and labels at first pop. Matches the call
     * shapes of masking/watershed.py:58 (compactness=1) and
     * segmentation/watershed_dapi.py:55 (mask, compactness=0). */
+  /** primitive min-heap over (priority, insertion order, pixel, seed):
+    * the flood enqueues on the order of h·w entries, so a boxed
+    * PriorityQueue of Tuple4s costs one tuple + three box allocations
+    * per push on the per-event segmentation hot path. Parallel
+    * primitive arrays allocate nothing per operation. Orders are
+    * unique, so (prio, ord) is a strict total order — semantics
+    * identical to the tuple ordering it replaces (golden-pinned). */
+  private final class FloodHeap(initCap: Int) {
+    private var prio = new Array[Double](initCap)
+    private var ord = new Array[Long](initCap)
+    private var px = new Array[Int](initCap)
+    private var sd = new Array[Int](initCap)
+    private var n = 0
+    var curPx = 0
+    var curSd = 0
+    def nonEmpty: Boolean = n > 0
+    private def less(a: Int, b: Int): Boolean =
+      prio(a) < prio(b) || (prio(a) == prio(b) && ord(a) < ord(b))
+    private def swap(a: Int, b: Int): Unit = {
+      val p = prio(a); prio(a) = prio(b); prio(b) = p
+      val o = ord(a); ord(a) = ord(b); ord(b) = o
+      val x = px(a); px(a) = px(b); px(b) = x
+      val s = sd(a); sd(a) = sd(b); sd(b) = s
+    }
+    def enqueue(p: Double, o: Long, x: Int, s: Int): Unit = {
+      if (n == prio.length) {
+        val cap = prio.length * 2
+        prio = java.util.Arrays.copyOf(prio, cap)
+        ord = java.util.Arrays.copyOf(ord, cap)
+        px = java.util.Arrays.copyOf(px, cap)
+        sd = java.util.Arrays.copyOf(sd, cap)
+      }
+      prio(n) = p; ord(n) = o; px(n) = x; sd(n) = s
+      var i = n
+      n += 1
+      while (i > 0 && less(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+    }
+    /** pops the minimum into curPx/curSd */
+    def dequeue(): Unit = {
+      curPx = px(0); curSd = sd(0)
+      n -= 1
+      if (n > 0) {
+        prio(0) = prio(n); ord(0) = ord(n); px(0) = px(n); sd(0) = sd(n)
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var m = i
+          if (l < n && less(l, m)) m = l
+          if (r < n && less(r, m)) m = r
+          if (m == i) done = true
+          else { swap(i, m); i = m }
+        }
+      }
+    }
+  }
+
   def watershed(img: Array[Double], h: Int, w: Int, markers: Array[Int],
       mask: Array[Boolean] = null, compactness: Double = 0.0): Array[Int] = {
     val out = new Array[Int](h * w)
-    // (priority, insertion order, pixel, seed pixel)
-    val pq = mutable.PriorityQueue.empty[(Double, Long, Int, Int)](
-      Ordering.by[(Double, Long, Int, Int), (Double, Long)](t => (t._1, t._2)).reverse)
+    val pq = new FloodHeap(math.max(16, h * w / 4))
     var order = 0L
 
     @inline def inMask(i: Int): Boolean = mask == null || mask(i)
@@ -150,13 +206,15 @@ object Watershed {
     while (i < markers.length) {
       if (markers(i) > 0 && inMask(i)) {
         out(i) = markers(i)
-        pq.enqueue((img(i), order, i, i))
+        pq.enqueue(img(i), order, i, i)
         order += 1
       }
       i += 1
     }
     while (pq.nonEmpty) {
-      val (_, _, cur, seed) = pq.dequeue()
+      pq.dequeue()
+      val cur = pq.curPx
+      val seed = pq.curSd
       if (compactness > 0 && out(cur) != 0 && cur != seed) {
         // already claimed by an earlier pop via a cheaper path
       } else {
@@ -177,7 +235,7 @@ object Watershed {
                   out(j) = lbl // plain mode: claim at push, single enqueue
                   img(j)
                 }
-              pq.enqueue((prio, order, j, seed))
+              pq.enqueue(prio, order, j, seed)
               order += 1
             }
           }
@@ -188,16 +246,15 @@ object Watershed {
     out
   }
 
-  /** markers array from peak indices, labeled in row-major scan order
-    * — the reference builds markers via measure.label of the peak mask
-    * (watershed_dapi.py:51-53), which numbers components by scan
-    * position, not by peak intensity */
-  def markersFromPeaks(peaks: Array[Int], size: Int): Array[Int] = {
-    val m = new Array[Int](size)
-    val ordered = peaks.clone()
-    java.util.Arrays.sort(ordered)
-    var k = 0
-    while (k < ordered.length) { m(ordered(k)) = k + 1; k += 1 }
-    m
+  /** markers array from peak indices — the reference builds markers
+    * via measure.label of the peak mask (watershed_dapi.py:51-53):
+    * 8-connected components numbered by scan position. Labeling the
+    * mask (not the raw peaks) matters at minDistance=1, where two
+    * diagonal peaks (d=sqrt2 > 1) both survive peak_local_max and must
+    * MERGE into one marker, not seed two cells. */
+  def markersFromPeaks(peaks: Array[Int], h: Int, w: Int): Array[Int] = {
+    val mask = new Array[Boolean](h * w)
+    peaks.foreach(mask(_) = true)
+    Morphology.label(mask, h, w, connectivity = 2)
   }
 }

@@ -45,7 +45,7 @@ object Segmentation {
       val dist = Watershed.distanceTransform(fg, h, w)
       val peaks = Watershed.peakLocalMax(dist, h, w, cellDiameter)
       if (peaks.isEmpty) return new Array[Int](h * w)
-      val markers = Watershed.markersFromPeaks(peaks, h * w)
+      val markers = Watershed.markersFromPeaks(peaks, h, w)
       Watershed.watershed(dist.map(-_), h, w, markers)
     }
   }
@@ -57,6 +57,12 @@ object Segmentation {
       parentChannelIndex: Int): Dataset[ImageEvent] =
     ds.map(ImageEvent.whenPixels { e =>
       val ps = e.planeSize
+      // plane() zero-pads past the last channel (Arrays.copyOfRange),
+      // so an off-by-one index would segment an all-zero plane and
+      // silently emit empty masks — fail like cellposePartitions does
+      require(parentChannelIndex >= 0 && parentChannelIndex < e.channels,
+        s"segment parent channel $parentChannelIndex out of range for " +
+          s"a ${e.channels}-channel event (${e.path})")
       val labels = segmenter.segment(e.plane(parentChannelIndex), e.height, e.width)
       val expanded =
         if (segmenter.expansionPx > 0)
@@ -69,7 +75,10 @@ object Segmentation {
         System.arraycopy(src, 0, mask, c * ps, ps)
         c += 1
       }
-      val regions = Array.fill(e.channels)(Morphology.labelCount(labels))
+      // labelCount scans the plane: Array.fill's by-name argument
+      // would repeat that scan once per channel for the same value
+      val nLabels = Morphology.labelCount(labels)
+      val regions = Array.fill(e.channels)(nLabels)
       e.copy(mask = mask, regions = regions)
     })
 
@@ -125,7 +134,7 @@ object Segmentation {
           val peaks = Watershed.peakLocalMax(dist, h, w, cellDiameter)
           if (peaks.isEmpty) new Array[Int](h * w)
           else {
-            val markers = Watershed.markersFromPeaks(peaks, h * w)
+            val markers = Watershed.markersFromPeaks(peaks, h, w)
             Watershed.watershed(dist.map(-_), h, w, markers, fg)
           }
         }
@@ -226,21 +235,23 @@ object Segmentation {
       it: Iterator[ImageEvent]): Iterator[ImageEvent] = {
       val model = CellposeModels.forWorker(cfg.model)
       it.grouped(cfg.batchSize).flatMap { batch =>
-        val live = batch.filter(_.hasPixels)
-        if (live.isEmpty) batch.iterator
+        // events are ragged: batch model eval per channel COUNT so a
+        // union of e.g. 2- and 3-channel sources never indexes a
+        // missing plane; results keyed by batch position
+        val livePos = batch.zipWithIndex.filter(_._1.hasPixels)
+        if (livePos.isEmpty) batch.iterator
         else {
-          // events are ragged: batch model eval per channel COUNT so a
-          // union of e.g. 2- and 3-channel sources never indexes a
-          // missing plane; results keyed by batch position
-          val livePos = batch.zipWithIndex.filter(_._1.hasPixels)
           val segmentedAt: Map[Int, graft.core.ImageEvent] =
             livePos.groupBy(_._1.channels).iterator.flatMap { case (nCh, group) =>
               require(cfg.parentChannelIndex < nCh && cfg.dapiChannelIndex < nCh,
                 s"cellpose parent/dapi channel (${cfg.parentChannelIndex}/" +
                   s"${cfg.dapiChannelIndex}) out of range for a batch of " +
                   s"$nCh-channel events (e.g. ${group.head._1.path})")
-              def planes(ch: Int) = group.map { case (e, _) =>
-                (e.plane(ch), e.plane(cfg.dapiChannelIndex), e.height, e.width)
+              // one nucleus-plane copy per event, not one per
+              // evaluated channel (plane() allocates via copyOfRange)
+              val dapi = group.map(_._1.plane(cfg.dapiChannelIndex))
+              def planes(ch: Int) = group.zip(dapi).map { case ((e, _), d) =>
+                (e.plane(ch), d, e.height, e.width)
               }
               val parents = model.evalBatch(planes(cfg.parentChannelIndex),
                 cfg.cellDiameter, cfg.flowThreshold)
@@ -254,14 +265,20 @@ object Segmentation {
                 val ps = e.planeSize
                 val mask = new Array[Int](e.channels * ps)
                 val regions = new Array[Int](e.channels)
+                // every channel without children shares the parent
+                // labels — count the parent's regions once per event
+                val parentRegions = distinctPositive(parents(i))
                 var c = 0
                 while (c < e.channels) {
-                  val labels = children.get(c) match {
-                    case Some(ch) => assignChildren(parents(i), ch(i))
-                    case None => parents(i)
+                  children.get(c) match {
+                    case Some(ch) =>
+                      val labels = assignChildren(parents(i), ch(i))
+                      System.arraycopy(labels, 0, mask, c * ps, ps)
+                      regions(c) = distinctPositive(labels)
+                    case None =>
+                      System.arraycopy(parents(i), 0, mask, c * ps, ps)
+                      regions(c) = parentRegions
                   }
-                  System.arraycopy(labels, 0, mask, c * ps, ps)
-                  regions(c) = labels.distinct.count(_ > 0)
                   c += 1
                 }
                 pos -> e.copy(mask = mask, regions = regions)
@@ -275,8 +292,27 @@ object Segmentation {
       }
     }
 
+  /** count of distinct positive labels — a primitive two-pass
+    * (max + presence array) instead of boxing via .distinct */
+  private def distinctPositive(a: Array[Int]): Int = {
+    var max = 0; var i = 0
+    while (i < a.length) { if (a(i) > max) max = a(i); i += 1 }
+    if (max == 0) return 0
+    val seen = new Array[Boolean](max + 1)
+    var n = 0
+    i = 0
+    while (i < a.length) {
+      val v = a(i)
+      if (v > 0 && !seen(v)) { seen(v) = true; n += 1 }
+      i += 1
+    }
+    n
+  }
+
   /** mask subtraction P6 (segmentation/__init__.py:11-13): channel k's
-    * mask becomes mask(i) − mask(j) (set difference) */
+    * mask becomes mask(i) − mask(j) (set difference). Like the
+    * reference's _substract_mask, `regions` is deliberately NOT
+    * recomputed — the reference reassigns the mask channel only. */
   def subtractMask(ds: Dataset[ImageEvent], k: Int, i: Int, j: Int): Dataset[ImageEvent] =
     ds.map(ImageEvent.whenPixels { e =>
       if (!e.hasMask) e
@@ -312,20 +348,27 @@ object Segmentation {
         val group =
           if (groupKeys == null) e.group
           else groupKeys.map(k => e.meta.getOrElse(k, "")).mkString("_")
-        (1 to nLabels).iterator.flatMap { lbl =>
-          // bbox of this label in the parent channel
-          var minR = e.height; var minC = w; var maxR = 0; var maxC = 0
-          var i = 0
-          while (i < ps) {
-            if (parent(i) == lbl) {
-              val r = i / w; val c = i % w
-              if (r < minR) minR = r
-              if (c < minC) minC = c
-              if (r + 1 > maxR) maxR = r + 1
-              if (c + 1 > maxC) maxC = c + 1
-            }
-            i += 1
+        // per-label bboxes in ONE pass over the plane: re-scanning per
+        // label is O(nLabels * pixels) — quadratic-ish on dense FOVs
+        val minRA = Array.fill(nLabels + 1)(e.height)
+        val minCA = Array.fill(nLabels + 1)(w)
+        val maxRA = new Array[Int](nLabels + 1)
+        val maxCA = new Array[Int](nLabels + 1)
+        var bi = 0
+        while (bi < ps) {
+          val lbl = parent(bi)
+          if (lbl > 0 && lbl <= nLabels) {
+            val r = bi / w; val c = bi % w
+            if (r < minRA(lbl)) minRA(lbl) = r
+            if (c < minCA(lbl)) minCA(lbl) = c
+            if (r + 1 > maxRA(lbl)) maxRA(lbl) = r + 1
+            if (c + 1 > maxCA(lbl)) maxCA(lbl) = c + 1
           }
+          bi += 1
+        }
+        (1 to nLabels).iterator.flatMap { lbl =>
+          val minR = minRA(lbl); val minC = minCA(lbl)
+          val maxR = maxRA(lbl); val maxC = maxCA(lbl)
           if (maxR <= minR) Iterator.empty
           else {
             val ch = e.channels

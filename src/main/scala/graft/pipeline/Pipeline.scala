@@ -89,6 +89,14 @@ object Pipeline {
       case None =>
     }
     cfg.segment.foreach { spec =>
+      // the cellpose spec carries its OWN parent channel: exploding
+      // events from cfg.segmentParentChannel when the two disagree
+      // would read a child-assigned mask channel (cropped fragments)
+      // instead of the parent cells
+      val parentCh = spec match {
+        case cp: Segmentation.CellposeShaped => cp.parentChannelIndex
+        case _ => cfg.segmentParentChannel
+      }
       ds = spec match {
         case cp: Segmentation.CellposeShaped => Segmentation.segmentCellpose(ds, cp)
         case seg: Segmentation.Segmenter =>
@@ -96,7 +104,7 @@ object Pipeline {
       }
       // K4: side-effect export of the labeled FOV masks
       cfg.maskNpyDir.foreach(dir => ds = graft.export.Export.npyMasks(ds, dir))
-      ds = Segmentation.toEvents(ds, cfg.segmentParentChannel)
+      ds = Segmentation.toEvents(ds, parentCh)
     }
     cfg.sampleK.foreach { k =>
       ds = if (cfg.sampleWithReplacement) Sampling.sampleWithReplacement(ds, k)

@@ -209,7 +209,7 @@ class ImageOpsSpec extends AnyFunSuite {
     val dist = Watershed.distanceTransform(m, 15, 25)
     val peaks = Watershed.peakLocalMax(dist, 15, 25, minDistance = 5)
     assert(peaks.length == 2)
-    val markers = Watershed.markersFromPeaks(peaks, 15 * 25)
+    val markers = Watershed.markersFromPeaks(peaks, 15, 25)
     val neg = dist.map(-_)
     val ws = Watershed.watershed(neg, 15, 25, markers, m)
     val labels = ws.zipWithIndex.filter { case (l, i) => m(i) && l > 0 }.map(_._1)
