@@ -323,11 +323,20 @@ object RegionProps {
     * inflate convex_area/deflate solidity. Hull in CCW order. */
   def convexHull(mask: Array[Boolean], h: Int, w: Int): Array[(Double, Double)] = {
     val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // candidate points from BOUNDARY pixels only (skimage's
+    // possible_hull idea): every diamond offset of an interior pixel
+    // (all four 4-neighbors set) coincides exactly with an offset of
+    // one of those neighbors, so dropping interior pixels leaves the
+    // candidate SET unchanged while shrinking it from O(area) to
+    // O(perimeter) before the distinct+sort
+    @inline def fg(r: Int, c: Int): Boolean =
+      r >= 0 && r < h && c >= 0 && c < w && mask(r * w + c)
     var r = 0
     while (r < h) {
       var c = 0
       while (c < w) {
-        if (mask(r * w + c)) {
+        if (mask(r * w + c) &&
+            !(fg(r - 1, c) && fg(r + 1, c) && fg(r, c - 1) && fg(r, c + 1))) {
           pts += ((r - 0.5, c.toDouble)); pts += ((r + 0.5, c.toDouble))
           pts += ((r.toDouble, c - 0.5)); pts += ((r.toDouble, c + 0.5))
         }

@@ -62,7 +62,7 @@ object Masking {
   final case class Li(smooth: Seq[Double]) extends Method
   final case class Spot(spotSize: Int) extends Method
   final case class SobelQuantile(q: Double) extends Method
-  final case class WatershedMethod(smooth: Double) extends Method
+  final case class WatershedMethod(noisyChannels: Seq[Int] = Seq.empty) extends Method
 
   /** one channel plane → (bool mask, region count); `c` = channel
     * index (per-channel parameters, e.g. li's smooth list) */
@@ -83,14 +83,14 @@ object Masking {
         // digitize(512) if bright; median(disk5); subtract; gaussian .5;
         // sobel; rescale*max; median(disk5); otsu; holes(area/4);
         // objects(20); label (masking/otsu.py:8-52)
-        val (_, mx) = Stats.minMax(x)
+        val (mn, mx) = Stats.minMax(x)
         // numpy.digitize over histogram_bin_edges(x, 512): equal-width
         // edges, right-open bins, index 1..512 — and pixels at the
         // exact max land in bin 513 (digitize returns len(edges) past
         // the last edge), which the reference keeps as-is
         val base: Array[Float] =
           if (mx > 512) {
-            val (dmn, dmx) = Stats.minMax(x)
+            val (dmn, dmx) = (mn, mx) // the line-above minMax pass
             val span = (dmx - dmn).toDouble
             x.map { v =>
               if (v >= dmx) 513f
@@ -120,9 +120,17 @@ object Masking {
       case Li(smoothPerChannel) =>
         // gaussian σ[c]; sobel; gaussian 2σ[c]; li; cleanup
         // (masking/li.py:25-53 — smooth is per channel)
+        // reference li.py indexes smooth[dim] and raises IndexError
+        // when the list is shorter than the channel count — clamping
+        // would silently reuse the last sigma for a misconfigured run
         val sigma =
           if (smoothPerChannel.isEmpty) 1.0
-          else smoothPerChannel(math.min(c, smoothPerChannel.length - 1))
+          else {
+            require(c < smoothPerChannel.length,
+              s"li smooth list has ${smoothPerChannel.length} entries " +
+                s"but channel $c is being masked")
+            smoothPerChannel(c)
+          }
         liChannel(x, h, w, sigma)
 
       case Spot(spotSize) =>
@@ -145,12 +153,21 @@ object Masking {
         if (!bin.exists(identity)) (bin, 0)
         else postProcessed(bin, h, w)
 
-      case WatershedMethod(sigma) =>
-        // sobel; closing(disk2); markers from otsu(closed)±50%; flood the
-        // (smoothed) IMAGE with compactness 1; keep the max surviving
-        // label (falls back to 1 when no high markers exist); then
-        // mask_post_process (masking/watershed.py:26-61)
-        val sm = if (sigma > 0) Filters.gaussian(x, h, w, sigma) else x
+      case WatershedMethod(noisyChannels) =>
+        // reference masking/watershed.py:26-61: channels listed in
+        // noisy_channels get denoise_nl_means(patch_size=2,
+        // patch_distance=1) and EVERYTHING downstream (sobel, markers,
+        // flood) runs on that same image; other channels run on the
+        // raw plane — there is NO gaussian smoothing in the reference
+        // (an earlier smooth=sigma knob here gaussian-blurred every
+        // channel by default, diverging on essentially every image).
+        // Then: sobel; closing(disk2); markers from otsu(closed)±50%;
+        // flood the image with compactness 1; keep the max surviving
+        // label; mask_post_process.
+        val sm =
+          if (noisyChannels.contains(c))
+            Filters.nlMeansDenoise(x, h, w, patchSize = 2, patchDistance = 1)
+          else x
         val edges = Filters.sobel(sm, h, w)
         val closed = Filters.closeGray(edges, h, w, 2)
         val t = Thresholds.otsu(closed)
@@ -207,16 +224,25 @@ object Masking {
     (big, Morphology.labelCount(labels))
   }
 
-  /** the mask-method stage: per channel where maskFilter allows,
-    * produce mask + regions; others stay empty (the C1-C5 pattern:
-    * `if el["mask_filter"][dim]`) */
+  /** the mask-method stage. mask_filter gating is PER METHOD in the
+    * reference: only otsu.py:18, li.py:35, and spot.py:33 check
+    * `el["mask_filter"][dim]` — circle.py, sobel.py, and watershed.py
+    * mask every channel unconditionally, so gating them here would
+    * zero out channels the reference masks (regions, shape/intensity
+    * features, and border-scrub outcomes would all diverge). */
+  private def honorsMaskFilter(method: Method): Boolean = method match {
+    case Otsu | _: Li | _: Spot => true
+    case _ => false
+  }
+
   def masksRecord(method: Method)(e: ImageEvent): ImageEvent = {
     val ps = e.planeSize
     val mask = new Array[Int](e.channels * ps)
     val regions = new Array[Int](e.channels)
+    val gate = honorsMaskFilter(method)
     var c = 0
     while (c < e.channels) {
-      val allowed = e.maskFilter == null || e.maskFilter(c)
+      val allowed = !gate || e.maskFilter == null || e.maskFilter(c)
       if (allowed) {
         val (m, cc) = maskChannel(method, e.plane(c), e.height, e.width, c)
         var i = 0
@@ -300,12 +326,20 @@ object Masking {
   def applyRecord(combinedIndices: Seq[Int])(e: ImageEvent): ImageEvent = {
     {
       val ps = e.planeSize
-      val idxs = if (combinedIndices == null) 0 until e.channels else combinedIndices
+      val idxs: Array[Int] =
+        (if (combinedIndices == null) 0 until e.channels
+         else combinedIndices).toArray
       val combined = new Array[Int](ps)
       var i = 0
       while (i < ps) {
+        // primitive loop with early exit: a boxed Seq.foreach closure
+        // here runs once per pixel per record in the fused hot path
+        var k = 0
         var any = false
-        idxs.foreach(c => if (e.mask(c * ps + i) > 0) any = true)
+        while (!any && k < idxs.length) {
+          if (e.mask(idxs(k) * ps + i) > 0) any = true
+          k += 1
+        }
         if (any) combined(i) = 1
         i += 1
       }

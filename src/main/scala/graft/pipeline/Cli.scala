@@ -173,7 +173,9 @@ object Cli {
         case "li" => Masking.Li(Option(b.get("smooth")).map(doubles).getOrElse(Seq(1.0)))
         case "spot" => Masking.Spot(Option(b.get("spotsize")).map(_.asInt()).getOrElse(5))
         case "sobel" => Masking.SobelQuantile(Option(b.get("quantile")).map(_.asDouble()).getOrElse(0.9))
-        case "watershed" => Masking.WatershedMethod(Option(b.get("smooth")).map(_.asDouble()).getOrElse(1.0))
+        case "watershed" => Masking.WatershedMethod(
+          Option(b.get("noisy_channels")).map(n =>
+            (0 until n.size()).map(n.get(_).asInt())).getOrElse(Seq.empty))
         case m => throw new IllegalArgumentException(s"unknown mask method: $m")
       }
       MaskBranchConfig(Option(b.get("name")).map(_.asText()).getOrElse(b.get("method").asText()), method)

@@ -111,6 +111,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("mask_filter gates otsu/li/spot but never circle/watershed (reference parity)") {
+    import graft.core.ImageEvent
+    // reference: only otsu.py:18 / li.py:35 / spot.py:33 consult
+    // mask_filter; circle.py and watershed.py mask every channel
+    val px = Array.tabulate(2 * 8 * 8)(i => (i % 7).toFloat)
+    val e = ImageEvent.fromPixels("t", 1, "g", Map.empty, 2, 8, 8, px)
+      .copy(maskFilter = Array(false, false))
+    val circled = Masking.masksRecord(Masking.Circle)(e)
+    assert(circled.regions.toSeq == Seq(1, 1), "circle must ignore mask_filter")
+    assert(circled.mask.exists(_ > 0))
+    val otsued = Masking.masksRecord(Masking.Otsu)(e)
+    assert(otsued.regions.toSeq == Seq(0, 0), "otsu must honor mask_filter")
+    assert(otsued.mask.forall(_ == 0))
+  }
+
   test("border scrub tombstones events whose main-channel mask dies") {
     import spark.implicits._
     // mask = full top band touching the border everywhere -> scrubbed to zero
