@@ -81,22 +81,34 @@ object Stats {
     median(dev)
   }
 
-  /** biased sample skewness g1 = m3 / m2^1.5 (scipy bias=True) */
+  /** scipy's zero-variance guard: skew/kurtosis are NaN when m2 is at
+    * or below the squared rounding floor of the data — scipy compares
+    * m2 <= (finfo(dtype).resolution * mean)^2, and the engine's pixel
+    * inputs are float32 (resolution 1e-6). Returning 0.0 / -3.0 here
+    * (the old behavior) flipped normaltest mask-filter decisions on
+    * constant planes and emitted garbage skew/kurtosis on near-flat
+    * float32 backgrounds where m2 is pure rounding noise. */
+  private def zeroVariance(m2: Double, m: Double): Boolean =
+    m2 <= (1e-6 * m) * (1e-6 * m)
+
+  /** biased sample skewness g1 = m3 / m2^1.5 (scipy bias=True);
+    * NaN on (near-)zero variance, as scipy */
   def skewness(xs: Array[Float]): Double = {
     if (xs.length == 0) return Double.NaN
     val m = mean(xs)
     val m2 = centralMoment(xs, m, 2)
     val m3 = centralMoment(xs, m, 3)
-    if (m2 == 0.0) 0.0 else m3 / math.pow(m2, 1.5)
+    if (zeroVariance(m2, m)) Double.NaN else m3 / math.pow(m2, 1.5)
   }
 
-  /** biased excess kurtosis g2 = m4/m2² − 3 (scipy fisher=True, bias=True) */
+  /** biased excess kurtosis g2 = m4/m2² − 3 (scipy fisher=True,
+    * bias=True); NaN on (near-)zero variance, as scipy */
   def kurtosis(xs: Array[Float]): Double = {
     if (xs.length == 0) return Double.NaN
     val m = mean(xs)
     val m2 = centralMoment(xs, m, 2)
     val m4 = centralMoment(xs, m, 4)
-    if (m2 == 0.0) -3.0 else m4 / (m2 * m2) - 3.0
+    if (zeroVariance(m2, m)) Double.NaN else m4 / (m2 * m2) - 3.0
   }
 
   /** The 11-stat row of features/intensity.py:25-37, in its order:
@@ -105,18 +117,35 @@ object Stats {
     if (xs.length == 0) return Array.fill(11)(0.0) // empty-view default (missing_masks contract)
     val s = xs.clone(); java.util.Arrays.sort(s)
     val m = mean(xs)
+    // one fused pass for m2/m3/m4 (std, skew, kurtosis all derive from
+    // them — three separate math.pow passes before), and mad reuses
+    // the already-computed median instead of re-sorting for it
+    var m2 = 0.0; var m3 = 0.0; var m4 = 0.0
+    var i = 0
+    while (i < xs.length) {
+      val d = xs(i) - m
+      val d2 = d * d
+      m2 += d2; m3 += d2 * d; m4 += d2 * d2
+      i += 1
+    }
+    m2 /= xs.length; m3 /= xs.length; m4 /= xs.length
+    val med = percentile(s, 50)
+    val dev = new Array[Float](xs.length)
+    i = 0
+    while (i < xs.length) { dev(i) = math.abs(xs(i) - med).toFloat; i += 1 }
+    java.util.Arrays.sort(dev)
     Array(
       m,
-      percentile(s, 50),
+      med,
       s(s.length - 1).toDouble,
       s(0).toDouble,
-      std(xs),
-      mad(xs),
+      math.sqrt(m2),
+      percentile(dev, 50),
       percentile(s, 25),
       percentile(s, 75),
       sum(xs),
-      skewness(xs),
-      kurtosis(xs))
+      if (zeroVariance(m2, m)) Double.NaN else m3 / math.pow(m2, 1.5),
+      if (zeroVariance(m2, m)) Double.NaN else m4 / (m2 * m2) - 3.0)
   }
 
   // ---- D'Agostino-Pearson normality test --------------------------------
@@ -132,7 +161,10 @@ object Stats {
     val w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1))
     val delta = 1.0 / math.sqrt(0.5 * math.log(w2))
     val alpha = math.sqrt(2.0 / (w2 - 1))
-    val yy = if (y == 0) 1e-300 else y / alpha
+    // scipy substitutes y = 1 (not an epsilon) when y == 0: zero-skew
+    // data still gets the nonzero Z = delta*asinh(1/alpha); an epsilon
+    // here understated K2 and overstated the normality p-value
+    val yy = (if (y == 0) 1.0 else y) / alpha
     delta * math.log(yy + math.sqrt(yy * yy + 1))
   }
 
@@ -150,8 +182,11 @@ object Stats {
       (2.0 / sqrtbeta1 + math.sqrt(1 + 4.0 / (sqrtbeta1 * sqrtbeta1)))
     val term1 = 1.0 - 2.0 / (9 * a)
     val denom = 1.0 + x * math.sqrt(2.0 / (a - 4))
+    // scipy: "Test statistic not defined in some cases" — denom == 0
+    // yields NaN (sign(0)*nan), so the normaltest p is NaN and the
+    // filter fails, rather than a fabricated finite Z
     val term2 =
-      if (denom == 0) 0.0
+      if (denom == 0) Double.NaN
       else math.signum(denom) * math.cbrt((1.0 - 2.0 / a) / math.abs(denom))
     (term1 - term2) / math.sqrt(2.0 / (9 * a))
   }

@@ -49,15 +49,9 @@ object Features {
       channelNames.flatMap(c =>
         IntensityViews.flatMap(v => IntensityProps.map(p => s"$v${p}_$c")))
     case "texture" =>
-      channelNames.flatMap { c =>
-        def block(prefix: String): Seq[String] =
-          Glcm.Props.flatMap(p =>
-            GlcmDistances.map(n => s"${prefix}glcm_mean_${p}_${n}_$c") ++
-              GlcmDistances.map(n => s"${prefix}glcm_std_${p}_${n}_$c")) ++
-            Seq(s"${prefix}sobel_mean_$c", s"${prefix}sobel_std_$c",
-              s"${prefix}sobel_max_$c", s"${prefix}sobel_min_$c")
-        block("") ++ block("combined_")
-      }
+      // single source of truth with the computation side: a drifted
+      // hand-maintained copy here would zip-truncate silently
+      channelNames.flatMap(c => textureNames(c, "") ++ textureNames(c, "combined_"))
     case other => throw new IllegalArgumentException(s"unknown feature family: $other")
   }
 
@@ -69,8 +63,6 @@ object Features {
       if (prefix == null) s"meta_$name" else s"meta_${prefix}_$name"
     else if (prefix == null) s"feat_$name"
     else s"feat_${prefix}_$name"
-
-  private val LoaderMeta = Seq("path", "idx", "group", "id")
 
   def schema(channelNames: Seq[String], types: Seq[String], prefix: String): StructType = {
     val metaFields = Seq(
@@ -146,7 +138,7 @@ object Features {
   private def computeFeatures(e: ImageEvent, channelNames: Seq[String],
       types: Array[String]): Seq[(String, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val h = e.height; val w = e.width; val ps = e.planeSize
+    val h = e.height; val w = e.width
     types.foreach {
       case "bbox" =>
         out += (("bbox_minr", e.bboxMinr.toDouble))
@@ -199,14 +191,18 @@ object Features {
         }
 
       case "texture" =>
+        // combined mask is loop-invariant (one O(H*W) build, not C);
+        // each channel plane copies once, not twice
+        val texCombined = e.combinedMaskBool
         var c = 0
         while (c < channelNames.length) {
           val cname = channelNames(c)
           val mp = e.maskPlane(c)
+          val pl = e.plane(c)
           val chRow: Array[Double] =
-            if (mp.exists(identity)) textureRow(e.plane(c), mp, h, w)
+            if (mp.exists(identity)) textureRow(pl, mp, h, w)
             else Array.fill(texRowLen)(Double.NaN)
-          val cmRow = textureRow(e.plane(c), e.combinedMaskBool, h, w)
+          val cmRow = textureRow(pl, texCombined, h, w)
           textureNames(cname, "").zip(chRow).foreach { case (n, v) => out += ((n, v)) }
           textureNames(cname, "combined_").zip(cmRow).foreach { case (n, v) => out += ((n, v)) }
           c += 1
@@ -226,7 +222,11 @@ object Features {
   private def shapeRow(mask: Array[Boolean], h: Int, w: Int): Array[Double] = {
     val labels = Morphology.label(mask, h, w)
     val n = Morphology.labelCount(labels)
-    if (n == 0) return new Array[Double](RegionProps.NumProps)
+    // reference _row on an empty mask: regionprops_table yields empty
+    // prop arrays and numpy.mean([]) = NaN for EVERY prop (the
+    // combined row has no channel-style 0/NaN default split) — zeros
+    // here polluted downstream aggregates as real measurements
+    if (n == 0) return Array.fill(RegionProps.NumProps)(Double.NaN)
     // one pass: bbox per label
     val minR = Array.fill(n + 1)(h); val maxR = new Array[Int](n + 1)
     val minC = Array.fill(n + 1)(w); val maxC = new Array[Int](n + 1)

@@ -105,10 +105,17 @@ class PipelineSpec extends SparkSpec {
     val fCols = fused.columns.sorted
     assert(fCols.toSeq == joined.columns.sorted.toSeq)
     val key = Seq("meta_idx")
+    // canonicalize NaN: Scala's boxed-numeric == compares primitive
+    // doubles, so NaN slots (legitimate scipy-parity outputs for
+    // zero-variance views) would never compare equal to themselves
+    def canon(v: Any): Any = v match {
+      case d: java.lang.Double if d.isNaN => "NaN"
+      case other => other
+    }
     val f = fused.collect().map(r => r.getAs[Long]("meta_idx") ->
-      fCols.map(c => r.get(fused.columns.indexOf(c))).toSeq).toMap
+      fCols.map(c => canon(r.get(fused.columns.indexOf(c)))).toSeq).toMap
     val j = joined.collect().map(r => r.getAs[Long]("meta_idx") ->
-      fCols.map(c => r.get(joined.columns.indexOf(c))).toSeq).toMap
+      fCols.map(c => canon(r.get(joined.columns.indexOf(c)))).toSeq).toMap
     assert(f == j)
   }
 
