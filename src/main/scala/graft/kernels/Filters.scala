@@ -135,8 +135,10 @@ object Filters {
           }
           i += 1
         }
-        java.util.Arrays.sort(window, 0, n)
-        out(r * w + c) = window(n / 2)
+        // rank-(n/2) selection — a full O(k log k) sort of the ~81-
+        // element window per pixel is pure waste (medianSquare already
+        // selects); quickSelect returns exactly sorted(window)(n/2)
+        out(r * w + c) = quickSelect(window, n, n / 2)
         c += 1
       }
       r += 1
@@ -230,7 +232,13 @@ object Filters {
     val off = patchSize / 2
     val h2 = filterH * filterH
     val twoVar = 2.0 * sigma * sigma
-    val s2 = (patchSize * patchSize).toDouble
+    // skimage forces an EVEN patch_size up to the next odd value (the
+    // window below is already that (2*off+1)-square), so the patch
+    // mean must divide by the odd size squared — patchSize=2 (the
+    // watershed noisy-channel call) means a 3x3 patch over 9 terms,
+    // not 4
+    val oddSize = 2 * off + 1
+    val s2 = (oddSize * oddSize).toDouble
     val out = new Array[Float](h * w)
     @inline def at(r: Int, c: Int): Double = img(mirror(r, h) * w + mirror(c, w))
     var r = 0
@@ -320,32 +328,20 @@ object Filters {
     out
   }
 
-  /** numpy.digitize with `bins` equal-width bins over [min,max] —
-    * the pre-quantization of masking/otsu.py:8-52 (bins when max>512)
-    * and the GLCM 15-bin quantize (features/texture.py). Returns bin
-    * index per pixel in [0, bins-1]. */
-  def quantize(img: Array[Float], bins: Int): Array[Int] = {
-    val (mn, mx) = Stats.minMax(img)
-    val out = new Array[Int](img.length)
-    if (mx == mn) return out
-    val scale = bins / (mx - mn)
-    var i = 0
-    while (i < img.length) {
-      var b = ((img(i) - mn) * scale).toInt
-      if (b >= bins) b = bins - 1
-      if (b < 0) b = 0
-      out(i) = b
-      i += 1
-    }
-    out
-  }
-
-  /** linear rescale to [0,1] (skimage rescale_intensity);
-    * constant image → zeros */
+  /** linear rescale to [0,1] (skimage rescale_intensity); a constant
+    * image divides by zero in skimage's formula and lands on
+    * clip(image, 0, 1) — constant 5 becomes all 1.0, NOT zeros */
   def rescale01(img: Array[Float]): Array[Float] = {
     val (mn, mx) = Stats.minMax(img)
     val out = new Array[Float](img.length)
-    if (mx == mn) return out
+    if (mx == mn) {
+      var i = 0
+      while (i < img.length) {
+        out(i) = math.max(0f, math.min(1f, img(i)))
+        i += 1
+      }
+      return out
+    }
     val inv = 1.0 / (mx - mn)
     var i = 0
     while (i < img.length) { out(i) = ((img(i) - mn) * inv).toFloat; i += 1 }

@@ -87,22 +87,36 @@ object Morphology {
     val offs = if (connectivity >= 2) off8 else off4
     val out = new Array[Int](h * w)
     var next = 0
-    val queue = new java.util.ArrayDeque[Int]()
+    // primitive int stack: an ArrayDeque[Int] boxes every pixel index
+    // (several boxed Integers per foreground pixel), and label() runs
+    // ~5x per plane per branch in the fused hot path. Labels are
+    // assigned at seed discovery (scan order), so traversal order
+    // (stack vs queue) cannot change the labeling.
+    var stack = new Array[Int](1024)
+    var top = 0
     var idx = 0
     while (idx < mask.length) {
       if (mask(idx) && out(idx) == 0) {
         next += 1
         out(idx) = next
-        queue.add(idx)
-        while (!queue.isEmpty) {
-          val cur = queue.poll()
+        stack(0) = idx
+        top = 1
+        while (top > 0) {
+          top -= 1
+          val cur = stack(top)
           val r = cur / w; val c = cur % w
           var i = 0
           while (i < offs.length) {
             val rr = r + offs(i)._1; val cc = c + offs(i)._2
             if (rr >= 0 && rr < h && cc >= 0 && cc < w) {
               val j = rr * w + cc
-              if (mask(j) && out(j) == 0) { out(j) = next; queue.add(j) }
+              if (mask(j) && out(j) == 0) {
+                out(j) = next
+                if (top == stack.length)
+                  stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+                stack(top) = j
+                top += 1
+              }
             }
             i += 1
           }
@@ -139,13 +153,14 @@ object Morphology {
     out
   }
 
-  /** fill background holes with area < threshold. Implemented exactly
-    * as skimage.morphology.remove_small_holes: complement →
-    * remove_small_objects(connectivity=1) → complement. No border
+  /** fill background holes with area < threshold + 1. Implemented
+    * exactly as skimage.morphology.remove_small_holes: complement →
+    * remove_small_objects(complement, threshold + 1, connectivity=1) →
+    * complement, so exactly-threshold holes fill too. No border
     * special-casing — a small background bay touching the image edge
     * IS filled when it forms its own component, and the threshold is a
     * double because the reference passes the float (h*w)/4
-    * (otsu.py:39, li.py:41: strict `area < threshold` comparison). */
+    * (otsu.py:39, li.py:41). */
   def removeSmallHoles(mask: Array[Boolean], h: Int, w: Int, areaThreshold: Double): Array[Boolean] = {
     val inv = new Array[Boolean](h * w)
     var i = 0
@@ -162,7 +177,13 @@ object Morphology {
     i = 0
     while (i < labels.length) {
       val l = labels(i)
-      if (l > 0 && areas(l) < areaThreshold) out(i) = true
+      // skimage >= 0.16 (the reference pins >= 0.18) implements
+      // remove_small_holes as remove_small_objects(complement,
+      // area_threshold + 1), whose keep test is strict <: a hole is
+      // filled iff area < threshold + 1 — so exactly-threshold holes
+      // fill (and non-integral thresholds round UP, e.g. th=12.25
+      // fills up to 13). Strict < threshold was an off-by-one.
+      if (l > 0 && areas(l) < areaThreshold + 1) out(i) = true
       i += 1
     }
     out
@@ -221,6 +242,13 @@ object Morphology {
                 val l = labels(rr * w + cc)
                 if (l > 0) {
                   val d2 = (dr * dr + dc * dc).toDouble
+                  // exact-distance ties break on the SMALLEST label —
+                  // a documented deterministic choice. skimage's
+                  // expand_labels inherits its tie order from scipy's
+                  // EDT feature-transform scan, which is an internal
+                  // implementation detail with no stated contract;
+                  // smallest-label is stable across platforms where
+                  // replaying scipy's scan order would not be.
                   if (d2 <= d2max && (d2 < bestD2 || (d2 == bestD2 && l < bestL))) {
                     bestD2 = d2; bestL = l
                   }

@@ -94,13 +94,6 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(th2(5 * 11 + 5) == 0f)
   }
 
-  test("quantize: 15 bins cover the range") {
-    val q = Filters.quantize(img(4, 4)((r, c) => (r * 4 + c).toFloat), 15)
-    assert(q.min == 0 && q.max == 14)
-  }
-
-  // ---- thresholds -------------------------------------------------------
-
   test("otsu separates a bimodal image") {
     val bi = img(10, 10)((r, _) => if (r < 5) 10f else 90f)
     val t = Thresholds.otsu(bi)
