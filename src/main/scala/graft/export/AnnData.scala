@@ -37,6 +37,22 @@ object AnnData {
       while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
       buf.toArray
     }
+    // scrub stale {filename}.{pid}.h5ad from a previous (possibly
+    // larger) run BEFORE writing: a re-run with fewer partitions
+    // overwrites only the low indices and a consumer globbing *.h5ad
+    // would read surviving old partitions alongside the new ones
+    // (the parquet sink handles the identical hazard)
+    {
+      val dirPath = new org.apache.hadoop.fs.Path(dirB)
+      val fs = org.apache.hadoop.fs.FileSystem.get(dirPath.toUri,
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(dirPath)) {
+        val stale = s"\\Q$filename\\E\\.\\d+\\.h5ad".r
+        fs.listStatus(dirPath)
+          .filter(st => stale.pattern.matcher(st.getPath.getName).matches)
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+    }
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val mat = rows.toArray
       val bytes = partitionBytes(mat, schema, featCols, metaCols, fieldType)
@@ -68,6 +84,7 @@ object AnnData {
         case l: Long => l.toDouble
         case x: Int => x.toDouble
         case s: Short => s.toDouble
+        case b: java.lang.Byte => b.toDouble
         case b: Boolean => if (b) 1.0 else 0.0
         case t: java.sql.Timestamp => t.getTime.toDouble // epoch millis
         case dt: java.sql.Date => dt.toLocalDate.toEpochDay.toDouble
@@ -113,7 +130,7 @@ object AnnData {
       fieldType(name) match {
         case StringType =>
           strArray(rows.map(r => Option(r.getAs[String](colIdx(name))).getOrElse("")).toSeq)
-        case LongType | IntegerType | ShortType | BooleanType |
+        case LongType | IntegerType | ShortType | ByteType | BooleanType |
             TimestampType | DateType
             if !rows.exists(_.isNullAt(colIdx(name))) =>
           // pandas float-promotes an int column holding any NaN; the

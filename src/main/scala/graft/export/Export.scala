@@ -31,8 +31,10 @@ object Export {
     val scratch = s"$outputDir/.${filename}_spark_tmp"
     val out = if (coalesce > 0) df.coalesce(coalesce) else df
     out.write.mode("overwrite").parquet(scratch)
+    // Path(...).toUri escapes spaces etc.; a raw new URI(path) throws
+    // URISyntaxException on them AFTER the parquet write succeeded
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(scratch),
+      new org.apache.hadoop.fs.Path(scratch).toUri,
       df.sparkSession.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(_.getPath.getName.startsWith("part-"))
@@ -84,29 +86,48 @@ object Export {
     Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** K4: side-effect export of labeled masks as .npy, one file per
-    * event named by group/idx (segmentation/__init__.py:56-67) —
-    * a pass-through side write inside mapPartitions. */
+  /** K4: side-effect export of labeled masks as .npy — a pass-through
+    * side write inside mapPartitions, named by the joined group keys
+    * EXACTLY like the reference ("_".join(event[k] for k in
+    * group_keys), segmentation/__init__.py:61-65). The reference
+    * contract assumes the group keys identify a FOV uniquely; like the
+    * reference, events sharing the same group string overwrite one
+    * file (last writer wins). Writes go through the Hadoop FS layer so
+    * executors can resolve the destination on a real cluster (a bare
+    * java.nio write would target executor-local disks). */
   def npyMasks(ds: Dataset[ImageEvent], dir: String): Dataset[ImageEvent] = {
     import graft.core.Codecs._
-    // reference layout (segmentation/__init__.py:61-65): a masks/
-    // subdirectory, one file per FOV named by the joined group keys
-    // ("_".join) — our group string already joins them with '/'
-    Files.createDirectories(Paths.get(dir, "masks"))
+    val dirB = dir
+    val hadoopEntries = {
+      val it = ds.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     ds.mapPartitions { events =>
+      lazy val fs = {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        hadoopEntries.foreach { case (k, v) => conf.set(k, v) }
+        val masksPath = new org.apache.hadoop.fs.Path(dirB, "masks")
+        val f = org.apache.hadoop.fs.FileSystem.get(masksPath.toUri, conf)
+        f.mkdirs(masksPath)
+        f
+      }
       events.map { e =>
         if (e.hasMask) {
           val name = s"${e.group.replace('/', '_')}.npy"
-          writeNpyInt(Paths.get(dir, "masks", name).toString, e.mask,
-            Seq(e.channels, e.height, e.width))
+          val out = fs.create(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(dirB, "masks"), name), true)
+          try out.write(npyIntBytes(e.mask, Seq(e.channels, e.height, e.width)))
+          finally out.close()
         }
         e
       }
     }
   }
 
-  /** minimal .npy v1.0 writer (int32, C order) */
-  private[export] def writeNpyInt(path: String, data: Array[Int], shape: Seq[Int]): Unit = {
+  /** minimal .npy v1.0 payload (int32, C order) */
+  private[export] def npyIntBytes(data: Array[Int], shape: Seq[Int]): Array[Byte] = {
     val headerBody =
       s"{'descr': '<i4', 'fortran_order': False, 'shape': (${shape.mkString(", ")}${if (shape.length == 1) "," else ""}), }"
     // pad header so that magic(6)+ver(2)+len(2)+header is a multiple of 64
@@ -120,8 +141,11 @@ object Export {
     bb.putShort(header.length.toShort)
     bb.put(header.getBytes(StandardCharsets.US_ASCII))
     data.foreach(bb.putInt)
-    Files.write(Paths.get(path), bb.array())
+    bb.array()
   }
+
+  private[export] def writeNpyInt(path: String, data: Array[Int], shape: Seq[Int]): Unit =
+    Files.write(Paths.get(path), npyIntBytes(data, shape))
 
   /** K5: persist per-group correction images as a small keyed parquet
     * (jones_2006.py:102-107,122-128 pickle → parquet here); reload

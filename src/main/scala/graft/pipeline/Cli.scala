@@ -95,10 +95,14 @@ object Cli {
     if (cfg.normalize || wantQuantiles) {
       // channel_boundaries.csv whenever normalization runs
       // (main.py:49-60,240): wide {channel}_min/{channel}_max columns
-      // indexed by group, extents from the first mask branch over the
-      // SAME prepared stream the feature run consumed
-      val firstBranch = Masking.branch(prepared, cfg.branches.head.method,
+      // indexed by group. The reference emits the SAME quantiles the
+      // normalization consumed — which run after masking AND the
+      // population filter — so the filter must apply here too, or the
+      // CSV would report extents including tombstoned events
+      var firstBranch = Masking.branch(prepared, cfg.branches.head.method,
         cfg.mainChannelIndex, cfg.combinedIndices)
+      if (cfg.populationFilter)
+        firstBranch = PopulationFilter(spark, firstBranch)
       val mm = Normalization.groupMinMax(spark, firstBranch)
       if (cfg.normalize)
         Export.channelBoundariesCsv(mm, cfg.channelNames,
@@ -123,12 +127,19 @@ object Cli {
         val n = Option(load.get("n")).map(_.asInt()).getOrElse(10)
         Option(load.get("kind")).map(_.asText()) match {
           case Some("cells") => Synthetic.cells(spark, n,
-            channels = Option(load.get("channels")).map(_.asInt()).getOrElse(2))
+            // channels may be the documented array form — asInt() on
+            // an ArrayNode silently returns 0 (0-channel events)
+            channels = Option(load.get("channels")).map(ch =>
+              if (ch.isArray) ch.size() else ch.asInt()).getOrElse(2))
           case _ => Synthetic.conftest(spark, n)
         }
       case "tiff" =>
-        val meta = Tiff.loadMeta(spark, strings(load.get("paths")), load.get("regex").asText())
-        Tiff.loadPixels(meta, strings(load.get("channels")))
+        val regex = Option(load.get("regex")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("tiff load needs a 'regex' key"))
+        val chans = Option(load.get("channels")).map(strings).getOrElse(
+          throw new IllegalArgumentException("tiff load needs a 'channels' key"))
+        val meta = Tiff.loadMeta(spark, strings(load.get("paths")), regex)
+        Tiff.loadPixels(meta, chans)
       case "multiframe_tiff" =>
         val mfChannels = Option(load.get("channels")).map(ints).orNull
         strings(load.get("paths"))
@@ -185,10 +196,13 @@ object Cli {
       (0 until mf.size()).map { i =>
         val f = mf.get(i)
         val chs = ints(f.get("channels"))
+        def threshold: Double = Option(f.get("threshold")).map(_.asDouble())
+          .getOrElse(throw new IllegalArgumentException(
+            s"mask filter '${f.get("method").asText()}' needs a 'threshold' key"))
         f.get("method").asText() match {
           case "normaltest" => Masking.NormalTest(chs)
-          case "std" => Masking.StdFilter(chs, f.get("threshold").asDouble())
-          case "value_range" => Masking.ValueRange(chs, f.get("threshold").asDouble())
+          case "std" => Masking.StdFilter(chs, threshold)
+          case "value_range" => Masking.ValueRange(chs, threshold)
           case m => throw new IllegalArgumentException(s"unknown mask filter: $m")
         }
       }
