@@ -106,8 +106,10 @@ object Cluster {
     require(converged, s"connected components did not converge in $maxRounds rounds")
     // post-convergence the edge set is a star forest (child → root);
     // add the roots themselves as members
+    // one distinct suffices: the outer dedup subsumes the roots
+    // branch's, and the inner one cost a full extra exchange+aggregate
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
-      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
   }
 

@@ -34,7 +34,11 @@ object TextOps {
     counts.forEach { (_, c) =>
       val p = c / n.toDouble; h -= p * math.log(p)
     }
-    (n, math.rint(h * 1e4) / 1e4)
+    // half-UP like Spark's round() and the DuckDB oracle — rint is
+    // half-even, the one rounding in this file that could diverge at
+    // an exact .5 boundary (entropy is non-negative, so floor(+0.5)
+    // IS half-up here)
+    (n, math.floor(h * 1e4 + 0.5) / 1e4)
   }
 
   /** Rolling polynomial hash (h*31 + codepoint) mod 1e9+7 — the
@@ -488,9 +492,8 @@ object TextOps {
         |    AS boilerplate_frac
         |FROM grams g LEFT JOIN freq f ON g.h = f.h
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val w = filter(split(col("text"), " "), t => length(t) > 0)
       val grams = Tables.documents(s, d)
-        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("w")) - 2),
@@ -500,13 +503,20 @@ object TextOps {
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 3)
         .select(col("h"), lit(1).as("is_freq"))
-      grams.join(broadcast(freq), Seq("h"), "left")
+      // materialize the small per-doc aggregate eagerly so the
+      // bigger-than-corpus exploded gram cache can be released here
+      // (the d10 pattern — without this it stays pinned in executor
+      // storage for the session's lifetime); release only when the
+      // cut actually ran (nocut = plan-audit mode)
+      val scored = grams.join(broadcast(freq), Seq("h"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           count(col("is_freq")).as("n_frequent"),
           round(count(col("is_freq")).cast("double") / count(lit(1)), 6)
             .as("boilerplate_frac"))
-        .orderBy("doc_id")
+        .transform(Lineage.cut)
+      if (Lineage.cutsEnabled) grams.unpersist()
+      scored.orderBy("doc_id")
     },
 
     // Statistical-LM quality scoring (the CCNet/Wenzek 2020 signal,
@@ -540,8 +550,8 @@ object TextOps {
         |  CROSS JOIN vv)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val ts = filter(split(col("text"), " "), t => length(t) > 0)
-      val toks = Tables.documents(s, d).select(col("doc_id"), ts.as("ts"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
       val uni = toks.select(explode(col("ts")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c1"))
       val bi = toks.filter(size(col("ts")) >= 2)

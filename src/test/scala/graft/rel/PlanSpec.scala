@@ -84,12 +84,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d09/t12: gram-set joins broadcast the small side, never shuffle-join the corpus") {
-    Seq("d09_decontaminate", "t12_boilerplate").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
-      assert(!p.contains("SortMergeJoin"), s"$q: $p")
-      assert(!p.contains("ShuffledHashJoin"), s"$q: $p")
-    }
+    // t12 releases its gram cache behind a Lineage.cut, which truncates
+    // the default plan to the materialized RDD — inspect under the
+    // audit flag (as graft.Explain does) so the join stays visible
+    sys.props("graft.lineage.nocut") = "true"
+    try {
+      Seq("d09_decontaminate", "t12_boilerplate").foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+        assert(!p.contains("SortMergeJoin"), s"$q: $p")
+        assert(!p.contains("ShuffledHashJoin"), s"$q: $p")
+      }
+    } finally sys.props.remove("graft.lineage.nocut")
   }
 
   test("t11: PII scrub is one codegen pass — no shuffle except the output sort") {
