@@ -41,6 +41,13 @@ object Illumination {
     def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
       if (a.length == 1) return b
       if (b.length == 1) return a
+      // the equal-dims-per-group invariant is only checked within a
+      // partition by reduce; cross-partition buffers of different dims
+      // would otherwise crash or silently sum a prefix depending on
+      // which side is longer
+      require(a.length == b.length,
+        "illumination correction requires equal image dims per group " +
+          s"(merge saw buffers of ${a.length - 4} and ${b.length - 4} pixels)")
       a(0) += b(0)
       var i = 1
       while (i < a.length) {
@@ -127,6 +134,11 @@ object Illumination {
       bc.value.get(e.group) match {
         case None => e
         case Some(mu) =>
+          // a stale/mismatched precomputed artifact must fail like the
+          // reference's numpy broadcast error, not mis-align channels
+          require(mu.length == e.pixels.length,
+            s"correction image for group '${e.group}' has ${mu.length} " +
+              s"values but the event has ${e.pixels.length} pixels")
           val out = new Array[Float](e.pixels.length)
           var i = 0
           while (i < e.pixels.length) { out(i) = e.pixels(i) / mu(i); i += 1 }

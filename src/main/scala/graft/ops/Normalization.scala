@@ -29,18 +29,29 @@ object Normalization {
         (0 until e.channels).iterator.flatMap { c =>
           var mn = Double.MaxValue; var mx = Double.MinValue
           var any = false
+          var hasNaN = false
           var i = 0
           while (i < ps) {
             val inMask = !e.hasMask || e.mask(c * ps + i) > 0
             if (inMask) {
               val v = e.pixels(c * ps + i)
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              any = true
+              if (java.lang.Float.isNaN(v)) hasNaN = true
+              else {
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                any = true
+              }
             }
             i += 1
           }
-          if (any) Iterator((e.group, c, mn, mx)) else Iterator.empty
+          // reference parity quirk: combine_extent_partition folds
+          // min(acc, np.min(record)) with PYTHON's min, and
+          // min(x, NaN) returns x — so a record with ANY NaN pixel in
+          // a channel contributes NOTHING to that channel's extents
+          // (np.min of the whole slice is NaN, which python-min then
+          // discards). Empty masked slices are skipped the same way.
+          if (any && !hasNaN) Iterator((e.group, c, mn, mx))
+          else Iterator.empty
         }
       }
     }.toDF("group", "channel", "mn", "mx")
@@ -53,7 +64,13 @@ object Normalization {
   }
 
   /** (pixels − min) / (max − min) per channel with the group's extents
-    * (sample_normalization, quantile_normalization.py:67-89) */
+    * (sample_normalization, quantile_normalization.py:67-89).
+    *
+    * Caches `ds` for its two passes (extents + normalize) and cannot
+    * release it itself — the second pass is lazy. Cache scope is the
+    * CALLER's run boundary: the CLI clears caches after export, and
+    * Verify/Bench clear between queries; a long-lived session calling
+    * this repeatedly should do the same. */
   def normalize(spark: SparkSession, ds: Dataset[ImageEvent]): Dataset[ImageEvent] = {
     val cached = ds.cache() // shared subplan: extents + normalize pass
     val minmax = groupMinMax(spark, cached)
@@ -63,8 +80,16 @@ object Normalization {
       val out = new Array[Float](e.pixels.length)
       var c = 0
       while (c < e.channels) {
-        val (lo, hi) = bc.value.getOrElse((e.group, c), (0.0, 1.0))
-        val span = if (hi - lo == 0) 1.0 else hi - lo
+        // missing extents (channel masked empty / all-NaN across the
+        // group) fall back to the reference's untouched ±inf foldby
+        // init, and the formula applies WITHOUT a zero-span guard —
+        // numpy divides by zero: a constant channel normalizes to
+        // NaN (v==lo ⟹ 0/0), an empty-extent channel to NaN via
+        // -inf/-inf. Guarding either would diverge from
+        // sample_normalization (quantile_normalization.py:83-84).
+        val (lo, hi) = bc.value.getOrElse((e.group, c),
+          (Double.PositiveInfinity, Double.NegativeInfinity))
+        val span = hi - lo
         var i = 0
         while (i < ps) {
           out(c * ps + i) = ((e.pixels(c * ps + i) - lo) / span).toFloat

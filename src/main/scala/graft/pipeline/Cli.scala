@@ -111,6 +111,11 @@ object Cli {
         Export.quantilesCsv(mm, s"$outputDir/quantiles.csv")
     }
     if (wantQuantiles || cfg.normalize) prepared.unpersist(false)
+    // release the per-branch caches Normalization.normalize /
+    // Illumination.correct created (their two-pass shape needs the
+    // cache until the export above consumed the result; there is no
+    // per-dataset completion hook, so the run boundary is the scope)
+    spark.catalog.clearCache()
   }
 
   private def strings(n: JsonNode): Seq[String] =

@@ -75,10 +75,9 @@ object Tiff {
     finally s.close()
   }
 
-  /** decode one grayscale TIFF page to float32 */
-  private[sources] def decodePlane(path: String): (Array[Float], Int, Int) = {
-    val img = ImageIO.read(new java.io.File(path))
-    require(img != null, s"not a decodable image: $path")
+  /** one BufferedImage raster band → float32 plane (shared by the
+    * single-page and multiframe decoders — one copy to fix) */
+  private def rasterToPlane(img: java.awt.image.BufferedImage): (Array[Float], Int, Int) = {
     val h = img.getHeight; val w = img.getWidth
     val out = new Array[Float](h * w)
     val raster = img.getRaster
@@ -91,6 +90,13 @@ object Tiff {
     (out, h, w)
   }
 
+  /** decode one grayscale TIFF page to float32 */
+  private[sources] def decodePlane(path: String): (Array[Float], Int, Int) = {
+    val img = ImageIO.read(new java.io.File(path))
+    require(img != null, s"not a decodable image: $path")
+    rasterToPlane(img)
+  }
+
   /** S3: one file per channel, stacked to (C,H,W) float32
     * (loading/tiff.py:161-170) */
   def loadPixels(meta: DataFrame, channels: Seq[String]): Dataset[ImageEvent] = {
@@ -99,6 +105,12 @@ object Tiff {
     val idIdx = fields.indexOf("id")
     val metaIdx = fields.indexOf("meta")
     val chFieldIdx = channels.map(c => fields.indexOf(c))
+    // fail on the driver naming the channel, not in an executor with
+    // an opaque index -1 error after task retries
+    channels.zip(chFieldIdx).foreach { case (c, i) =>
+      require(i >= 0, s"channel '$c' not in the scanned metadata " +
+        s"(have: ${fields.filterNot(Set("id", "meta")).mkString(", ")})")
+    }
     // the event's `path` is the FIRST PIVOT COLUMN's file
     // (tiff.py:156: df["path"] = df.iloc[:, 0] — sorted channel order),
     // not the first *requested* channel's
@@ -137,10 +149,11 @@ object Tiff {
     import Codecs._
     val files = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      java.nio.file.Files.walk(Paths.get(dir)).forEach { p =>
+      val walk = java.nio.file.Files.walk(Paths.get(dir))
+      try walk.forEach { p =>
         if (java.nio.file.Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".tiff")) buf += p.toString
-      }
+      } finally walk.close() // walk holds open directory descriptors
       buf.sorted.toSeq
     }
     spark.createDataset(files).mapPartitions { paths =>
@@ -164,21 +177,16 @@ object Tiff {
       reader.setInput(in)
       val n = reader.getNumImages(true)
       val wanted = if (channels == null) 0 until n else channels
-      val planes = wanted.map { i =>
-        val img = reader.read(i)
-        val h = img.getHeight; val w = img.getWidth
-        val out = new Array[Float](h * w)
-        val raster = img.getRaster
-        var r = 0
-        while (r < h) {
-          var c = 0
-          while (c < w) { out(r * w + c) = raster.getSampleFloat(c, r, 0); c += 1 }
-          r += 1
-        }
-        (out, h, w)
-      }
+      val planes = wanted.map(i => rasterToPlane(reader.read(i)))
       reader.dispose()
       val (h, w) = (planes.head._2, planes.head._3)
+      // pyramidal/multi-resolution files violate the pages-are-channels
+      // contract: without this a smaller later page either crashes the
+      // arraycopy or silently garbles channel data with the wrong
+      // stride (the reference's numpy stack raises on ragged pages)
+      require(planes.forall(p => p._2 == h && p._3 == w),
+        s"multiframe pages of $path must share dimensions " +
+          s"(got ${planes.map(p => s"${p._2}x${p._3}").distinct.mkString(", ")})")
       val px = new Array[Float](planes.length * h * w)
       planes.zipWithIndex.foreach { case ((p, _, _), c) =>
         System.arraycopy(p, 0, px, c * h * w, h * w)
@@ -187,7 +195,14 @@ object Tiff {
     } finally in.close()
   }
 
-  /** S1: union of per-path sources (loading/__init__.py:29-44) */
-  def loadMeta(spark: SparkSession, dirs: Seq[String], regex: String): DataFrame =
-    dirs.map(metaFromDirectory(spark, _, regex)).reduceLeft(_ unionByName _)
+  /** S1: union of per-path sources (loading/__init__.py:29-44).
+    * allowMissingColumns mirrors the reference's pandas concat: a
+    * directory missing some channel's files yields null cells there,
+    * which the F3 na.drop in the pivot already handles — a strict
+    * union would AnalysisException on the first ragged directory. */
+  def loadMeta(spark: SparkSession, dirs: Seq[String], regex: String): DataFrame = {
+    require(dirs.nonEmpty, "tiff load needs at least one path")
+    dirs.map(metaFromDirectory(spark, _, regex))
+      .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
 }
