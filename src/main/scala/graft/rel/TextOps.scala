@@ -492,31 +492,33 @@ object TextOps {
         |    AS boilerplate_frac
         |FROM grams g LEFT JOIN freq f ON g.h = f.h
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val grams = Tables.documents(s, d)
+      // Single pass over the exploded grams: repartition by gram hash,
+      // collapse to distinct (h, doc_id) pairs with their instance
+      // count, derive each gram's document frequency with a window
+      // over h (HashPartitioning(h) satisfies both the pair aggregate
+      // and the window — one exchange covers them), then roll up per
+      // document. No gram cache to pin or release, and no broadcast
+      // of the frequent-gram set, whose size is corpus-dependent and
+      // unbounded at scale — total shuffle is the distinct gram-doc
+      // pair digests plus the per-doc rollup.
+      val pairs = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("w")) - 2),
           i => md5(array_join(slice(col("w"), i, lit(3)), " ")))).as("h"))
-        .cache()
-      val freq = grams.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 3)
-        .select(col("h"), lit(1).as("is_freq"))
-      // materialize the small per-doc aggregate eagerly so the
-      // bigger-than-corpus exploded gram cache can be released here
-      // (the d10 pattern — without this it stays pinned in executor
-      // storage for the session's lifetime); release only when the
-      // cut actually ran (nocut = plan-audit mode)
-      val scored = grams.join(broadcast(freq), Seq("h"), "left")
+        .repartition(col("h"))
+        .groupBy(col("h"), col("doc_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      pairs.withColumn("df", count(lit(1)).over(win))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          count(col("is_freq")).as("n_frequent"),
-          round(count(col("is_freq")).cast("double") / count(lit(1)), 6)
-            .as("boilerplate_frac"))
-        .transform(Lineage.cut)
-      if (Lineage.cutsEnabled) grams.unpersist()
-      scored.orderBy("doc_id")
+        .agg(sum(col("cnt")).as("n_grams"),
+          coalesce(sum(when(col("df") >= 3, col("cnt"))), lit(0L))
+            .as("n_frequent"),
+          round(coalesce(sum(when(col("df") >= 3, col("cnt"))), lit(0L))
+            .cast("double") / sum(col("cnt")), 6).as("boilerplate_frac"))
+        .orderBy("doc_id")
     },
 
     // Statistical-LM quality scoring (the CCNet/Wenzek 2020 signal,
