@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * `conftest` replicates the reference test fixture
   * (test/conftest.py:39-52,69-71): N events whose every channel is
-  * arange(h·w) reshaped to (h, w), alternating groups "one"/"two" —
+  * arange(h·w) reshaped to (h, w), first half group "one", second
+  * half "two" (`["one"] * (n // 2) + ["two"] * (n - n // 2)`) —
   * the basis of the [0,99]/[22,77] quantile goldens
   * (test/normalization/test_quantile_normalization.py:23-41).
   *
@@ -27,7 +28,7 @@ object Synthetic {
     spark.range(n).map { i =>
       ImageEvent.fromPixels(
         path = s"synthetic://conftest/$i", idx = i,
-        group = if (i % 2 == 0) "one" else "two",
+        group = if (i < n / 2) "one" else "two",
         meta = Map("fov" -> i.toString),
         channels = channels, height = h, width = w, pixels = px.clone())
     }

@@ -13,20 +13,34 @@ object Projection {
 
   def projectStack(px: Array[Float], channels: Int, depth: Int,
       h: Int, w: Int, op: String): Array[Float] = {
+    // the reference looks the op up in a dict (projection/op.py) and
+    // raises KeyError on anything unknown — don't silently mean-project
+    require(op == "max" || op == "mean", s"unknown projection op '$op'")
     val ps = h * w
     val out = new Array[Float](channels * ps)
     var c = 0
     while (c < channels) {
       var i = 0
       while (i < ps) {
-        var acc = if (op == "max") Float.MinValue else 0f
         var z = 0
-        while (z < depth) {
-          val v = px((c * depth + z) * ps + i)
-          if (op == "max") { if (v > acc) acc = v } else acc += v
-          z += 1
+        if (op == "max") {
+          var acc = Float.MinValue
+          while (z < depth) {
+            val v = px((c * depth + z) * ps + i)
+            if (v > acc) acc = v
+            z += 1
+          }
+          out(c * ps + i) = acc
+        } else {
+          // accumulate in double: sequential float32 summation drifts
+          // ~depth·2^-24 relative, past digest tolerance on deep stacks
+          var acc = 0.0
+          while (z < depth) {
+            acc += px((c * depth + z) * ps + i)
+            z += 1
+          }
+          out(c * ps + i) = (acc / depth).toFloat
         }
-        out(c * ps + i) = if (op == "max") acc else acc / depth
         i += 1
       }
       c += 1

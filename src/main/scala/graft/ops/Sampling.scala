@@ -25,13 +25,26 @@ object Sampling {
     * collection; the oversample+limit trims the (tiny, whp) surplus. */
   def sampleWithReplacement(ds: Dataset[ImageEvent], k: Int, seed: Long = 42): Dataset[ImageEvent] = {
     import ds.sparkSession.implicits._
-    val n = ds.count()
-    if (n == 0) return ds
-    val frac = k.toDouble / n
+    // cache: the count, the draw(s), and the final trim each execute
+    // the full upstream plan otherwise (released at the run boundary —
+    // Cli's end-of-run clearCache / Verify's per-query scope)
+    val cached = ds.cache()
+    val n = cached.count()
+    if (n == 0) return cached
     // Poisson(k/n) replication approximates multinomial; oversample by
-    // 2x + 8 then exact-k via deterministic order
-    ds.sample(withReplacement = true, frac * 2 + 8.0 / n, seed)
-      .orderBy(rand(seed + 1))
+    // 2x + 8 then exact-k via deterministic order. The draw falls short
+    // of k with probability ~e^-(k+8); the reference's choices(images, k)
+    // is always exactly k, so retry with a doubled rate and a shifted
+    // (still deterministic) seed rather than return a short sample.
+    var mult = 2.0
+    var attempt = 0
+    var pool = cached.sample(withReplacement = true, (k * mult + 8.0) / n, seed)
+    while (pool.count() < k && attempt < 8) {
+      attempt += 1
+      mult *= 2
+      pool = cached.sample(withReplacement = true, (k * mult + 8.0) / n, seed + attempt)
+    }
+    pool.orderBy(rand(seed + 1))
       .limit(k)
       .as[ImageEvent]
   }

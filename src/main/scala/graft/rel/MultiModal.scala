@@ -52,9 +52,16 @@ object MultiModal {
       // per-partition "decoder handle" init would go here
       rows.map { r =>
         val p = r.getAs[Array[Byte]](payloadIdx)
-        val m = if (p == null) MediaMeta(0, 0, 0, 0, 0) else decodeStub(p)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](
-          m.n_bytes, m.width, m.height, m.channels, m.byte_sum))
+        // tombstone contract: a null payload keeps its row but carries
+        // null metadata — "decode of nothing is unknown", matching SQL
+        // null propagation, not a fake zero-sized decode
+        val extras =
+          if (p == null) Seq[Any](null, null, null, null, null)
+          else {
+            val m = decodeStub(p)
+            Seq[Any](m.n_bytes, m.width, m.height, m.channels, m.byte_sum)
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extras)
       }
     }(enc)
   }
@@ -84,12 +91,14 @@ object MultiModal {
         |), s AS (
         |  SELECT doc_id, n,
         |    CAST(coalesce(list_sum(list_transform(generate_series(1, n::INT),
-        |         i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)), 0) AS BIGINT)
+        |         i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)),
+        |      CASE WHEN n IS NULL THEN NULL ELSE 0 END) AS BIGINT)
         |      AS byte_sum
         |  FROM b
         |)
         |SELECT doc_id, n AS n_bytes, n % 64 + 16 AS width,
-        |       (byte_sum % 64) + 16 AS height, 3 AS channels, byte_sum
+        |       (byte_sum % 64) + 16 AS height,
+        |       CASE WHEN n IS NULL THEN NULL ELSE 3 END AS channels, byte_sum
         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
       val withPayload = Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -124,6 +133,8 @@ object MultiModal {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, p) =>
+          if (p == null) Iterator.empty // oracle: range over NULL emits no frames
+          else {
           val nFrames = (p.length + 63) / 64
           (0 until nFrames by 2).iterator.map { f =>
             var sum = 0L
@@ -131,6 +142,7 @@ object MultiModal {
             val end = math.min((f + 1) * 64, p.length)
             while (i < end) { sum += p(i) & 0xff; i += 1 }
             (id, f, sum)
+          }
           }
         }
         .toDF("doc_id", "frame_idx", "frame_sum")
@@ -160,7 +172,7 @@ object MultiModal {
       Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
-        .filter(_._2.length > 0)
+        .filter(t => t._2 != null && t._2.length > 0) // oracle: WHERE n > 0 drops NULL too
         .map { case (id, p) =>
           val n = p.length
           val m = math.min(16, n)

@@ -82,6 +82,12 @@ object ScaleOps {
       nFiles: Int): Unit = {
     val bounds = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(2)) {
+      // empty input (or an all-null cluster column): nothing to
+      // cluster — still produce the sink instead of an NPE on the bounds
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val (lo1, hi1, lo2, hi2) =
       (bounds.getDouble(0), bounds.getDouble(1),
         bounds.getDouble(2), bounds.getDouble(3))

@@ -22,14 +22,15 @@ class MultiModalSpec extends SparkSpec {
     assert(out.count() == n)
     assert(out.columns.toSeq ==
       Seq("doc_id", "payload", "n_bytes", "width", "height", "channels", "byte_sum"))
-    // tombstone contract: null payload yields zeroed meta, row survives
+    // tombstone contract: null payload keeps its row with null meta
+    // (SQL null propagation — not a fake zero-sized decode)
     val withNull = docs.withColumn("payload",
       when(col("doc_id") === 0, lit(null)).otherwise(col("payload")))
     val outNull = MultiModal.extractMediaFeatures(withNull)
     assert(outNull.count() == n)
     val z = outNull.filter(col("doc_id") === 0)
       .select("n_bytes", "width", "height", "channels", "byte_sum").head()
-    assert(z.getLong(0) == 0 && z.getInt(1) == 0 && z.getLong(4) == 0)
+    assert((0 until 5).forall(z.isNullAt), z.toString)
   }
 
   test("frame sampling: registry query matches a driver-side recompute incl. partial tails") {

@@ -122,6 +122,16 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-order touched $zTouched of ${files(zDir).size} vs linear $linTouched")
   }
 
+  test("zOrderWrite on an empty input still produces a readable (empty) sink") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .filter(col("event_id") < 0) // matches nothing; bounds agg is all-null
+    val dir = "/tmp/graft-sink-fixtures/events_zorder_empty"
+    ScaleOps.zOrderWrite(ev, "user_id", "ts_us", dir, 4)
+    assert(spark.read.parquet(dir).count() == 0)
+  }
+
   test("p10 partitioned layout prunes: a lang filter reads only that partition") {
     // run the registry query to (re)write the partitioned layout
     val rows = graft.SparkEntry.queries("p10_partitioned_write")(spark, sfDir)
