@@ -112,10 +112,12 @@ case class FloatL2Norm(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $a.getFloat($i);
          |}

@@ -392,6 +392,10 @@ object Dedup {
         while (i < cv.length) { ss += cv(i).toDouble * cv(i).toDouble; i += 1 }
         (cid, cv, math.sqrt(ss))
       }
+    // ids not 0-based (or an empty table) would otherwise assign EVERY
+    // vector the sentinel cluster -1 below — fail loudly instead
+    require(centroids.nonEmpty,
+      s"semdedup: no seed centroids (no vec_id < $SemdedupK in $dir)")
     val bc = spark.sparkContext.broadcast(centroids)
     // all double math is sequential (dot, then /(|a||b|)) — the exact
     // op order of the DuckDB list_sum oracle, so cosines match bitwise
@@ -411,6 +415,12 @@ object Dedup {
           val cos = dot / (normV * cn)
           if (cos > bestCos) { bestCos = cos; bestC = cid } // ties → first (min) cid
         }
+        // a zero-norm vector scores NaN against every centroid and
+        // would silently land in nonexistent cluster -1 (the oracle's
+        // row_number path assigns a real cid — a hash divergence, not
+        // an error). Out-of-domain input: fail loudly.
+        require(bestC >= 0,
+          s"semdedup: vector $id matched no centroid (zero-norm embedding?)")
         (id, bestC, v)
       }
     }
@@ -454,10 +464,9 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  private val cosSql: (String, String) => String = (a, b) =>
-    s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))
-       |   / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
-       |      * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
+  // the one canonical DuckDB cosine text — its accumulation order is
+  // the bit-parity contract every embedding oracle replays
+  private val cosSql: (String, String) => String = Similarity.cosineSql
 
   private val semdedupOracle =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $SemdedupK),
@@ -733,18 +742,11 @@ object Dedup {
     // block's higher ids in a compiled loop — no per-pair array
     // allocation, no catalyst lambda overhead.
     Q("d06_embedding_neardup",
-      """SELECT a.vec_id AS va, b.vec_id AS vb,
-        | round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |         x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |   / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-        |      * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
-        |   AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |         x -> x[1]::DOUBLE * x[2]::DOUBLE))
-        |   / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-        |      * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.4
-        |ORDER BY va, vb""".stripMargin) { (s, d) =>
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+         | round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY va, vb""".stripMargin) { (s, d) =>
       embeddingNearDupBlocked(s, d, 0.4)._1
     },
 

@@ -29,7 +29,8 @@ object Similarity {
 
   def norm(a: Column): Column = graft.functions.VectorFunctions.floatNorm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
 
   /** The same cosine, as DuckDB SQL over list columns (kept textually in
     * one place so every oracle uses the identical expression). */
@@ -394,7 +395,7 @@ object Similarity {
           }
         val picked = new scala.collection.mutable.ArrayBuffer[Int](kk)
         val avail = scala.collection.mutable.BitSet(0 until n: _*)
-        while (picked.length < kk) {
+        while (picked.length < kk && avail.nonEmpty) {
           var best = -1; var bestScore = Double.NegativeInfinity
           avail.foreach { i =>
             val maxSim =
@@ -407,6 +408,11 @@ object Similarity {
               best = i; bestScore = sc
             }
           }
+          // every remaining score NaN (a zero-norm query makes all
+          // cosines 0/0): no score is comparable, so no candidate was
+          // selected — degrade deterministically to shortlist order
+          // instead of corrupting picked/avail with index -1
+          if (best < 0) best = avail.min
           picked += best; avail -= best
         }
         def r6(x: Double): Double = math.rint(x * 1e6) / 1e6

@@ -46,12 +46,21 @@ object Streaming {
       if (docs.isStreaming)
         digested.withWatermark(tsCol, watermark)
           .dropDuplicatesWithinWatermark("digest")
-      else
+      else {
         // batch parity: dropDuplicatesWithinWatermark is
         // streaming-only (UnsupportedOperationChecker rejects it on a
-        // static frame); the batch equivalent of "first occurrence per
-        // digest" is a plain digest dedup
-        digested.dropDuplicates("digest")
+        // static frame). dropDuplicates("digest") would keep an
+        // ARBITRARY row per digest (partition-dependent) — the batch
+        // equivalent of the stream's "first occurrence" is the
+        // earliest row per digest, tie-broken over the remaining
+        // columns so the survivor is total-order deterministic
+        val order = col(tsCol) +: digested.columns.toSeq
+          .filterNot(c => c == "digest" || c == tsCol).map(col)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("digest").orderBy(order: _*)
+        digested.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
     deduped.drop("digest") // internal helper column, not caller schema
   }
 
@@ -97,7 +106,11 @@ object Streaming {
       .select("event_id", "user_id", "ts", "event_type", "value")
       .as[EventRow]
   }
-  case class UserState(n: Long, sum: Double, max: Double)
+  /** `lastTs` is the max event time EVER seen for the key — the idle
+    * timeout must be set from it, not from the current batch's max: a
+    * late-but-valid older event would otherwise shrink the eviction
+    * deadline and prematurely reset the running stats. */
+  case class UserState(n: Long, sum: Double, max: Double, lastTs: Long)
   case class UserUpdate(user_id: Long, n: Long, sum: Double, max: Double)
 
   /** per-user running stats via flatMapGroupsWithState: the custom
@@ -132,17 +145,17 @@ object Streaming {
             state.remove() // idle past the horizon: evict
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue))
+            var s = state.getOption.getOrElse(
+              UserState(0L, 0.0, Double.MinValue, Long.MinValue))
             var touched = false
-            var maxTs = Long.MinValue
             rows.foreach { r =>
-              s = UserState(s.n + 1, s.sum + r.value, math.max(s.max, r.value))
+              s = UserState(s.n + 1, s.sum + r.value,
+                math.max(s.max, r.value), math.max(s.lastTs, r.ts.getTime))
               touched = true
-              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
             }
             if (touched) {
               state.update(s)
-              state.setTimeoutTimestamp(maxTs + horizonMs)
+              state.setTimeoutTimestamp(s.lastTs + horizonMs)
               Iterator.single(UserUpdate(user, s.n, s.sum, s.max))
             } else Iterator.empty
           }

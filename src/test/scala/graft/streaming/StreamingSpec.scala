@@ -118,6 +118,37 @@ class StreamingSpec extends SparkSpec {
     assert(u10.last.max == 5.0)
   }
 
+  test("running user stats: a late-but-valid older event cannot shrink the idle deadline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, user: Long, t: Long, v: Double) =
+      EventRow(id, user, new Timestamp(t), "click", v)
+    val h = 3600000L
+    val t0 = 1700000000000L
+    val stream = MemoryStream[EventRow]
+    val q = runningUserStats(stream.toDS()) // 24h idle horizon
+      .writeStream.format("memory").queryName("user_stats_late")
+      .outputMode("append").start()
+    try {
+      // user 10's true latest event is t0 (deadline t0+24h) ...
+      stream.addData(ev(1, 10, t0, 1.0)); q.processAllAvailable()
+      // ... then a LATE event at t0-1h arrives: setting the deadline
+      // from the batch max alone would shrink it to t0+23h
+      stream.addData(ev(2, 10, t0 - h, 1.0)); q.processAllAvailable()
+      // user 20 pushes the watermark to t0+23h40m — past the shrunk
+      // deadline, before the true one; the next batch runs the
+      // timeout check for user 10 (no data for 10 in it)
+      stream.addData(ev(3, 20, t0 + 47 * h + 40 * 60000L, 1.0)); q.processAllAvailable()
+      stream.addData(ev(4, 20, t0 + 47 * h + 41 * 60000L, 1.0)); q.processAllAvailable()
+      // user 10 returns before the TRUE deadline: state must have
+      // survived, so the running count continues at 3, not restart at 1
+      stream.addData(ev(5, 10, t0 + 23 * h + 50 * 60000L, 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val n10 = spark.table("user_stats_late").as[UserUpdate]
+      .collect().filter(_.user_id == 10).map(_.n).max
+    assert(n10 == 3L, s"state was prematurely evicted (max n=$n10)")
+  }
+
   test("sessionize: sessions extend within the gap and close when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -172,10 +203,13 @@ class StreamingSpec extends SparkSpec {
     val batch = Seq((1L, "a", new Timestamp(1000)), (2L, "a", new Timestamp(2000)),
       (3L, "b", new Timestamp(3000)))
       .toDF("doc_id", "text", "ts")
-    val out = dedupStream(batch)
+    val out = dedupStream(batch.repartition(7)) // partitioning must not pick the survivor
     assert(out.columns.toSeq == Seq("doc_id", "text", "ts")) // no digest leak
     assert(out.count() == 2)
     assert(out.select("text").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // stream parity: the batch survivor is the FIRST occurrence
+    // (earliest ts), not an arbitrary hash-aggregate pick
+    assert(out.filter(col("text") === "a").select("doc_id").as[Long].head() == 1L)
   }
 
   test("eventRows drops null-keyed rows instead of NPEing") {
