@@ -68,10 +68,19 @@ object Bench {
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       io.snapshot()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val before = ioSnapshot()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query must NOT be recorded as a fast successful run
+      // (a broken build would make the total IMPROVE): failures are
+      // loud on stderr, listed in the artifact, and excluded from the
+      // timings so the numbers only ever describe queries that ran
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"ERROR: bench query $name failed: $e")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       // isolate queries from each other's garbage: allocation-heavy
@@ -79,9 +88,11 @@ object Bench {
       // (observed d04 swinging 7s..30s with identical plans)
       System.gc()
       val after = ioSnapshot()
-      name -> (dt, after._1 - before._1, after._2 - before._2,
-        after._3 - before._3)
-    }.toMap
+      (name, ok, (dt, after._1 - before._1, after._2 - before._2,
+        after._3 - before._3))
+    }
+    val failed = runs.filterNot(_._2).map(_._1)
+    val results = runs.collect { case (name, true, v) => name -> v }.toMap
     // Truncation-proof reporting. The driver tail-captures stdout, and
     // both the r3 (~4.6 KB unsorted) and r4 (~2.3 KB sorted) single
     // lines lost their HEAD to the capture window — an unparseable
@@ -99,25 +110,30 @@ object Bench {
       "\"" + k + "\":{\"sw_mb\":" + r4(v._2 / 1e6) + ",\"sr_mb\":" +
         r4(v._3 / 1e6) + ",\"in_mb\":" + r4(v._4 / 1e6) + "}"
     }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // file artifact: everything (all timings + measured per-query I/O)
     val fileLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"io":$ioJson}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"io":$ioJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath), (fileLine + "\n").getBytes("UTF-8"))
-    catch {
-      // the file is the LOSSLESS record (stdout only guarantees the
-      // compact total line survives capture) — a failed write must be
-      // loud, even though the run itself still reports via stdout
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"WARN: bench artifact write to $outPath failed: $e — " +
-            "full per-query timings/IO survive only in stdout")
-    }
+    val artifactRef =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outPath), (fileLine + "\n").getBytes("UTF-8"))
+        outPath
+      } catch {
+        // the file is the LOSSLESS record (stdout only guarantees the
+        // compact total line survives capture) — a failed write must be
+        // loud, even though the run itself still reports via stdout
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"WARN: bench artifact write to $outPath failed: $e — " +
+              "full per-query timings/IO survive only in stdout")
+          s"WRITE_FAILED:$outPath"
+      }
     println(s"""{"metric":"per_query","unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir"}""")
     val slowest = sorted.sortBy(-_._2._1).take(12).sortBy(_._1)
     println(
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_shown":"slowest_12_of_${results.size}","full_artifact":"bench_full.json"}""")
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(slowest)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"queries_shown":"slowest_12_of_${results.size}","full_artifact":"$artifactRef"}""")
     spark.stop()
   }
 }

@@ -130,8 +130,8 @@ object Pipeline {
     else {
       // aggregate-bearing branches: per-branch plans from one cached
       // parent, joined on the stable event UID
-      val withRaw = cfg.branches.length > 1 || includeRaw(cfg)
-      val parent = if (withRaw || cfg.branches.length > 1) ds.cache() else ds
+      val multiConsumer = cfg.branches.length > 1 || includeRaw(cfg)
+      val parent = if (multiConsumer) ds.cache() else ds
       val branchTables = cfg.branches.map { b =>
         var branch = Masking.branch(parent, b.method, cfg.mainChannelIndex, cfg.combinedIndices)
         if (cfg.populationFilter) branch = PopulationFilter(spark, branch)

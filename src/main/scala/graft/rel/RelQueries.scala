@@ -503,10 +503,12 @@ object RelQueries {
     // md5(doc_id) order — the reproducible hash-sampling strategy used
     // for training-data splits (same rows on every engine and run, no
     // seeded RNG). Unlike q16's window row_number (which sorts whole
-    // groups), this runs as a bounded top-k Aggregator: each map task
-    // keeps a k-element buffer per group, partial buffers merge on the
-    // reduce side — per-group state is O(k) at any corpus size, and a
-    // skewed group costs its partitions k·log k, not a full sort.
+    // groups), the selection is the engine's native TopKPerKey
+    // whole-operator (the same primitive q41 and the ANN shortlists
+    // use): per-partition k-bounded heaps, key-clustered final merge —
+    // per-group state is O(k) at any corpus size and nothing ever
+    // sorts a whole group. The rank window runs over the ≤ langs·k
+    // survivors only.
     Q("q24_stratified_sample",
       """SELECT lang, doc_id, rk FROM (
         |  SELECT lang, doc_id,
@@ -514,34 +516,15 @@ object RelQueries {
         |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin) { (s, d) =>
-      import s.implicits._
       val k = 20
-      val ds = documents(s, d)
-        .select(col("lang"), md5(col("doc_id").cast("string")).as("h"),
-          col("doc_id"))
-        .as[(String, String, Long)]
-      val topk = new org.apache.spark.sql.expressions.Aggregator[
-          (String, String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
-        private val ord = implicitly[Ordering[(String, Long)]]
-        def zero: Seq[(String, Long)] = Vector.empty
-        def reduce(b: Seq[(String, Long)], a: (String, String, Long)):
-            Seq[(String, Long)] = {
-          val x = (a._2, a._3)
-          if (b.length < k) (b :+ x).sorted
-          else if (ord.lt(x, b.last)) (b.init :+ x).sorted
-          else b
-        }
-        def merge(b1: Seq[(String, Long)], b2: Seq[(String, Long)]):
-            Seq[(String, Long)] = (b1 ++ b2).sorted.take(k)
-        def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r
-        def bufferEncoder = implicitly[Encoder[Seq[(String, Long)]]]
-        def outputEncoder = implicitly[Encoder[Seq[(String, Long)]]]
-      }
-      ds.groupByKey(_._1).agg(topk.toColumn.name("topk"))
-        .toDF("lang", "topk")
-        .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "p")))
-        .select(col("lang"), col("p._2").as("doc_id"),
-          (col("pos") + 1).cast("long").as("rk"))
+      val shortlist = ScaleOps.topKPerKey(
+        documents(s, d).select(col("lang"),
+          md5(col("doc_id").cast("string")).as("h"), col("doc_id")),
+        Seq("lang"), Seq(("h", true), ("doc_id", true)), k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      shortlist.withColumn("rk", row_number().over(w).cast("long"))
+        .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
     },
 
@@ -915,9 +898,13 @@ object RelQueries {
       val toks = documents(s, d)
         .select(explode(filter(split(col("text"), " "),
           t => length(t) > 0)).as("tok"))
-      val mg = new Aggregator[String, Map[String, Long], Map[String, Long]] {
+      // the buffer carries the exact stream length alongside the MG
+      // sketch, so candidates AND the threshold total come out of ONE
+      // corpus scan — a separate count() would be a full extra read of
+      // the token stream (an entire corpus pass at the 100 TB point)
+      val mg = new Aggregator[String, (Map[String, Long], Long),
+          (Map[String, Long], Long)] {
         val K = 64
-        def zero: Map[String, Long] = Map.empty
         private def shrink(m: Map[String, Long]): Map[String, Long] =
           if (m.size <= K) m
           else {
@@ -927,19 +914,23 @@ object RelQueries {
               if (c - cut > 0) Some(t -> (c - cut)) else None
             }
           }
-        def reduce(b: Map[String, Long], t: String): Map[String, Long] =
-          shrink(b.updated(t, b.getOrElse(t, 0L) + 1))
-        def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-          shrink(b.foldLeft(a) { case (m, (t, c)) =>
+        def zero: (Map[String, Long], Long) = (Map.empty, 0L)
+        def reduce(b: (Map[String, Long], Long), t: String): (Map[String, Long], Long) =
+          (shrink(b._1.updated(t, b._1.getOrElse(t, 0L) + 1)), b._2 + 1)
+        def merge(a: (Map[String, Long], Long),
+            b: (Map[String, Long], Long)): (Map[String, Long], Long) =
+          (shrink(b._1.foldLeft(a._1) { case (m, (t, c)) =>
             m.updated(t, m.getOrElse(t, 0L) + c)
-          })
-        def finish(m: Map[String, Long]): Map[String, Long] = m
-        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Map[String, Long]]]
-        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Map[String, Long]]]
+          }), a._2 + b._2)
+        def finish(m: (Map[String, Long], Long)): (Map[String, Long], Long) = m
+        def bufferEncoder =
+          implicitly[org.apache.spark.sql.Encoder[(Map[String, Long], Long)]]
+        def outputEncoder =
+          implicitly[org.apache.spark.sql.Encoder[(Map[String, Long], Long)]]
       }
-      val candidates = toks.as[String].select(mg.toColumn).head().keys.toSeq
+      val (candMap, n) = toks.as[String].select(mg.toColumn).head()
       // exact verify: filter to the ≤64 candidates BEFORE the shuffle
-      val n = toks.count()
+      val candidates = candMap.keys.toSeq
       toks.filter(col("tok").isin(candidates: _*))
         .groupBy("tok").agg(count(lit(1)).as("n_tok"))
         .filter(col("n_tok") >= n / 40.0)

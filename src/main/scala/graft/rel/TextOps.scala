@@ -533,6 +533,17 @@ object TextOps {
     // scale the model tables stay broadcastable because vocab is
     // capped (hash the tail into an UNK bucket); here the vocab is
     // tiny so the broadcast is exact.
+    //
+    // Accepted flake bound (the q40 pattern): round(avg(nll), 4) sums
+    // each doc's -ln terms in engine-specific association order, so a
+    // hash flip needs a doc mean within the association error of a
+    // 0.5e-4 rounding boundary. Measured at sf0.01: min boundary
+    // distance 2.2e-8 vs an association-error scale of ~2e-10
+    // (n_bigrams·eps·|Σ|) — two orders of margin, and the ln terms
+    // carry full hash-spread mantissas so means don't cluster near
+    // boundaries. If a future corpus closes the gap, quantize each
+    // term to integer micro-nats and SUM as BIGINT (order-free),
+    // dividing once at the end.
     Q("t15_lm_perplexity",
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts

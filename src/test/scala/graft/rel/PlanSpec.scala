@@ -112,13 +112,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("q24: stratified sample is a partial+final object aggregate, no window sort") {
+  test("q24: stratified sample selects through the native bounded top-k, not a full window sort") {
     val p = plan("q24_stratified_sample")
-    // bounded top-k Aggregator → ObjectHashAggregate with a partial
-    // stage (map-side buffers), and NO Window operator anywhere: the
-    // whole point is avoiding the per-group full sort
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
-    assert(!p.contains("Window"), p)
+    // selection = TopKPerKey partial heaps + key-clustered final merge;
+    // the only Window ranks the ≤ langs·k survivors AFTER the operator
+    // (same shape as q41) — the corpus itself never group-sorts
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    val winIdx = p.indexOf("Window")
+    val topkIdx = p.indexOf("TopKPerKeyFinal")
+    assert(winIdx >= 0 && topkIdx > winIdx,
+      s"Window must consume the TopKPerKey output (win=$winIdx topk=$topkIdx): $p")
   }
 
   test("q25: exact percentiles run partial+final, not a global sort") {
