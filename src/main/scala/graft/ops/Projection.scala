@@ -48,7 +48,12 @@ object Projection {
     out
   }
 
-  def apply(ds: Dataset[ImageEvent], op: String): Dataset[ImageEvent] =
+  def apply(ds: Dataset[ImageEvent], op: String): Dataset[ImageEvent] = {
+    // validate at the entry point, not only inside the kernel: the
+    // reference's dict lookup raises KeyError regardless of depth, so
+    // an invalid op must fail even when every stack is depth-1 (where
+    // projectStack is never reached)
+    require(op == "max" || op == "mean", s"unknown projection op '$op'")
     ds.map(ImageEvent.whenPixels { e =>
       val depth = e.meta.get("depth").map(_.toInt).getOrElse(1)
       if (depth <= 1) e
@@ -56,4 +61,5 @@ object Projection {
         pixels = projectStack(e.pixels, e.channels, depth, e.height, e.width, op),
         meta = e.meta - "depth")
     })
+  }
 }

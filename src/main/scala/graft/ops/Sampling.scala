@@ -39,11 +39,18 @@ object Sampling {
     var mult = 2.0
     var attempt = 0
     var pool = cached.sample(withReplacement = true, (k * mult + 8.0) / n, seed)
-    while (pool.count() < k && attempt < 8) {
+    var drawn = pool.count()
+    while (drawn < k && attempt < 8) {
       attempt += 1
       mult *= 2
       pool = cached.sample(withReplacement = true, (k * mult + 8.0) / n, seed + attempt)
+      drawn = pool.count()
     }
+    // 8 doublings put the final rate at 512·k/n — a shortfall there is
+    // not statistics, it's a broken source; returning < k silently
+    // would reintroduce the exact defect the retry exists to fix
+    require(drawn >= k,
+      s"sampleWithReplacement: drew $drawn < k=$k after $attempt retries (n=$n)")
     pool.orderBy(rand(seed + 1))
       .limit(k)
       .as[ImageEvent]

@@ -22,7 +22,13 @@ object Fixtures {
       s"${target.getFileName}.tmp-${ProcessHandle.current().pid()}")
     deleteRecursively(tmp) // stale leftover from a crashed prior attempt
     write(tmp)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // plain move, NOT ATOMIC_MOVE: on this same-directory rename both
+    // are rename(2), but ATOMIC_MOVE silently REPLACES an existing
+    // regular-file target (only directories fail ENOTEMPTY) — the
+    // race loser would overwrite the winner instead of discarding.
+    // The no-replace form throws FileAlreadyExistsException for both
+    // kinds, which routes every loser through the discard branch.
+    try Files.move(tmp, target)
     catch {
       // another process published first (or the rename cannot land
       // because the name now exists): keep theirs, drop ours
@@ -34,8 +40,11 @@ object Fixtures {
 
   private def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRecursively)
+      finally children.close() // directory stream holds an fd until closed
+    }
     Files.delete(p)
   }
 }

@@ -492,22 +492,22 @@ object TextOps {
         |    AS boilerplate_frac
         |FROM grams g LEFT JOIN freq f ON g.h = f.h
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // Single pass over the exploded grams: repartition by gram hash,
-      // collapse to distinct (h, doc_id) pairs with their instance
-      // count, derive each gram's document frequency with a window
-      // over h (HashPartitioning(h) satisfies both the pair aggregate
-      // and the window — one exchange covers them), then roll up per
+      // Single pass over the exploded grams: collapse to distinct
+      // (h, doc_id) pairs with their instance count — the partial
+      // (map-side) aggregate pre-reduces within-doc repeats BEFORE
+      // anything crosses the wire, exactly the rows repeated
+      // boilerplate inflates — then derive each gram's document
+      // frequency with a count window over h and roll up per
       // document. No gram cache to pin or release, and no broadcast
       // of the frequent-gram set, whose size is corpus-dependent and
-      // unbounded at scale — total shuffle is the distinct gram-doc
-      // pair digests plus the per-doc rollup.
+      // unbounded at scale: every exchange carries pre-combined
+      // 16-byte pair digests, never the raw instance stream.
       val pairs = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("w")) - 2),
           i => md5(array_join(slice(col("w"), i, lit(3)), " ")))).as("h"))
-        .repartition(col("h"))
         .groupBy(col("h"), col("doc_id"))
         .agg(count(lit(1)).as("cnt"))
       val win = org.apache.spark.sql.expressions.Window.partitionBy("h")

@@ -53,8 +53,14 @@ object Streaming {
         // ARBITRARY row per digest (partition-dependent) — the batch
         // equivalent of the stream's "first occurrence" is the
         // earliest row per digest, tie-broken over the remaining
-        // columns so the survivor is total-order deterministic
-        val order = col(tsCol) +: digested.columns.toSeq
+        // ORDERABLE columns (a map-typed column would fail analysis
+        // in an orderBy) so the survivor is total-order deterministic
+        // whenever the orderable columns distinguish the rows
+        val orderable = digested.schema.fields
+          .filter(f => org.apache.spark.sql.catalyst.expressions
+            .RowOrdering.isOrderable(f.dataType))
+          .map(_.name).toSeq
+        val order = col(tsCol) +: orderable
           .filterNot(c => c == "digest" || c == tsCol).map(col)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("digest").orderBy(order: _*)
@@ -109,7 +115,10 @@ object Streaming {
   /** `lastTs` is the max event time EVER seen for the key — the idle
     * timeout must be set from it, not from the current batch's max: a
     * late-but-valid older event would otherwise shrink the eviction
-    * deadline and prematurely reset the running stats. */
+    * deadline and prematurely reset the running stats. (Adding the
+    * field changed the flatMapGroupsWithState state schema: a
+    * checkpoint written by the 3-field build cannot restore — restart
+    * such queries with a fresh checkpoint location.) */
   case class UserState(n: Long, sum: Double, max: Double, lastTs: Long)
   case class UserUpdate(user_id: Long, n: Long, sum: Double, max: Double)
 

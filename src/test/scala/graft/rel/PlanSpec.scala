@@ -90,11 +90,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ShuffledHashJoin"), p)
   }
 
-  test("t12: boilerplate scoring is join-free — one gram exchange feeds both the pair aggregate and the df window") {
+  test("t12: boilerplate scoring is join-free and map-side-combined before any exchange") {
     val p = plan("t12_boilerplate")
     assert(!p.contains("Join"), p)
-    // exchanges: gram-hash repartition, per-doc rollup, presentation sort
-    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    // a partial aggregate below the DEEPEST exchange (plan prints
+    // top-down, so deepest = last): within-doc gram repeats reduce to
+    // (h, doc, cnt) pairs map-side and no exchange ever carries the
+    // raw instance stream
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"expected a partial HashAggregate below the deepest exchange: $p")
+    // exchanges: pair aggregate, df window, per-doc rollup, presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 4, p)
   }
 
   test("t11: PII scrub is one codegen pass — no shuffle except the output sort") {
