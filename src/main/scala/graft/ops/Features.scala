@@ -94,27 +94,49 @@ object Features {
     seen.toSeq
   }
 
-  /** the per-record feature cells in `names` order (shared by the
+  /** Precomputed per-stage write plan. The per-record hot path used to
+    * interpolate every feature NAME and resolve it through a HashMap
+    * per record — hundreds of string allocations per event, all fully
+    * determined by (channelNames, types). The layout resolves each
+    * emitted value to its output slot ONCE per stage; records then
+    * write doubles by position. `emitIdx` relies on the invariant that
+    * each family computes its values in exactly [[familyNames]] order
+    * (true by construction — texture even shares the name source); a
+    * name duplicated across families maps every emission to the same
+    * FIRST slot, so the canonical-order last writer wins as before. */
+  final case class CellLayout(typesOrdered: Array[String],
+      emitIdx: Array[Int], regionsIdx: Array[Int], nSlots: Int)
+
+  def layout(channelNames: Seq[String], types: Seq[String]): CellLayout = {
+    val names = featureNames(channelNames, types)
+    val nameIdx = names.zipWithIndex.toMap
+    val ord = ordered(types)
+    CellLayout(
+      ord.toArray,
+      ord.filterNot(_ == "regions")
+        .flatMap(f => familyNames(f, channelNames)).map(nameIdx).toArray,
+      if (types.contains("regions"))
+        channelNames.map(c => nameIdx(s"regions_$c")).toArray
+      else Array.empty[Int],
+      names.length)
+  }
+
+  /** the per-record feature cells in schema order (shared by the
     * per-branch extract and the fused single-pass pipeline) */
   def featureCells(e: ImageEvent, channelNames: Seq[String],
-      typesArr: Array[String], names: Seq[String],
-      nameIdx: Map[String, Int]): Array[Any] = {
-    val feats = new Array[Any](names.length)
+      lay: CellLayout): Array[Any] = {
+    val feats = new Array[Any](lay.nSlots)
     // regions always available (survives tombstoning)
-    if (typesArr.contains("regions")) {
-      var c = 0
-      while (c < channelNames.length) {
-        val v: Any =
-          if (e.regions != null && c < e.regions.length) e.regions(c).toDouble else null
-        feats(nameIdx(s"regions_${channelNames(c)}")) = v
-        c += 1
-      }
+    var c = 0
+    while (c < lay.regionsIdx.length) {
+      feats(lay.regionsIdx(c)) =
+        (if (e.regions != null && c < e.regions.length) e.regions(c).toDouble
+         else null): Any
+      c += 1
     }
-    if (e.hasPixels) {
+    if (e.hasPixels)
       // canonical order so raw never clobbers intensity's shared names
-      val vals = computeFeatures(e, channelNames, ordered(typesArr.toSeq).toArray)
-      vals.foreach { case (n, v) => feats(nameIdx(n)) = v }
-    }
+      computeFeatures(e, channelNames, lay.typesOrdered, feats, lay.emitIdx)
     feats
   }
 
@@ -123,54 +145,52 @@ object Features {
   def extract(ds: Dataset[ImageEvent], channelNames: Seq[String],
       types: Seq[String], prefix: String = null): DataFrame = {
     val sch = schema(channelNames, types, prefix)
-    val names = featureNames(channelNames, types)
-    val nameIdx = names.zipWithIndex.toMap
-    val typesArr = types.toArray
+    val lay = layout(channelNames, types)
     val enc = org.apache.spark.sql.Encoders.row(sch)
     ds.map({ e =>
       Row.fromSeq(Seq[Any](e.path, e.idx, e.group, e.id) ++
-        featureCells(e, channelNames, typesArr, names, nameIdx))
+        featureCells(e, channelNames, lay))
     })(enc)
   }
 
-  /** all requested non-regions families for a pixel-bearing event, in
-    * family order (later families overwrite shared names) */
+  /** all requested non-regions families for a pixel-bearing event,
+    * written straight into `feats` through the layout's slot plan
+    * (emission order per family == [[familyNames]] order — the
+    * contract [[layout]] documents; later families overwrite shared
+    * slots) */
   private def computeFeatures(e: ImageEvent, channelNames: Seq[String],
-      types: Array[String]): Seq[(String, Double)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      types: Array[String], feats: Array[Any], emitIdx: Array[Int]): Unit = {
     val h = e.height; val w = e.width
+    var k = 0
+    def emit(v: Double): Unit = { feats(emitIdx(k)) = v; k += 1 }
+    def emitAll(row: Array[Double]): Unit = {
+      var i = 0
+      while (i < row.length) { emit(row(i)); i += 1 }
+    }
     types.foreach {
       case "bbox" =>
-        out += (("bbox_minr", e.bboxMinr.toDouble))
-        out += (("bbox_minc", e.bboxMinc.toDouble))
-        out += (("bbox_maxr", e.bboxMaxr.toDouble))
-        out += (("bbox_maxc", e.bboxMaxc.toDouble))
+        emit(e.bboxMinr.toDouble)
+        emit(e.bboxMinc.toDouble)
+        emit(e.bboxMaxr.toDouble)
+        emit(e.bboxMaxc.toDouble)
 
       case "shape" =>
         // combined first, then channels (features/shape.py:143-150)
-        val combined = e.combinedMaskBool
-        shapeRow(combined, h, w).zip(RegionProps.Names)
-          .foreach { case (v, n) => out += ((s"${n}_combined", v)) }
+        emitAll(shapeRow(e.combinedMaskBool, h, w))
         var c = 0
         while (c < channelNames.length) {
           val mp = e.maskPlane(c)
-          val row =
+          emitAll(
             if (mp.exists(identity)) shapeRow(mp, h, w)
             else RegionProps.Names.indices.map(i =>
-              if (i <= 10) 0.0 else Double.NaN).toArray
-          row.zip(RegionProps.Names).foreach { case (v, n) =>
-            out += ((s"${n}_${channelNames(c)}", v))
-          }
+              if (i <= 10) 0.0 else Double.NaN).toArray)
           c += 1
         }
 
       case "raw" =>
         var c = 0
         while (c < channelNames.length) {
-          val row = Stats.intensityRow(e.plane(c))
-          IntensityProps.zip(row).foreach { case (p, v) =>
-            out += ((s"${p}_${channelNames(c)}", v))
-          }
+          emitAll(Stats.intensityRow(e.plane(c)))
           c += 1
         }
 
@@ -179,14 +199,7 @@ object Features {
         while (c < channelNames.length) {
           val rows = intensityViews(e, c)
           var v = 0
-          while (v < 8) {
-            var p = 0
-            while (p < IntensityProps.length) {
-              out += ((s"${IntensityViews(v)}${IntensityProps(p)}_${channelNames(c)}", rows(v)(p)))
-              p += 1
-            }
-            v += 1
-          }
+          while (v < 8) { emitAll(rows(v)); v += 1 }
           c += 1
         }
 
@@ -196,22 +209,18 @@ object Features {
         val texCombined = e.combinedMaskBool
         var c = 0
         while (c < channelNames.length) {
-          val cname = channelNames(c)
           val mp = e.maskPlane(c)
           val pl = e.plane(c)
-          val chRow: Array[Double] =
+          emitAll(
             if (mp.exists(identity)) textureRow(pl, mp, h, w)
-            else Array.fill(texRowLen)(Double.NaN)
-          val cmRow = textureRow(pl, texCombined, h, w)
-          textureNames(cname, "").zip(chRow).foreach { case (n, v) => out += ((n, v)) }
-          textureNames(cname, "combined_").zip(cmRow).foreach { case (n, v) => out += ((n, v)) }
+            else Array.fill(texRowLen)(Double.NaN))
+          emitAll(textureRow(pl, texCombined, h, w))
           c += 1
         }
 
-      case "regions" => // handled by caller
+      case "regions" => // handled by the caller's regionsIdx slots
       case other => throw new IllegalArgumentException(s"unknown family $other")
     }
-    out.toSeq
   }
 
   /** mean-over-regions of the 59 regionprops (features/shape.py:
@@ -340,6 +349,12 @@ object Features {
     while (i < plane.length) {
       q(i) =
         if (!mask(i)) -1
+        // an in-mask NaN (normalization of a constant/empty-extent
+        // channel) digitizes into the reference's cropped top bin and
+        // is DROPPED (texture.py: digitize right=True → level 16,
+        // glcm[:-1,:-1]); ceil(NaN).toInt would quantize it to level 0
+        // and concentrate the GLCM at (0,0)
+        else if (plane(i).isNaN) -1
         else if (mx == mn) 0
         else {
           // digitize right=True over 16 equal edges: level = #edges < x

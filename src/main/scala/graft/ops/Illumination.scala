@@ -31,8 +31,15 @@ object Illumination {
           nb(0) = 0; nb(1) = e.channels; nb(2) = e.height; nb(3) = e.width
           nb
         } else b
-      require(buf.length == 4 + e.pixels.length,
-        "illumination correction requires equal image dims per group")
+      // compare the full (c,h,w) triple, not just pixel count: a
+      // transposed (h,w) image has the SAME length and would sum
+      // row-major layouts of incompatible shapes into a garbage
+      // correction image (numpy's `buf += img` broadcast would raise)
+      require(buf.length == 4 + e.pixels.length &&
+        buf(1) == e.channels && buf(2) == e.height && buf(3) == e.width,
+        "illumination correction requires equal image dims per group " +
+          s"(group has (${buf(1).toInt},${buf(2).toInt},${buf(3).toInt}), " +
+          s"event ${e.path} is (${e.channels},${e.height},${e.width}))")
       buf(0) += 1
       var i = 0
       while (i < e.pixels.length) { buf(4 + i) += e.pixels(i); i += 1 }
@@ -45,9 +52,11 @@ object Illumination {
       // partition by reduce; cross-partition buffers of different dims
       // would otherwise crash or silently sum a prefix depending on
       // which side is longer
-      require(a.length == b.length,
+      require(a.length == b.length &&
+        a(1) == b(1) && a(2) == b(2) && a(3) == b(3),
         "illumination correction requires equal image dims per group " +
-          s"(merge saw buffers of ${a.length - 4} and ${b.length - 4} pixels)")
+          s"(merge saw (${a(1).toInt},${a(2).toInt},${a(3).toInt}) vs " +
+          s"(${b(1).toInt},${b(2).toInt},${b(3).toInt}))")
       a(0) += b(0)
       var i = 1
       while (i < a.length) {
@@ -132,7 +141,13 @@ object Illumination {
     val bc = spark.sparkContext.broadcast(corr)
     ds.map(ImageEvent.whenPixels { e =>
       bc.value.get(e.group) match {
-        case None => e
+        // the reference's dict lookup raises KeyError on a group the
+        // (possibly precomputed/stale) correction map doesn't cover —
+        // passing the record through UNCORRECTED would silently mix
+        // corrected and uncorrected groups in the same feature table
+        case None => throw new NoSuchElementException(
+          s"no correction image for group '${e.group}' " +
+            s"(map covers ${bc.value.keys.toSeq.sorted.mkString(", ")})")
         case Some(mu) =>
           // a stale/mismatched precomputed artifact must fail like the
           // reference's numpy broadcast error, not mis-align channels

@@ -110,8 +110,15 @@ object Masking {
         val edges = Filters.sobel(smooth, h, w)
         val (bmn, bmx) = Stats.minMax(base)
         // (p * x.max()).astype('uint16') — float TRUNCATION to integer
-        // values before the second rank median and the otsu threshold
-        val resc = Filters.rescale01(edges).map(v => (v * bmx).toInt.toFloat)
+        // values before the second rank median and the otsu threshold.
+        // The & 0xFFFF matters only when x.max() is NEGATIVE (possible
+        // on the non-digitized branch, e.g. background-subtracted
+        // planes): numpy's float→uint16 cast truncates toward zero and
+        // keeps the low 16 bits, wrapping -5 to 65531 — keeping the
+        // negative value would diverge through the rank median and
+        // otsu. Identity for the normal 0..513 range.
+        val resc = Filters.rescale01(edges)
+          .map(v => ((v * bmx).toInt & 0xFFFF).toFloat)
         val med2 = Filters.medianDisk(resc, h, w, 5)
         val t = Thresholds.otsu(med2)
         val bin = med2.map(_ > t)

@@ -243,7 +243,8 @@ object Segmentation {
         else {
           val segmentedAt: Map[Int, graft.core.ImageEvent] =
             livePos.groupBy(_._1.channels).iterator.flatMap { case (nCh, group) =>
-              require(cfg.parentChannelIndex < nCh && cfg.dapiChannelIndex < nCh,
+              require(cfg.parentChannelIndex >= 0 && cfg.parentChannelIndex < nCh &&
+                cfg.dapiChannelIndex >= 0 && cfg.dapiChannelIndex < nCh,
                 s"cellpose parent/dapi channel (${cfg.parentChannelIndex}/" +
                   s"${cfg.dapiChannelIndex}) out of range for a batch of " +
                   s"$nCh-channel events (e.g. ${group.head._1.path})")

@@ -164,7 +164,7 @@ object Pipeline {
     val perBranch = cfg.branches.map { b =>
       val types = b.featureTypes.getOrElse(cfg.featureTypes)
       val names = Features.featureNames(cfg.channelNames, types)
-      (b, types.toArray, names, names.zipWithIndex.toMap)
+      (b, Features.layout(cfg.channelNames, types), names)
     }
     val prefixes = cfg.branches.map(branchPrefix)
     val metaFields = Features.schema(cfg.channelNames, cfg.featureTypes, null)
@@ -172,7 +172,7 @@ object Pipeline {
     val rawNames =
       if (includeRaw(cfg)) Features.featureNames(cfg.channelNames, Seq("raw"))
       else Seq.empty
-    val featFields = prefixes.zip(perBranch).flatMap { case (p, (_, _, names, _)) =>
+    val featFields = prefixes.zip(perBranch).flatMap { case (p, (_, _, names)) =>
       names.map(n => org.apache.spark.sql.types.StructField(
         Features.renamed(n, p, isLoaderMeta = false),
         org.apache.spark.sql.types.DoubleType))
@@ -184,15 +184,15 @@ object Pipeline {
     val mainCh = cfg.mainChannelIndex
     val combined = cfg.combinedIndices
     val channelNames = cfg.channelNames
-    val rawInfo =
-      if (rawNames.nonEmpty) Some((rawNames, rawNames.zipWithIndex.toMap))
+    val rawLayout =
+      if (rawNames.nonEmpty) Some(Features.layout(channelNames, Seq("raw")))
       else None
     ds.map({ e =>
-      val cells = perBranch.iterator.flatMap { case (b, typesArr, names, nameIdx) =>
+      val cells = perBranch.iterator.flatMap { case (b, lay, _) =>
         val be = Masking.branchRecord(b.method, mainCh, combined)(e)
-        Features.featureCells(be, channelNames, typesArr, names, nameIdx)
-      }.toArray ++ rawInfo.toArray.flatMap { case (names, nameIdx) =>
-        Features.featureCells(e, channelNames, Array("raw"), names, nameIdx)
+        Features.featureCells(be, channelNames, lay)
+      }.toArray ++ rawLayout.toArray.flatMap { lay =>
+        Features.featureCells(e, channelNames, lay)
       }
       org.apache.spark.sql.Row.fromSeq(
         Seq[Any](e.path, e.idx, e.group, e.id) ++ cells)
