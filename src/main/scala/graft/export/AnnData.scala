@@ -27,31 +27,16 @@ object AnnData {
     val metaCols = schema.fields.filter(_.name.contains("meta")).map(_.name)
     val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
     val dirB = dir; val nameB = filename
-    // the session's spark.hadoop.* settings (credentials, defaultFS)
-    // must reach the executor-side FileSystem — a fresh Configuration
-    // would silently drop them for s3a/hdfs destinations. Hadoop's
-    // Configuration is not serializable, so ship the entries.
-    val hadoopEntries = {
-      val it = df.sparkSession.sparkContext.hadoopConfiguration.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val hadoopEntries = Export.hadoopConfEntries(df.sparkSession)
     // scrub stale {filename}.{pid}.h5ad from a previous (possibly
     // larger) run BEFORE writing: a re-run with fewer partitions
     // overwrites only the low indices and a consumer globbing *.h5ad
     // would read surviving old partitions alongside the new ones
-    // (the parquet sink handles the identical hazard)
-    {
+    locally {
       val dirPath = new org.apache.hadoop.fs.Path(dirB)
       val fs = org.apache.hadoop.fs.FileSystem.get(dirPath.toUri,
         df.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(dirPath)) {
-        val stale = s"\\Q$filename\\E\\.\\d+\\.h5ad".r
-        fs.listStatus(dirPath)
-          .filter(st => stale.pattern.matcher(st.getPath.getName).matches)
-          .foreach(st => fs.delete(st.getPath, false))
-      }
+      Export.scrubStale(fs, dirPath, filename, "h5ad")
     }
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val mat = rows.toArray

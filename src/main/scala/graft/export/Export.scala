@@ -15,6 +15,54 @@ import java.nio.file.{Files, Paths}
   */
 object Export {
 
+  /** The session's hadoop configuration entries as a serializable
+    * array, for executor-side FileSystem construction (credentials,
+    * defaultFS — Configuration itself is not serializable; a fresh one
+    * would silently drop s3a/hdfs settings). Shared by every sink that
+    * writes from executors. */
+  private[export] def hadoopConfEntries(
+      spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  /** Delete stale `{name}.{i}.{ext}` part files from a previous
+    * (possibly larger) run: rename-onto-existing fails on HDFS, and
+    * survivors with higher indices would be read alongside new files.
+    * Shared by the parquet and h5ad part-file sinks. */
+  private[export] def scrubStale(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, name: String, ext: String): Unit =
+    if (fs.exists(dir)) {
+      val stale = s"\\Q$name\\E\\.\\d+\\.\\Q$ext\\E".r
+      fs.listStatus(dir)
+        .filter(st => stale.pattern.matcher(st.getPath.getName).matches)
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+
+  /** Driver-side text write through the Hadoop FS layer, so the
+    * destination may be any filesystem the session resolves (s3a,
+    * hdfs, file) — a bare java.nio write would land the small CSV/JSON
+    * artifacts on the driver's local disk while the big sinks go to
+    * the cluster destination. */
+  private[export] def writeText(spark: SparkSession, path: String,
+      text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** minimal CSV quoting, pandas to_csv QUOTE_MINIMAL: quote only
+    * cells containing a delimiter/quote/newline, doubling quotes */
+  private[export] def csvCell(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
   /** K1: feature table → parquet (export/parquet.py:6-31) */
   def parquet(df: DataFrame, path: String, coalesce: Int = 0): Unit = {
     val out = if (coalesce > 0) df.coalesce(coalesce) else df
@@ -39,16 +87,7 @@ object Export {
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
       .filter(_.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
-    // clear stale `{filename}.{i}.parquet` from a previous (possibly
-    // larger) run: rename-onto-existing fails on HDFS, and survivors
-    // with higher indices would be read alongside the new files
-    val outDirPath = new org.apache.hadoop.fs.Path(outputDir)
-    if (fs.exists(outDirPath)) {
-      val stale = s"\\Q$filename\\E\\.\\d+\\.parquet".r
-      fs.listStatus(outDirPath)
-        .filter(st => stale.pattern.matcher(st.getPath.getName).matches)
-        .foreach(st => fs.delete(st.getPath, false))
-    }
+    scrubStale(fs, new org.apache.hadoop.fs.Path(outputDir), filename, "parquet")
     parts.zipWithIndex.foreach { case (st, i) =>
       val target = new org.apache.hadoop.fs.Path(s"$outputDir/$filename.$i.parquet")
       require(fs.rename(st.getPath, target), s"rename ${st.getPath} -> $target failed")
@@ -59,10 +98,11 @@ object Export {
   /** channel_boundaries.csv exactly as the reference writes it
     * (main.py:49-60): one row per group, wide `{channel}_min`/
     * `{channel}_max` columns, the group key as the unnamed index. */
-  def channelBoundariesCsv(minmax: Map[(String, Int), (Double, Double)],
+  def channelBoundariesCsv(spark: SparkSession,
+      minmax: Map[(String, Int), (Double, Double)],
       channelNames: Seq[String], path: String): Unit = {
     val header = "," + channelNames.flatMap(c =>
-      Seq(s"${c}_min", s"${c}_max")).mkString(",")
+      Seq(csvCell(s"${c}_min"), csvCell(s"${c}_max"))).mkString(",")
     val groups = minmax.keys.map(_._1).toSeq.distinct.sorted
     val sb = new StringBuilder(header + "\n")
     groups.foreach { g =>
@@ -70,20 +110,23 @@ object Export {
         val (lo, hi) = minmax.getOrElse((g, c), (Double.NaN, Double.NaN))
         Seq(lo.toString, hi.toString)
       }
-      sb.append(g + "," + cells.mkString(",") + "\n")
+      // group keys come from source metadata — a comma in one (e.g. a
+      // CZI scene name) would shift every cell without quoting
+      sb.append(csvCell(g) + "," + cells.mkString(",") + "\n")
     }
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+    writeText(spark, path, sb.toString)
   }
 
   /** K3: per-group per-channel min/max quantiles → one small CSV
     * written on the driver (main.py:49-60 — the only collect() in the
     * pipeline, ngroups×C rows by construction) */
-  def quantilesCsv(minmax: Map[(String, Int), (Double, Double)], path: String): Unit = {
+  def quantilesCsv(spark: SparkSession,
+      minmax: Map[(String, Int), (Double, Double)], path: String): Unit = {
     val sb = new StringBuilder("group,channel,min,max\n")
     minmax.toSeq.sortBy { case ((g, c), _) => (g, c) }.foreach {
-      case ((g, c), (lo, hi)) => sb.append(s"$g,$c,$lo,$hi\n")
+      case ((g, c), (lo, hi)) => sb.append(s"${csvCell(g)},$c,$lo,$hi\n")
     }
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+    writeText(spark, path, sb.toString)
   }
 
   /** K4: side-effect export of labeled masks as .npy — a pass-through
@@ -98,12 +141,7 @@ object Export {
   def npyMasks(ds: Dataset[ImageEvent], dir: String): Dataset[ImageEvent] = {
     import graft.core.Codecs._
     val dirB = dir
-    val hadoopEntries = {
-      val it = ds.sparkSession.sparkContext.hadoopConfiguration.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val hadoopEntries = hadoopConfEntries(ds.sparkSession)
     ds.mapPartitions { events =>
       lazy val fs = {
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -161,11 +199,11 @@ object Export {
       .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
 
   /** K6: timing JSON `{**args, runtime}` (main.py:338,370-376) */
-  def timingJson(path: String, args: Map[String, String], runtimeSec: Double): Unit = {
+  def timingJson(spark: SparkSession, path: String,
+      args: Map[String, String], runtimeSec: Double): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val fields = args.map { case (k, v) => s"${q(k)}: ${q(v)}" } ++
       Seq(s""""runtime": $runtimeSec""")
-    Files.write(Paths.get(path),
-      fields.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))
+    writeText(spark, path, fields.mkString("{", ", ", "}"))
   }
 }

@@ -289,8 +289,10 @@ object Hdf5 {
       b.u64(heapRaw.length.toLong)
       b.u64(Undef) // no free list
       b.u64(heapDataAddr)
-      // symbol node with all entries (fits: default leaf K=4 means <=8
-      // entries per node; our groups are tiny)
+      // symbol node with all entries — fits because the superblock
+      // declares group-leaf K=1024 (nsyms <= 2K = 2048, matching the
+      // require above; wide feature-table groups need far more than
+      // the library-default K=4's 8 entries)
       val snodAddr = b.align8()
       b.bytes("SNOD".getBytes(StandardCharsets.US_ASCII))
       b.u8(1); b.u8(0)

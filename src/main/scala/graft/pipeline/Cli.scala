@@ -19,7 +19,7 @@ import java.nio.file.{Files, Paths}
   *            "paths": [...], "regex": "...", "channels": ["0","1"],
   *            "channel_names": ["ch0","ch1"], "n": 100},
   *   "project": {"op": "max"},
-  *   "illumination_correction": {"median_radius": 5},
+  *   "illumination_correction": {"median_filter_size": 50},
   *   "segment": {"method": "watershed_dapi", "cell_diameter": 10, "parent_channel": 0},
   *   "sample": {"k": 50},
   *   "filter": {"population": true},
@@ -52,7 +52,7 @@ object Cli {
       run(spark, outputDir, configPath)
       val runtime = (System.nanoTime() - t0) / 1e9
       if (args.length > 2)
-        Export.timingJson(args(2),
+        Export.timingJson(spark, args(2),
           Map("output" -> outputDir, "config" -> configPath), runtime)
       println(f"Full runtime $runtime%.2f s")
     } finally spark.stop()
@@ -69,15 +69,20 @@ object Cli {
     // the processed pre-branch stream is shared between the feature run
     // and the quantiles export, so the exported extents reflect every
     // configured stage (projection, illumination, segmentation,
-    // sampling, mask filters) exactly as the branches saw them
-    val cfgNeedsBoundaries = wantQuantiles ||
-      Option(root.get("normalization")).filterNot(_.isNull)
-        .flatMap(n => Option(n.get("quantile"))).exists(_.asBoolean())
+    // sampling, mask filters) exactly as the branches saw them.
+    // cfg.normalize IS parseConfig's reading of normalization.quantile —
+    // one source of truth with the export and unpersist sites below
+    val cfgNeedsBoundaries = wantQuantiles || cfg.normalize
     val prepared =
       if (cfgNeedsBoundaries) Pipeline.prepare(spark, source, cfg).cache()
       else Pipeline.prepare(spark, source, cfg)
     val table = Pipeline.runPrepared(spark, prepared, cfg)
-    Files.createDirectories(Paths.get(outputDir))
+    // through the Hadoop FS layer: outputDir may be a cluster
+    // destination (s3a/hdfs) — java.nio would create a literal local
+    // "s3a:/..." directory on the driver
+    val outPath = new org.apache.hadoop.fs.Path(outputDir)
+    org.apache.hadoop.fs.FileSystem.get(outPath.toUri,
+      spark.sparkContext.hadoopConfiguration).mkdirs(outPath)
 
     val coalesce = exportNode.flatMap(e => Option(e.get("coalesce"))).map(_.asInt()).getOrElse(0)
     // export.filename names the partition objects, exactly like the
@@ -105,10 +110,10 @@ object Cli {
         firstBranch = PopulationFilter(spark, firstBranch)
       val mm = Normalization.groupMinMax(spark, firstBranch)
       if (cfg.normalize)
-        Export.channelBoundariesCsv(mm, cfg.channelNames,
+        Export.channelBoundariesCsv(spark, mm, cfg.channelNames,
           s"$outputDir/channel_boundaries.csv")
       if (wantQuantiles) // legacy long-form export kept under its flag
-        Export.quantilesCsv(mm, s"$outputDir/quantiles.csv")
+        Export.quantilesCsv(spark, mm, s"$outputDir/quantiles.csv")
     }
     if (wantQuantiles || cfg.normalize) prepared.unpersist(false)
     // release the per-branch caches Normalization.normalize /
@@ -220,10 +225,12 @@ object Cli {
       illuminationCorrection = root.has("illumination_correction") &&
         !root.get("illumination_correction").isNull,
       // settings.median_filter_size, like the reference's
-      // illumination_correction settings dict (jones_2006.correct)
+      // illumination_correction settings dict (jones_2006.correct) —
+      // a SIZE (window width), the reference's only spelling. The old
+      // "median_radius" alias passed the value through unconverted, so
+      // radius-expecting users got a window of half the intent.
       illuminationMedianSize = Option(root.get("illumination_correction"))
-        .filterNot(_.isNull).flatMap(n =>
-          Option(n.get("median_filter_size")).orElse(Option(n.get("median_radius"))))
+        .filterNot(_.isNull).flatMap(n => Option(n.get("median_filter_size")))
         .map(_.asInt()).getOrElse(50),
       illuminationPrecomputed = Option(root.get("illumination_correction"))
         .filterNot(_.isNull).flatMap(n => Option(n.get("precomputed")))
