@@ -55,7 +55,15 @@ object Thresholds {
     * semantics), the stop tolerance is half the minimum spacing
     * between distinct values, and a zero background mean falls back to
     * mean_fore/2 (the log(0) guard). Result is shifted back. */
-  def li(img: Array[Float], maxIter: Int = 256): Double = {
+  def li(img0: Array[Float], maxIter: Int = 256): Double = {
+    // skimage strips NaNs before anything (threshold_li:
+    // `image = image[~np.isnan(image)]`) — without this, one NaN pixel
+    // poisons the initial mean and the loop exits immediately with NaN
+    val img =
+      if (img0.exists(v => java.lang.Float.isNaN(v)))
+        img0.filter(v => !java.lang.Float.isNaN(v))
+      else img0
+    if (img.isEmpty) return Double.NaN
     val (mn, mx) = Stats.minMax(img)
     if (mx == mn) return mn
     // tolerance = min(diff(unique(shifted))) / 2, like skimage float path

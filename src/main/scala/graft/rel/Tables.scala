@@ -25,6 +25,14 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader cannot represent natively; read nanos as long and convert to
     * a microsecond timestamp (truncation — matches DuckDB's cast down).
+    *
+    * DELIBERATE session-level side effect: the nanosAsLong flag is
+    * consulted again at EXECUTION time (conf propagates to tasks per
+    * action), so save-and-restore scoping here would break any events
+    * DataFrame executed after the restore. The flag stays set for the
+    * session; its only observable effect is that other TIMESTAMP(NANOS)
+    * parquet columns — which Spark would otherwise reject with an
+    * "Illegal Parquet type" error — also surface as LongType nanos.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -39,6 +39,11 @@ object Blosc {
     }
     val codec = (flags >> 5) & 0x7 // 0 blosclz, 1 lz4/lz4hc, 3 zlib, 5 zstd
     require(codec == 1, s"unsupported blosc codec id $codec (only lz4 implemented)")
+    // BITSHUFFLE (0x4) frames carry the same codec id and stream
+    // structure as plain lz4 — skipping the bit-transpose would return
+    // silently corrupt bytes, so reject loudly like any other codec gap
+    require((flags & 0x4) == 0,
+      "unsupported blosc frame: BITSHUFFLE filter (only byte-shuffle implemented)")
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val starts = (0 until nblocks).map(i => bb.getInt(16 + 4 * i))
     var b = 0

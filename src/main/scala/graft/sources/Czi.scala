@@ -276,7 +276,17 @@ object Czi {
     val sceneIdxs = index.entries.map(_.start("S")).distinct.sorted
     val names = sceneIdxs.map(i => i -> index.sceneNames.getOrElse(i, s"S$i")).toMap
     val wanted: Seq[Int] =
-      if (scenes != null) sceneIdxs.filter(i => scenes.contains(names(i)))
+      if (scenes != null) {
+        // iterate the CALLER's list verbatim (czi.py:76-84: im_scenes =
+        // scenes): the user's order drives tile enumeration, and an
+        // unknown name fails like the reference's im.set_scene instead
+        // of silently contributing zero rows
+        val byName = sceneIdxs.groupBy(names).map { case (n, is) => n -> is.min }
+        scenes.map(nm => byName.getOrElse(nm,
+          throw new IllegalArgumentException(
+            s"scene '$nm' not present in $path " +
+              s"(have: ${sceneIdxs.map(names).mkString(", ")})")))
+      }
       else if (scenesRegex != null) {
         val p = scenesRegex.r
         sceneIdxs.filter(i => p.findPrefixMatchOf(names(i)).isDefined)

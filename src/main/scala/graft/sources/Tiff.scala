@@ -29,7 +29,6 @@ object Tiff {
     * the driver (same as the reference's glob); the returned DataFrame
     * is immediately repartitionable for scan parallelism. */
   def metaFromDirectory(spark: SparkSession, dir: String, regex: String): DataFrame = {
-    import spark.implicits._
     val groups = namedGroups(regex)
     require(groups.contains("id") && groups.contains("channel"),
       "tiff scan regex needs (?<id>...) and (?<channel>...) groups")
@@ -40,32 +39,49 @@ object Tiff {
         (p.toString, groups.map(g => g -> m.group(g)).toMap)
       }
     }
-    val df = rows.map { case (path, g) =>
-      (path, g("id"), g("channel"), g - "id" - "channel")
-    }.toDF("path", "id", "channel", "meta")
-    val channels = df.select("channel").distinct().collect().map(_.getString(0)).sorted
+    // the file list is a driver-local Seq the lines above just built —
+    // grouping/pivoting it through Spark cost three jobs and a shuffle
+    // per directory for zero parallelism; the distributed work starts
+    // at pixel LOAD, not at metadata bookkeeping
+    val channels = rows.map(_._2("channel")).distinct.sorted
     // pandas pivot raises ValueError on duplicate (id, channel) index
-    // entries (tiff.py:145) — an unordered first() would silently load
+    // entries (tiff.py:145) — an unordered pick would silently load
     // DIFFERENT pixel data across reruns, so fail the same way
-    val dups = df.groupBy("id", "channel").count().filter(col("count") > 1)
-      .select("id", "channel").collect()
+    val dups = rows.groupBy(r => (r._2("id"), r._2("channel")))
+      .filter(_._2.length > 1).keys.toSeq.sorted
     require(dups.isEmpty,
       s"duplicate (id, channel) tiff files for: ${dups.take(5).mkString(", ")} — " +
         "the reference's pandas pivot rejects this layout (Index contains duplicate entries)")
-    val pivoted = df.groupBy("id")
-      .pivot("channel", channels)
-      .agg(first("path"))
-    // deterministic meta per id: the lexicographically-first file's
-    // regex groups win (agg(first) alone varies with partitioning)
-    val meta = df
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")
-          .orderBy("path")))
-      .filter(col("rn") === 1)
-      .select("id", "meta")
-    pivoted
-      .na.drop(channels) // F3: drop events with missing channel files
-      .join(meta, "id")
+    val perId = rows.groupBy(_._2("id")).toSeq.sortBy(_._1).flatMap {
+      case (id, rs) =>
+        val chPath = rs.map(r => r._2("channel") -> r._1).toMap
+        if (channels.forall(chPath.contains)) {
+          // deterministic meta per id: the lexicographically-first
+          // file's regex groups win
+          val meta = rs.minBy(_._1)._2 - "id" - "channel"
+          // the event's `path` is THIS directory's first sorted
+          // channel file (tiff.py:156: df["path"] = df.iloc[:, 0]) —
+          // resolved here, where the directory's own channel set is
+          // known; resolving it later from a union'd ragged schema
+          // picked another directory's first column
+          Some(org.apache.spark.sql.Row.fromSeq(
+            (id +: channels.map(chPath)) ++ Seq(meta, chPath(channels.head))))
+        } else None // F3: drop events with missing channel files
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      (org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType) +:
+        channels.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))) ++ Seq(
+        org.apache.spark.sql.types.StructField("meta",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(perId, math.max(1, perId.length min 32)),
+      schema)
   }
 
   private[sources] def listFiles(dir: Path, ext: String): Seq[Path] = {
@@ -111,10 +127,12 @@ object Tiff {
       require(i >= 0, s"channel '$c' not in the scanned metadata " +
         s"(have: ${fields.filterNot(Set("id", "meta")).mkString(", ")})")
     }
-    // the event's `path` is the FIRST PIVOT COLUMN's file
-    // (tiff.py:156: df["path"] = df.iloc[:, 0] — sorted channel order),
-    // not the first *requested* channel's
-    val pathIdx = fields.indexWhere(f => f != "id" && f != "meta")
+    // the event's `path` is resolved at SCAN time per directory
+    // (tiff.py:156: df["path"] = df.iloc[:, 0] — that directory's
+    // first sorted channel), so ragged multi-directory unions keep
+    // each row's own directory semantics
+    val pathIdx = fields.indexOf("path")
+    require(pathIdx >= 0, "tiff metadata frame lacks the scan-time 'path' column")
     meta.mapPartitions { rows =>
       rows.map { row =>
         val planes = chFieldIdx.map(i => decodePlane(row.getString(i)))

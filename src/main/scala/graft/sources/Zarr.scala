@@ -113,6 +113,12 @@ object Zarr {
       cache: ChunkCache = null): Array[Float] = {
     if (m.vlenDtype.isDefined) return readVlenRow(path, m, idx, cache)
     require(m.shape.length == 2, "expected 2-D (N, len) zarr array")
+    // out-of-range rows (e.g. .zattrs listing more objects than the
+    // array holds) would resolve to an ABSENT chunk, and the
+    // legitimate fill_value path below would fabricate zero pixels —
+    // the reference's z[idx] raises IndexError instead
+    require(idx >= 0 && idx < m.shape.head,
+      s"zarr row $idx out of range for shape ${m.shape.mkString("(", ",", ")")} in $path")
     val Seq(_, rowLen) = m.shape
     val Seq(chunkRows, chunkCols) = m.chunks
     require(chunkCols == rowLen, "row-chunked zarr expected (chunks[1] == shape[1])")
@@ -128,6 +134,8 @@ object Zarr {
   private def readVlenRow(path: String, m: ZarrMeta, idx: Int,
       cache: ChunkCache): Array[Float] = {
     require(m.shape.length == 1, "vlen-array zarr must be 1-D")
+    require(idx >= 0 && idx < m.shape.head,
+      s"zarr item $idx out of range for shape ${m.shape.mkString("(", ",", ")")} in $path")
     val chunkRows = m.chunks.head
     val chunkIdx = idx / chunkRows
     val itemInChunk = idx % chunkRows
@@ -198,7 +206,13 @@ object Zarr {
       val buf = new Array[Byte](65536)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) throw new java.io.IOException("truncated zlib chunk")
+        // any zero-progress state (truncated input, FDICT preset
+        // dictionary, corrupt stream) must throw — the loop would
+        // otherwise spin forever and hang the task
+        if (n == 0 && !inf.finished())
+          throw new java.io.IOException(
+            if (inf.needsDictionary()) "zlib chunk requires a preset dictionary"
+            else "truncated or stalled zlib chunk")
         out.write(buf, 0, n)
       }
       inf.end()

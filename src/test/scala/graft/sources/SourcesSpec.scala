@@ -27,12 +27,14 @@ class SourcesSpec extends SparkSpec {
 
   test("tiff meta scan: pivot id x channel, missing-channel drop (F3)") {
     val meta = Tiff.metaFromDirectory(spark, tiffDir.toString, regex)
-    assert(meta.columns.toSet == Set("id", "0", "1", "2", "meta"))
+    assert(meta.columns.toSet == Set("id", "0", "1", "2", "meta", "path"))
     val rows = meta.collect()
     assert(rows.map(_.getAs[String]("id")).toSet == Set("a", "b")) // c dropped
     rows.foreach { r =>
       for (c <- Seq("0", "1", "2"))
         assert(r.getAs[String](c).endsWith(s"ch$c.tif"))
+      // path = this directory's first sorted channel (tiff.py:156)
+      assert(r.getAs[String]("path") == r.getAs[String]("0"))
     }
   }
 
