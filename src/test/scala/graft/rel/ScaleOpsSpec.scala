@@ -138,8 +138,9 @@ class ScaleOpsSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Long]("layout_ok") == 1L), rows.mkString(","))
-    val out = "/tmp/graft-sink-fixtures/docs_by_lang_" +
-      new java.io.File(sfDir).getName
+    // read back the SAME per-JVM dir the query just wrote — a
+    // hardcoded path would audit a stale layout from an earlier run
+    val out = PipelineQueries.p10OutPath(sfDir)
     val pruned = spark.read.parquet(out).filter(col("lang") === "en")
     val plan = pruned.queryExecution.executedPlan.toString
     // the filter must land in PartitionFilters (directory prune), not
