@@ -868,6 +868,46 @@ object Dedup {
          |FROM base b LEFT JOIN agg a USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
       substringSpansOn(s, Tables.documents(s, d))
+    },
+
+    // Incremental (batch-vs-corpus) dedup — how dedup actually runs in
+    // production: yesterday's corpus is already deduped, today's batch
+    // must be deduped BOTH within itself AND against the corpus,
+    // without ever re-pairing the corpus with itself. Key = md5 of the
+    // first-8-token prefix (head-fingerprint dedup — the cheap
+    // boilerplate/mirror-head catcher; any digest scheme slots in).
+    // The batch is the doc_id%10<2 slice, the corpus the rest. Scale
+    // shape: the corpus side reduces to DISTINCT 16-byte digests (one
+    // map-side-combined aggregate — text never shuffles) and the
+    // surviving batch groups anti-join on the digest: at 100 TB both
+    // sides shuffle digests only, and a q33-style Bloom of the batch
+    // keys (batch ≪ corpus by definition) would pre-prune the corpus
+    // scan — the join itself is the exact verify. Emits the kept batch
+    // rows with their within-batch copy counts.
+    Q("d12_incremental_dedup",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_filter(string_split(text, ' '), t -> length(t) > 0)[1:8],
+        |      ' ')) AS dg
+        |  FROM documents),
+        |b AS (SELECT dg, min(doc_id) AS keeper, count(*) AS batch_copies
+        |      FROM p WHERE doc_id % 10 < 2 GROUP BY dg)
+        |SELECT b.dg AS digest, b.keeper, b.batch_copies FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM p c
+        |                  WHERE c.doc_id % 10 >= 2 AND c.dg = b.dg)
+        |ORDER BY digest""".stripMargin) { (s, d) =>
+      val dg = md5(array_join(
+        slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 8),
+        " ")).as("dg")
+      val p = Tables.documents(s, d).select(col("doc_id"), dg)
+      val batch = p.filter(col("doc_id") % 10 < 2)
+        .groupBy("dg")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("batch_copies"))
+      val corpus = p.filter(col("doc_id") % 10 >= 2).select("dg").distinct()
+      batch.join(corpus, Seq("dg"), "left_anti")
+        .select(col("dg").as("digest"), col("keeper"), col("batch_copies"))
+        .orderBy("digest")
     }
   )
 }

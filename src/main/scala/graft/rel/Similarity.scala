@@ -55,6 +55,31 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Cosine range search (radius query): every corpus neighbor with
+    * cos ≥ threshold for each broadcast query vector — the "all
+    * similar enough" primitive (dedup candidate fetch, kNN-graph edge
+    * construction, retrieval with a score floor) that top-k cannot
+    * express when the neighborhood size is unknown a priori. Scale
+    * shape: same as [[knnBrute]]'s scan — broadcast query set, ONE
+    * corpus pass, zero shuffles (the threshold filter IS the result;
+    * no rank window needed since no per-query ordering is required).
+    * The threshold compares the raw double cosine (identical
+    * sequential accumulation in both engines — see the object
+    * scaladoc); rounding to 6dp happens after, on output only. */
+  def rangeSearch(spark: SparkSession, dir: String, nQueries: Int,
+      threshold: Double): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("qid"), col("nid"), round(col("c"), 6).as("cos"))
+      .orderBy("qid", "nid")
+  }
+
   /** Brute-force exact top-k: broadcast query set, one corpus pass,
     * per-query rank. */
   def knnBrute(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
@@ -583,6 +608,18 @@ object Similarity {
       """SELECT CAST(50 AS BIGINT) AS k_rows, CAST(1 AS BIGINT) AS ranks_ok,
         | CAST(1 AS BIGINT) AS top1_ok""".stripMargin) { (s, d) =>
       mmrContract(k = 10)(mmrRerank(s, d, nQueries = 5, k = 10))
+    },
+
+    // Cosine range search: exact radius query, one broadcast pass.
+    Q("s07_range_search",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |           WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qid, vec_id AS nid, ${cosineSql("qe", "embedding")} AS c
+         |  FROM q, embeddings WHERE vec_id != qid)
+         |SELECT qid, nid, round(c, 6) AS cos FROM scored
+         |WHERE c >= 0.3 ORDER BY qid, nid""".stripMargin) { (s, d) =>
+      rangeSearch(s, d, nQueries = 5, threshold = 0.3)
     },
 
     // Vector norms / normalization as a plain columnar transform.

@@ -609,6 +609,78 @@ object TextOps {
         .map { case (id, t) => val (n, h) = charEntropy(t); (id, n, h) }
         .toDF("doc_id", "n_chars_counted", "char_entropy")
         .orderBy("doc_id")
+    },
+
+    // Gopher-style quality rule battery (Rae et al. 2021, "Scaling
+    // Language Models", Table A1 subset): the standard rule-based
+    // document filter every LLM corpus pipeline runs before model-based
+    // scoring. Five rules — word count in [50, 100000], mean word
+    // length in [3, 10], symbol-to-word ratio (# or ...) <= 0.1,
+    // >= 80% of words containing an alphabetic character, >= 2
+    // stopword hits — each emitted as its own flag plus the combined
+    // keep verdict, so downstream can audit WHICH rule dropped a
+    // document (the reason-tagged form real pipelines log). Pure
+    // per-row pass over the scan, no shuffle but the presentation
+    // sort. Every ratio is one integer-over-integer IEEE division +
+    // round(6) — identical in both engines, so flags can't flip on
+    // ulps; threshold comparisons happen on the rounded value.
+    Q("t17_gopher_rules",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(w) AS n_words,
+         |    round(list_sum(list_transform(w, t -> length(t)))::DOUBLE
+         |      / len(w), 6) AS mean_word_len,
+         |    round(len(list_filter(w, t -> contains(t, '#')
+         |      OR contains(t, '...')))::DOUBLE / len(w), 6) AS symbol_ratio,
+         |    round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+         |      / len(w), 6) AS alpha_frac,
+         |    len(list_filter(w, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+         |      AS stop_hits
+         |  FROM toks WHERE len(w) > 0)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         |  stop_hits,
+         |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_words,
+         |  CAST(mean_word_len BETWEEN 3 AND 10 AS BIGINT) AS r_len,
+         |  CAST(symbol_ratio <= 0.1 AS BIGINT) AS r_symbol,
+         |  CAST(alpha_frac >= 0.8 AS BIGINT) AS r_alpha,
+         |  CAST(stop_hits >= 2 AS BIGINT) AS r_stops,
+         |  CAST(n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3 AND 10 AND symbol_ratio <= 0.1
+         |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS BIGINT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stopArr = array(stopwords.map(lit): _*)
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          round(aggregate(transform(col("w"), t => length(t).cast("long")),
+            lit(0L), (a, v) => a + v).cast("double") / size(col("w")), 6)
+            .as("mean_word_len"),
+          round(size(filter(col("w"), t =>
+            t.contains("#") || t.contains("..."))).cast("double")
+            / size(col("w")), 6).as("symbol_ratio"),
+          round(size(filter(col("w"), t => t.rlike("[A-Za-z]")))
+            .cast("double") / size(col("w")), 6).as("alpha_frac"),
+          size(filter(col("w"), t => array_contains(stopArr, t)))
+            .as("stop_hits"))
+      val rWords = col("n_words").between(50, 100000)
+      val rLen = col("mean_word_len").between(3, 10)
+      val rSymbol = col("symbol_ratio") <= 0.1
+      val rAlpha = col("alpha_frac") >= 0.8
+      val rStops = col("stop_hits") >= 2
+      m.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_frac"), col("stop_hits"),
+          rWords.cast("bigint").as("r_words"),
+          rLen.cast("bigint").as("r_len"),
+          rSymbol.cast("bigint").as("r_symbol"),
+          rAlpha.cast("bigint").as("r_alpha"),
+          rStops.cast("bigint").as("r_stops"),
+          (rWords && rLen && rSymbol && rAlpha && rStops)
+            .cast("bigint").as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -169,4 +169,94 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got == exact)
     assert(got.nonEmpty, "threshold must bite on the test corpus")
   }
+
+  test("t17 gopher rules match a brute-force recompute; keep = AND of flags") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.map { case (id, t) =>
+      val w = t.split(' ').filter(_.nonEmpty)
+      val nWords = w.length.toLong
+      val meanLen = r6(w.map(_.length.toLong).sum.toDouble / nWords)
+      val symbol = r6(w.count(x => x.contains("#") || x.contains("...")).toDouble / nWords)
+      val alpha = r6(w.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nWords)
+      val stops = w.count(TextOps.stopwords.contains).toLong
+      val flags = Seq(nWords >= 50 && nWords <= 100000,
+        meanLen >= 3 && meanLen <= 10, symbol <= 0.1, alpha >= 0.8,
+        stops >= 2).map(b => if (b) 1L else 0L)
+      (id, nWords, meanLen, symbol, alpha, stops, flags,
+        flags.product)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = SparkEntryLookup("t17_gopher_rules")(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g.getLong(0), g.getInt(1).toLong, g.getInt(5).toLong) ==
+        ((e._1, e._2, e._6)), s"$g vs $e")
+      assert(math.abs(g.getDouble(2) - e._3) < 1e-9 &&
+        math.abs(g.getDouble(3) - e._4) < 1e-9 &&
+        math.abs(g.getDouble(4) - e._5) < 1e-9, s"$g vs $e")
+      assert((6 to 10).map(g.getLong) == e._7, s"flags: $g vs $e")
+      assert(g.getLong(11) == e._8, s"keep != AND of flags: $g")
+    }
+    // thresholds must discriminate on this corpus, or the rules pin nothing
+    assert(got.exists(_.getLong(11) == 1L) && got.exists(_.getLong(11) == 0L))
+  }
+
+  test("d12 incremental dedup: kept batch = within-batch survivors minus corpus hits") {
+    def prefixDigest(t: String): String = {
+      val key = t.split(' ').filter(_.nonEmpty).take(8).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val withDg = docs.map { case (id, t) => (id, prefixDigest(t)) }
+    val (batch, corpus) = withDg.partition(_._1 % 10 < 2)
+    val corpusDgs = corpus.map(_._2).toSet
+    val expected = batch.groupBy(_._2).view
+      .mapValues(g => (g.map(_._1).min, g.size.toLong)).toMap
+      .filter { case (dg, _) => !corpusDgs.contains(dg) }
+      .map { case (dg, (keeper, copies)) => (dg, keeper, copies) }
+      .toSeq.sortBy(_._1)
+    val df = SparkEntryLookup("d12_incremental_dedup")(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // both mechanisms must bite on this corpus: some batch key collides
+    // with the corpus (anti-join drops it)…
+    assert(batch.exists(b => corpusDgs.contains(b._2)), "no cross hit")
+    // …and the digest join never ships text, nor sort-merges
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("s07 range search equals brute-force cosine thresholding") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter(_._1 < 5)
+    val expected = (for {
+      (qid, qe) <- queries
+      (nid, ne) <- vecs if nid != qid
+      c = cos(qe, ne) if c >= 0.3
+    } yield (qid, nid,
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntryLookup("s07_range_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"$g vs $e")
+    }
+    assert(got.nonEmpty, "threshold must admit neighbors on this corpus")
+  }
 }
