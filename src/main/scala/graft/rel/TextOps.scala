@@ -681,6 +681,72 @@ object TextOps {
           (rWords && rLen && rSymbol && rAlpha && rStops)
             .cast("bigint").as("keep"))
         .orderBy("doc_id")
+    },
+
+    // BM25 relevance scoring (Robertson-Sparck Jones; the Lucene
+    // +1-inside-log idf variant, k1=1.2 b=0.75) against a fixed query
+    // term set — the retrieval-scoring stage of RAG and
+    // quality-weighted data curation. Scale shape: corpus statistics
+    // (N, Σdl, per-term df) fold to ONE single-row aggregate broadcast
+    // back; scoring is a pure per-row pass — the corpus never
+    // self-joins and nothing vocab-sized shuffles (the query term set
+    // is constant-sized by definition). Determinism: tf/df/dl/N are
+    // exact integers; each term's contribution is computed as its own
+    // fixed-shape expression and the three terms add in FIXED order —
+    // no SQL SUM over a float column anywhere, so association order
+    // cannot differ. Accepted flake bound (t15/q40 precedent): JVM
+    // Math.log vs DuckDB ln agree to ≤1 ulp; a hash flip needs a
+    // score within ~1e-16 of a .5e-6 rounding boundary — vanishing.
+    Q("t18_bm25_score", {
+      val terms = Seq("spark", "table", "vector")
+      val tfCols = terms.map(t => s"len(list_filter(w, t -> t = '$t')) AS tf_$t")
+      val contrib = terms.map(t =>
+        s"""ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+           |   * (tf_$t * 2.2)
+           |   / (tf_$t + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))""".stripMargin)
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*)::DOUBLE AS n, sum(len(w))::DOUBLE AS sumdl,
+         |    ${terms.map(t => s"count(*) FILTER (list_contains(w, '$t'))::DOUBLE AS df_$t").mkString(",\n    ")}
+         |  FROM toks),
+         |d AS (SELECT doc_id, len(w)::DOUBLE AS dl,
+         |    ${tfCols.mkString(",\n    ")}
+         |  FROM toks)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         |  ${terms.map(t => s"CAST(tf_$t AS BIGINT) AS ntf_$t").mkString(", ")},
+         |  round(${contrib.mkString("\n  + ")}, 6) AS bm25
+         |FROM d, stats ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val terms = Seq("spark", "table", "vector")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      val statCols = Seq(
+        count(lit(1)).cast("double").as("n"),
+        sum(size(col("w"))).cast("double").as("sumdl")) ++
+        terms.map(t => sum(array_contains(col("w"), t).cast("long"))
+          .cast("double").as(s"df_$t"))
+      val stats = toks.agg(statCols.head, statCols.tail: _*)
+      val dCols = Seq(col("doc_id"),
+        size(col("w")).cast("double").as("dl")) ++
+        terms.map(t => size(filter(col("w"), x => x === t)).as(s"tf_$t"))
+      val d0 = toks.select(dCols: _*)
+      val scored = d0.crossJoin(broadcast(stats))
+      // fixed-order sum of fixed-shape per-term contributions — the
+      // expression tree mirrors the oracle SQL exactly
+      val contrib = terms.map { t =>
+        log((col("n") - col(s"df_$t") + lit(0.5))
+            / (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
+          (col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))
+      }
+      val outCols = Seq(col("doc_id"), col("dl").cast("bigint").as("dl")) ++
+        terms.map(t => col(s"tf_$t").cast("bigint").as(s"ntf_$t")) :+
+        round(contrib.reduce(_ + _), 6).as("bm25")
+      scored.select(outCols: _*).orderBy("doc_id")
     }
   )
 }

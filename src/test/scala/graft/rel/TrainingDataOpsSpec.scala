@@ -228,6 +228,39 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("t18 bm25 matches a brute-force recompute; stats fold to one broadcast row") {
+    val terms = Seq("spark", "table", "vector")
+    val toks = docs.map { case (id, t) => (id, t.split(' ').filter(_.nonEmpty)) }
+    val n = toks.size.toDouble
+    val sumdl = toks.map(_._2.length.toLong).sum.toDouble
+    val df = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val expected = toks.map { case (id, w) =>
+      val dl = w.length.toDouble
+      val score = terms.map { t =>
+        val tf = w.count(_ == t).toDouble
+        math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))
+      }.reduce(_ + _)
+      (id, w.length.toLong, terms.map(t => w.count(_ == t).toLong),
+        BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val qdf = SparkEntryLookup("t18_bm25_score")(spark, sfDir)
+    val got = qdf.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (2 to 4).map(r.getLong).toList, r.getDouble(5))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, s"${g._1}: ${g._4} vs ${e._4}")
+    }
+    // scores must discriminate, and the corpus must never self-join
+    assert(got.map(_._4).distinct.size > 10)
+    val plan = qdf.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("s07 range search equals brute-force cosine thresholding") {
     import org.apache.spark.sql.functions.col
     val vecs = Tables.embeddings(spark, sfDir)
