@@ -192,6 +192,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ShuffledHashJoin"), p)
   }
 
+  test("t17/t18/s07: the round-5 per-row ops never shuffle-join — one corpus pass each") {
+    // t17 is a pure scan→project pipeline: the only exchange is the
+    // presentation sort's range partitioning
+    val p17 = plan("t17_gopher_rules")
+    assert(!p17.contains("Join"), p17)
+    assert(p17.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, p17)
+    // t18's corpus stats fold to a single-row broadcast; s07's query
+    // set broadcasts — in both the corpus streams once, never
+    // shuffle-joins itself
+    Seq("t18_bm25_score", "s07_range_search").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), s"$q: $p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("d12: the anti-join runs on digests below the batch aggregate, no sort-merge") {
+    val p = plan("d12_incremental_dedup")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    // text never reaches the join: both scans project only (doc_id, text)
+    // and digest immediately; the join keys are the md5 column
+    assert(p.contains("md5"), p)
+  }
+
   test("whole-stage codegen spans exist in the executed per-row transforms") {
     // Spark's higher-order array expressions (filter/transform lambdas)
     // are interpreted and legitimately sit OUTSIDE codegen spans; the
