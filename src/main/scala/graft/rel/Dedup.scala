@@ -207,9 +207,15 @@ object Dedup {
     * construction — are then broadcast against the documents to fetch
     * both texts and verified with exact Jaccard computed per pair in a
     * compiled loop, which never touches a materialized shingle table. */
-  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+  /** LSH candidate pairs with both texts fetched — the shared head of
+    * [[minhashNearDup]] and [[minhashEstimateContract]]: banding over
+    * one signature scan, bucket-grouped pair generation, then the
+    * candidate set (tiny by construction) broadcast against the
+    * streamed document table twice. Returns (da, db, text_a, text_b).
+    */
+  private def lshCandidatesWithTexts(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
     val rowsPerBand = MinhashK / MinhashBands
     val nBands = MinhashBands
     val candidates = minhashSignatures(spark, docs)
@@ -227,14 +233,6 @@ object Dedup {
       // below — materialize once so the signature scan + bucket
       // aggregate don't run once per broadcast subtree
       .transform(Lineage.cut)
-    val jaccardOfTexts = udf { (ta: String, tb: String) =>
-      val a = shingleSet(ta)
-      val bSet = new java.util.HashSet[String]()
-      shingleSet(tb).foreach(bSet.add)
-      var common = 0
-      a.foreach(s => if (bSet.contains(s)) common += 1)
-      common.toDouble / (a.length + bSet.size - common)
-    }
     val texts = docs.select(col("doc_id"), col("text"))
     // candidates stay the broadcast side of both text fetches: the big
     // document table is only ever streamed, never shuffled
@@ -243,10 +241,61 @@ object Dedup {
       .select(col("da"), col("db"), col("ta.text").as("text_a"))
     texts.as("tb")
       .join(broadcast(withTa), col("db") === col("tb.doc_id"))
+      .select(col("da"), col("db"), col("text_a"),
+        col("tb.text").as("text_b"))
+  }
+
+  private[rel] def exactJaccard(ta: String, tb: String): Double = {
+    val a = shingleSet(ta)
+    val bSet = new java.util.HashSet[String]()
+    shingleSet(tb).foreach(bSet.add)
+    var common = 0
+    a.foreach(s => if (bSet.contains(s)) common += 1)
+    common.toDouble / (a.length + bSet.size - common)
+  }
+
+  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val jaccardOfTexts = udf { (ta: String, tb: String) => exactJaccard(ta, tb) }
+    lshCandidatesWithTexts(spark, Tables.documents(spark, dir))
       .select(col("da"), col("db"),
-        jaccardOfTexts(col("text_a"), col("tb.text")).as("jaccard"))
+        jaccardOfTexts(col("text_a"), col("text_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("da", "db")
+  }
+
+  /** Measured MinHash estimator-accuracy contract — the "sketch health
+    * is measured, not assumed" pattern (q30's HLL audit, s02/s04/s05's
+    * recall contracts) applied to the d04 signatures: over every LSH
+    * candidate pair with exact Jaccard ≥ minJ, compare the K-lane
+    * signature estimate (matching-lane fraction) with the exact
+    * shingle Jaccard and fold pair count + mean/max absolute error
+    * into a one-row contract. Estimator theory: each lane agrees with
+    * probability J, so est − J has σ = √(J(1−J)/K) ≤ 0.0625 at
+    * J ≥ 0.5, K = 64; the asserted bounds sit several σ out and held
+    * with ≥2× margin at sf0.001, sf0.01, and the 10× replica. All
+    * hashes are engine-deterministic, so the measured flags are
+    * stable and the contract is hash-checkable as a literal SELECT.
+    * Scale shape: identical to d04 (one signature scan, bucket-grouped
+    * pairs, candidates broadcast, corpus only streamed) plus a
+    * pair-local signature recompute — no extra corpus pass. */
+  def minhashEstimateContract(spark: SparkSession, dir: String,
+      minJ: Double, meanBound: Double, maxBound: Double): DataFrame = {
+    val errOfTexts = udf { (ta: String, tb: String) =>
+      val exact = exactJaccard(ta, tb)
+      val sa = minhashSignature(shingleSet(ta).iterator.map(fnv1a64))
+      val sb = minhashSignature(shingleSet(tb).iterator.map(fnv1a64))
+      var m = 0
+      var i = 0
+      while (i < MinhashK) { if (sa(i) == sb(i)) m += 1; i += 1 }
+      (exact, math.abs(m.toDouble / MinhashK - exact))
+    }
+    lshCandidatesWithTexts(spark, Tables.documents(spark, dir))
+      .select(errOfTexts(col("text_a"), col("text_b")).as("e"))
+      .filter(col("e._1") >= minJ)
+      .agg(
+        (count(lit(1)) >= 1L).cast("long").as("pairs_ok"),
+        (avg(col("e._2")) <= meanBound).cast("long").as("mean_err_ok"),
+        (max(col("e._2")) <= maxBound).cast("long").as("max_err_ok"))
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -908,6 +957,17 @@ object Dedup {
       batch.join(corpus, Seq("dg"), "left_anti")
         .select(col("dg").as("digest"), col("keeper"), col("batch_copies"))
         .orderBy("digest")
+    },
+
+    // MinHash estimator accuracy, measured every run (see
+    // minhashEstimateContract): candidate pairs at exact J >= 0.5,
+    // mean |est - J| <= 0.05 and max <= 0.3 (sigma <= 0.0625 at K=64).
+    Q("d13_minhash_estimate",
+      """SELECT CAST(1 AS BIGINT) AS pairs_ok,
+        | CAST(1 AS BIGINT) AS mean_err_ok,
+        | CAST(1 AS BIGINT) AS max_err_ok""".stripMargin) { (s, d) =>
+      minhashEstimateContract(s, d, minJ = 0.5, meanBound = 0.05,
+        maxBound = 0.3)
     }
   )
 }

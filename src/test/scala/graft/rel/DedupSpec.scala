@@ -23,6 +23,51 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("d13: minhash estimate errors match an in-JVM recompute with >=2x margin") {
+    import org.apache.spark.sql.functions.col
+    // contract flags must all pass on the registry corpus
+    val row = Dedup.minhashEstimateContract(spark, sfDir,
+      minJ = 0.5, meanBound = 0.05, maxBound = 0.3).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 1L, 1L)))
+    // brute-force the same audit driver-side: banding over every doc,
+    // in-bucket pairs, exact-J filter, per-pair lane-agreement estimate
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sigs = docs.map { case (id, t) =>
+      id -> Dedup.minhashSignature(Dedup.shingleSet(t).iterator.map(Dedup.fnv1a64))
+    }.toMap
+    val texts = docs.toMap
+    val rowsPerBand = Dedup.MinhashK / Dedup.MinhashBands
+    val cand = (for {
+      (id, sig) <- sigs.toSeq
+      b <- 0 until Dedup.MinhashBands
+    } yield (Dedup.bandBucket(sig, b, rowsPerBand), id))
+      .groupBy(_._1).values.filter(_.size > 1)
+      .flatMap { bucket =>
+        val ids = bucket.map(_._2).distinct.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    val errs = cand.toSeq.flatMap { case (a, b) =>
+      val exactJ = Dedup.exactJaccard(texts(a), texts(b))
+      if (exactJ < 0.5) None
+      else {
+        val (sa, sb) = (sigs(a), sigs(b))
+        val m = sa.zip(sb).count { case (x, y) => x == y }
+        Some(math.abs(m.toDouble / Dedup.MinhashK - exactJ))
+      }
+    }
+    assert(errs.nonEmpty, "no audited pairs — the contract pins nothing")
+    val mean = errs.sum / errs.size
+    val worst = errs.max
+    info(f"d13 measured: ${errs.size} pairs, mean err $mean%.4f, max err $worst%.4f")
+    // the asserted bounds must hold with >=2x headroom on this corpus,
+    // or the contract is one unlucky hash away from a false failure
+    assert(mean <= 0.025, s"mean err $mean leaves <2x margin on 0.05")
+    assert(worst <= 0.15, s"max err $worst leaves <2x margin on 0.3")
+  }
+
   test("simhash near-dups overlap the exact near-dup set") {
     val sim = pairs(Dedup.simhashNearDup(spark, sfDir, 3))
     // simhash(hamming<=3) is a different similarity (token-frequency
