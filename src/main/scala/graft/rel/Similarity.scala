@@ -93,6 +93,102 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact kNN-graph build: for EVERY corpus vector, its k nearest
+    * neighbors by cosine (self excluded), ranked (cos DESC, nid ASC)
+    * — the all-pairs primitive behind graph-based near-dup clustering
+    * (d07 generalized from threshold edges to degree-k edges),
+    * SemDeDup-style neighborhood pruning, and kNN-LM / label-
+    * propagation pipelines. Distinct from [[knnBrute]]: there a SMALL
+    * query set probes the corpus; here both sides are the corpus.
+    *
+    * Scale shape — the d06 tiled-broadcast discipline applied to
+    * top-k instead of a threshold: the corpus iterates disjoint
+    * xxhash64-assigned id-blocks of ~`spark.graft.s08.blockRows` rows
+    * (uniform under any id distribution, loud 4× overload guard);
+    * each block broadcasts once and every probe row keeps a k-bounded
+    * best-first list over it, so a block pass emits at most k rows
+    * per probe — n·k·numBlocks candidate rows total, never the n²
+    * pair space. The native [[graft.plans.TopKPerKeyPlan]] merges the
+    * per-block survivors (partial heaps map-side, only survivors
+    * shuffle) and the rank window runs over the n·k result
+    * ([[rankTopK]]). Driver heap holds ONE block during collection;
+    * completed blocks live in the block manager (MEMORY_AND_DISK), so
+    * no allocation anywhere scales with the corpus. The n²·d dot
+    * products are inherent to the EXACT graph — at 100 TB the scale
+    * path swaps the block scan for the LSH/IVF candidate fetch
+    * (s02/s04) feeding the same top-k merge.
+    *
+    * Determinism: (cos, nid) comparisons use the raw double cosine
+    * with the object-scaladoc accumulation contract, so the neighbor
+    * set and ranks are bit-stable cross-engine (s01 precedent); the
+    * block-local insertion predicate is exactly the global order, so
+    * the result is identical for ANY block count (spec-pinned). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"knnGraph requires k > 0, got $k")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val blockRows =
+      spark.conf.getOption("spark.graft.s08.blockRows").getOrElse("65536").toInt
+    require(blockRows > 0, s"blockRows must be positive, got $blockRows")
+    val n = e.count()
+    val numBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    val perBlock = (0 until numBlocks).map { b =>
+      val block = e.filter(pmod(xxhash64(col("vec_id")), lit(numBlocks)) === b)
+        .as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      require(numBlocks == 1 || block.length <= 4L * blockRows + 64,
+        s"s08 block $b holds ${block.length} rows (bound ${blockRows}): " +
+          "hash-uniform assignment should concentrate tightly — check " +
+          "vec_id for mass duplication, or raise spark.graft.s08.blockRows")
+      val norms = block.map { case (_, v) =>
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(ss)
+      }
+      val bc = spark.sparkContext.broadcast((block, norms))
+      e.mapPartitions { rows =>
+        val (corp, ns) = bc.value
+        rows.flatMap { case (qid, qv) =>
+          var na = 0.0; var i = 0
+          while (i < qv.length) { na += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          val normQ = math.sqrt(na)
+          // best-first (cos desc, nid asc) insertion list of size <= k:
+          // O(1) reject against the current worst, O(k) shift on accept
+          // — k is small by contract, so this beats a heap's constant
+          val hc = new Array[Double](k)
+          val hn = new Array[Long](k)
+          var m = 0
+          var j = 0
+          while (j < corp.length) {
+            val nid = corp(j)._1
+            if (nid != qid) {
+              val vb = corp(j)._2
+              var dot = 0.0; var t = 0
+              while (t < qv.length) { dot += qv(t).toDouble * vb(t).toDouble; t += 1 }
+              val c = dot / (normQ * ns(j))
+              if (m < k || c > hc(m - 1) ||
+                  (c == hc(m - 1) && nid < hn(m - 1))) {
+                var p = if (m < k) m else k - 1
+                while (p > 0 && (c > hc(p - 1) ||
+                    (c == hc(p - 1) && nid < hn(p - 1)))) {
+                  hc(p) = hc(p - 1); hn(p) = hn(p - 1); p -= 1
+                }
+                hc(p) = c; hn(p) = nid
+                if (m < k) m += 1
+              }
+            }
+            j += 1
+          }
+          (0 until m).iterator.map(p => (qid, hn(p), hc(p)))
+        }
+      }
+    }
+    val scored = perBlock.reduce(_ union _).toDF("qid", "nid", "c")
+    rankTopK(scored, k)
+  }
+
   // ---- LSH (random hyperplanes, multi-table) -----------------------------
   // The hashing kernel itself (hyperplanes, bucket signature, packed
   // keys) lives in graft.functions.LshKernel — the codegen-expression
@@ -620,6 +716,23 @@ object Similarity {
          |SELECT qid, nid, round(c, 6) AS cos FROM scored
          |WHERE c >= 0.3 ORDER BY qid, nid""".stripMargin) { (s, d) =>
       rangeSearch(s, d, nQueries = 5, threshold = 0.3)
+    },
+
+    // Exact kNN-graph: degree-5 nearest-neighbor edges for EVERY
+    // corpus vector via tiled broadcast blocks + native top-k merge
+    // (see knnGraph). Oracle is the quadratic self-join ground truth.
+    Q("s08_knn_graph",
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    ${cosineSql("a.embedding", "b.embedding")} AS c
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid, c,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+         |  FROM scored)
+         |SELECT qid, nid, round(c, 6) AS cos, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      knnGraph(s, d, k = 5)
     },
 
     // Vector norms / normalization as a plain columnar transform.

@@ -205,6 +205,43 @@ class SimilaritySpec extends SparkSpec {
       .map { case (t, b) => (t << 16) | b })
   }
 
+  test("s08 kNN-graph: tiled blocks are result-invariant and match a driver brute force") {
+    import org.apache.spark.sql.functions.col
+    val single = Similarity.knnGraph(spark, sfDir, k = 5).collect().map(_.toSeq)
+    // force multiple broadcast blocks and demand the identical result
+    spark.conf.set("spark.graft.s08.blockRows", "97")
+    val tiled =
+      try Similarity.knnGraph(spark, sfDir, k = 5).collect().map(_.toSeq)
+      finally spark.conf.unset("spark.graft.s08.blockRows")
+    assert(single.toSeq == tiled.toSeq)
+    // ground truth: all-pairs cosine driver-side, top-5 per node by
+    // (cos desc, nid asc) with the same sequential double accumulation
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def normOf(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val norms = vecs.map { case (id, v) => id -> normOf(v) }.toMap
+    val expected = vecs.flatMap { case (q, qv) =>
+      vecs.filter(_._1 != q).map { case (nid, nv) =>
+        var dot = 0.0; var i = 0
+        while (i < qv.length) { dot += qv(i).toDouble * nv(i).toDouble; i += 1 }
+        (q, nid, dot / (norms(q) * norms(nid)))
+      }.sortBy { case (_, nid, c) => (-c, nid) }.take(5)
+        .zipWithIndex.map { case ((qid, nid, c), i) =>
+          Seq[Any](qid, nid, BigDecimal(c).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1)
+        }
+    }
+    assert(single.length == expected.length)
+    single.zip(expected).foreach { case (got, exp) =>
+      assert(got == exp, s"mismatch: got $got expected $exp")
+    }
+  }
+
   test("LSH bucket function is deterministic and tables differ") {
     val v = Array.tabulate(64)(i => (i * 0.1f) - 3.2f)
     assert(Similarity.lshBucket(0, v) == Similarity.lshBucket(0, v))
