@@ -189,6 +189,69 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF — Cormack,
+    * Clarke & Buettcher 2009): the dense cosine ranker and the sparse
+    * BM25 ranker ([[TextOps.bm25Frame]], fixed query term set) each
+    * reduce to a bounded top-`shortlist` ranklist; every doc in either
+    * list scores Σ 1/(rrfK + rank) over the lists containing it, and
+    * the fused top-`k` is returned — the standard RAG hybrid-retrieval
+    * stage (dense recall + lexical precision) with the standard
+    * rrfK = 60.
+    *
+    * Scale shape: each ranker reduces to its shortlist via the native
+    * TopKPerKey (partial heaps map-side, only ≤ partitions·shortlist
+    * survivor rows reach the single query's reducer — for a BATCH of
+    * queries the qid key parallelizes the same plan); the rank windows
+    * then sort ≤ shortlist rows each, the fusion is a unionByName +
+    * groupBy over ≤ 2·shortlist rows, and the final top-k is a
+    * TakeOrdered. Nothing corpus-sized shuffles; the corpus is
+    * streamed once per ranker.
+    *
+    * Determinism: ranks are integers from (raw double score DESC,
+    * doc_id ASC) total orders — cosine per the object scaladoc
+    * contract, BM25 per t18's fixed-shape expression argument (zero
+    * scores tie exactly; nonzero boundary gaps sit ~14 orders above
+    * ulp scale). Each doc's fused score sums ≤ 2 contributions of
+    * 1.0/(rrfK+rank) — exact-rational doubles, and IEEE addition is
+    * commutative, so the 2-addend SUM has no association ambiguity
+    * cross-engine. */
+  def hybridRrf(spark: SparkSession, dir: String, queryId: Long,
+      shortlist: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qe = e.filter(col("vec_id") === queryId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val denseScored = e.crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("c"))
+    val wD = Window.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+    val dense = ScaleOps.topKPerKey(denseScored, Seq("qid"),
+        Seq(("c", false), ("nid", true)), shortlist)
+      .withColumn("rd", row_number().over(wD).cast("long"))
+      .select(col("nid").as("doc_id"), col("rd"))
+    val sparseScored = TextOps.bm25Frame(spark, dir)
+      .filter(col("doc_id") =!= queryId)
+      .withColumn("qid", lit(queryId))
+    val wS = Window.partitionBy("qid").orderBy(col("bm25").desc, col("doc_id"))
+    val sparse = ScaleOps.topKPerKey(sparseScored, Seq("qid"),
+        Seq(("bm25", false), ("doc_id", true)), shortlist)
+      .withColumn("rs", row_number().over(wS).cast("long"))
+      .select(col("doc_id"), col("rs"))
+    val fused = dense.select(col("doc_id"), col("rd"),
+        lit(null).cast("long").as("rs"),
+        (lit(1.0) / (lit(rrfK) + col("rd"))).as("contrib"))
+      .unionByName(sparse.select(col("doc_id"),
+        lit(null).cast("long").as("rd"), col("rs"),
+        (lit(1.0) / (lit(rrfK) + col("rs"))).as("contrib")))
+    fused.groupBy("doc_id")
+      .agg(min("rd").as("rank_dense"), min("rs").as("rank_sparse"),
+        sum("contrib").as("r"))
+      .orderBy(col("r").desc, col("doc_id"))
+      .select(col("doc_id"), col("rank_dense"), col("rank_sparse"),
+        round(col("r"), 6).as("rrf"))
+      .limit(k)
+  }
+
   // ---- LSH (random hyperplanes, multi-table) -----------------------------
   // The hashing kernel itself (hyperplanes, bucket signature, packed
   // keys) lives in graft.functions.LshKernel — the codegen-expression
@@ -733,6 +796,38 @@ object Similarity {
          |SELECT qid, nid, round(c, 6) AS cos, rn FROM ranked
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
       knnGraph(s, d, k = 5)
+    },
+
+    // Hybrid retrieval: dense top-100 (cosine to doc 0's embedding)
+    // fused with sparse top-100 (BM25, t18's term set) by reciprocal
+    // ranks, fused top-20 (see hybridRrf).
+    Q("s09_hybrid_rrf",
+      s"""WITH ${TextOps.bm25OracleCtes},
+         |bm25d AS (
+         |  SELECT doc_id, ${TextOps.bm25ScoreSql} AS b
+         |  FROM d, stats WHERE doc_id != 0),
+         |sparse AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY b DESC, doc_id) AS rs
+         |  FROM bm25d QUALIFY rs <= 100),
+         |dense AS (
+         |  SELECT b.vec_id AS doc_id,
+         |    row_number() OVER (
+         |      ORDER BY ${cosineSql("q.embedding", "b.embedding")} DESC,
+         |      b.vec_id) AS rd
+         |  FROM embeddings q, embeddings b
+         |  WHERE q.vec_id = 0 AND b.vec_id != 0
+         |  QUALIFY rd <= 100),
+         |fused AS (
+         |  SELECT doc_id, rd, CAST(NULL AS BIGINT) AS rs,
+         |    1.0 / (60 + rd) AS contrib FROM dense
+         |  UNION ALL
+         |  SELECT doc_id, CAST(NULL AS BIGINT) AS rd, rs,
+         |    1.0 / (60 + rs) AS contrib FROM sparse)
+         |SELECT doc_id, min(rd) AS rank_dense, min(rs) AS rank_sparse,
+         |  round(sum(contrib), 6) AS rrf
+         |FROM fused GROUP BY doc_id
+         |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      hybridRrf(s, d, queryId = 0L, shortlist = 100, k = 20)
     },
 
     // Vector norms / normalization as a plain columnar transform.

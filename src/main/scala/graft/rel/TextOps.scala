@@ -697,56 +697,80 @@ object TextOps {
     // cannot differ. Accepted flake bound (t15/q40 precedent): JVM
     // Math.log vs DuckDB ln agree to ≤1 ulp; a hash flip needs a
     // score within ~1e-16 of a .5e-6 rounding boundary — vanishing.
-    Q("t18_bm25_score", {
-      val terms = Seq("spark", "table", "vector")
-      val tfCols = terms.map(t => s"len(list_filter(w, t -> t = '$t')) AS tf_$t")
-      val contrib = terms.map(t =>
-        s"""ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
-           |   * (tf_$t * 2.2)
-           |   / (tf_$t + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))""".stripMargin)
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
-         |  FROM documents),
-         |stats AS (
-         |  SELECT count(*)::DOUBLE AS n, sum(len(w))::DOUBLE AS sumdl,
-         |    ${terms.map(t => s"count(*) FILTER (list_contains(w, '$t'))::DOUBLE AS df_$t").mkString(",\n    ")}
-         |  FROM toks),
-         |d AS (SELECT doc_id, len(w)::DOUBLE AS dl,
-         |    ${tfCols.mkString(",\n    ")}
-         |  FROM toks)
+    Q("t18_bm25_score",
+      s"""WITH $bm25OracleCtes
          |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
-         |  ${terms.map(t => s"CAST(tf_$t AS BIGINT) AS ntf_$t").mkString(", ")},
-         |  round(${contrib.mkString("\n  + ")}, 6) AS bm25
-         |FROM d, stats ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val terms = Seq("spark", "table", "vector")
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-      val statCols = Seq(
-        count(lit(1)).cast("double").as("n"),
-        sum(size(col("w"))).cast("double").as("sumdl")) ++
-        terms.map(t => sum(array_contains(col("w"), t).cast("long"))
-          .cast("double").as(s"df_$t"))
-      val stats = toks.agg(statCols.head, statCols.tail: _*)
-      val dCols = Seq(col("doc_id"),
-        size(col("w")).cast("double").as("dl")) ++
-        terms.map(t => size(filter(col("w"), x => x === t)).as(s"tf_$t"))
-      val d0 = toks.select(dCols: _*)
-      val scored = d0.crossJoin(broadcast(stats))
-      // fixed-order sum of fixed-shape per-term contributions — the
-      // expression tree mirrors the oracle SQL exactly
-      val contrib = terms.map { t =>
-        log((col("n") - col(s"df_$t") + lit(0.5))
-            / (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
-          (col(s"tf_$t") * lit(2.2)) /
-          (col(s"tf_$t") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))
-      }
+         |  ${Bm25Terms.map(t => s"CAST(tf_$t AS BIGINT) AS ntf_$t").mkString(", ")},
+         |  round($bm25ScoreSql, 6) AS bm25
+         |FROM d, stats ORDER BY doc_id""".stripMargin) { (s, d) =>
       val outCols = Seq(col("doc_id"), col("dl").cast("bigint").as("dl")) ++
-        terms.map(t => col(s"tf_$t").cast("bigint").as(s"ntf_$t")) :+
-        round(contrib.reduce(_ + _), 6).as("bm25")
-      scored.select(outCols: _*).orderBy("doc_id")
+        Bm25Terms.map(t => col(s"tf_$t").cast("bigint").as(s"ntf_$t")) :+
+        round(col("bm25"), 6).as("bm25")
+      bm25Frame(s, d).select(outCols: _*).orderBy("doc_id")
     }
   )
+
+  // ---- BM25 internals (shared by t18 and s09's hybrid fusion) ----------
+
+  // a def, not a val: referenced from `all`'s construction above, and
+  // object vals initialize in declaration order (a val here would be
+  // null at that point)
+  private[rel] def Bm25Terms: Seq[String] = Seq("spark", "table", "vector")
+
+  /** DuckDB CTE chain producing `d` (doc_id, dl, tf_*) and `stats`
+    * (n, sumdl, df_*) — the textual single source of truth for every
+    * BM25 oracle (t18's presentation, s09's sparse ranklist). */
+  private[rel] def bm25OracleCtes: String = {
+    val tfCols = Bm25Terms.map(t => s"len(list_filter(w, t -> t = '$t')) AS tf_$t")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*)::DOUBLE AS n, sum(len(w))::DOUBLE AS sumdl,
+       |    ${Bm25Terms.map(t => s"count(*) FILTER (list_contains(w, '$t'))::DOUBLE AS df_$t").mkString(",\n    ")}
+       |  FROM toks),
+       |d AS (SELECT doc_id, len(w)::DOUBLE AS dl,
+       |    ${tfCols.mkString(",\n    ")}
+       |  FROM toks)""".stripMargin
+  }
+
+  /** The fixed-order BM25 contribution sum as DuckDB SQL over d×stats. */
+  private[rel] def bm25ScoreSql: String =
+    Bm25Terms.map(t =>
+      s"""ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+         |   * (tf_$t * 2.2)
+         |   / (tf_$t + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))""".stripMargin)
+      .mkString("\n  + ")
+
+  /** (doc_id, dl, tf_*, bm25) with bm25 the RAW double score — one
+    * corpus pass + one single-row stats broadcast; see the t18
+    * registry comment for the full determinism argument. t18 rounds
+    * for presentation; s09 ranks on the raw double. */
+  private[rel] def bm25Frame(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("n"),
+      sum(size(col("w"))).cast("double").as("sumdl")) ++
+      Bm25Terms.map(t => sum(array_contains(col("w"), t).cast("long"))
+        .cast("double").as(s"df_$t"))
+    val stats = toks.agg(statCols.head, statCols.tail: _*)
+    val dCols = Seq(col("doc_id"),
+      size(col("w")).cast("double").as("dl")) ++
+      Bm25Terms.map(t => size(filter(col("w"), x => x === t)).as(s"tf_$t"))
+    val scored = toks.select(dCols: _*).crossJoin(broadcast(stats))
+    // fixed-order sum of fixed-shape per-term contributions — the
+    // expression tree mirrors bm25ScoreSql exactly
+    val contrib = Bm25Terms.map { t =>
+      log((col("n") - col(s"df_$t") + lit(0.5))
+          / (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
+        (col(s"tf_$t") * lit(2.2)) /
+        (col(s"tf_$t") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl") / col("n")))))
+    }
+    scored.select((Seq(col("doc_id"), col("dl")) ++
+      Bm25Terms.map(t => col(s"tf_$t")) :+
+      contrib.reduce(_ + _).as("bm25")): _*)
+  }
 }

@@ -242,6 +242,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s09 hybrid RRF matches a driver-side fusion of the two ranklists") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.hybridRrf(spark, sfDir, queryId = 0L,
+      shortlist = 100, k = 20).collect()
+    // dense ranklist: cosine to doc 0, driver-side
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qv = vecs.find(_._1 == 0L).get._2
+    val nq = math.sqrt(dot(qv, qv))
+    val denseRanks = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(qv, v) / (nq * math.sqrt(dot(v, v)))) }
+      .sortBy { case (id, c) => (-c, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // sparse ranklist: the engine's own raw bm25 frame, ranked driver-side
+    val sparseRanks = TextOps.bm25Frame(spark, sfDir)
+      .select(col("doc_id"), col("bm25")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 != 0L)
+      .sortBy { case (id, b) => (-b, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = (denseRanks.keySet ++ sparseRanks.keySet).toSeq.map { id =>
+      val c = denseRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sparseRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, denseRanks.get(id), sparseRanks.get(id), c)
+    }.sortBy { case (id, _, _, c) => (-c, id) }.take(20)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (row, (id, rd, rs, c)) =>
+      assert(row.getLong(0) == id)
+      assert(Option(row.get(1)).map(_.asInstanceOf[Long]) == rd)
+      assert(Option(row.get(2)).map(_.asInstanceOf[Long]) == rs)
+      val want = BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(3) == want, s"doc $id rrf ${row.getDouble(3)} != $want")
+    }
+  }
+
   test("LSH bucket function is deterministic and tables differ") {
     val v = Array.tabulate(64)(i => (i * 0.1f) - 3.2f)
     assert(Similarity.lshBucket(0, v) == Similarity.lshBucket(0, v))
