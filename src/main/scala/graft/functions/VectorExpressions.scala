@@ -144,6 +144,10 @@ object VectorFunctions {
   /** packed (table << 16 | bucket) sign-LSH index keys, array<int> */
   def lshKeys(a: Column): Column =
     GraftBridge.column(LshIndexKeys(GraftBridge.expression(a)))
+
+  /** JL random projection of a float-array column to outDim dims */
+  def jlProject(a: Column, outDim: Int): Column =
+    GraftBridge.column(JlProject(GraftBridge.expression(a), outDim))
 }
 
 /** Multi-table sign-LSH index keys as a native expression — the
@@ -266,6 +270,114 @@ object LshKernel {
     while (t < Tables) {
       out(t) = (t << 16) | lshBucket(t, v)
       t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Johnson–Lindenstrauss random projection to a lower dimension — the
+  * 100 TB pre-ANN primitive (project 1024-dim embeddings to 64 before
+  * LSH/IVF indexing; JL 1984, Achlioptas 2003 show Rademacher entries
+  * suffice). The projection matrix is derived deterministically per
+  * (outDim, dim) from a splitmix stream on a JL-specific salt — a
+  * DIFFERENT stream than [[LshKernel.hyperplane]], so projected-space
+  * LSH stays independent of the projection — and cached per JVM like
+  * the LSH planes. Output is array<float>: projected embeddings store
+  * at the same precision as the source column; the s10 distortion
+  * contract measures in double over these floats, so the float
+  * rounding is part of the audited semantics. Null input element →
+  * NULL row (lambda parity with the other vector expressions). */
+case class JlProject(child: Expression, outDim: Int) extends UnaryExpression {
+  require(outDim > 0, s"jl_project requires outDim > 0, got $outDim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "jl_project"
+  override def nullable: Boolean = true // null element -> NULL
+
+  override def nullSafeEval(a: Any): Any =
+    JlKernel.project(a.asInstanceOf[ArrayData], outDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.JlKernel.project($a, $outDim);
+         |if (${ev.value} == null) ${ev.isNull} = true;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+}
+
+/** The JL projection kernel: deterministic Rademacher matrix
+  * (entries ±1/√outDim) with a per-JVM cache, static forwarders for
+  * Janino-generated code. */
+object JlKernel {
+
+  /** ±1 entry for (row, j) of any JL matrix: splitmix on a salt
+    * disjoint from the LSH hyperplane stream (the XOR constant below
+    * never appears there), so jl_project followed by lsh_index_keys
+    * composes two independent random maps. */
+  def entrySign(row: Int, j: Int): Double = {
+    var z = ((row.toLong << 32) | (j.toLong & 0xffffffffL)) ^ 0x5851f42d4c957f2dL
+    z = (z + 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    if (z >= 0) 1.0 else -1.0
+  }
+
+  /** outDim × dim Rademacher matrix scaled 1/√outDim (so E‖Rv‖² = ‖v‖²). */
+  def matrix(outDim: Int, dim: Int): Array[Array[Double]] = {
+    val s = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim, dim)((r, j) => entrySign(r, j) * s)
+  }
+
+  // per-JVM cache, keyed (outDim, dim); bounded like LshKernel's plane
+  // cache — jl_project is SQL-registered, so ragged/adversarial shapes
+  // must degrade to per-row recompute, never unbounded executor memory
+  private val matCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]
+  private val MaxCachedMats = 64
+  private def cachedMatrix(outDim: Int, dim: Int): Array[Array[Double]] = {
+    val key = (outDim.toLong << 32) | (dim.toLong & 0xffffffffL)
+    val cached = matCache.get(key)
+    if (cached != null) cached
+    else {
+      val m = matrix(outDim, dim)
+      if (matCache.size < MaxCachedMats) matCache.putIfAbsent(key, m)
+      m
+    }
+  }
+
+  /** [[JlProject]] eval: one float[] materialization per row, double
+    * accumulation per output component in index order. */
+  def project(a: ArrayData, outDim: Int): ArrayData = {
+    val n = a.numElements()
+    val v = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null // null element -> NULL result
+      v(i) = a.getFloat(i)
+      i += 1
+    }
+    val m = cachedMatrix(outDim, n)
+    val out = new Array[Float](outDim)
+    var r = 0
+    while (r < outDim) {
+      val row = m(r)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += row(j) * v(j); j += 1 }
+      out(r) = s.toFloat
+      r += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatDotProduct, FloatL2Norm, LshIndexKeys}
+import graft.functions.{FloatDotProduct, FloatL2Norm, JlProject, LshIndexKeys}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,6 +37,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length != 1)
           org.apache.spark.sql.GraftBridge.wrongNumArgs("lsh_index_keys", 1, children.length)
         LshIndexKeys(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jl_project"),
+      new ExpressionInfo(classOf[JlProject].getName, "jl_project"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          org.apache.spark.sql.GraftBridge.wrongNumArgs("jl_project", 2, children.length)
+        val k = children(1) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case e => throw new IllegalArgumentException(
+            s"jl_project: outDim must be an integer literal, got $e")
+        }
+        JlProject(children(0), k)
       }))
   }
 }

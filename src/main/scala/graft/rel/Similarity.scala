@@ -252,6 +252,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Measured JL-distortion contract for [[graft.functions.JlProject]]
+    * — the d13/q30/ANN-recall "sketch health is measured, not assumed"
+    * pattern applied to dimensionality reduction: over every pair of a
+    * bounded deterministic audit sample (`vec_id < sampleIds`, the
+    * recall-audit precedent), the squared-distance ratio
+    * ‖Ra−Rb‖²/‖a−b‖² is compared to 1 and pair count + mean/max
+    * |ratio−1| fold into a one-row hash-checked contract. JL theory:
+    * the ratio concentrates around 1 with σ ≈ √(2/outDim); the
+    * asserted bounds sit ≥2× above the measured corpus values (margins
+    * pinned in SimilaritySpec). The audit is one broadcast
+    * nested-loop over the sample (sample² pairs, corpus-independent);
+    * the projection itself is a per-row narrow map — at 100 TB it
+    * runs inside the scan that feeds LSH/IVF indexing
+    * (`jl_project(embedding, k)` composes with `lsh_index_keys` on an
+    * independent random stream by construction). Distances use the
+    * native float_dot composition d² = ⟨a,a⟩ + ⟨b,b⟩ − 2⟨a,b⟩ —
+    * identical expression driver-side in the spec recompute. */
+  def jlDistortionContract(spark: SparkSession, dir: String, outDim: Int,
+      sampleIds: Int, meanBound: Double, maxBound: Double): DataFrame = {
+    val proj = graft.functions.VectorFunctions.jlProject(col("embedding"), outDim)
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < sampleIds)
+      .select(col("vec_id"), col("embedding"), proj.as("p"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+      col("p").as("pa"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+      col("p").as("pb"))
+    def d2(x: Column, y: Column): Column = dot(x, x) + dot(y, y) - lit(2.0) * dot(x, y)
+    val nPairs = sampleIds.toLong * (sampleIds - 1) / 2
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .select(d2(col("ea"), col("eb")).as("d2o"),
+        d2(col("pa"), col("pb")).as("d2p"))
+      .filter(col("d2o") > 0)
+      .select(abs(col("d2p") / col("d2o") - lit(1.0)).as("err"))
+      .agg(
+        (count(lit(1)) === lit(nPairs)).cast("long").as("pairs_ok"),
+        (avg(col("err")) <= meanBound).cast("long").as("mean_err_ok"),
+        (max(col("err")) <= maxBound).cast("long").as("max_err_ok"))
+  }
+
   // ---- LSH (random hyperplanes, multi-table) -----------------------------
   // The hashing kernel itself (hyperplanes, bucket signature, packed
   // keys) lives in graft.functions.LshKernel — the codegen-expression
@@ -828,6 +868,18 @@ object Similarity {
          |FROM fused GROUP BY doc_id
          |ORDER BY sum(contrib) DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       hybridRrf(s, d, queryId = 0L, shortlist = 100, k = 20)
+    },
+
+    // JL projection distortion, measured every run (see
+    // jlDistortionContract): all 2016 pairs of the 64-vector audit
+    // sample, mean |ratio-1| <= 0.4 and max <= 2.0 at outDim=32
+    // (sigma = sqrt(2/32) = 0.25; >=2x margins pinned in the spec).
+    Q("s10_jl_project",
+      """SELECT CAST(1 AS BIGINT) AS pairs_ok,
+        | CAST(1 AS BIGINT) AS mean_err_ok,
+        | CAST(1 AS BIGINT) AS max_err_ok""".stripMargin) { (s, d) =>
+      jlDistortionContract(s, d, outDim = 32, sampleIds = 64,
+        meanBound = 0.4, maxBound = 2.0)
     },
 
     // Vector norms / normalization as a plain columnar transform.

@@ -284,6 +284,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s10 JL projection: expression matches driver recompute; distortion margins") {
+    import org.apache.spark.sql.functions.col
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.jlProject(col("embedding"), 32).as("p"))
+      .collect()
+    assert(rows.nonEmpty)
+    val m = graft.functions.JlKernel.matrix(32, 64)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val p = r.getSeq[Float](2).toArray
+      assert(p.length == 32)
+      (0 until 32).foreach { i =>
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += m(i)(j) * v(j); j += 1 }
+        assert(p(i) == s.toFloat, s"component $i of vec ${r.getLong(0)}")
+      }
+    }
+    // distortion audit, driver-side with the contract's exact formula
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    def d2(x: Array[Float], y: Array[Float]): Double =
+      dot(x, x) + dot(y, y) - 2.0 * dot(x, y)
+    val sample = rows.filter(_.getLong(0) < 64)
+      .map(r => (r.getSeq[Float](1).toArray, r.getSeq[Float](2).toArray))
+    val errs = for {
+      i <- sample.indices
+      j <- (i + 1) until sample.length
+      o = d2(sample(i)._1, sample(j)._1) if o > 0
+    } yield math.abs(d2(sample(i)._2, sample(j)._2) / o - 1.0)
+    assert(errs.size == 64 * 63 / 2)
+    val mean = errs.sum / errs.size
+    val worst = errs.max
+    info(f"s10 measured: ${errs.size} pairs, mean err $mean%.4f, max err $worst%.4f")
+    // registry bounds (0.4 / 2.0) must hold with >=2x headroom here
+    assert(mean <= 0.2, s"mean err $mean leaves <2x margin on 0.4")
+    assert(worst <= 1.0, s"max err $worst leaves <2x margin on 2.0")
+    val c = Similarity.jlDistortionContract(spark, sfDir, outDim = 32,
+      sampleIds = 64, meanBound = 0.4, maxBound = 2.0).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) == ((1L, 1L, 1L)))
+  }
+
   test("LSH bucket function is deterministic and tables differ") {
     val v = Array.tabulate(64)(i => (i * 0.1f) - 3.2f)
     assert(Similarity.lshBucket(0, v) == Similarity.lshBucket(0, v))
