@@ -38,11 +38,21 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     import org.apache.spark.sql.functions._
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division: double division of ~1.7e18 ns loses ulps
-      // (> 2^53) and can land 1 µs off DuckDB's truncating cast
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: double division of ~1.7e18 ns loses ulps
+        // (> 2^53) and can land 1 µs off DuckDB's truncating cast
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): DuckDB
+        // reads it as its (naive) TIMESTAMP, so with the session
+        // pinned to UTC this cast reproduces the oracle's micros
+        // bit-for-bit while restoring the TIMESTAMP type the
+        // downstream unix_micros/window functions expect
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }
 
