@@ -292,6 +292,100 @@ object Similarity {
         (max(col("err")) <= maxBound).cast("long").as("max_err_ok"))
   }
 
+  /** Greedy k-center selection (farthest-point traversal, Gonzalez
+    * 1985) over the embedding corpus — the diversity-maximizing
+    * exemplar/coreset primitive of training-data curation (pick k
+    * maximally-spread documents; also k-means++-style seeding and the
+    * 2-approximation to the metric k-center problem). Distance is
+    * cosine distance (1 − cos) under the object-scaladoc accumulation
+    * contract, so every comparison is bit-identical cross-engine.
+    *
+    * Scale shape: driver state is exactly the k selected centers (k·d
+    * floats) plus one (rank, id, radius) triple per pick. Each round
+    * broadcasts ONLY the newest center as a literal vector, updates the
+    * per-point distance-to-selected-set incrementally
+    * (`dmin ← least(dmin, dist(x, c_new))` — O(n·d) per round, O(n·k·d)
+    * total, the classic farthest-point recurrence rather than the
+    * O(n·k²·d) recompute), and takes the next center with
+    * TakeOrderedAndProject (no corpus sort shuffle; only the 1-row
+    * argmax reaches the driver). Lineage cuts every other round bound
+    * plan growth exactly as q38's iteration does. k driver-blocking
+    * rounds are inherent to the greedy chain (each pick conditions the
+    * next); k is small by contract.
+    *
+    * Determinism: seed = smallest vec_id; argmax tiebreak
+    * (dmin DESC, vec_id ASC) is a total order on bit-identical doubles.
+    * Selected points stay in the frame — their dmin collapses to
+    * ~0 (±1 ulp of 1 − cos(x,x)) in BOTH engines, so they are never
+    * re-picked while the pair set still has positive spread. */
+  def kCenterSelect(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"kCenterSelect requires k > 0, got $k")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy("vec_id").limit(1)
+      .as[(Long, Array[Float])].collect().headOption
+    seed match {
+      case None =>
+        spark.emptyDataset[(Long, Long, Option[Double])]
+          .toDF("sel_rank", "vec_id", "radius")
+      case Some((seedId, seedVec)) =>
+        val picks = Vector.newBuilder[(Long, Long, Option[Double])]
+        picks += ((1L, seedId, None))
+        var state = e.withColumn("dmin",
+          lit(1.0) - cosine(col("embedding"), typedlit(seedVec)))
+        for (r <- 2 to k) {
+          val (nid, nd, nv) = state
+            .orderBy(col("dmin").desc, col("vec_id"))
+            .limit(1)
+            .select(col("vec_id"), col("dmin"), col("embedding"))
+            .as[(Long, Double, Array[Float])].collect().head
+          picks += ((r.toLong, nid, Some(nd)))
+          if (r < k) {
+            val next = state.withColumn("dmin",
+              least(col("dmin"),
+                lit(1.0) - cosine(col("embedding"), typedlit(nv))))
+            state = if (r % 2 == 0) Lineage.cut(next) else next
+          }
+        }
+        picks.result().toDF("sel_rank", "vec_id", "radius")
+          .withColumn("radius", round(col("radius"), 6))
+          .orderBy("sel_rank")
+    }
+  }
+
+  /** The k-center greedy, unrolled to k DuckDB CTE steps (the q38
+    * unrolled-iteration oracle precedent): p_r takes the argmax of the
+    * running min-distance frame d_{r-1}, d_r folds the new center in
+    * with the SAME incremental `least` association the Spark side uses,
+    * so every double compares bit-identically. */
+  private[rel] def kCenterOracleSql(k: Int): String = {
+    val steps = (2 to k).map { r =>
+      val pick =
+        s"""p$r AS (SELECT vec_id, embedding, dmin FROM d${r - 1}
+           |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+      val fold =
+        s"""d$r AS (SELECT a.vec_id, a.embedding,
+           |  least(a.dmin, 1.0 - ${cosineSql("a.embedding", "p.embedding")}) AS dmin
+           |  FROM d${r - 1} a, p$r p)""".stripMargin
+      if (r < k) s"$pick,\n$fold" else pick
+    }.mkString(",\n")
+    val pickRows = (2 to k)
+      .map(r => s"  UNION ALL SELECT $r, vec_id, dmin FROM p$r")
+      .mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seed AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT a.vec_id, a.embedding,
+       |  1.0 - ${cosineSql("a.embedding", "s.embedding")} AS dmin
+       |  FROM e a, seed s),
+       |$steps,
+       |picks AS (
+       |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS dmin FROM seed
+       |$pickRows)
+       |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+       |  round(dmin, 6) AS radius
+       |FROM picks ORDER BY sel_rank""".stripMargin
+  }
+
   // ---- LSH (random hyperplanes, multi-table) -----------------------------
   // The hashing kernel itself (hyperplanes, bucket signature, packed
   // keys) lives in graft.functions.LshKernel — the codegen-expression
@@ -880,6 +974,14 @@ object Similarity {
         | CAST(1 AS BIGINT) AS max_err_ok""".stripMargin) { (s, d) =>
       jlDistortionContract(s, d, outDim = 32, sampleIds = 64,
         meanBound = 0.4, maxBound = 2.0)
+    },
+
+    // Greedy k-center diversity selection (farthest-point traversal):
+    // 8 maximally-spread exemplars with the coverage radius at each
+    // pick; the oracle replays the greedy chain as unrolled CTE steps
+    // (see kCenterSelect / kCenterOracleSql).
+    Q("s11_kcenter_select", kCenterOracleSql(8)) { (s, d) =>
+      kCenterSelect(s, d, k = 8)
     },
 
     // Vector norms / normalization as a plain columnar transform.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -93,6 +93,64 @@ object Streaming {
          |click_ts >= purchase_ts - INTERVAL $horizon""".stripMargin))
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
+  /** [[windowedTypeCounts]] executed as a REAL incremental streaming
+    * query — not batch parity, the streaming engine itself: a file
+    * `readStream` over the events parquet, Trigger.AvailableNow (drain
+    * everything visible, then stop — the deterministic "batch via the
+    * streaming engine" trigger), Complete-mode aggregate into a memory
+    * sink, result handed back as a static DataFrame. This is the
+    * registry's proof that the incremental plan (state store, trigger
+    * scheduling, complete-mode snapshotting) computes the SAME answer
+    * the batch plan and the DuckDB oracle do — windowed-aggregate
+    * parity is otherwise only spec-asserted on static frames.
+    *
+    * Scale posture: the streamed aggregate's state is windows×types
+    * (bounded); the memory sink holds only that aggregate, never
+    * events. On a real cluster the same code ships with a durable
+    * checkpoint dir + kafka/file source — AvailableNow is THE
+    * recommended backfill trigger, so this path is the production
+    * backfill shape, not a test harness. The sink's temp view is
+    * dropped before returning (the result is localCheckpointed off the
+    * view first), so repeated calls cannot collide or leak catalog
+    * entries. */
+  def windowedTypeCountsStreamed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    // schema from the batch reader (nanosAsLong conversions included),
+    // then the same ts normalization Tables.events applies
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(path).schema
+    // FileStreamSource requires a DIRECTORY base path; scope the
+    // listing to the one events file with pathGlobFilter
+    val raw = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val events = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+    val name = "p12_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = windowedTypeCounts(events)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+    val out = s.table(name)
+      .withColumn("window_start",
+        date_format(col("window_start"), "yyyy-MM-dd HH:00"))
+      .orderBy("window_start", "event_type")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
   }
 
   // ---- stateful: per-user running statistics ----------------------------

@@ -337,6 +337,62 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.distinct.size > 1, "tables must use independent planes")
   }
 
+  test("s11 k-center greedy matches a driver-side replay exactly") {
+    val k = 8
+    val got = Similarity.kCenterSelect(spark, sfDir, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+    // driver replay of the identical greedy chain (same accumulation
+    // order: sequential double dot/norm, incremental least-fold)
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        sa += a(i).toDouble * a(i).toDouble
+        sb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(sa) * math.sqrt(sb))
+    }
+    val dmin = scala.collection.mutable.Map.empty[Long, Double]
+    val seed = corpus.head
+    corpus.foreach { case (id, v) => dmin(id) = 1.0 - cos(v, seed._2) }
+    var exp = Vector[(Long, Long, Option[Double])]((1L, seed._1, None))
+    var byId = corpus.toMap
+    for (r <- 2 to k) {
+      val (pid, pd) = dmin.toSeq.maxBy { case (id, d) => (d, -id) }
+      exp :+= ((r.toLong, pid,
+        Some(BigDecimal(pd).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)))
+      val pv = byId(pid)
+      corpus.foreach { case (id, v) =>
+        dmin(id) = math.min(dmin(id), 1.0 - cos(v, pv))
+      }
+    }
+    assert(got.map(t => (t._1, t._2)) == exp.map(t => (t._1, t._2)),
+      s"pick sequence diverged: got $got expected $exp")
+    got.zip(exp).foreach { case ((_, _, g), (_, _, e)) =>
+      (g, e) match {
+        case (Some(gv), Some(ev)) => assert(math.abs(gv - ev) < 1e-9)
+        case (None, None)         =>
+        case other => fail(s"radius nullability diverged: $other")
+      }
+    }
+    // coverage radii are nonincreasing — a theorem of the greedy:
+    // the min-dist function only shrinks as centers are added
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b - 1e-12 },
+      s"radii not monotone: $radii")
+    // picks are distinct
+    assert(got.map(_._2).distinct.size == k)
+  }
+
   test("brute-force knn scores are within [-1, 1] and ranked descending") {
     val rows = Similarity.knnBrute(spark, sfDir, nQueries = 2, k = 5)
       .select("qid", "cos", "rn").collect()

@@ -32,6 +32,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("p12: file-stream AvailableNow execution equals the batch plan") {
+    val streamed = windowedTypeCountsStreamed(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sfDir)
+    val batched = windowedTypeCounts(batch)
+      .withColumn("window_start",
+        date_format(col("window_start"), "yyyy-MM-dd HH:00"))
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batched, "incremental result diverged from batch")
+    assert(streamed.nonEmpty)
+    // the sink's temp view must not leak into the catalog
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("p12_sink_")))
+  }
+
   test("p08 batch sessionization equals streaming sessionize on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
