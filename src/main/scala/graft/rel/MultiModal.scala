@@ -66,6 +66,130 @@ object MultiModal {
     }(enc)
   }
 
+  /** dHash-style perceptual fingerprint: 60 ordered sample points at
+    * byte offsets ⌊i·n/61⌋ (i = 0..60), bit i = [p(i) < p(i+1)] — the
+    * gradient-sign hash the aHash/dHash family uses on resized pixel
+    * rows, applied to the stub decode's byte stream. 60 bits (not 64)
+    * keeps the value strictly positive in a signed 64-bit lane, so the
+    * DuckDB replay (BIGINT shifts) agrees bit-for-bit. Returns None
+    * for payloads with no bytes (no gradient signal — and the oracle's
+    * n >= 1 filter agrees no row materializes). */
+  private[rel] def pHash60(p: Array[Byte]): Option[Long] = {
+    val n = p.length.toLong
+    if (n < 1) return None
+    var out = 0L
+    var i = 0
+    while (i < 60) {
+      val a = p(((i.toLong * n) / 61).toInt) & 0xff
+      val b = p((((i + 1).toLong * n) / 61).toInt) & 0xff
+      if (a < b) out |= (1L << i)
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Candidate pairs at Hamming ≤ maxHamming from a (doc_id, ph)
+    * fingerprint set, via 4×15-bit pigeonhole band blocking (shuffle
+    * carries 8-byte band keys + the signature, never payloads; the
+    * exact bit_count verify runs in-bucket). */
+  private[rel] def pHashPairs(hashes: org.apache.spark.sql.Dataset[(Long, Long)],
+      maxHamming: Int): DataFrame = {
+    // 4 × 15-bit bands cover exactly Hamming <= 3 (pigeonhole); a
+    // larger radius would silently lose candidates
+    require(maxHamming <= 3,
+      s"4-band pHash blocking supports maxHamming <= 3, got $maxHamming")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    hashes
+      .flatMap { case (id, ph) =>
+        (0 until 4).iterator.map { c =>
+          ((c.toLong << 15) | ((ph >>> (c * 15)) & 0x7fffL), id, ph)
+        }
+      }
+      .toDF("bucket", "doc_id", "ph")
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("doc_id"), col("ph"))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .as[(Long, Seq[(Long, Long)])]
+      .flatMap { case (_, xs) =>
+        require(xs.length <= Dedup.MaxBucketDocs,
+          s"pHash band bucket of ${xs.length} docs exceeds " +
+            s"${Dedup.MaxBucketDocs} — near-constant fingerprints " +
+            "(e.g. mass single-byte payloads) need a pre-filter")
+        val s = xs.sortBy(_._1)
+        for {
+          i <- s.indices.iterator
+          j <- (i + 1) until s.length
+          h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+          if h <= maxHamming && s(i)._1 != s(j)._1
+        } yield (s(i)._1, s(j)._1, h)
+      }
+      .toDF("da", "db", "h")
+      .select(col("da"), col("db"), col("h").cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** Image near-dup via perceptual hash (see the m05 registry
+    * comment). Emits ONE ROW PER DOC — (doc_id, ph, n_partners) — not
+    * just the pair list: the corpus may legitimately contain zero
+    * near-dup pairs, and a pairs-only result would then be vacuously
+    * green even if the fingerprint computation diverged from the
+    * oracle. Per-doc fingerprints keep every one of the n hash values
+    * under the hash gate regardless of pair structure; the
+    * pair-discovery path is exercised by the planted-payload spec. */
+  def perceptualNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (p == null) Iterator.empty
+        else pHash60(p).iterator.map((id, _))
+      })
+    val base = hashes.toDF("doc_id", "ph")
+    val pairs = pHashPairs(hashes, maxHamming)
+    val partners = pairs.select(col("da").as("doc_id"))
+      .unionAll(pairs.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
+    base.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ph"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replica of the full m05 pipeline: hex-expand the payload,
+    * rebuild the 60-bit gradient hash with BIGINT shifts, then count
+    * each doc's partners over the ENTIRE quadratic pair space — the
+    * oracle has no blocking, so a blocking bug that INVENTS a pair
+    * breaks the hash match, and every fingerprint is value-checked
+    * row by row. */
+  private[rel] val pHashOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 1),
+      |h AS (
+      |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+      |      generate_series(0, 59),
+      |      i -> CASE WHEN ('0x' || substr(hex(p), 2*((i*n)//61)+1, 2))::BIGINT
+      |                   < ('0x' || substr(hex(p), 2*(((i+1)*n)//61)+1, 2))::BIGINT
+      |           THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0) AS BIGINT) AS ph
+      |  FROM b),
+      |pairs AS (
+      |  SELECT da, db FROM (
+      |    SELECT a.doc_id AS da, b.doc_id AS db,
+      |           bit_count(xor(a.ph, b.ph)) AS ham
+      |    FROM h a JOIN h b ON a.doc_id < b.doc_id)
+      |  WHERE ham <= 3),
+      |pc AS (
+      |  SELECT doc_id, count(*) AS n FROM (
+      |    SELECT da AS doc_id FROM pairs
+      |    UNION ALL SELECT db AS doc_id FROM pairs)
+      |  GROUP BY doc_id)
+      |SELECT h.doc_id, h.ph, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_partners
+      |FROM h LEFT JOIN pc USING (doc_id) ORDER BY h.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Binary-column plumbing with an oracle on the byte-exact parts:
     // payload = UTF-8 bytes of text (both engines encode identically).
@@ -184,6 +308,19 @@ object MultiModal {
         }
         .toDF("doc_id", "thumb_px", "thumb_sum")
         .orderBy("doc_id")
+    },
+
+    // Perceptual-hash near-duplicate detection — the IMAGE-dedup path
+    // of the multimodal brief (aHash/dHash family): a 60-bit
+    // brightness-gradient fingerprint over the (stubbed) decode, then
+    // d05's pigeonhole discipline — 4×15-bit band blocking guarantees
+    // every pair at Hamming ≤ 3 shares an exact band. One row per doc
+    // (fingerprint + partner count), so all n fingerprints are
+    // value-checked against DuckDB's blocking-free quadratic replay
+    // even when the corpus holds no near-dup pair; planted-payload
+    // pair discovery is spec-pinned (see perceptualNearDup).
+    Q("m05_phash_neardup", pHashOracleSql) { (s, d) =>
+      perceptualNearDup(s, d, maxHamming = 3)
     }
   )
 }
