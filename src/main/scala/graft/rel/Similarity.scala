@@ -654,6 +654,84 @@ object Similarity {
       cosine(col("qe"), col("ne")).as("c")), k)
   }
 
+  // ---- SQ8 (scalar quantization: per-dim affine codes + refine) ----------
+
+  /** ANN via 8-bit scalar quantization (the FAISS SQ8 family): each
+    * dimension gets an affine [min,max] range trained over the UNIT
+    * corpus, and every vector stores one byte per dimension — 4× less
+    * memory than float32 (d=64: 256 B → 64 B), the variant that trades
+    * less compression than PQ (s05's 16 B) for far lower distortion.
+    * Scoring is asymmetric: the query stays float, each corpus code
+    * decodes on the fly (`min_i + code_i·Δ_i/255`), shortlist top-√n
+    * via the native TopKPerKey, then exact cosine refine (the s05
+    * shape).
+    *
+    * Training is ONE declarative aggregate — posexplode to
+    * (dim, value) → groupBy(dim).agg(min, max) → d-row collect
+    * (bounded driver state, the K=16 centroid precedent). min/max are
+    * associative and order-insensitive, so unlike the k-means paths
+    * the trained quantizer is EXACTLY partition-invariant — no sample,
+    * no seed, no iteration order (spec-pinned). */
+  def knnSq8(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      shortlist: Int = 0): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val shortlistN =
+      if (shortlist > 0) shortlist
+      else math.max(64, 2 * math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val unitUdf = udf { (v: Array[Float]) => unit(v) }
+    val unitized = e.select(col("vec_id"), unitUdf(col("embedding")).as("u"))
+    val boundRows = unitized
+      .select(posexplode(col("u")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect()
+    val dims = boundRows.length
+    val lo = new Array[Double](dims)
+    val delta = new Array[Double](dims)
+    boundRows.foreach { r =>
+      val d = r.getInt(0)
+      lo(d) = r.getFloat(1).toDouble
+      // degenerate (constant) dimension: delta 0 would divide by zero
+      // encoding; code 0 + delta 0 decodes exactly to the constant
+      delta(d) = math.max(r.getFloat(2).toDouble - lo(d), 0.0)
+    }
+    val bc = spark.sparkContext.broadcast((lo, delta))
+    val encodeUdf = udf { (v: Array[Float]) =>
+      val u = unit(v); val (l, dl) = bc.value
+      Array.tabulate(u.length) { i =>
+        if (dl(i) == 0.0) 0.toByte
+        else {
+          val c = math.rint((u(i) - l(i)) / dl(i) * 255.0)
+          math.max(0.0, math.min(255.0, c)).toInt.toByte
+        }
+      }
+    }
+    val adcUdf = udf { (q: Array[Float], code: Array[Byte]) =>
+      val u = unit(q); val (l, dl) = bc.value
+      var s = 0.0; var i = 0
+      while (i < u.length) {
+        s += u(i) * (l(i) + (code(i) & 0xff) * dl(i) / 255.0)
+        i += 1
+      }
+      s
+    }
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val codes = e.select(col("vec_id").as("nid"),
+      encodeUdf(col("embedding")).as("code"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adcUdf(col("qe"), col("code")).as("adc"))
+    val short = ScaleOps.topKPerKey(scored, Seq("qid"),
+        Seq(("adc", false), ("nid", true)), shortlistN)
+      .select("qid", "nid")
+    val withVecs = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(queries), Seq("qid"))
+    rankTopK(withVecs.select(col("qid"), col("nid"),
+      cosine(col("qe"), col("ne")).as("c")), k)
+  }
+
   // ---- MMR (maximal marginal relevance diversity re-rank) ----------------
 
   /** internal: double dot product of two (unit) float vectors */
@@ -974,6 +1052,14 @@ object Similarity {
         | CAST(1 AS BIGINT) AS max_err_ok""".stripMargin) { (s, d) =>
       jlDistortionContract(s, d, outDim = 32, sampleIds = 64,
         meanBound = 0.4, maxBound = 2.0)
+    },
+
+    // SQ8 scalar-quantized ANN (4x memory cut, deterministic
+    // order-insensitive min/max training), same measured-recall
+    // contract as the other approximate paths.
+    Q("s12_knn_sq8", annContractOracle(5, 10)) { (s, d) =>
+      annContract(s, d, nQueries = 5, k = 10)(
+        knnSq8(s, d, nQueries = 5, k = 10))
     },
 
     // Greedy k-center diversity selection (farthest-point traversal):

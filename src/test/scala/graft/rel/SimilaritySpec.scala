@@ -337,6 +337,27 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.distinct.size > 1, "tables must use independent planes")
   }
 
+  test("s12 SQ8: recall@10 >= 0.9 and result is partition-invariant") {
+    val brute = topk(Similarity.knnBrute(spark, sfDir, nQueries = 5, k = 10))
+    val sq = topk(Similarity.knnSq8(spark, sfDir, nQueries = 5, k = 10))
+    val recalls = brute.map { case (q, bs) =>
+      val ss = sq.getOrElse(q, Seq.empty).toSet
+      bs.count(ss.contains).toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8 bits/dim on unit vectors distorts far less than PQ's 16-byte
+    // codes — the registry contract floor (0.9) needs clear headroom
+    assert(mean >= 0.9, s"mean recall@10 = $mean")
+    // min/max bounds are associative + order-insensitive, so the FULL
+    // result (not just the trained quantizer) must be identical under
+    // any partitioning — stronger than the sampled-trainer paths
+    val e7 = Tables.embeddings(spark, sfDir).repartition(7)
+    val dir7 = java.nio.file.Files.createTempDirectory("sq8inv").toString
+    e7.write.mode("overwrite").parquet(s"$dir7/embeddings.parquet")
+    val sq7 = topk(Similarity.knnSq8(spark, dir7, nQueries = 5, k = 10))
+    assert(sq7 == sq, "SQ8 result changed under repartition(7)")
+  }
+
   test("s11 k-center greedy matches a driver-side replay exactly") {
     val k = 8
     val got = Similarity.kCenterSelect(spark, sfDir, k)
