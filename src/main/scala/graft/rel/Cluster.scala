@@ -137,9 +137,33 @@ object Cluster {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle: the same pair predicate, closed transitively with a
-    * recursive CTE, component id = min reachable node. */
-  private val oracle: String =
+  /** Apply the clustering — the dedup MATERIALIZATION step a pipeline
+    * actually ships: every document gets its canonical survivor
+    * (cluster min, itself when unclustered), a keep verdict, and its
+    * duplicate count. Downstream `WHERE keep` is the deduped corpus.
+    *
+    * Scale shape: the cluster assignment joins back on doc_id carrying
+    * only (id, cluster_id, size) — never text; at sf the 47-row map
+    * auto-broadcasts, at 100 TB it degrades to an id-keyed shuffle
+    * join of 24-byte rows, which is the floor for corpus-wide
+    * survivorship. */
+  def dedupMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val asg = nearDupClusters(spark, dir)
+    docs.join(asg.select("doc_id", "cluster_id", "cluster_size"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+          .as("keep"),
+        (coalesce(col("cluster_size"), lit(1L)) - 1).as("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle prefix: the exact pair predicate closed transitively
+    * with a recursive CTE, component id = min reachable node; `asg` =
+    * (doc_id, cluster_id), `sizes` = per-cluster member count. */
+  private val componentCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |), sh AS (
@@ -165,13 +189,34 @@ object Cluster {
       |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
       |), asg AS (
       |  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
-      |)
+      |), sizes AS (
+      |  SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1
+      |)""".stripMargin
+
+  private val oracle: String = componentCtes +
+    """
       |SELECT a.doc_id, a.cluster_id, s.cluster_size
-      |FROM asg a JOIN (SELECT cluster_id, count(*) AS cluster_size
-      |                 FROM asg GROUP BY 1) s USING (cluster_id)
+      |FROM asg a JOIN sizes s USING (cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  private val materializeOracle: String = componentCtes +
+    """
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.cluster_id, d.doc_id) AS BIGINT) AS canonical_id,
+      |  (coalesce(a.cluster_id, d.doc_id) = d.doc_id) AS keep,
+      |  CAST(coalesce(s.cluster_size, 1) - 1 AS BIGINT) AS n_dups
+      |FROM documents d
+      |LEFT JOIN asg a USING (doc_id)
+      |LEFT JOIN sizes s ON a.cluster_id = s.cluster_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("d07_dedup_clusters", oracle) { (s, d) => nearDupClusters(s, d) }
+    Q("d07_dedup_clusters", oracle) { (s, d) => nearDupClusters(s, d) },
+
+    // The survivorship step over d07's components: per-doc canonical
+    // id + keep verdict + duplicate count (see dedupMaterialize).
+    Q("d14_dedup_materialize", materializeOracle) { (s, d) =>
+      dedupMaterialize(s, d)
+    }
   )
 }

@@ -99,4 +99,30 @@ class ClusterSpec extends SparkSpec {
     val members = asg.map(_._1).toSet
     assert(asg.map(_._2).toSet.subsetOf(members))
   }
+
+  test("d14 materialization: keepers are exactly the cluster minima, counts add up") {
+    val asg = Cluster.nearDupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mat = Cluster.dedupMaterialize(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(mat.length == nDocs, "one verdict row per document")
+    val byDoc = asg.map(t => t._1 -> (t._2, t._3)).toMap
+    mat.foreach { case (id, canon, keep, nDups) =>
+      byDoc.get(id) match {
+        case Some((cid, sz)) =>
+          assert(canon == cid && keep == (id == cid) && nDups == sz - 1,
+            s"doc $id diverged from its cluster row")
+        case None =>
+          assert(canon == id && keep && nDups == 0L,
+            s"unclustered doc $id must keep itself")
+      }
+    }
+    // the deduped corpus keeps exactly one doc per component plus all
+    // unclustered docs
+    val keepers = mat.count(_._3)
+    val components = asg.map(_._2).distinct.length
+    val clustered = asg.length
+    assert(keepers == nDocs - clustered + components)
+  }
 }
