@@ -140,15 +140,18 @@ object MultiModal {
   def perceptualNearDup(spark: SparkSession, dir: String,
       maxHamming: Int): DataFrame = {
     import spark.implicits._
-    val hashes = Tables.documents(spark, dir)
+    // ONE corpus scan: the fingerprint pass materializes via a lineage
+    // cut (8 B/doc) and feeds both the per-doc base and the blocking
+    // pass, instead of re-hashing the payloads for each consumer
+    val base = Lineage.cut(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
         if (p == null) Iterator.empty
         else pHash60(p).iterator.map((id, _))
       })
-    val base = hashes.toDF("doc_id", "ph")
-    val pairs = pHashPairs(hashes, maxHamming)
+      .toDF("doc_id", "ph"))
+    val pairs = pHashPairs(base.as[(Long, Long)], maxHamming)
     val partners = pairs.select(col("da").as("doc_id"))
       .unionAll(pairs.select(col("db").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))

@@ -1040,6 +1040,28 @@ object RelQueries {
         .filter(col("rn") <= col("k_l"))
         .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
         .orderBy("doc_id")
+    },
+
+    // Grouped approximate distinct — q30's HLL++ sketch as PER-KEY
+    // state: distinct users per event type via one hash-aggregate of
+    // fixed-size mergeable sketches (map-side partials merge registers,
+    // never user ids — THE grouped-cardinality plan at 100 TB, where
+    // exact count(DISTINCT) per group shuffles the full key×user
+    // space). The exact counts ride along as the oracle-replayable
+    // column; each group self-audits |approx−exact|/exact ≤ 3·rsd.
+    Q("q42_group_distinct_sketch",
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.15).as("approx_ok"))
+        .orderBy("event_type")
     }
   )
 }

@@ -317,7 +317,10 @@ object Similarity {
     * (dmin DESC, vec_id ASC) is a total order on bit-identical doubles.
     * Selected points stay in the frame — their dmin collapses to
     * ~0 (±1 ulp of 1 − cos(x,x)) in BOTH engines, so they are never
-    * re-picked while the pair set still has positive spread. */
+    * re-picked while the pair set still has positive spread. (k > n
+    * is degenerate — rounds past n re-pick near-zero-dmin points; the
+    * oracle replays the identical degeneracy, so the contract holds,
+    * but callers wanting k exemplars should have k ≤ n.) */
   def kCenterSelect(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
     require(k > 0, s"kCenterSelect requires k > 0, got $k")

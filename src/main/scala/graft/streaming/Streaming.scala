@@ -142,15 +142,18 @@ object Streaming {
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally if (q.isActive) q.stop()
-    val out = s.table(name)
-      .withColumn("window_start",
-        date_format(col("window_start"), "yyyy-MM-dd HH:00"))
-      .orderBy("window_start", "event_type")
-      .localCheckpoint(true)
-    s.catalog.dropTempView(name)
-    out
+    try {
+      q.awaitTermination()
+      s.table(name)
+        .withColumn("window_start",
+          date_format(col("window_start"), "yyyy-MM-dd HH:00"))
+        .orderBy("window_start", "event_type")
+        .localCheckpoint(true)
+    } finally {
+      // runs on the failure path too — the sink's view must not leak
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(name)
+    }
   }
 
   // ---- stateful: per-user running statistics ----------------------------
