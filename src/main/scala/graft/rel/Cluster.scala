@@ -150,7 +150,12 @@ object Cluster {
   def dedupMaterialize(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val asg = nearDupClusters(spark, dir)
-    docs.join(asg.select("doc_id", "cluster_id", "cluster_size"),
+    // shuffle_hash, not the planner's default sort-merge: one id-keyed
+    // exchange per side and NO sort — the p11 full-outer discipline;
+    // AQE still upgrades the (usually tiny) assignment side to a
+    // broadcast at runtime
+    docs.join(asg.select("doc_id", "cluster_id", "cluster_size")
+        .hint("shuffle_hash"),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),

@@ -217,6 +217,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5"), p)
   }
 
+  test("s12: ADC scans byte codes through the native top-k; refine joins broadcast") {
+    val p = plan("s12_knn_sq8")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d14/p13/q42: the closing ops keep sort-merge and cartesian out of their plans") {
+    Seq("d14_dedup_materialize", "p13_schema_evolution",
+        "q42_group_distinct_sketch").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+    // q42's sketch must partial-aggregate (register merge map-side)
+    val q42 = plan("q42_group_distinct_sketch")
+    assert(q42.contains("HashAggregate"), q42)
+  }
+
   test("whole-stage codegen spans exist in the executed per-row transforms") {
     // Spark's higher-order array expressions (filter/transform lambdas)
     // are interpreted and legitimately sit OUTSIDE codegen spans; the
