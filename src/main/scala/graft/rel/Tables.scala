@@ -35,6 +35,15 @@ object Tables {
     * "Illegal Parquet type" error — also surface as LongType nanos.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // The TIMESTAMP_NTZ→TIMESTAMP cast below is session-timezone-
+    // dependent; it reproduces the DuckDB oracle bit-for-bit ONLY
+    // under UTC. Enforce the invariant where it is relied upon (every
+    // entry point pins it today, but a future SparkSession built
+    // without the pin must fail loudly here, not skew ts silently).
+    require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC (the " +
+        "TIMESTAMP_NTZ cast is timezone-dependent and the oracles " +
+        "assume UTC) — set it on the SparkSession builder")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     import org.apache.spark.sql.functions._

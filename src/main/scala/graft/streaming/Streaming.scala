@@ -123,11 +123,21 @@ object Streaming {
     // then the same ts normalization Tables.events applies
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(path).schema
-    // FileStreamSource requires a DIRECTORY base path; scope the
-    // listing to the one events file with pathGlobFilter
-    val raw = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // FileStreamSource requires a DIRECTORY base path. Two layouts are
+    // accepted (the same two Tables.events reads): a single FILE
+    // `events.parquet` (driver testdata) is scoped via pathGlobFilter
+    // over its parent, while a Spark-written DIRECTORY `events.parquet`
+    // (part-files inside) streams from the directory itself — the glob
+    // would match no part-file and silently drain zero rows.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDirLayout = hPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(hPath).isDirectory
+    val raw =
+      if (isDirLayout) s.readStream.schema(batchSchema).parquet(path)
+      else s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
     val events = raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -144,11 +154,19 @@ object Streaming {
       .start()
     try {
       q.awaitTermination()
-      s.table(name)
+      val out = s.table(name)
         .withColumn("window_start",
           date_format(col("window_start"), "yyyy-MM-dd HH:00"))
         .orderBy("window_start", "event_type")
         .localCheckpoint(true)
+      // a source-layout mismatch the branch above didn't anticipate
+      // would drain zero files and "succeed" with an empty aggregate —
+      // surface it as an error instead (an events table with zero rows
+      // is not a layout this engine's testdata or sinks ever produce)
+      require(out.limit(1).count() > 0,
+        s"streamed windowed aggregate drained ZERO rows from $path — " +
+          "file-source layout mismatch (no files matched the listing)")
+      out
     } finally {
       // runs on the failure path too — the sink's view must not leak
       if (q.isActive) q.stop()

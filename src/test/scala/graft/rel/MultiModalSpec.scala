@@ -5,42 +5,155 @@ import org.apache.spark.sql.functions._
 
 class MultiModalSpec extends SparkSpec {
 
-  test("decodeStub is deterministic in the payload") {
-    val p = "hello multimodal".getBytes("UTF-8")
-    val a = MultiModal.decodeStub(p)
-    val b = MultiModal.decodeStub(p)
-    assert(a == b)
-    assert(a.n_bytes == p.length)
-    assert(a.byte_sum == p.map(_ & 0xff).sum)
+  /** Driver-side ground truth: luma of the formula pixel (no codec). */
+  private def lumaF(seed: Long, x: Int, y: Int): Int =
+    MultiModal.luma(MultiModal.pix(seed, x, y, 0),
+      MultiModal.pix(seed, x, y, 1), MultiModal.pix(seed, x, y, 2))
+
+  /** Driver-side ground truth: luma for a DOCUMENT pixel (dot logic). */
+  private def lumaDoc(docId: Long, x: Int, y: Int): Int =
+    if (MultiModal.hasDot(docId) && x == 0 && y == 0) 255
+    else lumaF(MultiModal.seedOf(docId), x, y)
+
+  test("PNG round-trip is pixel-exact against the formula (real codec)") {
+    for (id <- Seq(0L, 7L, 13L, 63L)) {
+      val img = MultiModal.decode(
+        MultiModal.encodePng(MultiModal.renderFixture(id))).get
+      assert(img.getWidth == MultiModal.widthOf(id))
+      assert(img.getHeight == MultiModal.heightOf(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == MultiModal.pix(id, x, y, 0))
+        assert(((rgb >> 8) & 0xff) == MultiModal.pix(id, x, y, 1))
+        assert((rgb & 0xff) == MultiModal.pix(id, x, y, 2))
+      }
+    }
+    // the planted dot overrides exactly one pixel of the doc render
+    val dotted = MultiModal.decode(
+      MultiModal.encodePng(MultiModal.renderDoc(9L))).get
+    assert(dotted.getRGB(0, 0) == 0xffffffff.toInt)
+    assert(dotted.getRGB(1, 0) ==
+      MultiModal.decode(MultiModal.encodePng(MultiModal.renderDoc(1L)))
+        .get.getRGB(1, 0)) // doc 9 = seed 1 + dot
   }
 
-  test("extractMediaFeatures preserves rows, schema, and null payloads") {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val n = docs.count()
-    val out = MultiModal.extractMediaFeatures(docs)
-    assert(out.count() == n)
-    assert(out.columns.toSeq ==
-      Seq("doc_id", "payload", "n_bytes", "width", "height", "channels", "byte_sum"))
-    // tombstone contract: null payload keeps its row with null meta
-    // (SQL null propagation — not a fake zero-sized decode)
-    val withNull = docs.withColumn("payload",
-      when(col("doc_id") === 0, lit(null)).otherwise(col("payload")))
-    val outNull = MultiModal.extractMediaFeatures(withNull)
-    assert(outNull.count() == n)
-    val z = outNull.filter(col("doc_id") === 0)
-      .select("n_bytes", "width", "height", "channels", "byte_sum").head()
-    assert((0 until 5).forall(z.isNullAt), z.toString)
+  test("extractMediaFeatures: real decode stats, schema, and tombstones") {
+    import spark.implicits._
+    val goodId = 5L
+    val good = MultiModal.encodePng(MultiModal.renderFixture(goodId))
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    val df = Seq((1L, good), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, garbage)).toDF("id", "payload")
+    val out = MultiModal.extractMediaFeatures(df)
+    assert(out.columns.toSeq == Seq("id", "payload", "width", "height",
+      "channels", "r_sum", "g_sum", "b_sum"))
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 3)
+    // decoded stats equal the formula sums
+    val w = MultiModal.widthOf(goodId); val h = MultiModal.heightOf(goodId)
+    val expSums = (0 until 3).map(b =>
+      (for (y <- 0 until h; x <- 0 until w)
+        yield MultiModal.pix(goodId, x, y, b).toLong).sum)
+    assert(rows(0).getInt(2) == w && rows(0).getInt(3) == h)
+    assert(rows(0).getInt(4) == 3)
+    assert(Seq(rows(0).getLong(5), rows(0).getLong(6), rows(0).getLong(7))
+      == expSums)
+    // tombstone contract: null payload AND undecodable payload keep
+    // their rows with null metadata (SQL null propagation, not a fake
+    // zero-sized decode)
+    for (r <- Seq(rows(1), rows(2)); i <- 2 until 8) assert(r.isNullAt(i))
   }
 
-  test("m05: fingerprints match a driver replay; partner counts agree with brute force") {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val exp = docs.flatMap { case (id, t) =>
-      if (t == null) None
-      else MultiModal.pHash60(t.getBytes("UTF-8")).map(id -> _)
-    }.sortBy(_._1)
+  test("m01: Spark md5(hex(bytes)) matches a JVM replay over the same files") {
+    // pins the cross-engine fingerprint convention (uppercase hex →
+    // md5 → lowercase hex digest) that the DuckDB oracle relies on
+    val got = SparkEntryQuery("m01_binary_meta")
+    assert(got.length == MultiModal.FixtureImages)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (r <- got) {
+      val path = java.nio.file.Paths.get(MultiModal.pngFixtureDir,
+        f"img_${r.getLong(0)}%04d.png")
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      assert(r.getLong(1) == bytes.length)
+      val hexUpper = bytes.map(b => f"${b & 0xff}%02X").mkString
+      val dig = md.digest(hexUpper.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      md.reset()
+      assert(r.getString(2) == dig, s"md5 mismatch for img ${r.getLong(0)}")
+    }
+  }
+
+  private def SparkEntryQuery(name: String) =
+    MultiModal.all.find(_.name == name).get.fn(spark, sfDir).collect()
+
+  test("m02: decoded band sums over the fixture scan match the formula") {
+    val got = SparkEntryQuery("m02_media_features")
+    assert(got.length == MultiModal.FixtureImages)
+    for (r <- got) {
+      val id = r.getLong(0)
+      val w = MultiModal.widthOf(id); val h = MultiModal.heightOf(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == 3)
+      val exp = (0 until 3).map(b =>
+        (for (y <- 0 until h; x <- 0 until w)
+          yield MultiModal.pix(id, x, y, b).toLong).sum)
+      assert(Seq(r.getLong(4), r.getLong(5), r.getLong(6)) == exp,
+        s"band sums diverge for img $id")
+    }
+  }
+
+  test("m03: sampled frame luma sums incl. partial tails match the formula") {
+    val got = SparkEntryQuery("m03_frame_sample")
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var expected = Map.empty[(Long, Long), Long]
+    var sawPartialTail = false
+    for (id <- 0L until MultiModal.FixtureImages.toLong) {
+      val w = MultiModal.widthOf(id); val h = MultiModal.heightOf(id)
+      val nFrames = (h + 7) / 8
+      if (h % 8 != 0 && (nFrames - 1) % 2 == 0) sawPartialTail = true
+      for (f <- 0 until nFrames by 2) {
+        val sum = (for (y <- f * 8 until math.min(f * 8 + 8, h);
+                        x <- 0 until w) yield lumaF(id, x, y).toLong).sum
+        expected += (id, f.toLong) -> sum
+      }
+    }
+    assert(sawPartialTail, "fixture must exercise a partial tail frame")
+    assert(got == expected)
+  }
+
+  test("m04: decoded 8x8 thumbnails match the formula (sum + weighted sum)") {
+    val got = SparkEntryQuery("m04_resize_thumb")
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(got.length == nDocs)
+    for (r <- got.take(60)) {
+      val id = r.getLong(0)
+      val s = MultiModal.seedOf(id)
+      val w = MultiModal.widthOf(s); val h = MultiModal.heightOf(s)
+      var sum = 0L; var wsum = 0L
+      for (j <- 0 until 64) {
+        val l = lumaDoc(id, ((j % 8) * w) / 8, ((j / 8) * h) / 8)
+        sum += l; wsum += (j + 1).toLong * l
+      }
+      assert(r.getInt(1) == 64)
+      assert(r.getLong(2) == sum && r.getLong(3) == wsum,
+        s"thumbnail diverges for doc $id")
+    }
+  }
+
+  /** Formula replay of the full m05 fingerprint (no codec). */
+  private def pHashFormula(docId: Long): Long = {
+    val g = MultiModal.PHashGrid
+    val s = MultiModal.seedOf(docId)
+    val w = MultiModal.widthOf(s); val h = MultiModal.heightOf(s)
+    val grid = Array.tabulate[Byte](g * g) { k =>
+      lumaDoc(docId, ((k % g) * w) / g, ((k / g) * h) / g).toByte
+    }
+    MultiModal.pHash60(grid).get
+  }
+
+  test("m05: decoded fingerprints match the formula; partner counts agree with brute force") {
+    val docIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val exp = docIds.map(id => (id, pHashFormula(id)))
     val got = MultiModal.perceptualNearDup(spark, sfDir, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.map(t => (t._1, t._2)).toSeq == exp.toSeq)
@@ -51,6 +164,13 @@ class MultiModalSpec extends SparkSpec {
         counts(exp(i)._1) += 1; counts(exp(j)._1) += 1
       }
     assert(got.map(t => (t._1, t._3)).toSeq == exp.map(t => (t._1, counts(t._1))).toSeq)
+    // the planted structure produces live pairs: doc k and k+16 render
+    // identically (hamming 0), k and k+8 differ by one grid sample
+    for (k <- 0L until 8L) {
+      assert(pHashFormula(k) == pHashFormula(k + 16))
+      assert(java.lang.Long.bitCount(pHashFormula(k) ^ pHashFormula(k + 8)) <= 1)
+      assert(counts(k) >= 1, s"doc $k found no partners")
+    }
   }
 
   test("m05: planted near-dup payloads are discovered through band blocking") {
@@ -74,45 +194,5 @@ class MultiModalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, hamNear.toLong)),
       s"expected exactly the planted pair, got $pairs")
-  }
-
-  test("frame sampling: registry query matches a driver-side recompute incl. partial tails") {
-    val texts = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text")).limit(20).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val expect = texts.flatMap { case (id, t) =>
-      val p = t.getBytes("UTF-8")
-      val nFrames = (p.length + 63) / 64
-      (0 until nFrames by 2).map { f =>
-        (id, f, p.slice(f * 64, math.min((f + 1) * 64, p.length))
-          .map(b => (b & 0xff).toLong).sum)
-      }
-    }.toSet
-    // the corpus has non-multiple-of-64 docs, so partial tail frames
-    // are genuinely exercised
-    assert(texts.values.exists(_.getBytes("UTF-8").length % 64 != 0))
-    val got = MultiModal.all.find(_.name == "m03_frame_sample").get
-      .fn(spark, sfDir)
-      .filter(col("doc_id") < 20).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(got == expect)
-  }
-
-  test("media features match a driver-side recompute (distributed == local)") {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .limit(20).collect()
-    val local = docs.map { r =>
-      r.getLong(0) -> MultiModal.decodeStub(r.getString(1).getBytes("UTF-8"))
-    }.toMap
-    val dist = MultiModal.all.find(_.name == "m02_media_features").get
-      .fn(spark, sfDir)
-      .filter(col("doc_id") < 20)
-      .collect()
-      .map(r => r.getLong(0) ->
-        MultiModal.MediaMeta(r.getLong(1), r.getInt(2), r.getInt(3),
-          r.getInt(4), r.getLong(5)))
-      .toMap
-    assert(dist == local)
   }
 }
