@@ -361,6 +361,78 @@ object MultiModal {
   }
 
   // ------------------------------------------------------------------
+  // Audio modality: REAL WAV codec (javax.sound.sampled)
+  // ------------------------------------------------------------------
+
+  /** Samples per document: 800..1056 (varied so frame math can't
+    * assume a fixed length). */
+  def audioLen(docId: Long): Int = 800 + (docId % 257).toInt
+
+  /** Ground-truth PCM sample in -32768..32767 — pure integer
+    * arithmetic, replicated in the m06 oracle. */
+  def pcm(docId: Long, t: Int): Int =
+    ((docId * 31 + t.toLong * 17) % 65536).toInt - 32768
+
+  /** Real WAV encode: 16-bit signed little-endian mono PCM at 8 kHz
+    * through the actual RIFF container writer. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = audioLen(docId)
+    val raw = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = pcm(docId, t)
+      raw(2 * t) = (s & 0xff).toByte
+      raw(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Typed metadata from the real WAV decode. */
+  case class AudioMeta(n_samples: Long, sample_rate: Int, channels: Int,
+      sum_amp: Long, sum_abs: Long, peak: Long, zero_cross: Long)
+
+  /** Real WAV decode: container parse via AudioSystem (header,
+    * format, frame stream), then integer features over the PCM
+    * samples. None for unparseable payloads (tombstone contract). */
+  def decodeWav(payload: Array[Byte]): Option[AudioMeta] =
+    try {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"unexpected WAV format $fmt")
+      val bytes = ais.readAllBytes()
+      ais.close()
+      val n = bytes.length / 2
+      var sum = 0L; var sabs = 0L; var peak = 0L; var zc = 0L
+      var prev = 0
+      var t = 0
+      while (t < n) {
+        val s = ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xff))
+        sum += s; val a = math.abs(s.toLong); sabs += a
+        if (a > peak) peak = a
+        // zero crossing: sign change between consecutive samples,
+        // sign(0) counted as non-negative
+        if (t > 0 && ((s < 0) != (prev < 0))) zc += 1
+        prev = s
+        t += 1
+      }
+      Some(AudioMeta(n.toLong, fmt.getSampleRate.toInt, fmt.getChannels,
+        sum, sabs, peak, zc))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  // ------------------------------------------------------------------
   // Oracle SQL (generated from the same formula constants)
   // ------------------------------------------------------------------
 
@@ -542,6 +614,44 @@ object MultiModal {
     // doc_id<24 groups guarantee live pairs at every scale factor.
     Q("m05_phash_neardup", pHashOracleSql) { (s, d) =>
       perceptualNearDup(s, d, maxHamming = 3)
+    },
+
+    // AUDIO modality with a REAL codec: per document a genuine WAV
+    // payload (16-bit LE mono PCM at 8 kHz through the actual RIFF
+    // writer), decoded with javax.sound.sampled — container header,
+    // format negotiation, frame stream — then integer signal features
+    // (amplitude sums, peak, zero crossings). All features are
+    // integer-exact, so the oracle recomputes them from the PCM
+    // formula arithmetically; a codec deviation on any sample of any
+    // document breaks the hash. Narrow per-row pass, sf-scaled.
+    Q("m06_wav_features",
+      """WITH d AS (SELECT doc_id, 800 + doc_id % 257 AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |  list_transform(generate_series(0, n::INT - 1),
+        |    t -> ((doc_id*31 + t*17) % 65536) - 32768) AS xs
+        |  FROM d),
+        |f AS (SELECT doc_id, n,
+        |  CAST(list_sum(xs) AS BIGINT) AS sum_amp,
+        |  CAST(list_sum(list_transform(xs, x -> abs(x))) AS BIGINT) AS sum_abs,
+        |  CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak,
+        |  CAST(list_sum(list_transform(generate_series(1, n::INT - 1),
+        |    t -> CASE WHEN (xs[t+1] < 0) != (xs[t] < 0)
+        |         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, 8000 AS sample_rate,
+        |  1 AS channels, sum_amp, sum_abs, peak, zero_cross
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val m = decodeWav(encodeWav(id)).getOrElse(
+            sys.error(s"undecodable WAV payload for doc $id"))
+          (id, m.n_samples, m.sample_rate, m.channels,
+            m.sum_amp, m.sum_abs, m.peak, m.zero_cross)
+        })
+        .toDF("doc_id", "n_samples", "sample_rate", "channels",
+          "sum_amp", "sum_abs", "peak", "zero_cross")
+        .orderBy("doc_id")
     }
   )
 }

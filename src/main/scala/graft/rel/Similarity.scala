@@ -362,6 +362,12 @@ object Similarity {
     * with the SAME incremental `least` association the Spark side uses,
     * so every double compares bit-identically. */
   private[rel] def kCenterOracleSql(k: Int): String = {
+    // kCenterSelect itself handles k = 1, but this unrolled oracle
+    // would emit a dangling ',' between d1 and picks with an empty
+    // steps block — keep the two sides' supported domains honest about
+    // where they diverge rather than producing malformed SQL
+    require(k >= 2, s"kCenterOracleSql needs k >= 2 (got $k); " +
+      "the k = 1 oracle is just the seed row — inline it if ever needed")
     val steps = (2 to k).map { r =>
       val pick =
         s"""p$r AS (SELECT vec_id, embedding, dmin FROM d${r - 1}
@@ -387,6 +393,127 @@ object Similarity {
        |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
        |  round(dmin, 6) AS radius
        |FROM picks ORDER BY sel_rank""".stripMargin
+  }
+
+  /** Sampled k-center — the O(1)-corpus-pass scale path for
+    * [[kCenterSelect]] (Gonzalez-on-a-coreset: uniform pre-sample,
+    * exact greedy on the sample; the standard remedy for exact
+    * greedy's k driver-blocking corpus scans). Exactly TWO distributed
+    * passes regardless of k:
+    *
+    *  1. a deterministic uniform-without-replacement draw of m rows —
+    *     TakeOrdered on (md5(vec_id), vec_id), the engine-reproducible
+    *     hash-order draw q41 established; per-partition top-m heaps,
+    *     only survivors reach the driver;
+    *  2. one corpus aggregate measuring the COVERAGE RADIUS of the
+    *     selected centers: max over the corpus of min cosine-distance
+    *     to the k picks (the quantity the k-center objective bounds).
+    *
+    * Between them, the exact Gonzalez greedy runs DRIVER-SIDE on the
+    * m·d-float sample — zero Spark jobs, m·k·d flops, same seed and
+    * tiebreak contract as [[kCenterSelect]] (seed = smallest sampled
+    * vec_id; argmax by dmin DESC, vec_id ASC; incremental min-fold) so
+    * the DuckDB oracle replays it as unrolled CTE steps over the same
+    * sample. Coverage is exact cross-engine: each 1−cos is the
+    * fixed-order accumulation contract, and min/max are
+    * order-insensitive. The sampled radius is within a small factor of
+    * the exact greedy's radius (spec-pinned on the sf fixtures);
+    * theory: greedy on a uniform coreset covers the mass of the
+    * distribution at O(opt) radius w.h.p. once m ≫ k. */
+  def kCenterSampled(spark: SparkSession, dir: String, k: Int,
+      m: Int): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"kCenterSampled requires k >= 1, got $k")
+    require(m >= k, s"sample size m=$m must be >= k=$k")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // corpus pass 1: the sample (bounded TakeOrdered, driver gets m·d)
+    val sample = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(m)
+      .as[(Long, Array[Float])].collect()
+    if (sample.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("sel_rank", "vec_id", "cover_radius")
+    // driver-side exact greedy on the sample — the same sequential
+    // double accumulation the FloatDot expression and the oracle use
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        sa += a(i).toDouble * a(i).toDouble
+        sb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dp / (math.sqrt(sa) * math.sqrt(sb))
+    }
+    val sorted = sample.sortBy(_._1)
+    val seed = sorted.head
+    val dmin = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    val vecs = sorted.toMap
+    sorted.foreach { case (id, v) => dmin(id) = 1.0 - cosD(v, seed._2) }
+    var picks = Vector[(Long, Long)]((1L, seed._1))
+    for (r <- 2 to math.min(k, sorted.length)) {
+      val (pid, _) = dmin.maxBy { case (id, d) => (d, -id) }
+      picks :+= ((r.toLong, pid))
+      val pv = vecs(pid)
+      dmin.keysIterator.toSeq.foreach { id =>
+        dmin(id) = math.min(dmin(id), 1.0 - cosD(vecs(id), pv))
+      }
+    }
+    // corpus pass 2: coverage radius of the picked centers (exact:
+    // per-row min over k fixed-order cosines, then a max aggregate)
+    val centerCols = picks.map { case (_, id) =>
+      lit(1.0) - cosine(col("embedding"), typedlit(vecs(id)))
+    }
+    val dminCol =
+      if (centerCols.length == 1) centerCols.head else least(centerCols: _*)
+    val radius = e.select(dminCol.as("dm")).agg(max("dm")).head().getDouble(0)
+    val rounded = BigDecimal(radius)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    picks.map { case (r, id) => (r, id, rounded) }
+      .toDF("sel_rank", "vec_id", "cover_radius")
+      .orderBy("sel_rank")
+  }
+
+  /** DuckDB replica of [[kCenterSampled]]: the same md5-order sample,
+    * the greedy unrolled to k CTE steps (kCenterOracleSql's shape, over
+    * the sample), and the corpus-wide coverage radius via a min-per-row
+    * / max-overall aggregate — order-insensitive, so bit-exact. */
+  private[rel] def kCenterSampledOracleSql(k: Int, m: Int): String = {
+    require(k >= 2, s"kCenterSampledOracleSql needs k >= 2 (got $k)")
+    val steps = (2 to k).map { r =>
+      val pick =
+        s"""p$r AS (SELECT vec_id, embedding, dmin FROM d${r - 1}
+           |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+      val fold =
+        s"""d$r AS (SELECT a.vec_id, a.embedding,
+           |  least(a.dmin, 1.0 - ${cosineSql("a.embedding", "p.embedding")}) AS dmin
+           |  FROM d${r - 1} a, p$r p)""".stripMargin
+      if (r < k) s"$pick,\n$fold" else pick
+    }.mkString(",\n")
+    val pickRows = (2 to k)
+      .map(r => s"  UNION ALL SELECT $r, vec_id FROM p$r")
+      .mkString("\n")
+    s"""WITH es AS (SELECT vec_id, embedding FROM embeddings),
+       |e AS (SELECT vec_id, embedding FROM es
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $m),
+       |seed AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT a.vec_id, a.embedding,
+       |  1.0 - ${cosineSql("a.embedding", "s.embedding")} AS dmin
+       |  FROM e a, seed s),
+       |$steps,
+       |picks AS (
+       |  SELECT 1 AS sel_rank, vec_id FROM seed
+       |$pickRows),
+       |pe AS (SELECT p.sel_rank, p.vec_id, es.embedding
+       |       FROM picks p JOIN es ON es.vec_id = p.vec_id),
+       |cov AS (SELECT round(max(dm), 6) AS cover_radius FROM (
+       |  SELECT a.vec_id,
+       |    min(1.0 - ${cosineSql("a.embedding", "p.embedding")}) AS dm
+       |  FROM es a CROSS JOIN pe p GROUP BY a.vec_id))
+       |SELECT CAST(p.sel_rank AS BIGINT) AS sel_rank, p.vec_id,
+       |  c.cover_radius
+       |FROM picks p, cov c ORDER BY sel_rank""".stripMargin
   }
 
   // ---- LSH (random hyperplanes, multi-table) -----------------------------
@@ -709,8 +836,12 @@ object Similarity {
         }
       }
     }
-    val adcUdf = udf { (q: Array[Float], code: Array[Byte]) =>
-      val u = unit(q); val (l, dl) = bc.value
+    // consumes an ALREADY-UNIT query vector: normalization happens once
+    // per query in the (tiny, broadcast) queries frame below, not once
+    // per (query, code) scored row of the n×q cross join — the encode
+    // side normalizes once per vector, and the two sides now match
+    val adcUdf = udf { (u: Array[Float], code: Array[Byte]) =>
+      val (l, dl) = bc.value
       var s = 0.0; var i = 0
       while (i < u.length) {
         s += u(i) * (l(i) + (code(i) & 0xff) * dl(i) / 255.0)
@@ -719,12 +850,13 @@ object Similarity {
       s
     }
     val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        unitUdf(col("embedding")).as("qu"))
     val codes = e.select(col("vec_id").as("nid"),
       encodeUdf(col("embedding")).as("code"))
     val scored = codes.crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), adcUdf(col("qe"), col("code")).as("adc"))
+      .select(col("qid"), col("nid"), adcUdf(col("qu"), col("code")).as("adc"))
     val short = ScaleOps.topKPerKey(scored, Seq("qid"),
         Seq(("adc", false), ("nid", true)), shortlistN)
       .select("qid", "nid")
@@ -1071,6 +1203,14 @@ object Similarity {
     // (see kCenterSelect / kCenterOracleSql).
     Q("s11_kcenter_select", kCenterOracleSql(8)) { (s, d) =>
       kCenterSelect(s, d, k = 8)
+    },
+
+    // Sampled k-center — s11's 100 TB path: O(1) corpus passes
+    // (hash-order pre-sample + one coverage-radius aggregate), exact
+    // Gonzalez greedy on the driver-held sample; the oracle replays
+    // sample, greedy, and radius (see kCenterSampled).
+    Q("s13_kcenter_sampled", kCenterSampledOracleSql(8, 256)) { (s, d) =>
+      kCenterSampled(s, d, k = 8, m = 256)
     },
 
     // Vector norms / normalization as a plain columnar transform.

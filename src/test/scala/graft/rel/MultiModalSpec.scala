@@ -173,6 +173,22 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("m06: WAV round-trip decodes the exact PCM formula (real codec)") {
+    for (id <- Seq(0L, 5L, 123L, 4999L)) {
+      val m = MultiModal.decodeWav(MultiModal.encodeWav(id)).get
+      assert(m.n_samples == MultiModal.audioLen(id))
+      assert(m.sample_rate == 8000 && m.channels == 1)
+      val xs = (0 until MultiModal.audioLen(id)).map(MultiModal.pcm(id, _))
+      assert(m.sum_amp == xs.map(_.toLong).sum)
+      assert(m.sum_abs == xs.map(x => math.abs(x.toLong)).sum)
+      assert(m.peak == xs.map(x => math.abs(x.toLong)).max)
+      val zc = (1 until xs.length).count(t => (xs(t) < 0) != (xs(t - 1) < 0))
+      assert(m.zero_cross == zc.toLong)
+    }
+    // tombstone: non-WAV bytes decode to None, not a crash
+    assert(MultiModal.decodeWav("definitely not audio".getBytes("UTF-8")).isEmpty)
+  }
+
   test("m05: planted near-dup payloads are discovered through band blocking") {
     import spark.implicits._
     // n=122 puts sample point i at byte 2i; mutating one sample-point

@@ -237,6 +237,16 @@ class PlanSpec extends SparkSpec {
     assert(q42.contains("HashAggregate"), q42)
   }
 
+  test("p14: bucketed join AND bucket-key aggregate run with zero Exchange") {
+    val df = PipelineQueries.bucketedJoinAgg(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    // the whole registry plan — join + groupBy on the bucket key —
+    // must ride the bucket distribution end-to-end: any Exchange here
+    // means the pay-once-at-ingest layout stopped paying
+    assert(!p.contains("Exchange"), s"p14 bucketed plan shuffled:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the executed per-row transforms") {
     // Spark's higher-order array expressions (filter/transform lambdas)
     // are interpreted and legitimately sit OUTSIDE codegen spans; the

@@ -163,6 +163,61 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s04/s05: trained centroids are invariant to input partitioning at fixed sample") {
+    // the uniform reproducibility statement across the ANN training
+    // tier (s12's SQ8 pins exact min/max invariance; here the k-means
+    // paths): hash-ordered sample + deterministic Lloyd iterations ⟹
+    // bit-identical centroids under any input partitioning
+    val e = Tables.embeddings(spark, sfDir)
+    val c1 = Similarity.kmeansCentroids(Similarity.trainingSample(e, 64), 8, 8)
+    val c2 = Similarity.kmeansCentroids(
+      Similarity.trainingSample(e.repartition(13), 64), 8, 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "k-means centroids differ under repartition(13)")
+  }
+
+  test("s13 sampled k-center: deterministic, k picks, radius within 2x of exact greedy") {
+    val got = Similarity.kCenterSampled(spark, sfDir, k = 8, m = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 8)
+    assert(got.map(_._1).toSeq == (1L to 8L))
+    assert(got.map(_._3).distinct.length == 1, "cover_radius must be global")
+    // determinism
+    val again = Similarity.kCenterSampled(spark, sfDir, k = 8, m = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+    // coverage quality: the sampled greedy's corpus radius within 2x of
+    // the exact greedy's corpus radius (Gonzalez-on-coreset contract)
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        sa += a(i).toDouble * a(i).toDouble
+        sb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dp / (math.sqrt(sa) * math.sqrt(sb))
+    }
+    val byId = corpus.toMap
+    def coverRadius(centerIds: Seq[Long]): Double =
+      corpus.map { case (_, v) =>
+        centerIds.map(c => 1.0 - cos(v, byId(c))).min
+      }.max
+    val exactIds = Similarity.kCenterSelect(spark, sfDir, k = 8).collect()
+      .map(_.getLong(1)).toSeq
+    val exactRadius = coverRadius(exactIds)
+    val sampledRadius = got.head._3
+    assert(sampledRadius <= 2.0 * exactRadius + 1e-9,
+      s"sampled radius $sampledRadius vs exact $exactRadius")
+    // and the reported radius is the true corpus radius of the picks
+    val replay = coverRadius(got.map(_._2).toSeq)
+    assert(math.abs(replay - sampledRadius) < 1e-6,
+      s"reported $sampledRadius != replayed $replay")
+  }
+
   test("kmeans quantizer is deterministic and balanced-ish") {
     val vecs = Array.tabulate(256)(i =>
       Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
