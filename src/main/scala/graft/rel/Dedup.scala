@@ -968,6 +968,53 @@ object Dedup {
         | CAST(1 AS BIGINT) AS max_err_ok""".stripMargin) { (s, d) =>
       minhashEstimateContract(s, d, minJ = 0.5, meanBound = 0.05,
         maxBound = 0.3)
+    },
+
+    // Bloom-prefiltered incremental dedup — d12's semantics (keep batch
+    // digests absent from the corpus) with the corpus-side scan
+    // PRE-PRUNED by a Bloom filter of the batch keys, the scale upgrade
+    // d12's own comment promised. The batch (≪ corpus by definition)
+    // folds to ~KB of Bloom bits via one aggregate; the corpus then
+    // sheds every digest that can't possibly collide in a NARROW scan —
+    // at 100 TB only matches + fpp·misses of the corpus ever shuffle
+    // into the anti-join, instead of every distinct corpus digest.
+    // EXACTNESS is unconditional, not probabilistic: the anti-join only
+    // consults corpus digests EQUAL to some batch digest, and Bloom
+    // filters have no false negatives, so every consulted digest
+    // survives the prune; false positives merely ride into the join and
+    // lose there. Same-plan-different-split from d12 (batch = doc_id%10
+    // >= 8 here) so the two registry entries gate different row sets.
+    Q("d15_bloom_incremental",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_filter(string_split(text, ' '), t -> length(t) > 0)[1:8],
+        |      ' ')) AS dg
+        |  FROM documents),
+        |b AS (SELECT dg, min(doc_id) AS keeper, count(*) AS batch_copies
+        |      FROM p WHERE doc_id % 10 >= 8 GROUP BY dg)
+        |SELECT b.dg AS digest, b.keeper, b.batch_copies FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM p c
+        |                  WHERE c.doc_id % 10 < 8 AND c.dg = b.dg)
+        |ORDER BY digest""".stripMargin) { (s, d) =>
+      val dg = md5(array_join(
+        slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 8),
+        " ")).as("dg")
+      val p = Tables.documents(s, d).select(col("doc_id"), dg)
+      val batch = p.filter(col("doc_id") % 10 >= 8)
+        .groupBy("dg")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("batch_copies"))
+      // size from the actual batch key count (q33 precedent) so the
+      // realized fpp holds at any sf
+      val bloom = batch.stat.bloomFilter("dg",
+        math.max(1024L, batch.count()), 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val might = udf((k: String) => bc.value.mightContainString(k))
+      val corpusSliver = p.filter(col("doc_id") % 10 < 8)
+        .filter(might(col("dg"))).select("dg").distinct()
+      batch.join(corpusSliver, Seq("dg"), "left_anti")
+        .select(col("dg").as("digest"), col("keeper"), col("batch_copies"))
+        .orderBy("digest")
     }
   )
 }

@@ -432,6 +432,114 @@ object MultiModal {
       case _: java.io.IOException => None
     }
 
+  // ---- m07: acoustic fingerprint over the real WAV decode ------------
+
+  /** m07 ground truth: audio CONTENT is keyed by `doc_id % 100`, so
+    * distinct documents deliberately carry byte-identical recordings
+    * (the re-uploaded-file case an audio dedup pass exists to catch).
+    * Length is a whole number of 256-sample frames. */
+  def audioContentKey(docId: Long): Long = docId % 100
+  def audioLen2(ck: Long): Int = 512 + (ck % 7).toInt * 256
+
+  /** Quadratic-in-t congruential PCM — deliberately NONLINEAR: a linear
+    * ramp (the m06 formula) yields near-identical sub-band energies in
+    * every frame, collapsing the energy-difference bits to a handful of
+    * patterns. Products stay ≤ ~3e12 — Long/BIGINT-exact in both
+    * engines. */
+  def pcm2(ck: Long, t: Int): Int =
+    (((ck * 7349L + 13L) * (t.toLong * t + t.toLong * 31 + 7)) % 65536).toInt - 32768
+
+  /** Real WAV encode of the m07 content stream (same RIFF writer as
+    * [[encodeWav]], different PCM formula + duplicate-group keying). */
+  def encodeContentWav(ck: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = audioLen2(ck)
+    val raw = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = pcm2(ck, t)
+      raw(2 * t) = (s & 0xff).toByte
+      raw(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode returning the raw 16-bit PCM samples (the
+    * [[decodeWav]] container parse, kept separate because m06's
+    * feature fold never materializes the sample array). */
+  def decodeWavSamples(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"unexpected WAV format $fmt")
+      val bytes = ais.readAllBytes()
+      ais.close()
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var t = 0
+      while (t < n) {
+        out(t) = (bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xff)
+        t += 1
+      }
+      Some(out)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Energy-difference acoustic fingerprint (the Haitsma–Kalker 2002
+    * bit-derivation shape, over time-domain sub-band energies so every
+    * step is INTEGER-exact and oracle-replayable): 256-sample frames ×
+    * 4 sub-slots of 64 samples; slot energy = Σ s² (≤ 64·32768² —
+    * Long-safe); bit(f,b) = sign of the frame-over-frame difference of
+    * adjacent-slot energy differences; bits fold through the rolling
+    * hash seeded with the frame count (so equal bit streams of
+    * different lengths cannot collide by construction). */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    val Mod = 1000000007L
+    val nf = samples.length / 256
+    require(nf >= 1 && samples.length == nf * 256,
+      s"fingerprint needs whole 256-sample frames, got ${samples.length}")
+    val en = Array.ofDim[Long](nf, 4)
+    var f = 0
+    while (f < nf) {
+      var b = 0
+      while (b < 4) {
+        var s = 0L; var j = 0
+        while (j < 64) {
+          val x = samples(f * 256 + b * 64 + j).toLong
+          s += x * x; j += 1
+        }
+        en(f)(b) = s; b += 1
+      }
+      f += 1
+    }
+    var h = nf.toLong
+    f = 1
+    while (f < nf) {
+      var b = 0
+      while (b < 3) {
+        val bit =
+          if ((en(f)(b) - en(f)(b + 1)) - (en(f - 1)(b) - en(f - 1)(b + 1)) > 0)
+            1L
+          else 0L
+        h = (h * 31 + bit) % Mod
+        b += 1
+      }
+      f += 1
+    }
+    h
+  }
+
   // ------------------------------------------------------------------
   // Oracle SQL (generated from the same formula constants)
   // ------------------------------------------------------------------
@@ -652,6 +760,55 @@ object MultiModal {
         .toDF("doc_id", "n_samples", "sample_rate", "channels",
           "sum_amp", "sum_abs", "peak", "zero_cross")
         .orderBy("doc_id")
+    },
+
+    // Acoustic-fingerprint near-dup over REAL decoded audio: every
+    // document's WAV round-trips the actual RIFF container
+    // (AudioSystem write → parse), the decoded PCM folds to the
+    // integer-exact Haitsma–Kalker-shaped fingerprint (see
+    // audioFingerprint), and duplicate recordings group on it. Scale
+    // shape: decode + fingerprint is a NARROW per-row pass — audio
+    // bytes never shuffle, only the 8-byte fingerprint reaches the
+    // hash-aggregate (map-side combined). The oracle replays the
+    // fingerprint arithmetically from the PCM formula — a codec
+    // deviation on any sample of any document, or a grouping bug,
+    // breaks the hash match.
+    Q("m07_audio_fingerprint",
+      """WITH d AS (SELECT doc_id, doc_id % 100 AS ck FROM documents),
+        |p AS (SELECT doc_id, ck, (512 + (ck % 7) * 256) // 256 AS nf FROM d),
+        |e AS (SELECT doc_id, nf,
+        |  list_transform(generate_series(0, nf * 4 - 1), i ->
+        |    list_sum(list_transform(list_transform(
+        |      list_transform(generate_series(0, 63),
+        |        j -> (i // 4) * 256 + (i % 4) * 64 + j),
+        |      t -> ((ck*7349 + 13) * (t*t + t*31 + 7)) % 65536 - 32768),
+        |      x -> x * x))) AS en
+        |  FROM p),
+        |f AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(nf::BIGINT,
+        |      list_transform(generate_series(0, (nf - 1) * 3 - 1), t ->
+        |        CASE WHEN (en[(t // 3 + 1) * 4 + (t % 3) + 1]
+        |                   - en[(t // 3 + 1) * 4 + (t % 3) + 2])
+        |                - (en[(t // 3) * 4 + (t % 3) + 1]
+        |                   - en[(t // 3) * 4 + (t % 3) + 2]) > 0
+        |             THEN 1::BIGINT ELSE 0::BIGINT END)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM e)
+        |SELECT fp AS fingerprint, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM f GROUP BY fp ORDER BY fingerprint""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val samples = decodeWavSamples(encodeContentWav(audioContentKey(id)))
+            .getOrElse(sys.error(s"undecodable WAV payload for doc $id"))
+          (id, audioFingerprint(samples))
+        })
+        .toDF("doc_id", "fp")
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+        .select(col("fp").as("fingerprint"), col("n_copies"), col("keeper"))
+        .orderBy("fingerprint")
     }
   )
 }

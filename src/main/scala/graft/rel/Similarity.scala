@@ -748,9 +748,11 @@ object Similarity {
       }
     }
     // ADC over codes only — (qid, nid, adc) is all that reaches the
-    // top-k; vectors are re-fetched for the shortlist alone
-    val adcUdf = udf { (q: Array[Float], code: Array[Byte]) =>
-      val u = unit(q); val cbs = bc.value
+    // top-k; vectors are re-fetched for the shortlist alone. The query
+    // arrives PRE-unitized (qu below, normalized once per query, not
+    // once per scored (query, code) row — the knnSq8 shape).
+    val adcUdf = udf { (u: Array[Float], code: Array[Byte]) =>
+      val cbs = bc.value
       var s = 0.0; var mi = 0
       while (mi < m) {
         val cb = cbs(mi)(code(mi) & 0xff)
@@ -760,8 +762,12 @@ object Similarity {
       }
       s
     }
+    val unitUdf = udf { (v: Array[Float]) => unit(v) }
+    // qe stays RAW for the exact-cosine refine (bit-identical results);
+    // qu is the unit view the ADC scan consumes
     val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        unitUdf(col("embedding")).as("qu"))
     val codes = e.select(col("vec_id").as("nid"),
       encodeUdf(col("embedding")).as("code"))
     // shortlist via the native bounded top-k operator (partial heaps +
@@ -771,7 +777,7 @@ object Similarity {
     // set is deterministic
     val scored = codes.crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), adcUdf(col("qe"), col("code")).as("adc"))
+      .select(col("qid"), col("nid"), adcUdf(col("qu"), col("code")).as("adc"))
     val short = ScaleOps.topKPerKey(scored, Seq("qid"),
         Seq(("adc", false), ("nid", true)), shortlistN)
       .select("qid", "nid")
@@ -1066,6 +1072,106 @@ object Similarity {
       min((col("c1") >= col("maxc") - lit(1e-9)).cast("long")).as("top1_ok"))
   }
 
+  /** One-row contract for s14: distributed Lloyd's k-means over the
+    * full unitized corpus (spherical k-means, the cosine-space
+    * variant). Per iteration: centroids broadcast → one pass over the
+    * CACHED corpus assigns each vector (nearest centroid, lower index
+    * on ties) → the centroid update folds through a (cluster, dim)
+    * hash-aggregate whose map-side partials are ≤ k·d rows per
+    * partition, so the shuffle is k·d·partitions rows regardless of
+    * corpus size → k·d doubles collect to the driver (the bounded
+    * driver-state precedent of s11/SQ8). Empty clusters keep their
+    * previous centroid (standard Lloyd's guard). `iters` driver rounds
+    * total — the same inherent sync points any Lloyd implementation
+    * (Spark MLlib KMeans included) pays.
+    *
+    * Contract columns, chosen to be bit-stable even though float-sum
+    * accumulation order makes the exact centroids partition-dependent:
+    * n_assigned (exact), k_nonempty_ok (≥2 of k clusters survive),
+    * wcss_monotone_ok (within-cluster sum of squares non-increasing
+    * each round to 1e-6 relative — Lloyd's monotonicity theorem, with
+    * float-rounding slack), iters_run. Cross-partition robustness of
+    * WCSS itself is spec-pinned in SimilaritySpec. */
+  def kmeansClusterContract(spark: SparkSession, dir: String, k: Int,
+      iters: Int): DataFrame = {
+    val (n, nonempty, wcss) = kmeansClusterStats(spark, dir, k, iters)
+    import spark.implicits._
+    val monotone = wcss.sliding(2).forall {
+      case Seq(a, b) => b <= a * (1 + 1e-6)
+      case _         => true
+    }
+    Seq((n, if (nonempty >= 2) 1L else 0L, if (monotone) 1L else 0L,
+        iters.toLong))
+      .toDF("n_assigned", "k_nonempty_ok", "wcss_monotone_ok", "iters_run")
+  }
+
+  /** (rows assigned, nonempty clusters after the last round, per-round
+    * WCSS) — the measured internals behind [[kmeansClusterContract]],
+    * exposed for the spec's partition-robustness pin. */
+  private[rel] def kmeansClusterStats(spark: SparkSession, dir: String,
+      k: Int, iters: Int,
+      shape: DataFrame => DataFrame = identity): (Long, Int, Seq[Double]) = {
+    val e = shape(Tables.embeddings(spark, dir))
+    val unitUdf = udf { (v: Array[Float]) => unit(v) }
+    val u = e.select(col("vec_id"), unitUdf(col("embedding")).as("u")).cache()
+    try {
+      // deterministic hash-ordered seeds (the trainingSample draw):
+      // k spread unit vectors, partition-invariant
+      var centroids: Array[Array[Double]] =
+        trainingSample(e, k).map(_.map(_.toDouble))
+      val wcssHist = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var lastCounts: Array[Long] = Array.fill(k)(0L)
+      var nTotal = 0L
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val assignUdf = udf { (v: Array[Float]) =>
+          val cs = bc.value
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cs.length) {
+            var dd = 0.0; var j = 0
+            while (j < v.length) {
+              val d = v(j) - cs(c)(j); dd += d * d; j += 1
+            }
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          (best, bestD)
+        }
+        val a = u.select(col("u"), assignUdf(col("u")).as("a"))
+          .select(col("u"), col("a._1").as("c"), col("a._2").as("d2"))
+          .cache()
+        // centroid numerators: (cluster, dim)-keyed hash-agg — partial
+        // aggregation bounds every partition's shuffle output at k·d
+        val sums = a
+          .select(col("c"), posexplode(col("u")).as(Seq("dim", "x")))
+          .groupBy("c", "dim").agg(sum(col("x").cast("double")).as("sx"))
+          .collect()
+        val stats = a.groupBy("c")
+          .agg(count(lit(1)).as("n"), sum("d2").as("w"))
+          .collect()
+        a.unpersist()
+        bc.destroy()
+        val counts = Array.fill(k)(0L)
+        var wcss = 0.0
+        stats.foreach { r =>
+          counts(r.getInt(0)) = r.getLong(1); wcss += r.getDouble(2)
+        }
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          val c = r.getInt(0)
+          if (counts(c) > 0) next(c)(r.getInt(1)) = r.getDouble(2) / counts(c)
+        }
+        wcssHist += wcss
+        lastCounts = counts
+        nTotal = counts.sum
+        centroids = next
+        it += 1
+      }
+      (nTotal, lastCounts.count(_ > 0), wcssHist.toSeq)
+    } finally u.unpersist()
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_brute",
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -1211,6 +1317,23 @@ object Similarity {
     // sample, greedy, and radius (see kCenterSampled).
     Q("s13_kcenter_sampled", kCenterSampledOracleSql(8, 256)) { (s, d) =>
       kCenterSampled(s, d, k = 8, m = 256)
+    },
+
+    // Distributed Lloyd's k-means over the FULL corpus (document
+    // clustering / topic bucketing) — unlike the s04/s05 trainers,
+    // which fit on a bounded driver sample, every iteration here is a
+    // corpus-wide assignment + centroid update, the shape that actually
+    // clusters 100 TB. Folded to its one-row measured contract (see
+    // kmeansClusterContract) because float-sum accumulation order makes
+    // exact centroids partition-dependent; the robust invariants
+    // (total assigned, nonempty clusters, WCSS monotone descent) are
+    // what the oracle can hold bit-stable.
+    Q("s14_kmeans_cluster",
+      """SELECT (SELECT count(*) FROM embeddings) AS n_assigned,
+        | CAST(1 AS BIGINT) AS k_nonempty_ok,
+        | CAST(1 AS BIGINT) AS wcss_monotone_ok,
+        | CAST(6 AS BIGINT) AS iters_run""".stripMargin) { (s, d) =>
+      kmeansClusterContract(s, d, k = 8, iters = 6)
     },
 
     // Vector norms / normalization as a plain columnar transform.

@@ -707,6 +707,48 @@ object TextOps {
         Bm25Terms.map(t => col(s"tf_$t").cast("bigint").as(s"ntf_$t")) :+
         round(col("bm25"), 6).as("bm25")
       bm25Frame(s, d).select(outCols: _*).orderBy("doc_id")
+    },
+
+    // TF-IDF term weighting (the sklearn smooth-idf variant:
+    // ln((N+1)/(df+1)) + 1) — the sparse-retrieval / keyword-extraction
+    // companion to t18's BM25. Emits the full (doc, term) matrix rather
+    // than a per-doc top-k: selection by tfidf would rest on
+    // cross-engine libm ln ordering at the cut boundary (the q40 risk
+    // class), while the VALUE-only form carries just t18's accepted
+    // ulp-at-rounding-boundary bound. Scale shape: one (doc_id, term)
+    // shuffle builds tf; df re-aggregates tf by term to a VOCAB-bounded
+    // table that broadcasts back (vocabulary ≪ corpus by Heaps' law);
+    // N is a single-row broadcast. The corpus text itself is scanned
+    // once per aggregate and never self-joins. Determinism: tf/df/N
+    // are exact integers; tfidf is one fixed-shape double expression.
+    Q("t19_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df_t,
+        |  round(tf.tf * (ln((n.n + 1.0) / (df.df_t + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // df derives FROM tf (count of docs containing the term), so the
+      // text is tokenized once per pass; at scale, persist tf to trade
+      // the recompute for memory — both sides of the join are then one
+      // scan + one shuffle, and df_t broadcasts at vocab size
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      val n = Tables.documents(s, d)
+        .agg(count(lit(1)).cast("double").as("n"))
+      tf.join(broadcast(dfT), Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df_t"),
+          round(col("tf") * (log((col("n") + lit(1.0))
+            / (col("df_t") + lit(1.0))) + lit(1.0)), 6).as("tfidf"))
+        .orderBy("doc_id", "term")
     }
   )
 

@@ -211,4 +211,36 @@ class MultiModalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, hamNear.toLong)),
       s"expected exactly the planted pair, got $pairs")
   }
+
+  test("m07 audio fingerprint: real RIFF round-trip, content-keyed groups, driver replay") {
+    import spark.implicits._
+    // the real container round-trip is sample-exact against the formula
+    for (ck <- Seq(0L, 3L, 5L, 99L)) {
+      val s = MultiModal.decodeWavSamples(MultiModal.encodeContentWav(ck)).get
+      assert(s.length == MultiModal.audioLen2(ck))
+      s.indices.foreach(t => assert(s(t) == MultiModal.pcm2(ck, t)))
+    }
+    // fingerprint is a pure function of content: identical PCM → equal
+    val fpOf = (0L until 100L).map { ck =>
+      ck -> MultiModal.audioFingerprint(
+        MultiModal.decodeWavSamples(MultiModal.encodeContentWav(ck)).get)
+    }.toMap
+    assert(fpOf(5L) == MultiModal.audioFingerprint(
+      MultiModal.decodeWavSamples(MultiModal.encodeContentWav(5L)).get))
+    // distinct content rarely collides (3 bits/frame over 2-8 frames is
+    // a COARSE robust hash — some collisions are inherent; require the
+    // overwhelming majority separate)
+    assert(fpOf.values.toSet.size >= 80, s"only ${fpOf.values.toSet.size}")
+    // the distributed grouping equals a full driver replay
+    val ids = Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .collect().toSeq
+    val expected = ids.groupBy(id => fpOf(MultiModal.audioContentKey(id)))
+      .map { case (fp, g) => (fp, g.size.toLong, g.min) }.toSet
+    val got = MultiModal.all.find(_.name == "m07_audio_fingerprint").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // duplicates exist and group: at least one multi-copy fingerprint
+    assert(got.exists(_._2 > 1), "no duplicate recordings grouped")
+  }
 }

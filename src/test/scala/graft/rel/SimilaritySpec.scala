@@ -481,4 +481,31 @@ class SimilaritySpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("s14 distributed k-means: contract green, WCSS descends, robust to partitioning") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val row = Similarity.kmeansClusterContract(spark, sfDir, k = 8, iters = 6)
+      .collect().head
+    assert(row.getLong(0) == n, "every vector must be assigned")
+    assert(row.getLong(1) == 1L, "fewer than 2 nonempty clusters")
+    assert(row.getLong(2) == 1L, "WCSS not monotone non-increasing")
+    // WCSS robustness: exact centroids are float-sum-order dependent
+    // (why s14 is a measured contract, not a hash oracle), but the
+    // FIRST round's WCSS is assignment-deterministic (seed centroids
+    // come from the partition-invariant hash sample) — only its
+    // accumulation order varies, so it must agree to ulps; the final
+    // round may drift through boundary-assignment flips, bounded well
+    // below 0.1% on this corpus
+    val (n1, ne1, w1) = Similarity.kmeansClusterStats(spark, sfDir, 8, 6)
+    val (n2, ne2, w2) =
+      Similarity.kmeansClusterStats(spark, sfDir, 8, 6, _.repartition(7))
+    assert(n1 == n && n2 == n)
+    assert(ne1 >= 2 && ne2 >= 2)
+    assert(math.abs(w1.head - w2.head) <= 1e-9 * w1.head,
+      s"first-round WCSS not partition-invariant: ${w1.head} vs ${w2.head}")
+    assert(math.abs(w1.last - w2.last) <= 1e-3 * w1.last,
+      s"final WCSS drifted: ${w1.last} vs ${w2.last}")
+    // descent is strict somewhere: clustering actually improved
+    assert(w1.last < w1.head, s"no WCSS improvement: $w1")
+  }
 }

@@ -292,4 +292,70 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
     assert(got.nonEmpty, "threshold must admit neighbors on this corpus")
   }
+
+  test("t19 tf-idf matches a brute-force recompute; df broadcasts at vocab size") {
+    val tokenized = docs.map { case (id, t) =>
+      (id, t.split(' ').filter(_.nonEmpty).toSeq)
+    }
+    val n = docs.size.toDouble
+    val dfT = tokenized.flatMap { case (_, w) => w.distinct }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = (for {
+      (id, w) <- tokenized
+      (term, tf) <- w.groupBy(identity).view.mapValues(_.size.toLong)
+    } yield {
+      val raw = tf * (math.log((n + 1.0) / (dfT(term) + 1.0)) + 1.0)
+      (id, term, tf, dfT(term),
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy(t => (t._1, t._2))
+    val q = SparkEntryLookup("t19_tfidf")(spark, sfDir)
+    val got = q.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
+      expected.map(t => (t._1, t._2, t._3, t._4)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 1e-9, s"$g vs $e")
+    }
+    // the df side of the join must broadcast (vocab-bounded), never
+    // sort-merge the (doc, term) matrix against it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("d15 bloom-prefiltered incremental dedup is EXACT and actually prunes") {
+    def prefixDigest(t: String): String = {
+      val key = t.split(' ').filter(_.nonEmpty).take(8).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val withDg = docs.map { case (id, t) => (id, prefixDigest(t)) }
+    val (batch, corpus) = withDg.partition(_._1 % 10 >= 8)
+    val corpusDgs = corpus.map(_._2).toSet
+    val expected = batch.groupBy(_._2).view
+      .mapValues(g => (g.map(_._1).min, g.size.toLong)).toMap
+      .filter { case (dg, _) => !corpusDgs.contains(dg) }
+      .map { case (dg, (keeper, copies)) => (dg, keeper, copies) }
+      .toSeq.sortBy(_._1)
+    val got = SparkEntryLookup("d15_bloom_incremental")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactness is unconditional — bloom false positives only ride
+    // into the anti-join and lose there, never change the result
+    assert(got == expected)
+    // both mechanisms bite: some batch digest collides with the corpus
+    assert(batch.exists(b => corpusDgs.contains(b._2)), "no cross hit")
+    // prune power: replay the same bloom and count the corpus sliver
+    // that survives — matches plus a bounded false-positive tail,
+    // far below the full distinct-corpus input a plain anti-join reads
+    val batchDgs = batch.map(_._2).distinct
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(1024L, batchDgs.size.toLong), 0.01)
+    batchDgs.foreach(bloom.putString)
+    val sliver = corpusDgs.count(bloom.mightContainString)
+    val matches = corpusDgs.count(dg => batchDgs.contains(dg))
+    assert(sliver <= matches + math.max(8, (0.05 * corpusDgs.size).toInt),
+      s"bloom sliver $sliver vs $matches matches of ${corpusDgs.size}")
+  }
 }
