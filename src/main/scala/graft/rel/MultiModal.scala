@@ -540,6 +540,72 @@ object MultiModal {
     h
   }
 
+  // ---- m08: multi-frame container (animated GIF), keyframe sampling --
+
+  val VideoW = 16
+  val VideoH = 12
+  def videoFrameCount(id: Long): Int = 3 + (id % 4).toInt
+
+  /** Ground-truth 8-bit gray pixel of video frame f — pure integer
+    * arithmetic, replicated in the m08 oracle. */
+  def videoPx(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 19 + f.toLong * 577 + x.toLong * 31 + y.toLong * 53
+      + (x.toLong * y) % 17) % 256).toInt
+
+  /** Real multi-frame encode: every frame through the JDK's actual GIF
+    * sequence writer (LZW, 256-entry gray palette — lossless for 8-bit
+    * gray, so the round-trip must be pixel-exact). */
+  def encodeGif(id: Long): Array[Byte] = {
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val nf = videoFrameCount(id)
+      while (f < nf) {
+        val img = new BufferedImage(VideoW, VideoH,
+          BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < VideoH) {
+          var x = 0
+          while (x < VideoW) {
+            raster.setSample(x, y, 0, videoPx(id, f, x, y)); x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Real multi-frame decode: the GIF reader's own frame enumeration
+    * (`getNumImages(true)` walks the container's image blocks), each
+    * frame materialized independently. None for unparseable payloads. */
+  def decodeGifFrames(payload: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    try {
+      import javax.imageio.stream.MemoryCacheImageInputStream
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new MemoryCacheImageInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        Some((0 until n).map(reader.read))
+      } finally { reader.dispose(); iis.close() }
+    } catch {
+      case _: java.io.IOException => None
+      case _: IndexOutOfBoundsException => None
+    }
+
   // ------------------------------------------------------------------
   // Oracle SQL (generated from the same formula constants)
   // ------------------------------------------------------------------
@@ -809,6 +875,51 @@ object MultiModal {
         .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
         .select(col("fp").as("fingerprint"), col("n_copies"), col("keeper"))
         .orderBy("fingerprint")
+    },
+
+    // Keyframe sampling from a REAL multi-frame container: every
+    // document's frames round-trip the JDK's actual animated-GIF
+    // sequence writer/reader (LZW over a 256-gray palette — lossless,
+    // so decode must be pixel-exact), the reader's own frame
+    // enumeration reports the frame count, and every 2nd frame is kept
+    // with its luminance sum — the bounded-frame-rate shape a training
+    // pipeline feeds a vision model. One narrow flatMap pass; payload
+    // bytes never shuffle, rows explode to sampled frames only. The
+    // oracle replays frame count and per-frame sums arithmetically —
+    // a codec deviation on any pixel of any frame breaks the hash.
+    Q("m08_video_keyframes",
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+        |fr AS (
+        |  SELECT doc_id, nf, CAST(f.f AS BIGINT) AS frame_idx,
+        |    CAST(list_sum(list_transform(generate_series(0, 191), i ->
+        |      (doc_id*19 + f.f*577 + (i % 16)*31 + (i // 16)*53
+        |       + ((i % 16) * (i // 16)) % 17) % 256)) AS BIGINT) AS luma_sum
+        |  FROM d, unnest(generate_series(0, (nf - 1)::INT)) AS f(f)
+        |  WHERE f.f % 2 = 0)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, frame_idx, luma_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val frames = decodeGifFrames(encodeGif(id)).getOrElse(
+            sys.error(s"undecodable GIF payload for doc $id"))
+          val nf = frames.length.toLong
+          frames.indices.by(2).iterator.map { f =>
+            val img = frames(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) & 0xff); x += 1
+              }
+              y += 1
+            }
+            (id, nf, f.toLong, sum)
+          }
+        }
+        .toDF("doc_id", "n_frames", "frame_idx", "luma_sum")
+        .orderBy("doc_id", "frame_idx")
     }
   )
 }

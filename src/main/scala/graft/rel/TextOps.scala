@@ -749,6 +749,76 @@ object TextOps {
           round(col("tf") * (log((col("n") + lit(1.0))
             / (col("df_t") + lit(1.0))) + lit(1.0)), 6).as("tfidf"))
         .orderBy("doc_id", "term")
+    },
+
+    // URL normalization + per-domain document caps — the web-crawl
+    // curation stage that stops a handful of hot domains from dominating
+    // a corpus (the C4/RefinedWeb per-domain cap). URLs are synthesized
+    // deterministically from doc_id (scheme, optional www/cdn subdomain,
+    // 13 registrable domains × 3 TLDs, path, tracking query) so both
+    // engines derive identical inputs; normalization = lowercase, strip
+    // scheme + query + www, registrable domain = last two host labels.
+    // The cap keeps the 5 SMALLEST doc_ids per domain — an INTEGER
+    // selection order, immune to the q40 float-boundary class. Scale
+    // shape: selection rides the native TopKPerKey (per-partition
+    // bounded heaps, survivor-only exchange — never a corpus-wide
+    // window sort); per-domain totals are a domain-bounded aggregate
+    // that broadcasts back onto the ≤ 5·domains survivors.
+    Q("t20_url_domain_cap",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.'
+        |                        WHEN doc_id % 5 = 0 THEN 'cdn.'
+        |                        ELSE '' END)
+        |      || 'site' || (doc_id % 13) || '.'
+        |      || (['com', 'org', 'net'])[(doc_id % 3 + 1)::INT]
+        |      || '/p/' || doc_id || '?utm=x' AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |      '^[a-z]+://', ''), '\?.*$', ''), '^www\.', '') AS url_norm
+        |  FROM u),
+        |h AS (
+        |  SELECT doc_id, url_norm,
+        |    regexp_extract(regexp_extract(url_norm, '^([^/]+)', 1),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM n),
+        |r AS (
+        |  SELECT doc_id, url_norm, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rank,
+        |    count(*) OVER (PARTITION BY domain) AS n_domain_docs
+        |  FROM h)
+        |SELECT doc_id, url_norm, domain, rank, n_domain_docs
+        |FROM r WHERE rank <= 5 ORDER BY domain, doc_id""".stripMargin) { (s, d) =>
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val sub = when(col("doc_id") % 2 === 0, "www.")
+        .when(col("doc_id") % 5 === 0, "cdn.").otherwise("")
+      val url = concat(lit("https://"), sub, lit("site"),
+        col("doc_id") % 13, lit("."), tld, lit("/p/"), col("doc_id"),
+        lit("?utm=x"))
+      val norm = regexp_replace(regexp_replace(regexp_replace(lower(url),
+        "^[a-z]+://", ""), "\\?.*$", ""), "^www\\.", "")
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("url_norm"))
+        .withColumn("domain",
+          regexp_extract(regexp_extract(col("url_norm"), "^([^/]+)", 1),
+            "([^.]+\\.[^.]+)$", 1))
+      // native bounded top-k — no corpus-wide window sort; the rank
+      // window then runs over the <= 5·domains survivors only
+      val kept = ScaleOps.topKPerKey(h, Seq("domain"),
+        Seq(("doc_id", true)), 5)
+      val totals = h.groupBy("domain")
+        .agg(count(lit(1)).as("n_domain_docs"))
+      import org.apache.spark.sql.expressions.Window
+      kept
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("domain").orderBy("doc_id")))
+        .join(broadcast(totals), Seq("domain"))
+        .select(col("doc_id"), col("url_norm"), col("domain"),
+          col("rank").cast("bigint").as("rank"), col("n_domain_docs"))
+        .orderBy("domain", "doc_id")
     }
   )
 

@@ -115,8 +115,10 @@ object Streaming {
     * dropped before returning (the result is localCheckpointed off the
     * view first), so repeated calls cannot collide or leak catalog
     * entries. */
-  def windowedTypeCountsStreamed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  /** File-source events STREAM with the same schema + ts normalization
+    * `Tables.events` applies to the batch read (shared by every
+    * registry query that runs the real incremental engine). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
     // schema from the batch reader (nanosAsLong conversions included),
@@ -138,13 +140,18 @@ object Streaming {
       else s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-    val events = raw.schema("ts").dataType match {
+    raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
+  }
+
+  def windowedTypeCountsStreamed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = eventsStream(s, dir)
     val name = "p12_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = windowedTypeCounts(events)
@@ -164,11 +171,67 @@ object Streaming {
       // surface it as an error instead (an events table with zero rows
       // is not a layout this engine's testdata or sinks ever produce)
       require(out.limit(1).count() > 0,
-        s"streamed windowed aggregate drained ZERO rows from $path — " +
+        s"streamed windowed aggregate drained ZERO rows from $dir/events.parquet — " +
           "file-source layout mismatch (no files matched the listing)")
       out
     } finally {
       // runs on the failure path too — the sink's view must not leak
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
+  /** [[attributionJoin]] executed as a REAL incremental stream-stream
+    * join (p16): both sides are file `readStream`s over the events
+    * parquet (the p12 source shape), filtered to clicks/purchases,
+    * joined under watermarks with the time-bounded condition,
+    * Trigger.AvailableNow into an append-mode memory sink. Unlike a
+    * dedup, the join OUTPUT is a set — no survivor ambiguity — so the
+    * drained result hash-gates against the DuckDB time-bounded join
+    * directly. State posture: both buffers evict at watermark-horizon,
+    * so state tracks the horizon, never history; AvailableNow drains
+    * the backlog deterministically (the production backfill trigger). */
+  def attributionJoinStreamed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = eventsStream(s, dir)
+    val clicks = events.filter(col("event_type") === "click" &&
+      col("user_id").isNotNull)
+    val purchases = events.filter(col("event_type") === "purchase" &&
+      col("user_id").isNotNull)
+    val name = "p16_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // A stream-stream join runs FOUR state-store instances per shuffle
+    // partition (left/right × key-to-count/key-with-index); the store
+    // count is fixed at QUERY START from shuffle.partitions and is pure
+    // fixed overhead for a bounded backfill drain. Scope the partition
+    // count down for this query only (each call starts its own query
+    // with a fresh checkpoint, so the setting cannot leak into another
+    // stream's state layout); a long-lived production deployment sizes
+    // it to its own throughput before .start().
+    // NOTE the conf is restored only AFTER awaitTermination: the query
+    // reads shuffle.partitions in its OWN run thread while constructing
+    // the first microbatch, so restoring at .start()-return would race.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = attributionJoin(clicks, purchases)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      try q.awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val out = s.table(name)
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy("purchase_id", "click_id")
+        .localCheckpoint(true)
+      require(out.limit(1).count() > 0,
+        s"streamed attribution join drained ZERO rows from $dir/events.parquet — " +
+          "file-source layout mismatch (no files matched the listing)")
+      out
+    } finally {
       if (q.isActive) q.stop()
       s.catalog.dropTempView(name)
     }

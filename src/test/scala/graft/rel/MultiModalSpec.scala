@@ -243,4 +243,36 @@ class MultiModalSpec extends SparkSpec {
     // duplicates exist and group: at least one multi-copy fingerprint
     assert(got.exists(_._2 > 1), "no duplicate recordings grouped")
   }
+
+  test("m08 animated-GIF round-trip is frame- and pixel-exact; keyframe query matches replay") {
+    import spark.implicits._
+    // the real sequence writer/reader round-trip: frame count from the
+    // reader's own container walk, every pixel of every frame exact
+    for (id <- Seq(0L, 1L, 7L, 42L)) {
+      val frames = MultiModal.decodeGifFrames(MultiModal.encodeGif(id)).get
+      assert(frames.length == MultiModal.videoFrameCount(id))
+      frames.zipWithIndex.foreach { case (img, f) =>
+        assert(img.getWidth == MultiModal.VideoW)
+        assert(img.getHeight == MultiModal.VideoH)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert((img.getRGB(x, y) & 0xff) == MultiModal.videoPx(id, f, x, y),
+            s"id=$id f=$f ($x,$y)")
+      }
+    }
+    // distributed result equals a full driver replay from the formula
+    val ids = Tables.documents(spark, sfDir).select("doc_id").as[Long]
+      .collect().toSeq
+    val expected = (for {
+      id <- ids
+      nf = MultiModal.videoFrameCount(id).toLong
+      f <- 0L until nf by 2
+    } yield (id, nf, f,
+      (for (y <- 0 until MultiModal.VideoH; x <- 0 until MultiModal.VideoW)
+        yield MultiModal.videoPx(id, f.toInt, x, y).toLong).sum)).toSet
+    val got = MultiModal.all.find(_.name == "m08_video_keyframes").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
 }

@@ -358,4 +358,35 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(sliver <= matches + math.max(8, (0.05 * corpusDgs.size).toInt),
       s"bloom sliver $sliver vs $matches matches of ${corpusDgs.size}")
   }
+
+  test("t20 url domain cap matches a driver replay; selection rides TopKPerKey") {
+    val ids = docs.map(_._1)
+    def urlOf(id: Long): String = {
+      val sub = if (id % 2 == 0) "www." else if (id % 5 == 0) "cdn." else ""
+      val tld = Seq("com", "org", "net")((id % 3).toInt)
+      s"https://${sub}site${id % 13}.$tld/p/$id?utm=x"
+    }
+    def normOf(id: Long): String = urlOf(id).toLowerCase
+      .replaceFirst("^[a-z]+://", "").replaceFirst("\\?.*$", "")
+      .replaceFirst("^www\\.", "")
+    def domainOf(id: Long): String = {
+      val host = normOf(id).takeWhile(_ != '/')
+      host.split('.').takeRight(2).mkString(".")
+    }
+    val byDomain = ids.groupBy(domainOf)
+    val expected = (for {
+      (dom, g) <- byDomain
+      sorted = g.sorted
+      (id, i) <- sorted.take(5).zipWithIndex
+    } yield (id, normOf(id), dom, (i + 1).toLong, g.size.toLong)).toSet
+    val q = SparkEntryLookup("t20_url_domain_cap")(spark, sfDir)
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // the cap bites: some domain exceeds 5 docs on this corpus
+    assert(byDomain.values.exists(_.size > 5), "cap never engaged")
+    // selection is the native bounded top-k, not a corpus-wide window
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
 }

@@ -48,6 +48,24 @@ class StreamingSpec extends SparkSpec {
       .exists(_.name.startsWith("p12_sink_")))
   }
 
+  test("p16: incremental stream-stream join equals the batch attribution join") {
+    val streamed = attributionJoinStreamed(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sfDir)
+    val batched = attributionJoin(
+        ev.filter(col("event_type") === "click" && col("user_id").isNotNull),
+        ev.filter(col("event_type") === "purchase" && col("user_id").isNotNull))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy("purchase_id", "click_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batched, "incremental join diverged from batch")
+    assert(streamed.nonEmpty)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("p16_sink_")))
+  }
+
   test("p08 batch sessionization equals streaming sessionize on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
