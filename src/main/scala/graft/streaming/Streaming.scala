@@ -213,11 +213,15 @@ object Streaming {
     // the first microbatch, so restoring at .start()-return would race.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = attributionJoin(clicks, purchases)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q =
+      try attributionJoin(clicks, purchases)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      catch { case e: Throwable =>
+        s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+      }
     try {
       try q.awaitTermination()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -229,6 +233,56 @@ object Streaming {
         .localCheckpoint(true)
       require(out.limit(1).count() > 0,
         s"streamed attribution join drained ZERO rows from $dir/events.parquet — " +
+          "file-source layout mismatch (no files matched the listing)")
+      out
+    } finally {
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
+  /** Streaming DEDUP through the real incremental engine (p17 — the
+    * third stateful-operator class under the value gate, after p12's
+    * aggregation and p16's join): file readStream →
+    * `dropDuplicatesWithinWatermark` on the (user_id, event_type)
+    * digest → AvailableNow append sink. WHICH physical row survives a
+    * duplicate group is arrival-order-dependent, so only the KEY
+    * columns are projected — the surviving key SET is deterministic
+    * and hash-gates against DuckDB's DISTINCT. State posture: the
+    * digest set evicts at the watermark (the operator's whole point
+    * vs plain dropDuplicates, whose state never shrinks). */
+  def streamedKeyDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = eventsStream(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val name = "p17_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // one state-store instance per partition; same bounded-drain
+    // scoping (and the same restore-after-termination race note) as
+    // attributionJoinStreamed
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try events
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      catch { case e: Throwable =>
+        s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+      }
+    try {
+      try q.awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val out = s.table(name)
+        .orderBy("user_id", "event_type")
+        .localCheckpoint(true)
+      require(out.limit(1).count() > 0,
+        s"streamed dedup drained ZERO rows from $dir/events.parquet — " +
           "file-source layout mismatch (no files matched the listing)")
       out
     } finally {

@@ -357,6 +357,11 @@ class TrainingDataOpsSpec extends SparkSpec {
     val matches = corpusDgs.count(dg => batchDgs.contains(dg))
     assert(sliver <= matches + math.max(8, (0.05 * corpusDgs.size).toInt),
       s"bloom sliver $sliver vs $matches matches of ${corpusDgs.size}")
+    // plan shape: digests anti-join without sort-merge, and the bloom
+    // predicate sits in the corpus scan stage (narrow pre-prune)
+    val df = SparkEntryLookup("d15_bloom_incremental")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("t20 url domain cap matches a driver replay; selection rides TopKPerKey") {
@@ -388,5 +393,22 @@ class TrainingDataOpsSpec extends SparkSpec {
     // selection is the native bounded top-k, not a corpus-wide window
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan)
+  }
+
+  test("p18 compaction is lossless and actually reduces the file count") {
+    val got = SparkEntryLookup("p18_compact_files")(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = docs.map(_._1) // sanity: totals preserved
+    assert(got.map(_._2).sum == expected.size.toLong)
+    // per-lang counts equal the source's
+    val perLang = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    got.foreach { case (lang, n, compacted, bounded) =>
+      assert(perLang(lang) == n, s"lang $lang count drifted")
+      assert(compacted == 1L, "file count did not drop")
+      assert(bounded == 1L, "file count above target")
+    }
   }
 }

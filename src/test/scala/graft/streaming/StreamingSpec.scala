@@ -66,6 +66,24 @@ class StreamingSpec extends SparkSpec {
       .exists(_.name.startsWith("p16_sink_")))
   }
 
+  test("p17: incremental streamed dedup equals exact DISTINCT on the key set") {
+    val streamed = streamedKeyDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batched = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(streamed == batched, "streamed dedup diverged from DISTINCT")
+    assert(streamed.nonEmpty)
+    // duplicates existed: the stream really deduplicated
+    val total = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull).count()
+    assert(total > streamed.size, "no duplicates in the corpus — dedup untested")
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("p17_sink_")))
+  }
+
   test("p08 batch sessionization equals streaming sessionize on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
