@@ -599,7 +599,10 @@ object MultiModal {
       try {
         reader.setInput(iis, false, true)
         val n = reader.getNumImages(true)
-        Some((0 until n).map(reader.read))
+        // a valid GIF has >= 1 image block; the reader reports 0 (not
+        // an error) for byte streams it can't recognize — tombstone
+        if (n <= 0) None
+        else Some((0 until n).map(reader.read))
       } finally { reader.dispose(); iis.close() }
     } catch {
       case _: java.io.IOException => None

