@@ -1001,9 +1001,14 @@ object Dedup {
         slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 8),
         " ")).as("dg")
       val p = Tables.documents(s, d).select(col("doc_id"), dg)
+      // the batch aggregate is consumed THREE times (count for bloom
+      // sizing, the bloom build, the anti-join) and each recompute is
+      // a full corpus scan (the batch is a FILTER of documents) — cut
+      // once; the materialized side is batch-sized by definition
       val batch = p.filter(col("doc_id") % 10 >= 8)
         .groupBy("dg")
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("batch_copies"))
+        .transform(Lineage.cut)
       // size from the actual batch key count (q33 precedent) so the
       // realized fpp holds at any sf
       val bloom = batch.stat.bloomFilter("dg",
