@@ -609,6 +609,90 @@ object MultiModal {
       case _: IndexOutOfBoundsException => None
     }
 
+  // ---- m09: LOSSY codec path (real JPEG encode/decode) ---------------
+
+  /** Real baseline-JPEG encode at an explicit quality — the lossy leg
+    * of the codec tier (PNG/GIF/TIFF legs are lossless and
+    * pixel-replayable; JPEG's DCT quantization is not, so m09 gates
+    * CONTRACT flags instead: exact dims + bounded distortion). */
+  def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new IIOImage(img, null, null), p)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Smooth ground-truth pixel for the lossy tier: pure linear
+    * gradients per band. The hash-noise [[pix]] formula is JPEG's
+    * adversarial worst case (measured MAE ≈ 19/255 at q0.9 — the DCT
+    * cannot represent white noise), while production photos are
+    * piecewise-smooth; gradients model that class and make the m09
+    * distortion envelope MEANINGFULLY tight (measured MAE < 2). */
+  def smoothPix(seed: Long, x: Int, y: Int, band: Int): Int = {
+    val w = widthOf(seed); val h = heightOf(seed)
+    band match {
+      case 0 => (x * 255) / math.max(1, w - 1)
+      case 1 => (y * 255) / math.max(1, h - 1)
+      case _ => ((x + y) * 255) / math.max(1, w + h - 2)
+    }
+  }
+
+  /** Render of the m09 smooth content for a document (same dims
+    * formula as the noise tier). */
+  def renderSmooth(docId: Long): BufferedImage = {
+    val seed = seedOf(docId)
+    val w = widthOf(seed); val h = heightOf(seed)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (smoothPix(seed, x, y, 0) << 16) |
+          (smoothPix(seed, x, y, 1) << 8) | smoothPix(seed, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** (meanAbsErr across RGB bands, PSNR dB) of a decoded image vs the
+    * SMOOTH formula ground truth for `docId`. */
+  def jpegDistortion(docId: Long, dec: BufferedImage): (Double, Double) = {
+    val w = dec.getWidth; val h = dec.getHeight
+    var sumAbs = 0L; var sumSq = 0L
+    val seed = seedOf(docId)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val got = dec.getRGB(x, y)
+        val dr = ((got >> 16) & 0xff) - smoothPix(seed, x, y, 0)
+        val dg = ((got >> 8) & 0xff) - smoothPix(seed, x, y, 1)
+        val db = (got & 0xff) - smoothPix(seed, x, y, 2)
+        sumAbs += math.abs(dr) + math.abs(dg) + math.abs(db)
+        sumSq += dr.toLong * dr + dg.toLong * dg + db.toLong * db
+        x += 1
+      }
+      y += 1
+    }
+    val n = 3L * w * h
+    val mae = sumAbs.toDouble / n
+    val mse = sumSq.toDouble / n
+    val psnr = if (mse == 0.0) Double.PositiveInfinity
+      else 10.0 * math.log10(255.0 * 255.0 / mse)
+    (mae, psnr)
+  }
+
   // ------------------------------------------------------------------
   // Oracle SQL (generated from the same formula constants)
   // ------------------------------------------------------------------
@@ -923,6 +1007,41 @@ object MultiModal {
         }
         .toDF("doc_id", "n_frames", "frame_idx", "luma_sum")
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // The LOSSY leg of the codec tier: real baseline JPEG (DCT +
+    // quantization at quality 0.9) through the JDK's actual
+    // writer/reader. Pixels are NOT bit-replayable by construction —
+    // the claim a lossy codec CAN make is gated instead: container
+    // round-trip preserves exact dimensions, and distortion against
+    // the formula ground truth stays within the published envelope
+    // (MAE ≤ 8/255 per band, PSNR ≥ 25 dB — generous for q0.9 on this
+    // content; measured headroom pinned tighter in MultiModalSpec).
+    // Narrow per-row pass; only (id, dims, flags) leave the executor.
+    Q("m09_jpeg_decode",
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 24 THEN doc_id % 8 ELSE doc_id END AS seed
+        |  FROM documents)
+        |SELECT doc_id, 20 + seed % 13 AS w, 16 + (seed * 7) % 11 AS h,
+        |  CAST(1 AS BIGINT) AS dims_ok, CAST(1 AS BIGINT) AS err_bounded,
+        |  CAST(1 AS BIGINT) AS psnr_ok
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dec = decode(encodeJpeg(renderSmooth(id), 0.9f)).getOrElse(
+            sys.error(s"undecodable JPEG payload for doc $id"))
+          val seed = seedOf(id)
+          val dimsOk = dec.getWidth == widthOf(seed) &&
+            dec.getHeight == heightOf(seed)
+          val (mae, psnr) = jpegDistortion(id, dec)
+          (id, dec.getWidth.toLong, dec.getHeight.toLong,
+            if (dimsOk) 1L else 0L,
+            if (mae <= 8.0) 1L else 0L,
+            if (psnr >= 25.0) 1L else 0L)
+        })
+        .toDF("doc_id", "w", "h", "dims_ok", "err_bounded", "psnr_ok")
+        .orderBy("doc_id")
     }
   )
 }

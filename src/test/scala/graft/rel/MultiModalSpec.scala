@@ -296,4 +296,33 @@ class MultiModalSpec extends SparkSpec {
     assert(MultiModal.decodeWavSamples(wav).get.length ==
       MultiModal.audioLen2(3L))
   }
+
+  test("m09 JPEG: real lossy round-trip keeps dims exact and distortion well inside the envelope") {
+    // measured headroom: the registry gate uses MAE <= 8 / PSNR >= 25;
+    // pin the actual distortion much tighter here so codec drift (a
+    // different quantization table, a broken band order) surfaces as a
+    // spec failure even while the generous gate still passes
+    var worstMae = 0.0; var worstPsnr = Double.PositiveInfinity
+    for (id <- 0L until 64L) {
+      val dec = MultiModal.decode(
+        MultiModal.encodeJpeg(MultiModal.renderSmooth(id), 0.9f)).get
+      val seed = MultiModal.seedOf(id)
+      assert(dec.getWidth == MultiModal.widthOf(seed))
+      assert(dec.getHeight == MultiModal.heightOf(seed))
+      val (mae, psnr) = MultiModal.jpegDistortion(id, dec)
+      worstMae = math.max(worstMae, mae)
+      worstPsnr = math.min(worstPsnr, psnr)
+    }
+    info(f"measured worst MAE $worstMae%.3f, worst PSNR $worstPsnr%.1f dB")
+    assert(worstMae <= 3.0, s"MAE drifted: $worstMae")
+    assert(worstPsnr >= 35.0, s"PSNR drifted: $worstPsnr")
+    // registry query: every flag green, dims match the formula
+    val got = MultiModal.all.find(_.name == "m09_jpeg_decode").get
+      .fn(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(3) == 1L && r.getLong(4) == 1L && r.getLong(5) == 1L,
+        s"flags off for doc ${r.getLong(0)}")
+    }
+  }
 }
