@@ -154,4 +154,23 @@ class ScaleOpsSpec extends SparkSpec {
       .filter(col("lang") === "en").count()
     assert(pruned.count() == expect)
   }
+
+  test("p19 z-order rectangle query equals the source-table filter; skip audit green") {
+    val got = graft.SparkEntry.queries("p19_zorder_prune")(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us")).head()
+    val uCut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+    val tCut = b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 2
+    val expected = ev.filter(col("user_id") <= uCut && col("ts_us") <= tCut)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == expected, "z-order layout changed RESULTS")
+    assert(got.nonEmpty)
+    // the file-skip audit flag: >= 1/3 of files wholly outside the band
+    got.foreach(r => assert(r.getLong(3) == 1L, "skip audit failed"))
+  }
 }
