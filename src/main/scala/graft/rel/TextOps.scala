@@ -822,8 +822,127 @@ object TextOps {
         .select(col("doc_id"), col("url_norm"), col("domain"),
           col("rank").cast("bigint").as("rank"), col("n_domain_docs"))
         .orderBy("domain", "doc_id")
+    },
+
+    // Distributed BPE tokenizer TRAINING (Sennrich 2016 — the
+    // vocabulary-learning stage t06/t09 only consume). The scale
+    // design is the one HF tokenizers/SentencePiece use: the corpus
+    // shuffles ONCE into the distinct-word frequency table (Heaps'-law
+    // bounded), and every merge round then operates on that
+    // vocab-bounded frame — pair counts are a ≤|vocab| aggregate, the
+    // argmax is a 1-row TakeOrdered, and the winning merge broadcasts
+    // back as a per-row symbol rewrite. 8 rounds = 8 vocab-bounded
+    // shuffles; the corpus text is never re-read after round 0.
+    // Determinism: merge selection orders by (freq DESC, left, right) —
+    // an integer/string total order, no float anywhere. The oracle
+    // checks what one SQL level can: the exact first merge (computable
+    // without applying merges), merge count, and the monotone
+    // non-increasing merge-frequency invariant; the FULL 8-merge list
+    // is replayed exactly by a driver-side reference BPE in the spec.
+    Q("t21_bpe_train",
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 0)) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS f FROM w GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(word, i::INT, 1) AS l, substr(word, i::INT + 1, 1) AS r,
+        |         sum(f) AS freq
+        |  FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |top1 AS (SELECT l, r, freq FROM pairs
+        |         ORDER BY freq DESC, l, r LIMIT 1)
+        |SELECT l AS first_left, r AS first_right, freq AS first_freq,
+        |  CAST(8 AS BIGINT) AS merges_done,
+        |  CAST(1 AS BIGINT) AS freq_monotone_ok,
+        |  CAST(1 AS BIGINT) AS tokens_reduced_ok
+        |FROM top1""".stripMargin) { (s, d) =>
+      bpeTrainContract(s, d, merges = 8)
     }
   )
+
+  /** One-row training contract for t21 (see the registry comment).
+    * Returns (first merge exactly, merges_done, monotone flag,
+    * compression flag); the full merge list is exposed via
+    * [[bpeTrainMerges]] for the spec's exact driver replay. */
+  private[rel] def bpeTrainContract(s: SparkSession, d: String,
+      merges: Int): DataFrame = {
+    import s.implicits._
+    val ms = bpeTrainMerges(s, d, merges)
+    require(ms.nonEmpty, "BPE training found no mergeable pair")
+    val monotone = ms.map(_._3).sliding(2).forall {
+      case Seq(a, b) => b <= a
+      case _         => true
+    }
+    // compression: total symbols after the merges < initial char count
+    Seq((ms.head._1, ms.head._2, ms.head._3, ms.length.toLong,
+        if (monotone) 1L else 0L, if (ms.last._4 < ms.head._5) 1L else 0L))
+      .toDF("first_left", "first_right", "first_freq", "merges_done",
+        "freq_monotone_ok", "tokens_reduced_ok")
+  }
+
+  /** The distributed BPE trainer: returns the learned merge list as
+    * (left, right, pairFreq, symbolsAfter, symbolsBefore) per round.
+    * wordCounts is materialized ONCE (the only corpus-scale shuffle);
+    * each round's pair aggregate and argmax run on the vocab-bounded
+    * symbolized frame. */
+  private[rel] def bpeTrainMerges(s: SparkSession, d: String,
+      merges: Int): Seq[(String, String, Long, Long, Long)] = {
+    import s.implicits._
+    val wc = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      // direct localCheckpoint (the d07 driver-loop precedent): the
+      // trainer is a genuine driver-side fixpoint — materialization is
+      // semantics here, not an optimization, so it stays on in the
+      // plan-audit context too (vocab-bounded; corpus never re-read)
+      .localCheckpoint()
+    // symbols: the word as a char-split array, rewritten per round
+    // CODEPOINT split (not UTF-16 units) — the oracle's substr is
+    // character-based, so surrogate pairs must stay whole on both sides
+    val splitChars = udf { (w: String) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+    var sym = wc.select(col("f"), splitChars(col("word")).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Long)]
+    var round = 0
+    while (round < merges) {
+      val symbolsBefore = sym
+        .agg(sum(size(col("syms")) * col("f"))).head().getLong(0)
+      // adjacent-pair counts over the vocab-bounded frame
+      val pairCounts = sym
+        .select(col("f"), col("syms"), posexplode(col("syms")).as(Seq("i", "l")))
+        .withColumn("r", get(col("syms"), col("i") + 1))
+        .filter(col("r").isNotNull)
+        .groupBy("l", "r").agg(sum("f").as("freq"))
+      val top = pairCounts
+        .orderBy(col("freq").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) { round = merges }
+      else {
+        val (l, r, freq) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val mergeUdf = udf { (syms: Seq[String]) =>
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.toArray
+        }
+        val next = sym.select(col("f"), mergeUdf(col("syms")).as("syms"))
+          .localCheckpoint()
+        val symbolsAfter = next
+          .agg(sum(size(col("syms")) * col("f"))).head().getLong(0)
+        out += ((l, r, freq, symbolsAfter, symbolsBefore))
+        sym = next
+        round += 1
+      }
+    }
+    out.toSeq
+  }
 
   // ---- BM25 internals (shared by t18 and s09's hybrid fusion) ----------
 

@@ -395,6 +395,55 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("t21 BPE training: distributed merge list equals a reference driver BPE exactly") {
+    // reference implementation: classic Sennrich BPE over the word-
+    // frequency dict, overlapping pair counts, left-to-right
+    // non-overlapping merge application, (freq desc, l, r) tie-break
+    val wordFreq = docs.flatMap(_._2.split(' ').filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var symbols: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
+      w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp))) -> f
+    }
+    def totalSyms = symbols.map { case (ss, f) => ss.size * f }.sum
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    for (_ <- 0 until 8) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      symbols.foreach { case (ss, f) =>
+        ss.indices.dropRight(1).foreach(i =>
+          pairs((ss(i), ss(i + 1))) += f)
+      }
+      if (pairs.nonEmpty) {
+        val ((l, r), freq) = pairs.toSeq
+          .sortBy { case ((l, r), fr) => (-fr, l, r) }.head
+        expected += ((l, r, freq))
+        symbols = symbols.map { case (ss, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += ss(i); i += 1 }
+          }
+          b.result() -> f
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    val got = TextOps.bpeTrainMerges(spark, sfDir, merges = 8)
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.toSeq,
+      s"merge lists diverge:\n got=${got.map(t => (t._1, t._2, t._3))}\n exp=$expected")
+    // symbol-count bookkeeping is consistent and strictly decreasing
+    got.foreach { case (_, _, _, after, before) => assert(after < before) }
+    // and the registry contract row is green
+    val row = SparkEntryLookup("t21_bpe_train")(spark, sfDir).collect().head
+    assert(row.getString(0) == expected.head._1)
+    assert(row.getString(1) == expected.head._2)
+    assert(row.getLong(2) == expected.head._3)
+    assert(row.getLong(3) == 8L && row.getLong(4) == 1L && row.getLong(5) == 1L)
+  }
+
   test("p18 compaction is lossless and actually reduces the file count") {
     val got = SparkEntryLookup("p18_compact_files")(spark, sfDir).collect()
       .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
