@@ -1083,6 +1083,98 @@ object RelQueries {
           (abs(col("n_approx") - col("n_exact")).cast("double") /
             col("n_exact") <= 0.15).as("approx_ok"))
         .orderBy("event_type")
+    },
+
+    // Ordered-funnel analysis (view → click → purchase, strict
+    // event-time order) — the product-analytics pattern every event
+    // warehouse runs. Scale shape: ONE user_id shuffle, then a per-user
+    // O(events) in-memory pass with O(1) funnel state (mapGroups — the
+    // sessionization discipline); the 3-way self-join formulation the
+    // oracle uses would shuffle each type-filtered sliver separately
+    // and re-join them. Strict `>` at each step, so same-timestamp
+    // events never satisfy a transition in either engine; counts are
+    // exact integers.
+    Q("q43_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |     WHERE event_type = 'view' AND user_id IS NOT NULL
+        |       AND ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |     JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        |     WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |     JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        |     WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin) {
+      (s, d) =>
+      import s.implicits._
+      val ev = events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as[Long],
+          col("event_type").as[String],
+          unix_micros(col("ts")).as[Long])
+      val stages = ev.groupByKey(_._1).mapGroups { (_, it) =>
+        // sorted per-user pass; O(1) funnel state. Ties: a transition
+        // needs STRICTLY later ts, and sorting puts equal-ts events in
+        // (ts, type) order — but state only advances on ts > stageTs,
+        // so intra-ts order cannot matter
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var vT = Long.MaxValue; var cT = Long.MaxValue; var pSeen = false
+        evs.foreach { case (_, t, ts) =>
+          t match {
+            case "view" => if (ts < vT) vT = ts
+            case "click" => if (ts > vT && ts < cT) cT = ts
+            case "purchase" => if (ts > cT) pSeen = true
+            case _ =>
+          }
+        }
+        (if (vT != Long.MaxValue) 1L else 0L,
+          if (cT != Long.MaxValue) 1L else 0L,
+          if (pSeen) 1L else 0L)
+      }
+      stages.toDF("v", "c", "p")
+        .agg(sum("v").as("n_view"), sum("c").as("n_view_click"),
+          sum("p").as("n_full_funnel"))
+    },
+
+    // Retention cohorts: users grouped by first-seen ISO week, activity
+    // counted per (cohort, weeks-since) cell — the other canonical
+    // event-warehouse rollup. Scale shape: first-seen is one user_id
+    // aggregate; the join back is user-keyed (at TB scale AQE picks
+    // SMJ/shuffle-hash — the standard enrich pattern); the cell
+    // aggregate is cohort×weeks-bounded. Week truncation is ISO-Monday
+    // in BOTH engines (Spark date_trunc('week') / DuckDB
+    // date_trunc('week')), arithmetic is integer day-diff // 7.
+    Q("q44_retention_cohorts",
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+        |     WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |a AS (SELECT e.user_id,
+        |        date_trunc('week', f.first_ts) AS cohort,
+        |        date_diff('day', date_trunc('week', f.first_ts),
+        |                  date_trunc('week', e.ts)) // 7 AS wk
+        |      FROM events e JOIN f USING (user_id)
+        |      WHERE e.ts IS NOT NULL)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(wk AS BIGINT) AS weeks_since,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val first = ev.groupBy("user_id")
+        .agg(min("ts").as("first_ts"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).as("cohort"),
+          (datediff(date_trunc("week", col("ts")).cast("date"),
+            date_trunc("week", col("first_ts")).cast("date")) / 7)
+            .cast("bigint").as("weeks_since"))
+        .groupBy("cohort", "weeks_since")
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("weeks_since"), col("n_users"))
+        .orderBy("cohort_week", "weeks_since")
     }
   )
 }

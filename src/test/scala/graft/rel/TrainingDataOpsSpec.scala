@@ -395,6 +395,55 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("q43 funnel equals a reference driver replay; one user_id shuffle") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    var nV = 0L; var nC = 0L; var nP = 0L
+    ev.groupBy(_._1).foreach { case (_, g) =>
+      val views = g.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        nV += 1
+        val vT = views.min
+        val clicks = g.filter(e => e._2 == "click" && e._3 > vT).map(_._3)
+        if (clicks.nonEmpty) {
+          nC += 1
+          val cT = clicks.min
+          if (g.exists(e => e._2 == "purchase" && e._3 > cT)) nP += 1
+        }
+      }
+    }
+    val row = SparkEntryLookup("q43_funnel")(spark, sfDir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((nV, nC, nP)))
+    // monotone narrowing (non-strict: at spec sf the corpus is ~67
+    // events/user, so every user converts) and a live final stage
+    assert(nV >= nC && nC >= nP && nP > 0, s"degenerate funnel $nV/$nC/$nP")
+  }
+
+  test("q44 retention cohorts: cells partition the event set; week-0 covers every cohort user") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntryLookup("q44_retention_cohorts")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // weeks_since >= 0 always (first-seen is the min)
+    assert(got.forall(_._2 >= 0L))
+    // week-0 exists for every cohort and counts every user whose first
+    // event fell in that week (a user is active in their own first week
+    // by definition)
+    val firstSeen = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id").agg(min("ts").as("f"))
+      .select(date_format(date_trunc("week", col("f")), "yyyy-MM-dd"))
+      .collect().map(_.getString(0))
+    val cohortSizes = firstSeen.groupBy(identity).view.mapValues(_.size.toLong)
+    cohortSizes.foreach { case (wk, n) =>
+      val cell = got.find(c => c._1 == wk && c._2 == 0L)
+      assert(cell.exists(_._3 == n), s"week-0 of $wk: got $cell want $n")
+    }
+  }
+
   test("t21 BPE training: distributed merge list equals a reference driver BPE exactly") {
     // reference implementation: classic Sennrich BPE over the word-
     // frequency dict, overlapping pair counts, left-to-right
