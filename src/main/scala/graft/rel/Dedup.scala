@@ -1010,13 +1010,20 @@ object Dedup {
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("batch_copies"))
         .transform(Lineage.cut)
       // size from the actual batch key count (q33 precedent) so the
-      // realized fpp holds at any sf
-      val bloom = batch.stat.bloomFilter("dg",
-        math.max(1024L, batch.count()), 0.01)
+      // realized fpp holds at any sf. NULL digests (a NULL-text row)
+      // stay OUT of the bloom and OUT of the sliver on both sides:
+      // SQL equality never matches NULL, so a NULL corpus digest can't
+      // eliminate anything and a NULL batch digest always survives the
+      // anti-join — exactly d12's semantics, without the UDF ever
+      // seeing null
+      val nonNullBatch = batch.filter(col("dg").isNotNull)
+      val bloom = nonNullBatch.stat.bloomFilter("dg",
+        math.max(1024L, nonNullBatch.count()), 0.01)
       val bc = s.sparkContext.broadcast(bloom)
       val might = udf((k: String) => bc.value.mightContainString(k))
       val corpusSliver = p.filter(col("doc_id") % 10 < 8)
-        .filter(might(col("dg"))).select("dg").distinct()
+        .filter(col("dg").isNotNull && might(col("dg")))
+        .select("dg").distinct()
       batch.join(corpusSliver, Seq("dg"), "left_anti")
         .select(col("dg").as("digest"), col("keeper"), col("batch_copies"))
         .orderBy("digest")

@@ -906,10 +906,13 @@ object TextOps {
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Long, Long)]
+    // symbol-count bookkeeping: computed once up front, then carried
+    // forward — round n's "after" IS round n+1's "before" (recomputing
+    // it was one redundant aggregate per round)
+    var symbolsBefore = sym
+      .agg(sum(size(col("syms")) * col("f"))).head().getLong(0)
     var round = 0
     while (round < merges) {
-      val symbolsBefore = sym
-        .agg(sum(size(col("syms")) * col("f"))).head().getLong(0)
       // adjacent-pair counts over the vocab-bounded frame
       val pairCounts = sym
         .select(col("f"), col("syms"), posexplode(col("syms")).as(Seq("i", "l")))
@@ -937,6 +940,7 @@ object TextOps {
         val symbolsAfter = next
           .agg(sum(size(col("syms")) * col("f"))).head().getLong(0)
         out += ((l, r, freq, symbolsAfter, symbolsBefore))
+        symbolsBefore = symbolsAfter
         sym = next
         round += 1
       }

@@ -95,26 +95,6 @@ object Streaming {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
-  /** [[windowedTypeCounts]] executed as a REAL incremental streaming
-    * query — not batch parity, the streaming engine itself: a file
-    * `readStream` over the events parquet, Trigger.AvailableNow (drain
-    * everything visible, then stop — the deterministic "batch via the
-    * streaming engine" trigger), Complete-mode aggregate into a memory
-    * sink, result handed back as a static DataFrame. This is the
-    * registry's proof that the incremental plan (state store, trigger
-    * scheduling, complete-mode snapshotting) computes the SAME answer
-    * the batch plan and the DuckDB oracle do — windowed-aggregate
-    * parity is otherwise only spec-asserted on static frames.
-    *
-    * Scale posture: the streamed aggregate's state is windows×types
-    * (bounded); the memory sink holds only that aggregate, never
-    * events. On a real cluster the same code ships with a durable
-    * checkpoint dir + kafka/file source — AvailableNow is THE
-    * recommended backfill trigger, so this path is the production
-    * backfill shape, not a test harness. The sink's temp view is
-    * dropped before returning (the result is localCheckpointed off the
-    * view first), so repeated calls cannot collide or leak catalog
-    * entries. */
   /** File-source events STREAM with the same schema + ts normalization
     * `Tables.events` applies to the batch read (shared by every
     * registry query that runs the real incremental engine). */
@@ -149,6 +129,26 @@ object Streaming {
     }
   }
 
+  /** [[windowedTypeCounts]] executed as a REAL incremental streaming
+    * query — not batch parity, the streaming engine itself: a file
+    * `readStream` over the events parquet, Trigger.AvailableNow (drain
+    * everything visible, then stop — the deterministic "batch via the
+    * streaming engine" trigger), Complete-mode aggregate into a memory
+    * sink, result handed back as a static DataFrame. This is the
+    * registry's proof that the incremental plan (state store, trigger
+    * scheduling, complete-mode snapshotting) computes the SAME answer
+    * the batch plan and the DuckDB oracle do — windowed-aggregate
+    * parity is otherwise only spec-asserted on static frames.
+    *
+    * Scale posture: the streamed aggregate's state is windows×types
+    * (bounded); the memory sink holds only that aggregate, never
+    * events. On a real cluster the same code ships with a durable
+    * checkpoint dir + kafka/file source — AvailableNow is THE
+    * recommended backfill trigger, so this path is the production
+    * backfill shape, not a test harness. The sink's temp view is
+    * dropped before returning (the result is localCheckpointed off the
+    * view first), so repeated calls cannot collide or leak catalog
+    * entries. */
   def windowedTypeCountsStreamed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val events = eventsStream(s, dir)
