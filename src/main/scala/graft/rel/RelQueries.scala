@@ -1175,6 +1175,134 @@ object RelQueries {
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
           col("weeks_since"), col("n_users"))
         .orderBy("cohort_week", "weeks_since")
+    },
+
+    // Column profiling (the Deequ/data-validation "profile" pass every
+    // ingest pipeline runs before training): per-column row count, null
+    // count, distinct count, min/max — computed in ONE aggregate over
+    // ONE scan (the multiple count-distincts plan through a single
+    // Expand; a naive per-column loop scans the table once per
+    // column). The single profile row collects driver-side (bounded by
+    // construction) and unpivots to per-column rows there — re-deriving
+    // the unpivot from the uncached aggregate would re-scan per branch.
+    Q("q45_profile",
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(*) - count(l_orderkey) AS nn_ok,
+        |  count(DISTINCT l_orderkey) AS nd_ok,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  count(*) - count(l_quantity) AS nn_q,
+        |  count(DISTINCT l_quantity) AS nd_q,
+        |  CAST(min(l_quantity) AS BIGINT) AS min_q,
+        |  CAST(max(l_quantity) AS BIGINT) AS max_q,
+        |  count(*) - count(l_returnflag) AS nn_rf,
+        |  count(DISTINCT l_returnflag) AS nd_rf,
+        |  min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+        |  count(*) - count(l_shipdate) AS nn_sd,
+        |  count(DISTINCT l_shipdate) AS nd_sd,
+        |  epoch_us(min(l_shipdate)) AS min_sd,
+        |  epoch_us(max(l_shipdate)) AS max_sd
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, n, nn_ok AS n_null,
+        |  nd_ok AS n_distinct, min_ok AS min_num, max_ok AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM a
+        |UNION ALL SELECT 'l_quantity', n, nn_q, nd_q, min_q, max_q,
+        |  NULL, NULL FROM a
+        |UNION ALL SELECT 'l_returnflag', n, nn_rf, nd_rf, NULL, NULL,
+        |  min_rf, max_rf FROM a
+        |UNION ALL SELECT 'l_shipdate', n, nn_sd, nd_sd, min_sd, max_sd,
+        |  NULL, NULL FROM a
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val r = lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey").isNull.cast("long")).as("nn_ok"),
+        countDistinct(col("l_orderkey")).as("nd_ok"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        sum(col("l_quantity").isNull.cast("long")).as("nn_q"),
+        countDistinct(col("l_quantity")).as("nd_q"),
+        min("l_quantity").cast("bigint").as("min_q"),
+        max("l_quantity").cast("bigint").as("max_q"),
+        sum(col("l_returnflag").isNull.cast("long")).as("nn_rf"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        min("l_returnflag").as("min_rf"), max("l_returnflag").as("max_rf"),
+        sum(col("l_shipdate").isNull.cast("long")).as("nn_sd"),
+        countDistinct(col("l_shipdate")).as("nd_sd"),
+        // l_shipdate arrives TIMESTAMP_NTZ; the cast is UTC-exact
+        // because every entry point pins the session timezone (the
+        // Tables.events invariant)
+        unix_micros(min("l_shipdate").cast("timestamp")).as("min_sd"),
+        unix_micros(max("l_shipdate").cast("timestamp")).as("max_sd")).head()
+      val n = r.getLong(0)
+      def num(name: String, i: Int): (String, Long, Long, Long,
+          Option[Long], Option[Long], Option[String], Option[String]) =
+        (name, n, r.getLong(i), r.getLong(i + 1),
+          Some(r.getLong(i + 2)), Some(r.getLong(i + 3)), None, None)
+      Seq(
+        num("l_orderkey", 1),
+        num("l_quantity", 5),
+        ("l_returnflag", n, r.getLong(9), r.getLong(10),
+          None: Option[Long], None: Option[Long],
+          Some(r.getString(11)), Some(r.getString(12))),
+        num("l_shipdate", 13))
+        .toDF("col_name", "n", "n_null", "n_distinct", "min_num",
+          "max_num", "min_str", "max_str")
+        .orderBy("col_name")
+    },
+
+    // Constraint validation (the Deequ "check suite"): key uniqueness,
+    // referential integrity, value-domain membership, completeness —
+    // the gate a training-data ingest runs before anything downstream
+    // trusts the batch. Each check is one aggregate / one anti-join
+    // pass (the ref-integrity anti-join broadcasts whichever side AQE
+    // finds smaller); a production suite fuses same-table checks into
+    // one scan exactly like q45's profile. The domain bound [1, 45] is
+    // deliberately tighter than the data so the suite demonstrably
+    // FIRES (violations > 0) while the other checks hold at 0 — both
+    // outcomes exercised under the hash gate.
+    Q("q46_quality_checks",
+      """SELECT check_name, violations,
+        |  CAST(violations = 0 AS BIGINT) AS passed
+        |FROM (
+        |SELECT 'custkey_complete' AS check_name,
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |    AS violations
+        |UNION ALL
+        |SELECT 'lineitem_ref_orders',
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'orderkey_unique',
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |UNION ALL
+        |SELECT 'quantity_domain_1_45',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 45))
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ord = orders(s, d)
+      val li = lineitem(s, d)
+      val custComplete = ord.filter(col("o_custkey").isNull).count()
+      val refViolations = li.select("l_orderkey")
+        .join(ord.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      val dupKeys = {
+        val a = ord.agg(count(lit(1)).as("c"),
+          countDistinct(col("o_orderkey")).as("d")).head()
+        a.getLong(0) - a.getLong(1)
+      }
+      val domainViolations = li.filter(
+        col("l_quantity").isNull || col("l_quantity") < 1 ||
+          col("l_quantity") > 45).count()
+      Seq(
+        ("custkey_complete", custComplete),
+        ("lineitem_ref_orders", refViolations),
+        ("orderkey_unique", dupKeys),
+        ("quantity_domain_1_45", domainViolations))
+        .toDF("check_name", "violations")
+        .withColumn("passed", (col("violations") === 0L).cast("bigint"))
+        .orderBy("check_name")
     }
   )
 }

@@ -395,6 +395,30 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("q45/q46 data-quality tier: profile matches direct queries; check suite fires AND passes") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+    val prof = SparkEntryLookup("q45_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet ==
+      Set("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+    val n = li.count()
+    prof.values.foreach(r => assert(r.getLong(1) == n))
+    assert(prof("l_quantity").getLong(3) ==
+      li.select("l_quantity").distinct().count())
+    assert(prof("l_returnflag").getString(7) ==
+      li.agg(max("l_returnflag")).head().getString(0))
+    // the check suite must exercise BOTH outcomes on this corpus
+    val checks = SparkEntryLookup("q46_quality_checks")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(checks("orderkey_unique") == ((0L, 1L)), "keys must be unique")
+    assert(checks("lineitem_ref_orders") == ((0L, 1L)), "FK must hold")
+    val (domViol, domPassed) = checks("quantity_domain_1_45")
+    assert(domViol > 0L && domPassed == 0L,
+      s"domain check must FIRE on this corpus, got $domViol")
+  }
+
   test("q43 funnel equals a reference driver replay; one user_id shuffle") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfDir)
