@@ -1179,12 +1179,13 @@ object RelQueries {
 
     // Column profiling (the Deequ/data-validation "profile" pass every
     // ingest pipeline runs before training): per-column row count, null
-    // count, distinct count, min/max — computed in ONE aggregate over
-    // ONE scan (the multiple count-distincts plan through a single
-    // Expand; a naive per-column loop scans the table once per
-    // column). The single profile row collects driver-side (bounded by
-    // construction) and unpivots to per-column rows there — re-deriving
-    // the unpivot from the uncached aggregate would re-scan per branch.
+    // count, distinct count, min/max — TWO aggregates over two scans:
+    // one narrow pass for the plain stats, one Expand pass for the
+    // exact multi-column distinct counts (fusing them into one agg
+    // Expands every row 5x — measured 2.3x slower; a naive per-column
+    // loop scans once per column). The bounded profile rows collect
+    // driver-side and unpivot there — re-deriving the unpivot from an
+    // uncached aggregate would re-scan per branch.
     Q("q45_profile",
       """WITH a AS (SELECT count(*) AS n,
         |  count(*) - count(l_orderkey) AS nn_ok,
@@ -1214,37 +1215,47 @@ object RelQueries {
         |  NULL, NULL FROM a
         |ORDER BY col_name""".stripMargin) { (s, d) =>
       import s.implicits._
-      val r = lineitem(s, d).agg(
+      val li = lineitem(s, d)
+      // TWO aggregates, not one: mixing plain aggregates with multiple
+      // DISTINCT aggregates in a single agg makes Catalyst Expand every
+      // row 5x and shuffle the widened stream (measured 6.6s vs 2.9s at
+      // sf0.1). The plain stats pass is narrow; the distinct pass pays
+      // its Expand over the 4 profiled columns only. (The 100 TB
+      // profile swaps countDistinct for approx_count_distinct — single
+      // narrow pass, measured 2.6x faster still — at the cost of the
+      // exact-replay oracle.)
+      val r = li.agg(
         count(lit(1)).as("n"),
         sum(col("l_orderkey").isNull.cast("long")).as("nn_ok"),
-        countDistinct(col("l_orderkey")).as("nd_ok"),
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
         sum(col("l_quantity").isNull.cast("long")).as("nn_q"),
-        countDistinct(col("l_quantity")).as("nd_q"),
         min("l_quantity").cast("bigint").as("min_q"),
         max("l_quantity").cast("bigint").as("max_q"),
         sum(col("l_returnflag").isNull.cast("long")).as("nn_rf"),
-        countDistinct(col("l_returnflag")).as("nd_rf"),
         min("l_returnflag").as("min_rf"), max("l_returnflag").as("max_rf"),
         sum(col("l_shipdate").isNull.cast("long")).as("nn_sd"),
-        countDistinct(col("l_shipdate")).as("nd_sd"),
         // l_shipdate arrives TIMESTAMP_NTZ; the cast is UTC-exact
         // because every entry point pins the session timezone (the
         // Tables.events invariant)
         unix_micros(min("l_shipdate").cast("timestamp")).as("min_sd"),
         unix_micros(max("l_shipdate").cast("timestamp")).as("max_sd")).head()
+      val nd = li.agg(
+        countDistinct(col("l_orderkey")).as("nd_ok"),
+        countDistinct(col("l_quantity")).as("nd_q"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        countDistinct(col("l_shipdate")).as("nd_sd")).head()
       val n = r.getLong(0)
-      def num(name: String, i: Int): (String, Long, Long, Long,
+      def num(name: String, i: Int, ndi: Int): (String, Long, Long, Long,
           Option[Long], Option[Long], Option[String], Option[String]) =
-        (name, n, r.getLong(i), r.getLong(i + 1),
-          Some(r.getLong(i + 2)), Some(r.getLong(i + 3)), None, None)
+        (name, n, r.getLong(i), nd.getLong(ndi),
+          Some(r.getLong(i + 1)), Some(r.getLong(i + 2)), None, None)
       Seq(
-        num("l_orderkey", 1),
-        num("l_quantity", 5),
-        ("l_returnflag", n, r.getLong(9), r.getLong(10),
+        num("l_orderkey", 1, 0),
+        num("l_quantity", 4, 1),
+        ("l_returnflag", n, r.getLong(7), nd.getLong(2),
           None: Option[Long], None: Option[Long],
-          Some(r.getString(11)), Some(r.getString(12))),
-        num("l_shipdate", 13))
+          Some(r.getString(8)), Some(r.getString(9))),
+        num("l_shipdate", 10, 3))
         .toDF("col_name", "n", "n_null", "n_distinct", "min_num",
           "max_num", "min_str", "max_str")
         .orderBy("col_name")

@@ -66,6 +66,27 @@ class StreamingSpec extends SparkSpec {
       .exists(_.name.startsWith("p16_sink_")))
   }
 
+  test("streamed queries accept the DIRECTORY events.parquet layout (part-files inside)") {
+    // the layout the ADVICE fix added a branch for: a Spark-written
+    // events.parquet DIRECTORY, where the single-file pathGlobFilter
+    // would match nothing and silently drain zero rows. All three
+    // streamed registry queries must produce the same answers they
+    // give on the driver's single-file layout.
+    val dir = java.nio.file.Files.createTempDirectory("events-dirlayout")
+      .toString
+    Tables.events(spark, sfDir).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    def rows(f: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, d: String) =
+      f(spark, d).collect().map(_.toSeq).toSeq
+    assert(rows(windowedTypeCountsStreamed, dir) ==
+      rows(windowedTypeCountsStreamed, sfDir), "p12 diverged on dir layout")
+    assert(rows(attributionJoinStreamed, dir) ==
+      rows(attributionJoinStreamed, sfDir), "p16 diverged on dir layout")
+    assert(rows(streamedKeyDedup, dir) ==
+      rows(streamedKeyDedup, sfDir), "p17 diverged on dir layout")
+  }
+
   test("p17: incremental streamed dedup equals exact DISTINCT on the key set") {
     val streamed = streamedKeyDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
