@@ -261,4 +261,19 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("*("), s"$q: no codegen span in $p")
     }
   }
+
+  test("q43: the funnel shuffles user_id exactly once — no self-joins") {
+    // headline claim of the mapGroups design vs the oracle's 3-way
+    // self-join: one key exchange feeds the per-user O(1)-state pass;
+    // the only other exchange is the final single-row aggregate's
+    val p = plan("q43_funnel")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q44: cohorts enrich via one user-keyed join, no nested-loop") {
+    val p = plan("q44_retention_cohorts")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
