@@ -106,8 +106,14 @@ object Bench {
       if (!r1._1) (name, false, (r1._2, r1._3, r1._4, r1._5))
       else {
         val r2 = runOnce(name, fn)
-        val best = if (r2._1 && r2._2 < r1._2) r2 else r1
-        (name, true, (best._2, best._3, best._4, best._5))
+        // EITHER run failing marks the query failed: a pass-then-throw
+        // is rerun-instability (leaked state, fixture race) that a
+        // best-of record must surface, not hide behind run 1's timing
+        if (!r2._1) (name, false, (r2._2, r2._3, r2._4, r2._5))
+        else {
+          val best = if (r2._2 < r1._2) r2 else r1
+          (name, true, (best._2, best._3, best._4, best._5))
+        }
       }
     }
     val failed = runs.filterNot(_._2).map(_._1)

@@ -94,10 +94,14 @@ object MultiModal {
   }
 
   /** Real PNG/JPEG/BMP/... decode — container sniffing is ImageIO's;
-    * unrecognized bytes decode to None (tombstone contract). */
+    * unrecognized bytes decode to None (tombstone contract). NonFatal,
+    * not just IIOException: sniffing dispatches to every installed
+    * reader, and a valid magic over corrupt data (e.g. 'GIF89a' +
+    * garbage LZW) can surface as AIOOBE/IllegalArgument from inside a
+    * reader — those are tombstones too, not task failures. */
   def decode(payload: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-    catch { case _: javax.imageio.IIOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   // ------------------------------------------------------------------
   // SQL replicas of the ground-truth formulas (oracle generators)

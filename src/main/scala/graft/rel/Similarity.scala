@@ -431,9 +431,15 @@ object Similarity {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(m)
       .as[(Long, Array[Float])].collect()
-    if (sample.isEmpty)
-      return spark.emptyDataset[(Long, Long, Double)]
-        .toDF("sel_rank", "vec_id", "cover_radius")
+    // the oracle unconditionally unrolls k greedy steps, so a corpus
+    // with fewer than k vectors (empty included) would emit k rows
+    // there but only |corpus| here — restrict the shared domain loudly
+    // instead of silently diverging (kCenterOracleSql's k >= 2
+    // discipline)
+    require(sample.length >= k,
+      s"kCenterSampled needs >= k=$k sampled vectors, got ${sample.length} " +
+        "(corpus smaller than k — the unrolled oracle would emit " +
+        "duplicate picks)")
     // driver-side exact greedy on the sample — the same sequential
     // double accumulation the FloatDot expression and the oracle use
     def cosD(a: Array[Float], b: Array[Float]): Double = {
