@@ -364,6 +364,33 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("d15 handles NULL-text rows: null digests survive the batch, never NPE the bloom") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic corpus: doc_ids chosen so 8 and 18 (batch % 10 >= 8 and
+    // corpus % 10 < 8 respectively) carry NULL text on both sides
+    val dir = java.nio.file.Files.createTempDirectory("d15-nulls").toString
+    val rows = Seq[(Long, String)](
+      (1L, "shared text one"), (8L, null), (18L, null),
+      (9L, "only in batch"), (3L, "shared text one"),
+      (19L, "shared text one"), (28L, "batch dup"), (38L, "batch dup"))
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntryLookup("d15_bloom_incremental")(spark, dir)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    // d12 semantics: docs 8 and 18 are BOTH batch (%10 >= 8) with NULL
+    // text — they form ONE null-digest group (SQL GROUP BY folds nulls)
+    // that SURVIVES the anti-join (equality never matches NULL);
+    // "batch dup" (28, 38) dedups within the batch and survives; doc 9
+    // survives; doc 19's text collides with corpus docs 1/3 and is
+    // eliminated
+    assert(got.map(t => (t._2, t._3)).toSet ==
+      Set((8L, 2L), (9L, 1L), (28L, 2L)), got.mkString(", "))
+    assert(got.exists(_._1.isEmpty), "null digest must survive as null")
+  }
+
   test("t20 url domain cap matches a driver replay; selection rides TopKPerKey") {
     val ids = docs.map(_._1)
     def urlOf(id: Long): String = {
