@@ -139,7 +139,7 @@ object Similarity {
         .as[(Long, Array[Float])]
         .collect().sortBy(_._1)
       require(numBlocks == 1 || block.length <= 4L * blockRows + 64,
-        s"s08 block $b holds ${block.length} rows (bound ${blockRows}): " +
+        s"s08 block $b holds ${block.length} rows (bound ${4L * blockRows + 64}): " +
           "hash-uniform assignment should concentrate tightly — check " +
           "vec_id for mass duplication, or raise spark.graft.s08.blockRows")
       val norms = block.map { case (_, v) =>
@@ -368,16 +368,7 @@ object Similarity {
     // where they diverge rather than producing malformed SQL
     require(k >= 2, s"kCenterOracleSql needs k >= 2 (got $k); " +
       "the k = 1 oracle is just the seed row — inline it if ever needed")
-    val steps = (2 to k).map { r =>
-      val pick =
-        s"""p$r AS (SELECT vec_id, embedding, dmin FROM d${r - 1}
-           |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
-      val fold =
-        s"""d$r AS (SELECT a.vec_id, a.embedding,
-           |  least(a.dmin, 1.0 - ${cosineSql("a.embedding", "p.embedding")}) AS dmin
-           |  FROM d${r - 1} a, p$r p)""".stripMargin
-      if (r < k) s"$pick,\n$fold" else pick
-    }.mkString(",\n")
+    val steps = greedyStepsSql(k)
     val pickRows = (2 to k)
       .map(r => s"  UNION ALL SELECT $r, vec_id, dmin FROM p$r")
       .mkString("\n")
@@ -458,7 +449,8 @@ object Similarity {
     val vecs = sorted.toMap
     sorted.foreach { case (id, v) => dmin(id) = 1.0 - cosD(v, seed._2) }
     var picks = Vector[(Long, Long)]((1L, seed._1))
-    for (r <- 2 to math.min(k, sorted.length)) {
+    // sample.length >= k is require-guaranteed above
+    for (r <- 2 to k) {
       val (pid, _) = dmin.maxBy { case (id, d) => (d, -id) }
       picks :+= ((r.toLong, pid))
       val pv = vecs(pid)
@@ -485,9 +477,11 @@ object Similarity {
     * the greedy unrolled to k CTE steps (kCenterOracleSql's shape, over
     * the sample), and the corpus-wide coverage radius via a min-per-row
     * / max-overall aggregate — order-insensitive, so bit-exact. */
-  private[rel] def kCenterSampledOracleSql(k: Int, m: Int): String = {
-    require(k >= 2, s"kCenterSampledOracleSql needs k >= 2 (got $k)")
-    val steps = (2 to k).map { r =>
+  /** The unrolled greedy pick/fold CTE chain shared by the s11 and s13
+    * oracles — ONE generator so a tiebreak/cosine change can never
+    * silently diverge the two. */
+  private def greedyStepsSql(k: Int): String =
+    (2 to k).map { r =>
       val pick =
         s"""p$r AS (SELECT vec_id, embedding, dmin FROM d${r - 1}
            |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
@@ -497,6 +491,10 @@ object Similarity {
            |  FROM d${r - 1} a, p$r p)""".stripMargin
       if (r < k) s"$pick,\n$fold" else pick
     }.mkString(",\n")
+
+  private[rel] def kCenterSampledOracleSql(k: Int, m: Int): String = {
+    require(k >= 2, s"kCenterSampledOracleSql needs k >= 2 (got $k)")
+    val steps = greedyStepsSql(k)
     val pickRows = (2 to k)
       .map(r => s"  UNION ALL SELECT $r, vec_id FROM p$r")
       .mkString("\n")
@@ -652,6 +650,28 @@ object Similarity {
       }
       .sortBy(_._2).take(nProbe).map(_._1)
 
+  /** The unit-normalize UDF shared by every path that pre-unitizes a
+    * frame (PQ queries, SQ8 corpus, full-corpus k-means) — one
+    * definition so all paths keep identical normalization semantics. */
+  private[rel] val unitUdf =
+    udf { (v: Array[Float]) => unit(v) }
+
+  /** Allocation-free argmin for the CORPUS-side assignment pass — the
+    * one call that scales with corpus size. [[nearestCells]]'s
+    * tuple-build + full sort is fine for the per-QUERY nProbe path but
+    * pure GC pressure when nProbe == 1 on every corpus row. */
+  private[rel] def nearestCell(v: Array[Float],
+      centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      var dd = 0.0; var j = 0
+      while (j < v.length) { val d = v(j) - centroids(c)(j); dd += d * d; j += 1 }
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Deterministic hash-ordered quantizer training sample: the top-`n`
     * corpus rows by `(md5(vec_id), vec_id)` — a uniform draw in the
     * FAISS sense, and partition-invariant (spec-pinned). A bare
@@ -663,11 +683,17 @@ object Similarity {
   private[rel] def trainingSample(e: DataFrame, n: Int): Array[Array[Float]] = {
     val spark = e.sparkSession
     import spark.implicits._
-    e.select(col("embedding"), md5(col("vec_id").cast("string")).as("h"),
+    val out = e
+      .select(col("embedding"), md5(col("vec_id").cast("string")).as("h"),
         col("vec_id"))
       .orderBy(col("h"), col("vec_id")).limit(n)
       .select("embedding").as[Array[Float]]
       .collect().map(unit)
+    // loud instead of a bare AIOOBE at sample(0)/vecs(0) in the
+    // quantizer trainers (the kCenterSampled guard discipline)
+    require(out.nonEmpty,
+      "trainingSample: embeddings corpus is empty — nothing to train on")
+    out
   }
 
   /** ANN top-k via IVF: corpus partitioned into nList k-means cells
@@ -683,7 +709,7 @@ object Similarity {
     val sample = trainingSample(e, 4096)
     val centroids = kmeansCentroids(sample, nList, iters = 8)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Array[Float]) => nearestCells(unit(v), bc.value, 1).head }
+    val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bc.value) }
     val probeUdf = udf { (v: Array[Float]) => nearestCells(unit(v), bc.value, nProbe) }
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       assignUdf(col("embedding")).as("cell"))
@@ -768,7 +794,6 @@ object Similarity {
       }
       s
     }
-    val unitUdf = udf { (v: Array[Float]) => unit(v) }
     // qe stays RAW for the exact-cosine refine (bit-identical results);
     // qu is the unit view the ADC scan consumes
     val queries = e.filter(col("vec_id") < nQueries)
@@ -818,16 +843,19 @@ object Similarity {
       shortlist: Int = 0): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val shortlistN =
-      if (shortlist > 0) shortlist
-      else math.max(64, 2 * math.ceil(math.sqrt(e.count().toDouble)).toInt)
-    val unitUdf = udf { (v: Array[Float]) => unit(v) }
     val unitized = e.select(col("vec_id"), unitUdf(col("embedding")).as("u"))
+    // the corpus size rides the bounds aggregate for free (count of
+    // dim-0 entries) — a separate e.count() would be one more pass
     val boundRows = unitized
       .select(posexplode(col("u")).as(Seq("dim", "x")))
-      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"),
+        count(lit(1)).as("n"))
       .collect()
     val dims = boundRows.length
+    val corpusN = if (dims == 0) 0L else boundRows.head.getLong(3)
+    val shortlistN =
+      if (shortlist > 0) shortlist
+      else math.max(64, 2 * math.ceil(math.sqrt(corpusN.toDouble)).toInt)
     val lo = new Array[Double](dims)
     val delta = new Array[Double](dims)
     boundRows.foreach { r =>
@@ -958,7 +986,13 @@ object Similarity {
           if (best < 0) best = avail.min
           picked += best; avail -= best
         }
-        def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+        // HALF_UP like every other rounded output in this file
+        // (rankTopK's round(col, 6), the DuckDB oracles' round()) —
+        // rint is half-to-even and would print the same cosine
+        // differently across paths at an exact .5 ulp boundary.
+        // Signum-symmetric because Spark/DuckDB round away from zero.
+        def r6(x: Double): Double =
+          math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
         val divPlain = r6(pairAvg(0 until kk))
         val divMmr = r6(pairAvg(picked.toSeq))
         // shortlist-side max relevance (cands is sorted by cos desc):
@@ -1118,7 +1152,6 @@ object Similarity {
       k: Int, iters: Int,
       shape: DataFrame => DataFrame = identity): (Long, Int, Seq[Double]) = {
     val e = shape(Tables.embeddings(spark, dir))
-    val unitUdf = udf { (v: Array[Float]) => unit(v) }
     val u = e.select(col("vec_id"), unitUdf(col("embedding")).as("u")).cache()
     try {
       // deterministic hash-ordered seeds (the trainingSample draw):
