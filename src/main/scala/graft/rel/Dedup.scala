@@ -61,17 +61,23 @@ object Dedup {
     * engines. Per-doc set sizes ride along in a narrow map; they're
     * broadcast here because the pair set is tiny (at cluster scale the
     * same two lookups become shuffle joins on da/db). */
-  private[rel] def jaccardPairsOn(spark: SparkSession, docs: DataFrame,
-      threshold: Double): DataFrame = jaccardPairs(spark, docs, threshold)
-
   private def jaccardPairs(spark: SparkSession, docs: DataFrame,
       threshold: Double): DataFrame = {
     import spark.implicits._
-    val idText = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // NULL text carries no shingles and can pair with nothing — drop
+    // it BEFORE the typed deserializer (a null String would NPE in
+    // shingleSet; the column-based variants d01/d12/d15 handle the
+    // same rows via SQL null semantics, so the typed paths must not
+    // crash on them either)
+    val idText = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
     val sh = idText.flatMap { case (id, t) =>
       shingleSet(t).iterator.map(s => (s, id))
     }.toDF("sh", "doc_id")
-    val common = sh.groupBy("sh").agg(collect_list("doc_id").as("ids"))
+    val common = sh.groupBy("sh")
+      .agg(boundedIdCollect("shingle",
+        "df-cap hot shingles (or raise MaxBucketDocs) before pair generation")
+        (col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(pairsOfIds(col("ids"))).as("p"))
       .groupBy(col("p._1").as("da"), col("p._2").as("db"))
@@ -100,6 +106,40 @@ object Dedup {
     * whose jaccard actually clears the threshold on the surviving
     * shingles. */
   val MaxBucketDocs = 4096
+
+  /** collect_list(doc_id) with a FAIL-FAST ceiling: the require fires
+    * DURING aggregation the moment any group crosses [[MaxBucketDocs]]
+    * — a require inside a downstream UDF could only fire after the hot
+    * bucket fully materialized (multi-GB for a boilerplate shingle
+    * shared by 10⁸ docs), which is exactly the OOM the guard promises
+    * to prevent. A TypedImperativeAggregate keeps the buffer as a live
+    * JVM object between updates (no per-row serialization); kryo runs
+    * only at the partial→final shuffle boundary, on buffers the
+    * ceiling has already bounded. No extra pass — a pre-count guard
+    * measured +50–80% on the whole dedup family. */
+  private class BoundedIdCollect(what: String, advice: String)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, scala.collection.mutable.ArrayBuffer[Long], Seq[Long]] {
+    import scala.collection.mutable.ArrayBuffer
+    private def check(b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+      require(b.length <= MaxBucketDocs,
+        s"$what bucket exceeds $MaxBucketDocs docs — $advice")
+      b
+    }
+    def zero: ArrayBuffer[Long] = ArrayBuffer.empty[Long]
+    def reduce(b: ArrayBuffer[Long], a: Long): ArrayBuffer[Long] =
+      check(b += a)
+    def merge(b1: ArrayBuffer[Long], b2: ArrayBuffer[Long]): ArrayBuffer[Long] =
+      check(b1 ++= b2)
+    def finish(r: ArrayBuffer[Long]): Seq[Long] = r.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[ArrayBuffer[Long]] =
+      org.apache.spark.sql.Encoders.kryo[ArrayBuffer[Long]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  private def boundedIdCollect(what: String, advice: String) =
+    udaf(new BoundedIdCollect(what, advice))
 
   /** all ordered (lo, hi) pairs from a doc-id bucket */
   private val pairsOfIds = udf { (ids: Seq[Long]) =>
@@ -184,7 +224,10 @@ object Dedup {
     * This is the 100 TB shape: signature cost is a single scan. */
   def minhashSignatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // NULL-text rows have no shingles: excluded, not NPE'd (see
+    // jaccardPairs)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         (id, minhashSignature(shingleSet(t).iterator.map(fnv1a64)))
       })
@@ -224,7 +267,10 @@ object Dedup {
         (0 until nBands).iterator.map(b => (bandBucket(sig, b, rowsPerBand), id))
       }
       .toDF("bucket", "doc_id")
-      .groupBy("bucket").agg(collect_list("doc_id").as("ids"))
+      .groupBy("bucket")
+      .agg(boundedIdCollect("LSH band",
+        "df-cap hot shingles (or raise MaxBucketDocs) before pair generation")
+        (col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(pairsOfIds(col("ids"))).as("p"))
       .select(col("p._1").as("da"), col("p._2").as("db"))
@@ -289,6 +335,11 @@ object Dedup {
       while (i < MinhashK) { if (sa(i) == sb(i)) m += 1; i += 1 }
       (exact, math.abs(m.toDouble / MinhashK - exact))
     }
+    // NOTE the e._1 filter below the projection does get pushed and
+    // textually duplicates the UDF in the plan, but codegen
+    // subexpression elimination evaluates the deterministic UDF once
+    // per row — an asNondeterministic marker was measured and bought
+    // nothing, so the plan is left alone.
     lshCandidatesWithTexts(spark, Tables.documents(spark, dir))
       .select(errOfTexts(col("text_a"), col("text_b")).as("e"))
       .filter(col("e._1") >= minJ)
@@ -344,6 +395,7 @@ object Dedup {
     // keyed on (block, chunk), in-bucket pairs from multi-doc buckets,
     // hamming verified inline (the signature rides along in the bucket).
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // no tokens -> excluded, not NPE'd
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val toks = t.split(' ').toSeq.filter(_.nonEmpty)
@@ -435,7 +487,13 @@ object Dedup {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val centroids = e.filter(_._1 < SemdedupK).collect().sortBy(_._1)
+    // COLUMN predicate, not a typed lambda: the lambda compiles to a
+    // TypedFilter that deserializes every corpus row to keep K of them;
+    // the column form pushes vec_id < K into the parquet scan
+    val centroids = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < SemdedupK)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
       .map { case (cid, cv) =>
         var ss = 0.0; var i = 0
         while (i < cv.length) { ss += cv(i).toDouble * cv(i).toDouble; i += 1 }
@@ -678,7 +736,7 @@ object Dedup {
       // a few percent of blockRows; 4× means something is wrong
       // (duplicate vec_ids?) — fail before the broadcast, loudly
       require(numBlocks == 1 || block.length <= 4L * blockRows + 64,
-        s"d06 block $b holds ${block.length} rows (bound ${blockRows}): " +
+        s"d06 block $b holds ${block.length} rows (bound ${4L * blockRows + 64}): " +
           "hash-uniform assignment should concentrate tightly — check " +
           "vec_id for mass duplication, or raise spark.graft.d06.blockRows")
       val norms = block.map { case (_, v) =>

@@ -209,4 +209,28 @@ class DedupSpec extends SparkSpec {
     // doc 3: dup starts {1, 20} — gap 19 > 8 → two spans of 8 tokens
     assert(rows(3L) == ((27L, 2L, 2L, 16L)), rows(3L))
   }
+
+  test("hot-bucket guard fails loudly DURING aggregation, not after materializing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // MaxBucketDocs + 5 identical documents: every shingle bucket
+    // crosses the ceiling, so the bounded collect must throw its
+    // advice message from inside the aggregate
+    val dir = java.nio.file.Files.createTempDirectory("hotbucket").toString
+    (0 until Dedup.MaxBucketDocs + 5)
+      .map(i => (i.toLong, "the same boilerplate text in every doc"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Throwable] {
+      Dedup.all.find(_.name == "d03_ngram_jaccard").get
+        .fn(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("df-cap hot shingles")),
+      s"expected the advice message, got: ${messages(e).mkString(" | ")}")
+  }
 }
