@@ -156,13 +156,20 @@ object RelQueries {
 
     // A3: global mean/std of a per-record stat (filter/threshold.py:15-19).
     Q("q09_global_stats",
-      """SELECT round(avg(l_quantity), 6) AS avg_qty,
+      """SELECT avg(l_quantity) AS avg_qty,
         | round(stddev_pop(l_quantity), 6) AS std_qty,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         | count(*) AS n
         |FROM lineitem""".stripMargin) { (s, d) =>
+      // avg: l_quantity is integer-valued, every partial sum < 2^53 is
+      // EXACT in any accumulation order -> one division, bit-identical
+      // unrounded (round(.,6) was the cross-engine half-tie hazard).
+      // stddev: the unrounded value IS order-dependent at ulp level
+      // (Welford accumulation), so round(6) stays load-bearing there;
+      // accepted flake bound = the q40/t18 class (a hash flip needs the
+      // true value within ~1e-12 of a .5e-6 rounding boundary).
       lineitem(s, d)
-        .agg(round(avg("l_quantity"), 6).as("avg_qty"),
+        .agg(avg("l_quantity").as("avg_qty"),
           round(stddev_pop("l_quantity"), 6).as("std_qty"),
           min("l_quantity").as("min_qty"),
           max("l_quantity").as("max_qty"),
@@ -727,12 +734,12 @@ object RelQueries {
     // partition (no self-join formulation of the sliding window).
     Q("q34_range_frame",
       """SELECT event_id, user_id,
-        | round((sum(CAST(round(value * 100) AS BIGINT))
-        |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
-        |        / (100.0 * count(*)
-        |          OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)), 4)
+        | (sum(CAST(round(value * 100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |  / (100.0 * count(*)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
         |   AS avg_1h
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val frame = Window.partitionBy("user_id")
@@ -740,8 +747,14 @@ object RelQueries {
         .rangeBetween(-3600000000L, Window.currentRow)
       events(s, d)
         .select(col("event_id"), col("user_id"),
-          round(sum(round(col("value") * 100).cast("long")).over(frame) /
-            (count(lit(1)).over(frame) * 100.0), 4).as("avg_1h"))
+          // UNROUNDED on purpose: exact integer cent-sum over exact
+          // integer count -> ONE double division, bit-identical across
+          // engines. round(x, 4) would re-introduce the cross-engine
+          // half-tie divergence (Spark shortest-decimal HALF_UP vs
+          // DuckDB binary scaled round) on c/(100n) rationals — the
+          // empirically confirmed hazard class.
+          (sum(round(col("value") * 100).cast("long")).over(frame) /
+            (count(lit(1)).over(frame) * 100.0)).as("avg_1h"))
         .orderBy("event_id")
     },
 
@@ -752,16 +765,25 @@ object RelQueries {
     // own error bound in-result. q25 keeps exact per-group quantiles;
     // this is the corpus-wide sketch form.
     Q("q35_quantile_sketch",
-      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+      """SELECT quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+        |   / 100.0 AS p50_exact,
         | true AS approx_ok
         |FROM lineitem""".stripMargin) { (s, d) =>
+      // the median is taken over exact integer CENTS: an even-count
+      // median interpolates between two integers, which is an exact
+      // multiple of 0.5 under either engine's interpolation formula
+      // (a + (b-a)/2 and (a+b)/2 agree exactly on integer doubles), so
+      // the /100.0 output is bit-identical WITHOUT rounding. The old
+      // round(median, 2) was the empirically confirmed cross-engine
+      // half-tie hazard: all three sf medians are half-cent midpoints.
       lineitem(s, d)
-        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("_exact"),
+        .agg(percentile(round(col("l_extendedprice") * 100).cast("long"),
+            lit(0.5)).as("_exact_cents"),
           approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
             .as("_approx"))
-        .select(round(col("_exact"), 2).as("p50_exact"),
-          (abs(col("_approx") - col("_exact")) / col("_exact") <= 0.05)
-            .as("approx_ok"))
+        .select((col("_exact_cents") / 100.0).as("p50_exact"),
+          (abs(col("_approx") - col("_exact_cents") / 100.0) /
+            (col("_exact_cents") / 100.0) <= 0.05).as("approx_ok"))
     },
 
     // GROUPING SETS — the explicit-lattice third of the rollup (q19) /
@@ -835,7 +857,7 @@ object RelQueries {
       }.mkString(",\n")
       s"""WITH e AS (
          |  SELECT DISTINCT 'u:' || user_id AS src, 't:' || event_type AS dst
-         |  FROM events),
+         |  FROM events WHERE user_id IS NOT NULL),
          |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
          |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
          |nn AS (SELECT count(*) AS n FROM deg),
@@ -844,7 +866,12 @@ object RelQueries {
          |SELECT node, round(rank, 6) AS rank
          |FROM r10 ORDER BY node""".stripMargin
     }) { (s, d) =>
+      // NULL user_id excluded on BOTH sides: a NULL node would agree in
+      // value but sort NULLS FIRST in Spark vs NULLS LAST in DuckDB —
+      // an order-sensitive divergence in the presentation sort (the
+      // q26/q41+ filter discipline)
       val e = events(s, d)
+        .filter(col("user_id").isNotNull)
         .select(concat(lit("u:"), col("user_id")).as("src"),
           concat(lit("t:"), col("event_type")).as("dst"))
         .distinct()
@@ -1135,8 +1162,9 @@ object RelQueries {
           if (pSeen) 1L else 0L)
       }
       stages.toDF("v", "c", "p")
-        .agg(sum("v").as("n_view"), sum("c").as("n_view_click"),
-          sum("p").as("n_full_funnel"))
+        .agg(coalesce(sum("v"), lit(0L)).as("n_view"),
+          coalesce(sum("c"), lit(0L)).as("n_view_click"),
+          coalesce(sum("p"), lit(0L)).as("n_full_funnel"))
     },
 
     // Retention cohorts: users grouped by first-seen ISO week, activity
@@ -1244,18 +1272,26 @@ object RelQueries {
         countDistinct(col("l_quantity")).as("nd_q"),
         countDistinct(col("l_returnflag")).as("nd_rf"),
         countDistinct(col("l_shipdate")).as("nd_sd")).head()
-      val n = r.getLong(0)
-      def num(name: String, i: Int, ndi: Int): (String, Long, Long, Long,
+      val n = r.getAs[Long]("n")
+      // NAMED access, not positional: reordering one aggregate above
+      // would silently shift every positional index while still
+      // type-checking (a min read as a null-count). Loud on an empty
+      // table: min/max aggregates are NULL there and the profile rows
+      // the two engines would emit diverge on nullability.
+      require(n > 0, "q45 profile needs a non-empty lineitem " +
+        "(min/max/distinct of an empty table have no cross-engine row shape)")
+      def num(name: String, nn: String, mn: String, mx: String,
+          ndc: String): (String, Long, Long, Long,
           Option[Long], Option[Long], Option[String], Option[String]) =
-        (name, n, r.getLong(i), nd.getLong(ndi),
-          Some(r.getLong(i + 1)), Some(r.getLong(i + 2)), None, None)
+        (name, n, r.getAs[Long](nn), nd.getAs[Long](ndc),
+          Some(r.getAs[Long](mn)), Some(r.getAs[Long](mx)), None, None)
       Seq(
-        num("l_orderkey", 1, 0),
-        num("l_quantity", 4, 1),
-        ("l_returnflag", n, r.getLong(7), nd.getLong(2),
+        num("l_orderkey", "nn_ok", "min_ok", "max_ok", "nd_ok"),
+        num("l_quantity", "nn_q", "min_q", "max_q", "nd_q"),
+        ("l_returnflag", n, r.getAs[Long]("nn_rf"), nd.getAs[Long]("nd_rf"),
           None: Option[Long], None: Option[Long],
-          Some(r.getString(8)), Some(r.getString(9))),
-        num("l_shipdate", 10, 3))
+          Some(r.getAs[String]("min_rf")), Some(r.getAs[String]("max_rf"))),
+        num("l_shipdate", "nn_sd", "min_sd", "max_sd", "nd_sd"))
         .toDF("col_name", "n", "n_null", "n_distinct", "min_num",
           "max_num", "min_str", "max_str")
         .orderBy("col_name")
