@@ -135,25 +135,30 @@ object TextOps {
          |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS w
          |  FROM documents)
          |SELECT doc_id,
-         | round(len(list_distinct(w))::DOUBLE / len(w), 6) AS ttr,
-         | round(list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w), 6)
+         | len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+         | list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w)
          |   AS mean_tok_len,
-         | round(len(list_filter(w, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
-         |   / len(w), 6) AS stopword_ratio
+         | len(list_filter(w, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))::DOUBLE
+         |   / len(w) AS stopword_ratio
          |FROM toks WHERE len(w) > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val w = tokens(col("text"))
       val stopArr = array(stopwords.map(lit): _*)
       Tables.documents(s, d)
         .select(col("doc_id"), w.as("w"))
         .filter(size(col("w")) > 0)
+        // UNROUNDED on purpose: each ratio is ONE division of exact
+        // integers — bit-identical across engines — while round(x, 6)
+        // is the empirically confirmed cross-engine half-tie hazard
+        // (Spark shortest-decimal HALF_UP vs DuckDB binary scaled
+        // round diverge on small-denominator rationals)
         .select(col("doc_id"),
-          round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
+          (size(array_distinct(col("w"))).cast("double") / size(col("w")))
             .as("ttr"),
-          round(aggregate(transform(col("w"), t => length(t).cast("long")),
-            lit(0L), (a, v) => a + v).cast("double") / size(col("w")), 6)
+          (aggregate(transform(col("w"), t => length(t).cast("long")),
+            lit(0L), (a, v) => a + v).cast("double") / size(col("w")))
             .as("mean_tok_len"),
-          round(size(filter(col("w"), t => array_contains(stopArr, t)))
-            .cast("double") / size(col("w")), 6).as("stopword_ratio"))
+          (size(filter(col("w"), t => array_contains(stopArr, t)))
+            .cast("double") / size(col("w"))).as("stopword_ratio"))
         .orderBy("doc_id")
     },
 
@@ -229,7 +234,7 @@ object TextOps {
         |SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(w)) AS BIGINT) AS total_tokens,
         | CAST(sum(nc) AS BIGINT) AS total_chars,
-        | round(avg(len(w)), 6) AS avg_tokens
+        | avg(len(w)) AS avg_tokens
         |FROM toks GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), size(tokens(col("text"))).as("nt"),
@@ -238,7 +243,9 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum("nt").as("total_tokens"),
           sum("nc").as("total_chars"),
-          round(avg("nt"), 6).as("avg_tokens"))
+          // unrounded: integer sums are exact in any order -> avg is
+          // one bit-identical division (the t02 rationale)
+          avg("nt").as("avg_tokens"))
         .orderBy("lang")
     },
 
@@ -488,7 +495,7 @@ object TextOps {
         |SELECT g.doc_id,
         |  count(*) AS n_grams,
         |  count(*) FILTER (WHERE f.h IS NOT NULL) AS n_frequent,
-        |  round(count(*) FILTER (WHERE f.h IS NOT NULL)::DOUBLE / count(*), 6)
+        |  count(*) FILTER (WHERE f.h IS NOT NULL)::DOUBLE / count(*)
         |    AS boilerplate_frac
         |FROM grams g LEFT JOIN freq f ON g.h = f.h
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
@@ -516,8 +523,9 @@ object TextOps {
         .agg(sum(col("cnt")).as("n_grams"),
           coalesce(sum(when(col("df") >= 3, col("cnt"))), lit(0L))
             .as("n_frequent"),
-          round(coalesce(sum(when(col("df") >= 3, col("cnt"))), lit(0L))
-            .cast("double") / sum(col("cnt")), 6).as("boilerplate_frac"))
+          // unrounded integer ratio (the t02 rationale)
+          (coalesce(sum(when(col("df") >= 3, col("cnt"))), lit(0L))
+            .cast("double") / sum(col("cnt"))).as("boilerplate_frac"))
         .orderBy("doc_id")
     },
 
@@ -621,9 +629,10 @@ object TextOps {
     // keep verdict, so downstream can audit WHICH rule dropped a
     // document (the reason-tagged form real pipelines log). Pure
     // per-row pass over the scan, no shuffle but the presentation
-    // sort. Every ratio is one integer-over-integer IEEE division +
-    // round(6) — identical in both engines, so flags can't flip on
-    // ulps; threshold comparisons happen on the rounded value.
+    // sort. Every ratio is one integer-over-integer IEEE division —
+    // bit-identical in both engines UNROUNDED (round(x, 6) itself is
+    // the cross-engine half-tie hazard on rationals); flags compare
+    // the identical raw double on both sides.
     Q("t17_gopher_rules",
       s"""WITH toks AS (
          |  SELECT doc_id,
@@ -631,12 +640,12 @@ object TextOps {
          |  FROM documents),
          |m AS (
          |  SELECT doc_id, len(w) AS n_words,
-         |    round(list_sum(list_transform(w, t -> length(t)))::DOUBLE
-         |      / len(w), 6) AS mean_word_len,
-         |    round(len(list_filter(w, t -> contains(t, '#')
-         |      OR contains(t, '...')))::DOUBLE / len(w), 6) AS symbol_ratio,
-         |    round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
-         |      / len(w), 6) AS alpha_frac,
+         |    list_sum(list_transform(w, t -> length(t)))::DOUBLE
+         |      / len(w) AS mean_word_len,
+         |    len(list_filter(w, t -> contains(t, '#')
+         |      OR contains(t, '...')))::DOUBLE / len(w) AS symbol_ratio,
+         |    len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+         |      / len(w) AS alpha_frac,
          |    len(list_filter(w, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
          |      AS stop_hits
          |  FROM toks WHERE len(w) > 0)
@@ -655,15 +664,17 @@ object TextOps {
       val m = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("w"))
         .filter(size(col("w")) > 0)
+        // UNROUNDED integer ratios (the t02 rationale): the flags below
+        // then compare the identical raw double in both engines
         .select(col("doc_id"), size(col("w")).as("n_words"),
-          round(aggregate(transform(col("w"), t => length(t).cast("long")),
-            lit(0L), (a, v) => a + v).cast("double") / size(col("w")), 6)
+          (aggregate(transform(col("w"), t => length(t).cast("long")),
+            lit(0L), (a, v) => a + v).cast("double") / size(col("w")))
             .as("mean_word_len"),
-          round(size(filter(col("w"), t =>
+          (size(filter(col("w"), t =>
             t.contains("#") || t.contains("..."))).cast("double")
-            / size(col("w")), 6).as("symbol_ratio"),
-          round(size(filter(col("w"), t => t.rlike("[A-Za-z]")))
-            .cast("double") / size(col("w")), 6).as("alpha_frac"),
+            / size(col("w"))).as("symbol_ratio"),
+          (size(filter(col("w"), t => t.rlike("[A-Za-z]")))
+            .cast("double") / size(col("w"))).as("alpha_frac"),
           size(filter(col("w"), t => array_contains(stopArr, t)))
             .as("stop_hits"))
       val rWords = col("n_words").between(50, 100000)

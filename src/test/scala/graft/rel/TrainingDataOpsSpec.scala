@@ -138,16 +138,16 @@ class TrainingDataOpsSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
     val expected = grams.map { case (id, gs) =>
       val freqHits = gs.count(g => docFreq(g) >= 3)
-      (id, gs.size.toLong, freqHits.toLong,
-        BigDecimal(freqHits.toDouble / gs.size)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // raw integer ratio, no rounding (the query emits the exact
+      // division now — round(x, 6) was the cross-engine hazard)
+      (id, gs.size.toLong, freqHits.toLong, freqHits.toDouble / gs.size)
     }.sortBy(_._1)
     val got = SparkEntryLookup("t12_boilerplate")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSeq.sortBy(_._1)
     assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)))
     got.zip(expected).foreach { case (g, e) =>
-      assert(math.abs(g._4 - e._4) < 1e-9, s"doc ${g._1}: ${g._4} vs ${e._4}")
+      assert(g._4 == e._4, s"doc ${g._1}: ${g._4} vs ${e._4}")
     }
   }
 
@@ -171,15 +171,15 @@ class TrainingDataOpsSpec extends SparkSpec {
   }
 
   test("t17 gopher rules match a brute-force recompute; keep = AND of flags") {
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // raw integer-ratio doubles, no rounding — the query emits the
+    // exact division now (round(x, 6) was the cross-engine hazard)
     val expected = docs.map { case (id, t) =>
       val w = t.split(' ').filter(_.nonEmpty)
       val nWords = w.length.toLong
-      val meanLen = r6(w.map(_.length.toLong).sum.toDouble / nWords)
-      val symbol = r6(w.count(x => x.contains("#") || x.contains("...")).toDouble / nWords)
-      val alpha = r6(w.count(_.exists(c =>
-        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nWords)
+      val meanLen = w.map(_.length.toLong).sum.toDouble / nWords
+      val symbol = w.count(x => x.contains("#") || x.contains("...")).toDouble / nWords
+      val alpha = w.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nWords
       val stops = w.count(TextOps.stopwords.contains).toLong
       val flags = Seq(nWords >= 50 && nWords <= 100000,
         meanLen >= 3 && meanLen <= 10, symbol <= 0.1, alpha >= 0.8,
@@ -192,9 +192,9 @@ class TrainingDataOpsSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) =>
       assert((g.getLong(0), g.getInt(1).toLong, g.getInt(5).toLong) ==
         ((e._1, e._2, e._6)), s"$g vs $e")
-      assert(math.abs(g.getDouble(2) - e._3) < 1e-9 &&
-        math.abs(g.getDouble(3) - e._4) < 1e-9 &&
-        math.abs(g.getDouble(4) - e._5) < 1e-9, s"$g vs $e")
+      // exact equality: one division of exact integers on both sides
+      assert(g.getDouble(2) == e._3 && g.getDouble(3) == e._4 &&
+        g.getDouble(4) == e._5, s"$g vs $e")
       assert((6 to 10).map(g.getLong) == e._7, s"flags: $g vs $e")
       assert(g.getLong(11) == e._8, s"keep != AND of flags: $g")
     }
