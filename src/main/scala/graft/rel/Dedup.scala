@@ -1054,7 +1054,7 @@ object Dedup {
         |SELECT b.dg AS digest, b.keeper, b.batch_copies FROM b
         |WHERE NOT EXISTS (SELECT 1 FROM p c
         |                  WHERE c.doc_id % 10 < 8 AND c.dg = b.dg)
-        |ORDER BY digest""".stripMargin) { (s, d) =>
+        |ORDER BY digest NULLS FIRST""".stripMargin) { (s, d) =>
       val dg = md5(array_join(
         slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 8),
         " ")).as("dg")
@@ -1074,6 +1074,10 @@ object Dedup {
       // eliminate anything and a NULL batch digest always survives the
       // anti-join — exactly d12's semantics, without the UDF ever
       // seeing null
+      // presentation order on a NULLABLE key must pin NULL placement
+      // explicitly: Spark's orderBy is NULLS FIRST, DuckDB's is NULLS
+      // LAST, so the oracle writes ORDER BY digest NULLS FIRST — both
+      // engines then agree when a NULL-text batch row survives
       val nonNullBatch = batch.filter(col("dg").isNotNull)
       val bloom = nonNullBatch.stat.bloomFilter("dg",
         math.max(1024L, nonNullBatch.count()), 0.01)

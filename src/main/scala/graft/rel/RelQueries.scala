@@ -1198,8 +1198,15 @@ object RelQueries {
           (datediff(date_trunc("week", col("ts")).cast("date"),
             date_trunc("week", col("first_ts")).cast("date")) / 7)
             .cast("bigint").as("weeks_since"))
+        // EXPLICIT two-phase distinct: dedup the (cohort, week, user)
+        // triples first — partial aggregation collapses a user's
+        // repeat events map-side, so the exchange carries distinct
+        // triples (bounded by users x active-weeks), not raw events;
+        // the cell count is then a plain count. PlanSpec pins the
+        // pre-distinct aggregate keys.
+        .dropDuplicates("cohort", "weeks_since", "user_id")
         .groupBy("cohort", "weeks_since")
-        .agg(countDistinct("user_id").as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
           col("weeks_since"), col("n_users"))
         .orderBy("cohort_week", "weeks_since")
@@ -1300,13 +1307,16 @@ object RelQueries {
     // Constraint validation (the Deequ "check suite"): key uniqueness,
     // referential integrity, value-domain membership, completeness —
     // the gate a training-data ingest runs before anything downstream
-    // trusts the batch. Each check is one aggregate / one anti-join
-    // pass (the ref-integrity anti-join broadcasts whichever side AQE
-    // finds smaller); a production suite fuses same-table checks into
-    // one scan exactly like q45's profile. The domain bound [1, 45] is
-    // deliberately tighter than the data so the suite demonstrably
-    // FIRES (violations > 0) while the other checks hold at 0 — both
-    // outcomes exercised under the hash gate.
+    // trusts the batch. Same-table checks FUSE into one scan (the q45
+    // discipline): ONE orders aggregate carries completeness +
+    // uniqueness, and ONE lineitem pass carries both the ref-integrity
+    // probe (left join against the distinct key side — NULL probe keys
+    // never match, exactly the oracle's NOT EXISTS) and the domain
+    // check, so the suite runs 2 actions / 2 fact-table scans total
+    // instead of 4 (QualitySuiteSpec pins the action count). The
+    // domain bound [1, 45] is deliberately tighter than the data so
+    // the suite demonstrably FIRES (violations > 0) while the other
+    // checks hold at 0 — both outcomes exercised under the hash gate.
     Q("q46_quality_checks",
       """SELECT check_name, violations,
         |  CAST(violations = 0 AS BIGINT) AS passed
@@ -1330,18 +1340,31 @@ object RelQueries {
       import s.implicits._
       val ord = orders(s, d)
       val li = lineitem(s, d)
-      val custComplete = ord.filter(col("o_custkey").isNull).count()
-      val refViolations = li.select("l_orderkey")
-        .join(ord.select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
-      val dupKeys = {
-        val a = ord.agg(count(lit(1)).as("c"),
-          countDistinct(col("o_orderkey")).as("d")).head()
-        a.getLong(0) - a.getLong(1)
-      }
-      val domainViolations = li.filter(
-        col("l_quantity").isNull || col("l_quantity") < 1 ||
-          col("l_quantity") > 45).count()
+      // action 1: every orders-side check in one aggregate
+      val oa = ord.agg(
+        coalesce(sum(col("o_custkey").isNull.cast("long")), lit(0L))
+          .as("n_null_cust"),
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_keys")).head()
+      val custComplete = oa.getAs[Long]("n_null_cust")
+      val dupKeys = oa.getAs[Long]("n") - oa.getAs[Long]("n_keys")
+      // action 2: every lineitem-side check in one pass. The left join
+      // probes DISTINCT order keys (dup keys must not multiply fact
+      // rows), a non-match surfaces as a NULL key — count(*) - count(k)
+      // is the NOT EXISTS count — and the domain predicate rides the
+      // same scan. AQE broadcasts the key side while it fits; at TB
+      // scale it degrades to the standard shuffled join, still one
+      // fact-table pass.
+      val la = li.select(col("l_orderkey"), col("l_quantity"))
+        .join(ord.select("o_orderkey").dropDuplicates("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          (count(lit(1)) - count(col("o_orderkey"))).as("n_ref"),
+          coalesce(sum((col("l_quantity").isNull || col("l_quantity") < 1 ||
+            col("l_quantity") > 45).cast("long")), lit(0L)).as("n_dom"))
+        .head()
+      val refViolations = la.getAs[Long]("n_ref")
+      val domainViolations = la.getAs[Long]("n_dom")
       Seq(
         ("custkey_complete", custComplete),
         ("lineitem_ref_orders", refViolations),

@@ -857,7 +857,7 @@ object TextOps {
         |wc AS (SELECT word, count(*) AS f FROM w GROUP BY 1),
         |pairs AS (
         |  SELECT substr(word, i::INT, 1) AS l, substr(word, i::INT + 1, 1) AS r,
-        |         sum(f) AS freq
+        |         CAST(sum(f) AS BIGINT) AS freq
         |  FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
         |  GROUP BY 1, 2),
         |top1 AS (SELECT l, r, freq FROM pairs
@@ -868,8 +868,60 @@ object TextOps {
         |  CAST(1 AS BIGINT) AS tokens_reduced_ok
         |FROM top1""".stripMargin) { (s, d) =>
       bpeTrainContract(s, d, merges = 8)
+    },
+
+    // t21's gate hardened from first-merge to the FULL merge list: the
+    // oracle unrolls all 8 training rounds as chained DuckDB CTEs (the
+    // d07/s11/q38 unrolled-oracle precedent), so every learned merge —
+    // pair, tie-break, frequency — AND the post-merge symbol count sit
+    // under the hash gate, not just round 1. The SQL encoding: each
+    // vocab word becomes a 0x1F-prefixed symbol string ("ab…");
+    // applying a merge is then a literal replace("lr" →
+    // "l" + "r") — replace() scans left-to-right non-overlapping,
+    // exactly the trainer's greedy per-word merge — and the symbol
+    // count is the separator count. Engine side is the same
+    // distributed trainer t21 runs (corpus shuffled once into the
+    // vocab table, 8 vocab-bounded rounds).
+    Q("t21b_bpe_merges", bpeMergesOracleSql(8)) { (s, d) =>
+      import s.implicits._
+      val ms = bpeTrainMerges(s, d, merges = 8)
+      require(ms.length == 8, s"expected 8 BPE merges, got ${ms.length}")
+      ms.zipWithIndex.map { case ((l, r, freq, after, _), i) =>
+        ((i + 1).toLong, l, r, freq, after)
+      }.toDF("merge_no", "l", "r", "freq", "symbols_after")
+        .orderBy("merge_no")
     }
   )
+
+  /** The unrolled-CTE oracle for [[bpeTrainMerges]]: one
+    * (pairs → top1 → rewritten-vocab) CTE triple per merge round,
+    * chained. Kept as generated SQL — 8 hand-written copies of the
+    * same round would be the error-prone version of this loop. */
+  private def bpeMergesOracleSql(merges: Int): String = {
+    val sep = "chr(31)"
+    val head =
+      s"""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+         |    t -> length(t) > 0)) AS word FROM documents),
+         |v0 AS (SELECT regexp_replace(word, '(.)', $sep || '\\1', 'g') AS w,
+         |       CAST(count(*) AS BIGINT) AS f FROM w GROUP BY 1)""".stripMargin
+    val rounds = (1 to merges).map { i =>
+      s""",
+         |p$i AS (SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(f) AS BIGINT) AS freq
+         |  FROM (SELECT list_filter(string_split(w, $sep), x -> length(x) > 0) AS s, f
+         |        FROM v${i - 1}) sub,
+         |       unnest(generate_series(1, len(s) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+         |v$i AS (SELECT replace(v.w, $sep || t.l || $sep || t.r,
+         |                $sep || t.l || t.r) AS w, v.f FROM v${i - 1} v, t$i t)""".stripMargin
+    }.mkString
+    val selects = (1 to merges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_no, l, r, freq,
+         |  (SELECT CAST(sum((length(w) - length(replace(w, $sep, ''))) * f) AS BIGINT)
+         |   FROM v$i) AS symbols_after FROM t$i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"$head$rounds\n$selects\nORDER BY merge_no"
+  }
 
   /** One-row training contract for t21 (see the registry comment).
     * Returns (first merge exactly, merges_done, monotone flag,

@@ -161,25 +161,54 @@ object Streaming {
       .start()
     try {
       q.awaitTermination()
-      val out = s.table(name)
+      // layout-mismatch guard on the SOURCE side: a mismatched file
+      // listing drains zero INPUT rows — that is the error state. The
+      // OUTPUT being empty is not (it just mirrors an empty input
+      // here), and checking input keeps the contract aligned with the
+      // join/dedup drains below, where empty output is legitimate.
+      requireSourceDrained(drainStats(q), dir)
+      s.table(name)
         .withColumn("window_start",
           date_format(col("window_start"), "yyyy-MM-dd HH:00"))
         .orderBy("window_start", "event_type")
         .localCheckpoint(true)
-      // a source-layout mismatch the branch above didn't anticipate
-      // would drain zero files and "succeed" with an empty aggregate —
-      // surface it as an error instead (an events table with zero rows
-      // is not a layout this engine's testdata or sinks ever produce)
-      require(out.limit(1).count() > 0,
-        s"streamed windowed aggregate drained ZERO rows from $dir/events.parquet — " +
-          "file-source layout mismatch (no files matched the listing)")
-      out
     } finally {
       // runs on the failure path too — the sink's view must not leak
       if (q.isActive) q.stop()
       s.catalog.dropTempView(name)
     }
   }
+
+  /** Per-drain observability read off the finished query's progress
+    * log: total source rows ingested across micro-batches and the
+    * final stateful-operator row count (after the last watermark
+    * advance — i.e. AFTER eviction ran). StreamingSpec pins the
+    * watermark-bounded-state claim on these numbers. */
+  private[graft] final case class DrainStats(inputRows: Long, stateRows: Long)
+
+  private[graft] def drainStats(
+      q: org.apache.spark.sql.streaming.StreamingQuery): DrainStats = {
+    val progress = q.recentProgress
+    // state rows from the LAST batch that reported stateful operators:
+    // AvailableNow appends a final empty batch to advance the watermark
+    // and run eviction, so this is the post-eviction footprint
+    val stateRows = progress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(0L)
+    DrainStats(progress.map(_.numInputRows).sum, stateRows)
+  }
+
+  /** The layout-mismatch guard shared by the streamed registry
+    * queries: a file listing that matches nothing drains zero SOURCE
+    * rows — loud error. An empty RESULT is not checked: for a
+    * stream-stream join (no click within the horizon of any purchase)
+    * or a filtered dedup it is a legitimate data state the oracle
+    * reproduces, not a harness failure. */
+  private def requireSourceDrained(st: DrainStats, dir: String): Unit =
+    require(st.inputRows > 0,
+      s"streaming source drained ZERO input rows from $dir/events.parquet — " +
+        "file-source layout mismatch (no files matched the listing)")
 
   /** [[attributionJoin]] executed as a REAL incremental stream-stream
     * join (p16): both sides are file `readStream`s over the events
@@ -191,7 +220,11 @@ object Streaming {
     * directly. State posture: both buffers evict at watermark-horizon,
     * so state tracks the horizon, never history; AvailableNow drains
     * the backlog deterministically (the production backfill trigger). */
-  def attributionJoinStreamed(s: SparkSession, dir: String): DataFrame = {
+  def attributionJoinStreamed(s: SparkSession, dir: String): DataFrame =
+    attributionJoinDrained(s, dir)._1
+
+  private[graft] def attributionJoinDrained(
+      s: SparkSession, dir: String): (DataFrame, DrainStats) = {
     import org.apache.spark.sql.streaming.Trigger
     val events = eventsStream(s, dir)
     val clicks = events.filter(col("event_type") === "click" &&
@@ -225,16 +258,18 @@ object Streaming {
     try {
       try q.awaitTermination()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val st = drainStats(q)
+      // an EMPTY JOIN RESULT is a legitimate data state (no click
+      // within the horizon of any purchase — the oracle returns zero
+      // rows too); only a zero-input drain is an error
+      requireSourceDrained(st, dir)
       val out = s.table(name)
         .select(col("purchase_id"), col("user_id"),
           unix_micros(col("purchase_ts")).as("purchase_ts_us"),
           col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
         .orderBy("purchase_id", "click_id")
         .localCheckpoint(true)
-      require(out.limit(1).count() > 0,
-        s"streamed attribution join drained ZERO rows from $dir/events.parquet — " +
-          "file-source layout mismatch (no files matched the listing)")
-      out
+      (out, st)
     } finally {
       if (q.isActive) q.stop()
       s.catalog.dropTempView(name)
@@ -251,7 +286,11 @@ object Streaming {
     * and hash-gates against DuckDB's DISTINCT. State posture: the
     * digest set evicts at the watermark (the operator's whole point
     * vs plain dropDuplicates, whose state never shrinks). */
-  def streamedKeyDedup(s: SparkSession, dir: String): DataFrame = {
+  def streamedKeyDedup(s: SparkSession, dir: String): DataFrame =
+    keyDedupDrained(s, dir)._1
+
+  private[graft] def keyDedupDrained(
+      s: SparkSession, dir: String): (DataFrame, DrainStats) = {
     import org.apache.spark.sql.streaming.Trigger
     val events = eventsStream(s, dir)
       .filter(col("user_id").isNotNull)
@@ -278,13 +317,15 @@ object Streaming {
     try {
       try q.awaitTermination()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val st = drainStats(q)
+      // empty output is legitimate here too (e.g. every user_id NULL —
+      // the oracle's filtered DISTINCT is empty as well); only a
+      // zero-input drain is a harness failure
+      requireSourceDrained(st, dir)
       val out = s.table(name)
         .orderBy("user_id", "event_type")
         .localCheckpoint(true)
-      require(out.limit(1).count() > 0,
-        s"streamed dedup drained ZERO rows from $dir/events.parquet — " +
-          "file-source layout mismatch (no files matched the listing)")
-      out
+      (out, st)
     } finally {
       if (q.isActive) q.stop()
       s.catalog.dropTempView(name)

@@ -276,4 +276,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q44: the cell count aggregates pre-deduplicated triples, not raw events") {
+    // the explicit two-phase distinct: a partial+final aggregate keyed
+    // on (cohort, weeks_since, user_id) must sit below the cell count,
+    // so the exchange carries distinct triples (users x active-weeks
+    // bounded) instead of running countDistinct over raw events
+    val p = plan("q44_retention_cohorts")
+    val dedupAgg = p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("user_id") &&
+        l.contains("cohort") && l.contains("weeks_since"))
+    assert(dedupAgg, p)
+    // and no Expand / distinct-rewrite machinery left in the plan
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("q46: the quality suite runs exactly TWO actions (fused same-table checks)") {
+    // the suite's scale discipline: orders-side checks fuse into one
+    // aggregate, lineitem-side checks into one join+aggregate pass —
+    // 2 driver actions / 2 fact-table scans, not 4. Counted via
+    // QueryExecutionListener (one onSuccess per eager action); the
+    // bus is async, so poll until the count is stable.
+    @volatile var executions = 0
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = executions += 1
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = SparkEntry.queries("q46_quality_checks")(spark, sfDir)
+      // settle the async listener bus: wait until no new events for a
+      // full second (bounded at 30s)
+      var last = -1
+      var stableMs = 0L
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stableMs < 1000 && System.nanoTime() < deadline) {
+        if (executions == last) stableMs += 100 else { stableMs = 0; last = executions }
+        Thread.sleep(100)
+      }
+      assert(executions == 2,
+        s"q46 ran $executions eager actions — the fused suite runs exactly 2")
+      // and the fused result still carries all four checks
+      assert(out.count() == 4)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -105,6 +105,58 @@ class StreamingSpec extends SparkSpec {
       .exists(_.name.startsWith("p17_sink_")))
   }
 
+  test("p16/p17: streaming state is watermark-bounded (post-eviction rows << input)") {
+    // the 100 TB claim of the streaming tier, pinned on the engine's
+    // own progress metrics instead of asserted structurally: after the
+    // AvailableNow drain (whose final batch advances the watermark and
+    // runs eviction), the stateful operators must hold strictly fewer
+    // rows than the source ingested — state tracks the watermark
+    // horizon, never history.
+    val (_, joinStats) = attributionJoinDrained(spark, sfDir)
+    assert(joinStats.inputRows > 0, "p16 drained no input")
+    assert(joinStats.stateRows < joinStats.inputRows,
+      s"p16 join state (${joinStats.stateRows}) did not evict below " +
+        s"input (${joinStats.inputRows}) — watermark eviction broken")
+    val (_, dedupStats) = keyDedupDrained(spark, sfDir)
+    assert(dedupStats.inputRows > 0, "p17 drained no input")
+    assert(dedupStats.stateRows < dedupStats.inputRows,
+      s"p17 dedup state (${dedupStats.stateRows}) did not evict below " +
+        s"input (${dedupStats.inputRows}) — watermark eviction broken")
+  }
+
+  test("p16/p17: an empty stream RESULT is legitimate — only zero-input drains error") {
+    // ADVICE fix: a corpus where no click precedes any purchase in the
+    // horizon produces an EMPTY join output; the engine must hand that
+    // through to the gate (the oracle returns 0 rows too), erroring
+    // only when the SOURCE listing matched nothing.
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("empty-join").toString
+    // purchases only — join output is structurally empty, dedup isn't
+    Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull &&
+        col("event_type") === lit("purchase"))
+      .limit(50)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (joined, st) = attributionJoinDrained(spark, dir)
+    assert(st.inputRows > 0, "source should have drained the purchases")
+    assert(joined.count() == 0, "no clicks => empty attribution result")
+    // and a zero-input drain still errors loudly (single-FILE layout
+    // with no rows — the state a listing mismatch also lands in)
+    val bad = java.nio.file.Files.createTempDirectory("no-events").toString
+    val stage = java.nio.file.Files.createTempDirectory("no-events-stage").toString
+    Tables.events(spark, sfDir).limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(bad, "events.parquet"))
+    val err = intercept[IllegalArgumentException] {
+      attributionJoinStreamed(spark, bad)
+    }
+    assert(err.getMessage.contains("ZERO input rows"), err.getMessage)
+  }
+
   test("p08 batch sessionization equals streaming sessionize on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
