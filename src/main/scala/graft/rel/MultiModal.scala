@@ -1046,6 +1046,61 @@ object MultiModal {
         })
         .toDF("doc_id", "w", "h", "dims_ok", "err_bounded", "psnr_ok")
         .orderBy("doc_id")
+    },
+
+    // The DECODE-TOMBSTONE contract under the value gate (the imaging
+    // tier's F4 discipline brought to the m-tier): a MIXED corpus
+    // where, by deterministic doc_id class, payloads are (0) a PNG
+    // truncated mid-IHDR — valid magic, dead stream, (1) non-image
+    // bytes no installed reader's magic can match (byte deltas are
+    // fixed at 7 mod 251; every JDK magic needs a different delta), or
+    // (2+) a valid render. extractMediaFeatures must keep EVERY row —
+    // corrupt payloads surviving with NULL features, never dropped,
+    // never failing the task — and the oracle pins the per-class
+    // tombstone/decoded counts AND the decoded rows' pixel sums
+    // arithmetically. A decoder that throws on garbage, drops the row,
+    // or "decodes" noise breaks the hash.
+    Q("m10_decode_tombstones", {
+      val rsum =
+        s"""CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+           |      i -> ${pixSql("sd", "i % w", "i // w", 0)}))
+           |    + CASE WHEN dot = 1 THEN 255 - ${pixSql("sd", "0", "0", 0)}
+           |      ELSE 0 END AS BIGINT)""".stripMargin
+      s"""WITH $docDimsCte,
+         |c AS (SELECT doc_id, doc_id % 5 AS payload_class, sd, dot, w, h
+         |      FROM d)
+         |SELECT payload_class, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN payload_class < 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_tombstones,
+         |  CAST(sum(CASE WHEN payload_class >= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_decoded,
+         |  CAST(coalesce(sum(CASE WHEN payload_class >= 2 THEN $rsum
+         |    ELSE NULL END), 0) AS BIGINT) AS r_sum_total
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val mixed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload: Array[Byte] = (id % 5) match {
+            case 0 =>
+              // magic + chunk header survive, IHDR is cut mid-payload:
+              // the sniffer dispatches to the PNG reader, the stream
+              // dies inside it — the exception-path tombstone
+              java.util.Arrays.copyOf(encodePng(renderDoc(id)), 24)
+            case 1 =>
+              // the no-reader-matches tombstone (ImageIO.read == null)
+              Array.tabulate(64)(i => ((id * 31 + i * 7) % 251).toByte)
+            case _ => encodePng(renderDoc(id))
+          }
+          (id, id % 5, payload)
+        }).toDF("doc_id", "payload_class", "payload")
+      extractMediaFeatures(mixed)
+        .groupBy("payload_class")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("width").isNull.cast("long")).as("n_tombstones"),
+          sum(col("width").isNotNull.cast("long")).as("n_decoded"),
+          coalesce(sum(col("r_sum")), lit(0L)).as("r_sum_total"))
+        .orderBy("payload_class")
     }
   )
 }

@@ -325,4 +325,29 @@ class MultiModalSpec extends SparkSpec {
         s"flags off for doc ${r.getLong(0)}")
     }
   }
+
+  test("m10: corrupt-payload classes tombstone fully; valid classes decode fully") {
+    // the registry gate checks counts against DuckDB; this pins the
+    // CLASS semantics directly — both corrupt constructions really
+    // exercise distinct tombstone paths (truncated PNG = reader throws,
+    // delta-7 bytes = no reader matches), and no row is ever dropped
+    val truncated = java.util.Arrays.copyOf(
+      MultiModal.encodePng(MultiModal.renderDoc(5L)), 24)
+    assert(MultiModal.decode(truncated).isEmpty, "truncated PNG must tombstone")
+    val garbage = Array.tabulate(64)(i => ((11L * 31 + i * 7) % 251).toByte)
+    assert(MultiModal.decode(garbage).isEmpty, "delta-7 bytes must tombstone")
+
+    val out = MultiModal.all.find(_.name == "m10_decode_tombstones").get
+      .fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    out.foreach { case (cls, (n, tomb, dec)) =>
+      assert(tomb + dec == n, s"class $cls dropped rows: $n != $tomb+$dec")
+      if (cls < 2) assert(tomb == n && dec == 0L,
+        s"corrupt class $cls decoded $dec rows")
+      else assert(dec == n && tomb == 0L,
+        s"valid class $cls tombstoned $tomb rows")
+    }
+  }
 }
