@@ -349,6 +349,70 @@ object Dedup {
         (max(col("e._2")) <= maxBound).cast("long").as("max_err_ok"))
   }
 
+  /** Incremental batch-vs-corpus NEAR-dup — the LSH analogue of
+    * d12/d15's exact-digest incrementals, i.e. the pass a continuously
+    * ingesting pipeline actually runs on every arriving batch: "which
+    * of these new documents near-duplicate something we already hold?"
+    *
+    * Scale shape (the whole point vs re-running d04 on corpus+batch):
+    * the corpus's banded MinHash index is stored state in production
+    * (recomputed here from the split); the BATCH is small by
+    * definition, so its band table BROADCASTS, the corpus index is
+    * pruned to the batch's buckets by a broadcast semi-join BEFORE
+    * anything groups, and candidate pairs are batch×corpus only —
+    * corpus×corpus pairs never form and nothing corpus-sized ever
+    * shuffles. The pruned sliver buckets through the same fail-fast
+    * bounded collect as d03/d04 (a boilerplate band hot enough to
+    * blow the pair count fails loudly with advice, never OOMs).
+    * Candidates verify with EXACT Jaccard (the d04 discipline), so
+    * the output equals the exact cross-split ground truth. Every
+    * batch doc stays under the gate — (doc_id, n_corpus_neardups,
+    * keep) — so a pair-free corpus cannot green-wash a broken index.
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val isBatch = col("doc_id") % 10 >= 8
+    val rowsPerBand = MinhashK / MinhashBands
+    def bands(d: DataFrame): DataFrame =
+      minhashSignatures(spark, d).as[(Long, Array[Long])]
+        .flatMap { case (id, sig) =>
+          (0 until MinhashBands).iterator
+            .map(b => (bandBucket(sig, b, rowsPerBand), id))
+        }.toDF("bucket", "doc_id")
+    // batch-sized by definition; consumed by two broadcasts below
+    val batchBands = Lineage.cut(bands(docs.filter(isBatch)))
+    val corpusSliver = bands(docs.filter(!isBatch))
+      .join(broadcast(batchBands.select("bucket").distinct()),
+        Seq("bucket"), "left_semi")
+    val pairs = corpusSliver.groupBy("bucket")
+      .agg(boundedIdCollect("incremental LSH band",
+        "df-cap hot shingles (or raise MaxBucketDocs) before pair generation")
+        (col("doc_id")).as("corpus_ids"))
+      .join(broadcast(batchBands), Seq("bucket"))
+      .select(explode(col("corpus_ids")).as("da"), col("doc_id").as("db"))
+      .distinct()
+      // tiny by construction; referenced by two broadcast text fetches
+      .transform(Lineage.cut)
+    val jaccardOfTexts = udf { (ta: String, tb: String) => exactJaccard(ta, tb) }
+    val texts = docs.select(col("doc_id"), col("text"))
+    val withTa = texts.as("ta")
+      .join(broadcast(pairs), col("da") === col("ta.doc_id"))
+      .select(col("da"), col("db"), col("ta.text").as("text_a"))
+    val matches = texts.as("tb")
+      .join(broadcast(withTa), col("db") === col("tb.doc_id"))
+      .filter(jaccardOfTexts(col("text_a"), col("tb.text")) >= threshold)
+      .groupBy(col("db").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    docs.filter(isBatch).select("doc_id")
+      .join(broadcast(matches), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_corpus_neardups"))
+      .withColumn("keep", (col("n_corpus_neardups") === 0L).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** First 8 bytes of md5(UTF-8) as a big-endian long — the simhash
@@ -1089,6 +1153,31 @@ object Dedup {
       batch.join(corpusSliver, Seq("dg"), "left_anti")
         .select(col("dg").as("digest"), col("keeper"), col("batch_copies"))
         .orderBy("digest")
+    },
+
+    // Incremental batch-vs-corpus NEAR-dup (see incrementalNearDup):
+    // the LSH analogue of d12/d15's exact-digest incrementals. The
+    // oracle is the exact cross-split shingle-Jaccard ground truth —
+    // candidates are exact-verified, so LSH must recover precisely the
+    // j >= 0.8 batch×corpus pairs (the d04 equivalence, restricted).
+    Q("d16_incremental_neardup",
+      shingleOracleCte +
+        """, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          |prs AS (
+          |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.sh = b.sh
+          |  WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+          |  GROUP BY 1, 2),
+          |m AS (SELECT db, count(*) AS n_matches FROM prs
+          |      JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+          |      WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.8
+          |      GROUP BY 1)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_corpus_neardups,
+          |  CAST(coalesce(m.n_matches, 0) = 0 AS BIGINT) AS keep
+          |FROM documents d LEFT JOIN m ON d.doc_id = m.db
+          |WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id""".stripMargin) {
+      (s, d) => incrementalNearDup(s, d, 0.8)
     }
   )
 }

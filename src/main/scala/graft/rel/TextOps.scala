@@ -890,8 +890,138 @@ object TextOps {
         ((i + 1).toLong, l, r, freq, after)
       }.toDF("merge_no", "l", "r", "freq", "symbols_after")
         .orderBy("merge_no")
+    },
+
+    // Model-based quality filtering with a TRAINED classifier — the
+    // step every production pipeline runs after the heuristic tier
+    // (CCNet's fastText filter, the GPT-3 quality classifier):
+    // expensive labels on a slice, a fast linear model distilled from
+    // them, the model applied to the full corpus. Here the "teacher"
+    // is a deterministic frequency heuristic (hash-heavier than sort),
+    // the student a multinomial Naive Bayes with Laplace smoothing
+    // trained on the doc_id%2=0 half and evaluated on the other; the
+    // gate is the integer confusion matrix. Scale shape: training is
+    // ONE vocab-bounded token shuffle (labels computed per-row in
+    // codegen — no label-table join), class totals are 5 longs to the
+    // driver, the per-token log-odds table BROADCASTS (the t15/t18
+    // model-table shape), and scoring is one doc-keyed aggregate over
+    // the exploded test half — nothing corpus-sized joins or collects.
+    // Float discipline: both engines replay ln() at a libm boundary,
+    // so the decision runs inside an ENFORCED margin guard (q40): any
+    // test doc within 1e-6 of the boundary fails loudly instead of
+    // hash-flipping (corpus margins measured >= 6e-4 at sf0.001/0.01).
+    // Exact-zero totals are legitimate (token-less docs under equal
+    // priors: ln(n)-ln(n) is exactly 0 in both engines) => pred 0.
+    Q("t22_nb_classifier",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |lab0 AS (
+        |  SELECT doc_id, CASE WHEN sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END)
+        |                    > sum(CASE WHEN tok = 'sort' THEN 1 ELSE 0 END)
+        |                 THEN 1 ELSE 0 END AS label
+        |  FROM toks GROUP BY 1),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.label, 0) AS label
+        |  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
+        |tr AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
+        |te AS (SELECT * FROM lab WHERE doc_id % 2 = 1),
+        |cls AS (SELECT
+        |  CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM tr),
+        |tc AS (SELECT t.tok,
+        |  CAST(sum(CASE WHEN l.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN l.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM toks t JOIN tr l ON t.doc_id = l.doc_id GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS t0,
+        |        CAST(sum(c1) AS BIGINT) AS t1,
+        |        CAST(count(*) AS BIGINT) AS v FROM tc),
+        |model AS (SELECT tok,
+        |  (ln(c1 + 1.0) - ln((SELECT t1 + v FROM tot)))
+        |  - (ln(c0 + 1.0) - ln((SELECT t0 + v FROM tot))) AS delta FROM tc),
+        |sc AS (SELECT te.doc_id, te.label,
+        |  (SELECT ln(n1) - ln(n0) FROM cls) + coalesce(sum(m.delta), 0.0)
+        |    AS total
+        |  FROM te
+        |  LEFT JOIN toks tk ON te.doc_id = tk.doc_id
+        |  LEFT JOIN model m ON tk.tok = m.tok
+        |  GROUP BY 1, 2)
+        |SELECT label, CASE WHEN total > 0 THEN 1 ELSE 0 END AS pred,
+        |  count(*) AS n_docs
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      nbClassifier(s, d)
     }
   )
+
+  /** The t22 trainer+scorer (see the registry comment for the scale
+    * shape). Formula parity with the oracle is EXACT term-for-term:
+    * prior ln(n1)-ln(n0), per-token delta
+    * [ln(c1+1)-ln(T1+V)] - [ln(c0+1)-ln(T0+V)], unknown test tokens
+    * ignored (standard multinomial NB practice) — only summation
+    * order differs, which the margin guard makes irrelevant. */
+  private[rel] def nbClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tk = tokens(col("text"))
+    // the distilled teacher heuristic, per-row codegen — NULL text
+    // has no tokens and labels 0, mirroring the oracle's coalesce
+    val labelCol = when(col("text").isNotNull &&
+        size(filter(tk, t => t === "hash")) >
+        size(filter(tk, t => t === "sort")), 1L).otherwise(0L)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val cl = train.agg(
+      coalesce(sum(when(labelCol === 0L, 1L).otherwise(0L)), lit(0L)).as("n0"),
+      coalesce(sum(when(labelCol === 1L, 1L).otherwise(0L)), lit(0L)).as("n1"))
+      .head()
+    val (n0, n1) = (cl.getLong(0), cl.getLong(1))
+    require(n0 > 0 && n1 > 0,
+      s"t22 needs both classes in the training half (n0=$n0, n1=$n1) — " +
+        "a one-class prior has no decision boundary to gate")
+    // per-class token counts: the ONE vocab-bounded shuffle; cut
+    // because both the totals aggregate and the model read it
+    val tc = Lineage.cut(train.filter(col("text").isNotNull)
+      .select(labelCol.as("label"), explode(tk).as("tok"))
+      .groupBy("tok").agg(
+        sum(when(col("label") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("c1")))
+    val t = tc.agg(coalesce(sum("c0"), lit(0L)), coalesce(sum("c1"), lit(0L)),
+      count(lit(1))).head()
+    val (t0, t1, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    require(v > 0, "t22: empty training vocabulary")
+    val priorDelta = math.log(n1.toDouble) - math.log(n0.toDouble)
+    val model = tc.select(col("tok"),
+      ((log(col("c1") + 1.0d) - lit(math.log((t1 + v).toDouble))) -
+        (log(col("c0") + 1.0d) - lit(math.log((t0 + v).toDouble))))
+        .as("delta"))
+    // scoring: label rides the token explode (no second label join);
+    // explode_outer keeps token-less/NULL-text docs in the gate; ONE
+    // doc-keyed aggregate with map-side partials
+    val perDoc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), labelCol.as("label"),
+        explode_outer(tk).as("tok"))
+      .join(broadcast(model), Seq("tok"), "left")
+      .groupBy("doc_id", "label")
+      .agg(coalesce(sum("delta"), lit(0.0)).as("sumd"),
+        count(col("delta")).as("n_known"))
+    // fail-fast decision (q40 discipline): a margin inside libm-replay
+    // + summation-order reach refuses loudly instead of hash-flipping.
+    // Exact zero with zero known tokens is the deterministic
+    // balanced-prior case (ln(n)-ln(n) == 0 in both engines) -> 0.
+    val predOf = udf { (total: Double, nKnown: Long) =>
+      require(nKnown == 0L || math.abs(total) > 1e-6,
+        f"t22 decision margin $total%.3e within 1e-6 of the boundary — " +
+          "cross-engine argmax no longer safe; widen smoothing or drop the doc")
+      if (total > 0) 1L else 0L
+    }
+    perDoc
+      .select(col("label"),
+        predOf(lit(priorDelta) + col("sumd"), col("n_known")).as("pred"))
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "pred")
+  }
 
   /** The unrolled-CTE oracle for [[bpeTrainMerges]]: one
     * (pairs → top1 → rewritten-vocab) CTE triple per merge round,

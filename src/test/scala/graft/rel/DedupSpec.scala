@@ -23,6 +23,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("d16: incremental near-dup equals the exact cross-split ground truth") {
+    // d03's full within-corpus pair set, restricted to pairs crossing
+    // the %10>=8 batch split, rolled up per batch doc — must equal
+    // d16's per-doc match counts exactly (LSH + exact verify = exact)
+    def side(id: Long): Boolean = id % 10 >= 8
+    val truth = exact.toSeq
+      .filter { case (a, b) => side(a) != side(b) }
+      .map { case (a, b) => if (side(a)) a else b }
+      .groupBy(identity).map { case (id, xs) => id -> xs.size.toLong }
+    assert(truth.nonEmpty, "fixture has no cross-split near-dup pairs — gate vacuous")
+    val got = Dedup.incrementalNearDup(spark, sfDir, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gotMatches = got.filter(_._2 > 0).map(t => t._1 -> t._2).toMap
+    assert(gotMatches == truth, s"got $gotMatches expected $truth")
+    // every batch doc is present, keep flag consistent
+    got.foreach { case (id, n, keep) =>
+      assert(side(id) && keep == (if (n == 0) 1L else 0L)) }
+    val nBatch = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 >= 8).count()
+    assert(got.length.toLong == nBatch)
+  }
+
   test("d13: minhash estimate errors match an in-JVM recompute with >=2x margin") {
     import org.apache.spark.sql.functions.col
     // contract flags must all pass on the registry corpus

@@ -291,6 +291,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("d16: batch side broadcasts everywhere — no sort-merge, no cartesian, no corpus shuffle-join") {
+    val p = plan("d16_incremental_neardup")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q46: the quality suite runs exactly TWO actions (fused same-table checks)") {
     // the suite's scale discipline: orders-side checks fuse into one
     // aggregate, lineitem-side checks into one join+aggregate pass —

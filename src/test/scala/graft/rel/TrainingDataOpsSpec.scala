@@ -560,4 +560,28 @@ class TrainingDataOpsSpec extends SparkSpec {
       assert(bounded == 1L, "file count above target")
     }
   }
+
+  test("t22 NB classifier beats the majority baseline — it actually learned the heuristic") {
+    // the confusion matrix is hash-gated against DuckDB; this pins the
+    // MODEL QUALITY claim: accuracy on the held-out half must beat
+    // predicting the majority class (a broken model that predicts one
+    // class everywhere still produces a stable confusion matrix — this
+    // is the assertion that would catch it). Both classes must also be
+    // genuinely present in the test half, or the baseline is vacuous.
+    val conf = TextOps.all.find(_.name == "t22_nb_classifier").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = conf.values.sum.toDouble
+    val correct = conf.filter { case ((l, p), _) => l == p }.values.sum
+    val class0 = conf.collect { case ((0L, _), n) => n }.sum
+    val class1 = conf.collect { case ((1L, _), n) => n }.sum
+    assert(class0 > 0 && class1 > 0, s"degenerate test labels: $conf")
+    val acc = correct / total
+    val majority = math.max(class0, class1) / total
+    info(f"t22 accuracy $acc%.3f vs majority baseline $majority%.3f")
+    assert(acc > majority,
+      f"NB accuracy $acc%.3f does not beat majority $majority%.3f — no signal learned")
+    // and the model predicts BOTH classes (not a constant classifier)
+    assert(conf.keys.map(_._2).toSet == Set(0L, 1L), conf.toString)
+  }
 }
