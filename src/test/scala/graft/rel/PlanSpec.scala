@@ -299,6 +299,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("s15: the serve-phase index scan is statically partition-pruned on cell") {
+    // the persisted-index payoff: the query job reads ONLY the probed
+    // cells' partitions — the scan must carry a PartitionFilters
+    // predicate on the cell column (pruned at file listing, before any
+    // row is touched), not filter rows post-scan
+    val p = plan("s15_ivf_persisted")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse("")
+    assert(scanLine.nonEmpty, p)
+    assert(scanLine.contains("cell#") || scanLine.contains("cell IN") ||
+      scanLine.contains("(cell"), scanLine)
+  }
+
   test("q46: the quality suite runs exactly TWO actions (fused same-table checks)") {
     // the suite's scale discipline: orders-side checks fuse into one
     // aggregate, lineitem-side checks into one join+aggregate pass —

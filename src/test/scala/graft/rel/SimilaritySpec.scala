@@ -508,4 +508,27 @@ class SimilaritySpec extends SparkSpec {
     // descent is strict somewhere: clustering actually improved
     assert(w1.last < w1.head, s"no WCSS improvement: $w1")
   }
+
+  test("s15: serving from the persisted index equals computing in memory") {
+    // same deterministic sample -> same centroids -> the disk round
+    // trip (partitioned write, centroid table, pruned read) must be
+    // result-invisible vs s04's in-one-plan IVF at identical knobs
+    import org.apache.spark.sql.functions.col
+    val (persisted, complete) = Similarity.knnIvfPersisted(
+      spark, sfDir, nQueries = 5, k = 10, nList = 16, nProbe = 12)
+    assert(complete, "persisted index lost rows")
+    val inMem = Similarity.knnIvf(
+      spark, sfDir, nQueries = 5, k = 10, nList = 16, nProbe = 12)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sets(persisted) == sets(inMem),
+      "disk round trip changed the neighbor sets")
+    // and the layout really is cell-partitioned on disk
+    val idxDir = new java.io.File(
+      Similarity.ivfIndexPath(sfDir) + "/index")
+    val cellDirs = Option(idxDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, s"expected cell= partition dirs in $idxDir")
+  }
 }
