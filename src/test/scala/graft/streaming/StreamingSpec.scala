@@ -157,6 +157,36 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("ZERO input rows"), err.getMessage)
   }
 
+  test("p16/p17 run unchanged on the RocksDB state store (the 100 TB provider)") {
+    // the default HDFS-backed store holds state on the JVM heap; at
+    // production state sizes the deployment conf swaps in RocksDB
+    // (off-heap, incremental checkpoints). The engine code must be
+    // provider-agnostic: same drains, same results, state still
+    // watermark-bounded. providerClass is read at QUERY start, so
+    // setting it around the calls scopes it to these queries.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val (join, js) = attributionJoinDrained(spark, sfDir)
+      val (dedup, ds) = keyDedupDrained(spark, sfDir)
+      val joinRows = join.collect().map(_.toSeq).toSeq
+      val dedupRows = dedup.collect().map(_.toSeq).toSeq
+      assert(js.stateRows < js.inputRows, "rocksdb join state did not evict")
+      assert(ds.stateRows < ds.inputRows, "rocksdb dedup state did not evict")
+      // result parity with the default provider
+      spark.conf.unset(key)
+      assert(joinRows == attributionJoinStreamed(spark, sfDir)
+        .collect().map(_.toSeq).toSeq, "p16 diverged across providers")
+      assert(dedupRows == streamedKeyDedup(spark, sfDir)
+        .collect().map(_.toSeq).toSeq, "p17 diverged across providers")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("p08 batch sessionization equals streaming sessionize on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
