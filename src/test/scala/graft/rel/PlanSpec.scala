@@ -299,6 +299,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("t22: model table broadcasts; training agg is partial+final; no sort-merge") {
+    val p = plan("t22_nb_classifier")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("s15: the serve-phase index scan is statically partition-pruned on cell") {
     // the persisted-index payoff: the query job reads ONLY the probed
     // cells' partitions — the scan must carry a PartitionFilters
