@@ -979,45 +979,63 @@ object TextOps {
     require(n0 > 0 && n1 > 0,
       s"t22 needs both classes in the training half (n0=$n0, n1=$n1) — " +
         "a one-class prior has no decision boundary to gate")
-    // per-class token counts: the ONE vocab-bounded shuffle; cut
-    // because both the totals aggregate and the model read it
-    val tc = Lineage.cut(train.filter(col("text").isNotNull)
+    // per-class token counts: the ONE vocab-bounded shuffle (map-side
+    // combined), COLLECTED — the vocabulary is Heaps'-law bounded
+    // (t15/t18's model-table class; ~1M tokens × 24 B at web scale,
+    // the d15-bloom order of driver state), and holding it on the
+    // driver lets the totals, smoothing terms, and log-odds all derive
+    // from the one aggregate instead of a checkpoint + second pass.
+    // If a corpus ever outgrows this, the broadcast-join scoring
+    // variant (model stays distributed) is the drop-in fallback.
+    val counts = train.filter(col("text").isNotNull)
       .select(labelCol.as("label"), explode(tk).as("tok"))
       .groupBy("tok").agg(
         sum(when(col("label") === 0L, 1L).otherwise(0L)).as("c0"),
-        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("c1")))
-    val t = tc.agg(coalesce(sum("c0"), lit(0L)), coalesce(sum("c1"), lit(0L)),
-      count(lit(1))).head()
-    val (t0, t1, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
-    require(v > 0, "t22: empty training vocabulary")
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("c1"))
+      .collect()
+    require(counts.nonEmpty, "t22: empty training vocabulary")
+    val t0 = counts.map(_.getLong(1)).sum
+    val t1 = counts.map(_.getLong(2)).sum
+    val v = counts.length
     val priorDelta = math.log(n1.toDouble) - math.log(n0.toDouble)
-    val model = tc.select(col("tok"),
-      ((log(col("c1") + 1.0d) - lit(math.log((t1 + v).toDouble))) -
-        (log(col("c0") + 1.0d) - lit(math.log((t0 + v).toDouble))))
-        .as("delta"))
-    // scoring: label rides the token explode (no second label join);
-    // explode_outer keeps token-less/NULL-text docs in the gate; ONE
-    // doc-keyed aggregate with map-side partials
-    val perDoc = docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), labelCol.as("label"),
-        explode_outer(tk).as("tok"))
-      .join(broadcast(model), Seq("tok"), "left")
-      .groupBy("doc_id", "label")
-      .agg(coalesce(sum("delta"), lit(0.0)).as("sumd"),
-        count(col("delta")).as("n_known"))
-    // fail-fast decision (q40 discipline): a margin inside libm-replay
-    // + summation-order reach refuses loudly instead of hash-flipping.
-    // Exact zero with zero known tokens is the deterministic
-    // balanced-prior case (ln(n)-ln(n) == 0 in both engines) -> 0.
-    val predOf = udf { (total: Double, nKnown: Long) =>
-      require(nKnown == 0L || math.abs(total) > 1e-6,
+    // per-token log-odds, same formula terms as the oracle
+    // (ln(c+1) − ln(T+V) per class — only summation order differs,
+    // which the margin guard absorbs)
+    val lt0 = math.log((t0 + v).toDouble)
+    val lt1 = math.log((t1 + v).toDouble)
+    val delta: Map[String, Double] = counts.map { r =>
+      r.getString(0) ->
+        ((math.log(r.getLong(2) + 1.0) - lt1) -
+          (math.log(r.getLong(1) + 1.0) - lt0))
+    }.toMap
+    val bc = s.sparkContext.broadcast(delta)
+    // scoring: the fastText serving shape — model in executor memory,
+    // ONE narrow pass over the test half (no token explode, no join,
+    // no doc-keyed shuffle; only the 4-cell confusion aggregate
+    // shuffles). Unknown tokens are ignored (standard multinomial NB).
+    // The decision is fail-fast (q40 discipline): a margin inside
+    // libm-replay + summation-order reach refuses loudly instead of
+    // hash-flipping; exact zero with zero known tokens is the
+    // deterministic balanced-prior case (ln(n)-ln(n) == 0 in both
+    // engines) -> pred 0.
+    val scoreUdf = udf { (toks: Seq[String]) =>
+      val m = bc.value
+      var total = priorDelta
+      var known = 0L
+      toks.foreach { t =>
+        m.get(t) match {
+          case Some(dl) => total += dl; known += 1
+          case None =>
+        }
+      }
+      require(known == 0L || math.abs(total) > 1e-6,
         f"t22 decision margin $total%.3e within 1e-6 of the boundary — " +
           "cross-engine argmax no longer safe; widen smoothing or drop the doc")
       if (total > 0) 1L else 0L
     }
-    perDoc
-      .select(col("label"),
-        predOf(lit(priorDelta) + col("sumd"), col("n_known")).as("pred"))
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(labelCol.as("label"),
+        scoreUdf(coalesce(tk, array())).as("pred"))
       .groupBy("label", "pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("label", "pred")

@@ -299,10 +299,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("t22: model table broadcasts; training agg is partial+final; no sort-merge") {
+  test("t22: scoring is a join-free narrow pass — model lives in executor memory") {
+    // the fastText serving shape: after training, the scoring plan has
+    // NO join and no token explode — one pass labels+scores each doc
+    // against the broadcast model, and only the 4-cell confusion
+    // aggregate (partial+final) shuffles
     val p = plan("t22_nb_classifier")
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p) // no explode in the scoring pass
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
