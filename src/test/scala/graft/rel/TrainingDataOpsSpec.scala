@@ -561,6 +561,32 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("p20 dead-letter routing: both corrupt classes flag, payloads replayable, nothing dropped") {
+    // pins the PERMISSIVE semantics the query depends on: a truncated
+    // line AND a wrong-typed field both set the corrupt column (the
+    // latter still parses its prefix fields — Spark's partial-parse
+    // behavior, probed before the query was written), the raw payload
+    // survives verbatim, and good+dead row counts partition the feed
+    val out = graft.SparkEntry.queries("p20_dead_letter")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val total = docs.count()
+    val expectedDead = docs.filter(col("doc_id") % 4 >= 2).count()
+    val (deadN, deadSum, deadWords) = out("_dead_letter")
+    assert(deadN == expectedDead, s"dead count $deadN != $expectedDead")
+    assert(deadWords == -1L, "dead bucket must carry NULL sum_words")
+    // replay guarantee: recovered ids sum to the true dead-id sum
+    val expectedDeadSum = docs.filter(col("doc_id") % 4 >= 2)
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).head().getLong(0)
+    assert(deadSum == expectedDeadSum, "raw payloads not replayable")
+    // nothing dropped: good + dead == corpus
+    val goodN = out.filterKeys(_ != "_dead_letter").values.map(_._1).sum
+    assert(goodN + deadN == total, s"$goodN + $deadN != $total")
+  }
+
   test("t22 NB classifier beats the majority baseline — it actually learned the heuristic") {
     // the confusion matrix is hash-gated against DuckDB; this pins the
     // MODEL QUALITY claim: accuracy on the held-out half must beat
