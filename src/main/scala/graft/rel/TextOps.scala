@@ -964,35 +964,39 @@ object TextOps {
   private[rel] def nbClassifier(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val tk = tokens(col("text"))
-    // the distilled teacher heuristic, per-row codegen — NULL text
-    // has no tokens and labels 0, mirroring the oracle's coalesce
-    val labelCol = when(col("text").isNotNull &&
-        size(filter(tk, t => t === "hash")) >
-        size(filter(tk, t => t === "sort")), 1L).otherwise(0L)
-    val train = docs.filter(col("doc_id") % 2 === 0)
-    val cl = train.agg(
-      coalesce(sum(when(labelCol === 0L, 1L).otherwise(0L)), lit(0L)).as("n0"),
-      coalesce(sum(when(labelCol === 1L, 1L).otherwise(0L)), lit(0L)).as("n1"))
-      .head()
-    val (n0, n1) = (cl.getLong(0), cl.getLong(1))
-    require(n0 > 0 && n1 > 0,
-      s"t22 needs both classes in the training half (n0=$n0, n1=$n1) — " +
-        "a one-class prior has no decision boundary to gate")
-    // per-class token counts: the ONE vocab-bounded shuffle (map-side
-    // combined), COLLECTED — the vocabulary is Heaps'-law bounded
-    // (t15/t18's model-table class; ~1M tokens × 24 B at web scale,
-    // the d15-bloom order of driver state), and holding it on the
-    // driver lets the totals, smoothing terms, and log-odds all derive
-    // from the one aggregate instead of a checkpoint + second pass.
-    // If a corpus ever outgrows this, the broadcast-join scoring
+    // TRAINING = ONE corpus pass: the class priors ride the same
+    // vocab-bounded (tok, class-count) shuffle as the model counts,
+    // keyed by a SENTINEL pseudo-token emitted once per doc. The
+    // sentinel contains a SPACE, which no real token can (tokens are
+    // the non-empty pieces of a split on space) — disjoint from the
+    // token domain by construction, not by luck. NULL-text docs emit
+    // just the sentinel, so they still count toward their class.
+    // The aggregate is COLLECTED — the vocabulary is Heaps'-law
+    // bounded (t15/t18's model-table class; ~1M tokens × 24 B at web
+    // scale, the d15-bloom order of driver state); totals, smoothing
+    // terms, and log-odds all derive from this one result. If a
+    // corpus ever outgrows the driver, the broadcast-join scoring
     // variant (model stays distributed) is the drop-in fallback.
-    val counts = train.filter(col("text").isNotNull)
-      .select(labelCol.as("label"), explode(tk).as("tok"))
+    val Sentinel = "per doc"
+    val all = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("text")).as[String]
+      .mapPartitions(_.flatMap { text =>
+        val (toks, label) = nbTokensAndLabel(text)
+        Iterator.single((Sentinel, label)) ++
+          toks.iterator.map(t => (t, label))
+      })
+      .toDF("tok", "label")
       .groupBy("tok").agg(
         sum(when(col("label") === 0L, 1L).otherwise(0L)).as("c0"),
         sum(when(col("label") === 1L, 1L).otherwise(0L)).as("c1"))
       .collect()
+    val sent = all.find(_.getString(0) == Sentinel).getOrElse(
+      sys.error("t22: empty training half — no class priors"))
+    val (n0, n1) = (sent.getLong(1), sent.getLong(2))
+    require(n0 > 0 && n1 > 0,
+      s"t22 needs both classes in the training half (n0=$n0, n1=$n1) — " +
+        "a one-class prior has no decision boundary to gate")
+    val counts = all.filter(_.getString(0) != Sentinel)
     require(counts.nonEmpty, "t22: empty training vocabulary")
     val t0 = counts.map(_.getLong(1)).sum
     val t1 = counts.map(_.getLong(2)).sum
@@ -1018,27 +1022,49 @@ object TextOps {
     // hash-flipping; exact zero with zero known tokens is the
     // deterministic balanced-prior case (ln(n)-ln(n) == 0 in both
     // engines) -> pred 0.
-    val scoreUdf = udf { (toks: Seq[String]) =>
-      val m = bc.value
-      var total = priorDelta
-      var known = 0L
-      toks.foreach { t =>
-        m.get(t) match {
-          case Some(dl) => total += dl; known += 1
-          case None =>
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("text")).as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { text =>
+          val (toks, label) = nbTokensAndLabel(text)
+          var total = priorDelta
+          var known = 0L
+          toks.foreach { t =>
+            m.get(t) match {
+              case Some(dl) => total += dl; known += 1
+              case None =>
+            }
+          }
+          require(known == 0L || math.abs(total) > 1e-6,
+            f"t22 decision margin $total%.3e within 1e-6 of the boundary — " +
+              "cross-engine argmax no longer safe; widen smoothing or drop the doc")
+          (label, if (total > 0) 1L else 0L)
         }
       }
-      require(known == 0L || math.abs(total) > 1e-6,
-        f"t22 decision margin $total%.3e within 1e-6 of the boundary — " +
-          "cross-engine argmax no longer safe; widen smoothing or drop the doc")
-      if (total > 0) 1L else 0L
-    }
-    docs.filter(col("doc_id") % 2 === 1)
-      .select(labelCol.as("label"),
-        scoreUdf(coalesce(tk, array())).as("pred"))
+      .toDF("label", "pred")
       .groupBy("label", "pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("label", "pred")
+  }
+
+  /** t22's teacher heuristic + tokenizer, compiled: one split, one
+    * loop per doc. Semantics identical to the oracle's
+    * `count(tok='hash') > count(tok='sort')` over the non-empty
+    * space-split tokens (NULL text → no tokens → label 0). The
+    * declarative version (explode + higher-order-function label) was
+    * measured 6x slower: CollapseProject inlines the label expression
+    * into the post-Generate projection, re-evaluating the two array
+    * filters once per exploded TOKEN instead of once per doc. */
+  private def nbTokensAndLabel(text: String): (Array[String], Long) = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.split(" ").filter(_.nonEmpty)
+    var h = 0; var so = 0
+    toks.foreach { t =>
+      if (t == "hash") h += 1 else if (t == "sort") so += 1
+    }
+    (toks, if (h > so) 1L else 0L)
   }
 
   /** The unrolled-CTE oracle for [[bpeTrainMerges]]: one
