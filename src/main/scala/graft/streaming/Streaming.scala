@@ -491,4 +491,64 @@ object Streaming {
           }
       }
   }
+
+  /** [[sessionize]] executed as a REAL incremental streaming query
+    * (p21 — the fourth stateful-operator class under the value gate,
+    * after p12's aggregation, p16's join and p17's dedup, and the only
+    * one running CUSTOM state: flatMapGroupsWithState with
+    * EventTimeTimeout). File readStream over the events parquet →
+    * per-user gap sessionization → AvailableNow append sink.
+    *
+    * Determinism contract for the gate: sessionize emits every closed
+    * session once, a closed=false snapshot of each key's trailing open
+    * session, and — when the final watermark passes end+gap — that
+    * session AGAIN via the timeout path with identical (start,end,n).
+    * Folding the sink by (user_id, session_start) with max(end)/max(n)
+    * therefore yields exactly the batch gap-sessionization set: under
+    * an AvailableNow drain of the registry source the data arrives in
+    * one micro-batch per key, so a session's start never moves after
+    * its first emission (end/n only grow, and max() tracks them).
+    * State posture: one open session per ACTIVE user, evicted by
+    * EventTimeTimeout at end+gap — state tracks the active-user set at
+    * the watermark horizon, never session history (pinned on
+    * [[DrainStats.stateRows]] in StreamingSpec). */
+  def sessionizeStreamed(s: SparkSession, dir: String): DataFrame =
+    sessionizeDrained(s, dir)._1
+
+  private[graft] def sessionizeDrained(
+      s: SparkSession, dir: String): (DataFrame, DrainStats) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val rows = eventRows(eventsStream(s, dir))
+    val name = "p21_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // one state-store instance per partition; same bounded-drain
+    // scoping (and restore-after-termination race note) as p16/p17
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sessionize(rows, gapMs = graft.rel.PipelineQueries.SessionGapMs,
+          watermark = "10 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      catch { case e: Throwable =>
+        s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+      }
+    try {
+      try q.awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val st = drainStats(q)
+      requireSourceDrained(st, dir)
+      val out = s.table(name)
+        .groupBy(col("user_id"), col("start").as("session_start"))
+        .agg(max("end").as("session_end"), max("n").as("n_events"))
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(true)
+      (out, st)
+    } finally {
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
 }

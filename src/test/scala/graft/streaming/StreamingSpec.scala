@@ -124,6 +124,36 @@ class StreamingSpec extends SparkSpec {
         s"input (${dedupStats.inputRows}) — watermark eviction broken")
   }
 
+  test("p21: incremental custom-state sessionization equals batch gaps-and-islands") {
+    import org.apache.spark.sql.expressions.Window
+    val (streamed, st) = sessionizeDrained(spark, sfDir)
+    val got = streamed.collect().map(_.toSeq).toSeq
+    // batch gaps-and-islands with the same eventRows null exclusion
+    val gap = graft.rel.PipelineQueries.SessionGapMs
+    val e = eventRows(Tables.events(spark, sfDir)).toDF()
+      .select(col("user_id"), unix_millis(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val want = e.withColumn("prev", lag("t", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("t") - col("prev") > gap, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("session_start"), max("t").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "incremental sessionization diverged from batch")
+    assert(got.nonEmpty)
+    // custom state is watermark-bounded: at most one open session per
+    // user survives the drain (timeout eviction covers the rest)
+    val users = e.select("user_id").distinct().count()
+    assert(st.stateRows <= users,
+      s"p21 state (${st.stateRows}) exceeds active users ($users)")
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("p21_sink_")))
+  }
+
   test("p16/p17: an empty stream RESULT is legitimate — only zero-input drains error") {
     // ADVICE fix: a corpus where no click precedes any purchase in the
     // horizon produces an EMPTY join output; the engine must hand that
