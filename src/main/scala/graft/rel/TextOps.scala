@@ -952,8 +952,99 @@ object TextOps {
         |  count(*) AS n_docs
         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       nbClassifier(s, d)
+    },
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023): score every corpus document by how much more likely its
+    // HASHED N-GRAM features are under a target distribution (here the
+    // lang='en' subset) than under the raw corpus distribution; the
+    // resampling stage then keeps documents with the highest weights.
+    // Features are unigrams+bigrams hashed into 128 buckets (md5, the
+    // cross-engine t10 idiom); both bucket distributions are
+    // add-0.5-smoothed, and a document's log importance weight is
+    // sum_b n_b * [ln p_target(b) - ln p_raw(b)].
+    //
+    // Scale shape: ONE tokenize+hash pass over the corpus reduced
+    // map-side to per-doc bucket counts (docb: ≤ 128 rows/doc — the
+    // ONLY corpus-sized shuffle, and it carries (doc_id, bucket,
+    // count), never text or gram strings); the raw/target bucket
+    // tables and their totals re-aggregate docb (≤ 128 groups), and
+    // the λ-table (≤ 128 rows) BROADCASTS back onto docb for the
+    // per-doc score. The gate hashes every doc's weight; the top-k
+    // resample itself is an ORDER BY logw LIMIT k over these scores
+    // (exercised in TextOpsSpec, kept out of the oracle to avoid
+    // ranking at a float boundary — the q40 class).
+    //
+    // Accepted flake bound (t15's argument): round(sum, 4) over ≤ 256
+    // association-ordered products — the λ magnitudes are O(1) and the
+    // per-doc term count is bounded by 2·n_tokens, so association
+    // error sits orders below the 0.5e-4 boundary granularity.
+    Q("t23_dsir_select",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '),
+        |    t -> length(t) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT doc_id, lang, unnest(ts) AS g FROM toks),
+        |bi AS (SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS g
+        |  FROM toks, unnest(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+        |grams AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 128 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |docb AS (SELECT doc_id, lang, b, count(*) AS n
+        |  FROM grams GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS rc FROM docb GROUP BY b),
+        |tgt AS (SELECT b, CAST(sum(n) AS BIGINT) AS tc FROM docb
+        |  WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT sum(rc) FROM raw)::DOUBLE AS r,
+        |               (SELECT coalesce(sum(tc), 0) FROM tgt)::DOUBLE AS t),
+        |lam AS (SELECT raw.b,
+        |    ln((coalesce(tgt.tc, 0) + 0.5) * (tot.r + 64.0))
+        |  - ln((raw.rc + 0.5) * (tot.t + 64.0)) AS lam
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_grams,
+        |  round(sum(d.n * l.lam), 4) AS logw
+        |FROM docb d JOIN lam l USING (b)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      dsirScores(s, d).orderBy("doc_id")
     }
   )
+
+  /** t23's scorer (see the registry comment for the scale shape);
+    * exposed so TextOpsSpec can drive the top-k resampling stage on
+    * the same frame. */
+  private[rel] def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+    val uni = toks.select(col("doc_id"), col("lang"),
+      explode(col("ts")).as("g"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("bg.0"), lit(" "), col("bg.1")).as("g"))
+    // bucket BEFORE the shuffle: gram strings die in the scan stage
+    val docb = uni.unionAll(bi)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % 128)
+          .as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+    val docbC = Lineage.cut(docb) // three consumers — one corpus pass total
+    val raw = docbC.groupBy("b").agg(sum("n").as("rc"))
+    val tgt = docbC.filter(col("lang") === "en")
+      .groupBy("b").agg(sum("n").as("tc"))
+    val tot = raw.agg(sum("rc").cast("double").as("r"))
+      .crossJoin(tgt.agg(coalesce(sum("tc"), lit(0L)).cast("double").as("t")))
+    val lam = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(0.5)) * (col("r") + lit(64.0)))
+          - log((col("rc") + lit(0.5)) * (col("t") + lit(64.0)))).as("lam"))
+    docbC.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_grams"),
+        round(sum(col("n") * col("lam")), 4).as("logw"))
+  }
 
   /** The t22 trainer+scorer (see the registry comment for the scale
     * shape). Formula parity with the oracle is EXACT term-for-term:

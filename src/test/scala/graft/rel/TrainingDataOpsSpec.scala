@@ -610,4 +610,35 @@ class TrainingDataOpsSpec extends SparkSpec {
     // and the model predicts BOTH classes (not a constant classifier)
     assert(conf.keys.map(_._2).toSet == Set(0L, 1L), conf.toString)
   }
+
+  test("t23 DSIR weights carry the target signal and drive the resample stage") {
+    import org.apache.spark.sql.functions._
+    // the per-doc weights are hash-gated against DuckDB; this pins the
+    // METHOD claim: importance weights under the lang='en' target must
+    // rank English documents above the rest ON AVERAGE (a broken lambda
+    // table — e.g. target/raw swapped — flips the sign), and the top-k
+    // resampling stage over the scores must be English-enriched vs the
+    // corpus base rate.
+    val scored = TextOps.dsirScores(spark, sfDir)
+      .join(graft.rel.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("logw"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(scored.length > 50, s"only ${scored.length} scored docs")
+    val (en, rest) = scored.partition(_._2 == "en")
+    assert(en.nonEmpty && rest.nonEmpty, "need both target and non-target docs")
+    val meanEn = en.map(_._3).sum / en.length
+    val meanRest = rest.map(_._3).sum / rest.length
+    info(f"t23 mean logw: en $meanEn%.4f vs rest $meanRest%.4f")
+    assert(meanEn > meanRest,
+      f"target docs do not outscore the rest ($meanEn%.4f <= $meanRest%.4f)")
+    // resample: top-quarter by weight (doc_id tie-break) is en-enriched
+    val k = scored.length / 4
+    val top = scored.sortBy(t => (-t._3, t._1)).take(k)
+    val topRate = top.count(_._2 == "en").toDouble / k
+    val baseRate = en.length.toDouble / scored.length
+    info(f"t23 resample en-rate $topRate%.3f vs base $baseRate%.3f")
+    assert(topRate > baseRate,
+      f"top-$k resample ($topRate%.3f) not enriched over base ($baseRate%.3f)")
+  }
 }
