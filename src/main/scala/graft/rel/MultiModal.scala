@@ -1101,6 +1101,141 @@ object MultiModal {
           sum(col("width").isNotNull.cast("long")).as("n_decoded"),
           coalesce(sum(col("r_sum")), lit(0L)).as("r_sum_total"))
         .orderBy("payload_class")
+    },
+
+    // VIDEO near-duplicate detection over REAL decoded frames — the
+    // frame-fingerprint-set form every video-dedup pipeline uses
+    // (decode → per-frame fingerprint → videos sharing most frames are
+    // near-dups). Payloads are genuine animated GIFs (the m08 codec):
+    // 60 distinct videos keyed doc_id%60, where partners ck and ck+30
+    // share every frame EXCEPT the last (nearPx keys the final frame
+    // on the full ck) — planted near-dup pairs with Jaccard
+    // (nf-1)/(nf+1) ∈ [0.5, 0.71] at every sf, 0.5 exactly
+    // representable so the >= 0.5 gate has no float boundary. Scale
+    // shape: decode+fingerprint is a NARROW per-row pass (payload
+    // bytes never shuffle — only 8-byte fingerprints); videos dedupe
+    // on the video-level fold first (near-dup runs on DISTINCT
+    // contents, the d01-before-d04 discipline); candidate pairs come
+    // from a frame-fingerprint equi-join (the d03 bucket shape), never
+    // an all-pairs product. The oracle replays frame fingerprints
+    // arithmetically from the pixel formula — a codec deviation on any
+    // pixel of any frame of any video breaks the hash.
+    Q("m11_video_neardup",
+      """WITH v AS (SELECT doc_id % 60 AS ck, min(doc_id) AS keeper
+        |  FROM documents GROUP BY 1),
+        |nfv AS (SELECT ck, keeper, (3 + (ck % 30) % 4)::BIGINT AS nf FROM v),
+        |fr AS (SELECT ck, keeper, f.f AS f,
+        |  list_reduce(list_prepend(192::BIGINT,
+        |    list_transform(generate_series(0, 191), i ->
+        |      ((CASE WHEN f.f < nf - 1 THEN ck % 30 ELSE ck END) * 7919
+        |        + f.f * 577 + (i % 16) * 31 + (i // 16) * 53
+        |        + ((i % 16) * (i // 16)) % 17) % 256)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM nfv, unnest(generate_series(0, (nf - 1)::INT)) AS f(f)),
+        |df AS (SELECT DISTINCT keeper, fp FROM fr),
+        |fs AS (SELECT keeper, count(*) AS nfp FROM df GROUP BY 1),
+        |pr AS (SELECT a.keeper AS ka, b.keeper AS kb, count(*) AS shared
+        |  FROM df a JOIN df b ON a.fp = b.fp AND a.keeper < b.keeper
+        |  GROUP BY 1, 2)
+        |SELECT pr.ka AS keeper_a, pr.kb AS keeper_b,
+        |  CAST(pr.shared AS BIGINT) AS shared,
+        |  CAST(fa.nfp AS BIGINT) AS na, CAST(fb.nfp AS BIGINT) AS nb,
+        |  round(pr.shared / (fa.nfp + fb.nfp - pr.shared)::DOUBLE, 6) AS jacc
+        |FROM pr JOIN fs fa ON pr.ka = fa.keeper
+        |  JOIN fs fb ON pr.kb = fb.keeper
+        |WHERE pr.shared / (fa.nfp + fb.nfp - pr.shared)::DOUBLE >= 0.5
+        |ORDER BY keeper_a, keeper_b""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val perDoc = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = decodeGifFrames(encodeNearGif(videoContentKey(id)))
+            .getOrElse(sys.error(s"undecodable GIF payload for doc $id"))
+          val fps = frames.map(frameFingerprint).toArray
+          // video-level fold (m07's shape): seed = frame count
+          var vfp = fps.length.toLong
+          fps.foreach(fp => vfp = (vfp * 31 + fp) % 1000000007L)
+          (id, vfp, fps)
+        }).toDF("doc_id", "vfp", "fps")
+      // near-dup over DISTINCT videos: group exact copies first. Every
+      // fps array in a vfp group is identical by construction, so
+      // first() is deterministic here.
+      val videos = perDoc.groupBy("vfp")
+        .agg(min("doc_id").as("keeper"), first("fps").as("fps"))
+      val frames = Lineage.cut(videos
+        .select(col("keeper"), explode(array_distinct(col("fps"))).as("fp")))
+      val sizes = frames.groupBy("keeper").agg(count(lit(1)).as("nfp"))
+      val a = frames.toDF("ka", "fp")
+      val b = frames.toDF("kb", "fp")
+      a.join(b, a("fp") === b("fp") && col("ka") < col("kb"))
+        .groupBy("ka", "kb").agg(count(lit(1)).as("shared"))
+        .join(broadcast(sizes.toDF("ka", "na")), Seq("ka"))
+        .join(broadcast(sizes.toDF("kb", "nb")), Seq("kb"))
+        .withColumn("jacc", col("shared") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jacc") >= 0.5)
+        .select(col("ka").as("keeper_a"), col("kb").as("keeper_b"),
+          col("shared"), col("na"), col("nb"), round(col("jacc"), 6).as("jacc"))
+        .orderBy("keeper_a", "keeper_b")
     }
   )
+
+  // ---- m11: video near-dup content (shared-frame GIF family) ---------
+
+  /** 60 distinct videos; ck and ck+30 share all frames but the last. */
+  def videoContentKey(docId: Long): Long = docId % 60
+  def nearFrameCount(ck: Long): Int = 3 + ((ck % 30) % 4).toInt
+  /** Frame pixel: keyed on ck%30 for all but the LAST frame (shared
+    * between partner videos), on the full ck for the last (the frame
+    * that differs) — near-dups by construction, exactly replayable. */
+  def nearPx(ck: Long, nf: Int, f: Int, x: Int, y: Int): Int = {
+    val fk = if (f < nf - 1) ck % 30 else ck
+    ((fk * 7919 + f.toLong * 577 + x.toLong * 31 + y.toLong * 53
+      + (x.toLong * y) % 17) % 256).toInt
+  }
+  /** The m08 GIF sequence writer over the near-dup frame family. */
+  def encodeNearGif(ck: Long): Array[Byte] = {
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val nf = nearFrameCount(ck)
+      var f = 0
+      while (f < nf) {
+        val img = new BufferedImage(VideoW, VideoH,
+          BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < VideoH) {
+          var x = 0
+          while (x < VideoW) {
+            raster.setSample(x, y, 0, nearPx(ck, nf, f, x, y)); x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+  /** Row-major fold of decoded luma — seed 192 (the pixel count), the
+    * m07 fold constant; identical to the oracle's list_reduce replay. */
+  def frameFingerprint(img: BufferedImage): Long = {
+    var a = (img.getWidth * img.getHeight).toLong
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        a = (a * 31 + (img.getRGB(x, y) & 0xff)) % 1000000007L
+        x += 1
+      }
+      y += 1
+    }
+    a
+  }
 }

@@ -350,4 +350,36 @@ class MultiModalSpec extends SparkSpec {
         s"valid class $cls tombstoned $tomb rows")
     }
   }
+
+  test("m11: planted partner videos are the ONLY near-dups, at the designed Jaccard") {
+    // the registry gate hash-checks the pair list against the DuckDB
+    // pixel replay; this pins the CONSTRUCTION claim: every reported
+    // pair is a (ck, ck+30) partner with Jaccard exactly (nf-1)/(nf+1),
+    // every partner whose both sides exist in the corpus is reported,
+    // and nothing else is.
+    import org.apache.spark.sql.functions.col
+    val docIds = graft.rel.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val cks = docIds.map(MultiModal.videoContentKey).toSet
+    val keeper = docIds.groupBy(MultiModal.videoContentKey)
+      .map { case (ck, ids) => ck -> ids.min }
+    val expected = (0L until 30L).flatMap { c =>
+      if (cks.contains(c) && cks.contains(c + 30)) {
+        val ks = Seq(keeper(c), keeper(c + 30)).sorted
+        val nf = MultiModal.nearFrameCount(c)
+        Some((ks(0), ks(1)) ->
+          BigDecimal((nf - 1).toDouble / (nf + 1).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } else None
+    }.toMap
+    val got = MultiModal.all.find(_.name == "m11_video_neardup").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair set mismatch: got ${got.keySet}, want ${expected.keySet}")
+    expected.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-9, s"pair $k jacc ${got(k)} != $j")
+    }
+    assert(got.nonEmpty, "no planted pairs present at this sf")
+  }
 }
