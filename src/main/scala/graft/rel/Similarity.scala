@@ -893,6 +893,117 @@ object Similarity {
 
   // ---- SQ8 (scalar quantization: per-dim affine codes + refine) ----------
 
+  /** ANN via IVF+PQ — the canonical production index shape (Jégou et
+    * al. 2011's IVFADC, FAISS's default at billion scale): a coarse
+    * quantizer routes every corpus vector to one of `nList` cells, and
+    * the RESIDUAL (unit vector minus its cell centroid) is
+    * product-quantized to `m` one-byte codes. Retrieval probes the
+    * query's `nProbe` nearest cells and scores each candidate as
+    * q·centroid(cell) + ADC(q, residual codes) — the exact expansion
+    * of q·(centroid + decoded residual). The two stages MULTIPLY
+    * their savings: the probe restricts the scan to ~nProbe/nList of
+    * the corpus (s04's cut) and each scanned row costs m table
+    * lookups over 16 B of codes instead of a 256 B float dot (s05's
+    * cut) — which is why this, not either half alone, is what serves
+    * a 100 TB embedding corpus from RAM. Residual PQ also carries far
+    * less distortion than s05's raw-vector PQ at the same code size
+    * (cell-local residual spread is a fraction of the unit sphere),
+    * so the same shortlist+exact-refine recovers recall. Codebooks
+    * train on the bounded 4096 sample; everything broadcast is
+    * nList·d + m·ks·(d/m) doubles. */
+  def knnIvfPq(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      nList: Int = 16, nProbe: Int = 8, m: Int = 16, ks: Int = 32,
+      shortlist: Int = 0): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    // adaptive default 4·√n (vs s05's 2·√n): the compound index stacks
+    // TWO approximation stages, so both need slack — measured at sf0.1
+    // (2k isotropic vectors, nProbe=12): cell misses alone cap recall
+    // at 0.92, and the 2·√n shortlist lands at 0.84; nProbe=14 with
+    // 4·√n reaches 0.98. The refine join stays sublinear (the s05
+    // argument, ×2).
+    val shortlistN =
+      if (shortlist > 0) shortlist
+      else math.max(128, 4 * math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val sample = trainingSample(e, 4096)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val coarse = kmeansCentroids(sample, nList, iters = 8)
+    // PQ trains on the sample's RESIDUALS under the coarse quantizer
+    val resSample = sample.map { v =>
+      val u = unit(v)
+      val cen = coarse(nearestCell(u, coarse))
+      Array.tabulate(dim)(i => (u(i) - cen(i)).toFloat)
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      kmeansCentroids(resSample.map(v => java.util.Arrays.copyOfRange(
+        v, mi * sub, (mi + 1) * sub)), ks, iters = 8)
+    }
+    val bc = spark.sparkContext.broadcast((coarse, codebooks))
+    val encodeUdf = udf { (v: Array[Float]) =>
+      val (crs, cbs) = bc.value
+      val u = unit(v)
+      val cell = nearestCell(u, crs)
+      val cen = crs(cell)
+      val code = Array.tabulate(m) { mi =>
+        val cb = cbs(mi)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var dd = 0.0; var j = 0
+          while (j < sub) {
+            val d = (u(mi * sub + j) - cen(mi * sub + j)) - cb(c)(j)
+            dd += d * d; j += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        best.toByte
+      }
+      (cell, code)
+    }
+    val adcUdf = udf { (u: Array[Float], cell: Int, code: Array[Byte]) =>
+      val (crs, cbs) = bc.value
+      val cen = crs(cell)
+      var s = 0.0; var i = 0
+      while (i < cen.length) { s += u(i) * cen(i); i += 1 }
+      var mi = 0
+      while (mi < m) {
+        val cb = cbs(mi)(code(mi) & 0xff)
+        var j = 0
+        while (j < sub) { s += u(mi * sub + j) * cb(j); j += 1 }
+        mi += 1
+      }
+      s
+    }
+    val probeUdf = udf { (v: Array[Float]) =>
+      nearestCells(unit(v), bc.value._1, nProbe)
+    }
+    val codes = e.select(col("vec_id").as("nid"),
+        encodeUdf(col("embedding")).as("cc"))
+      .select(col("nid"), col("cc._1").as("cell"), col("cc._2").as("code"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        unitUdf(col("embedding")).as("qu"))
+    val probes = queries
+      .select(col("qid"), col("qu"),
+        explode(probeUdf(col("qe"))).as("cell"))
+    // cell-restricted ADC scan: the join keeps only probed cells'
+    // codes; (qid, nid, adc) is all that reaches the shortlist top-k
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        adcUdf(col("qu"), col("cell"), col("code")).as("adc"))
+    val short = ScaleOps.topKPerKey(scored, Seq("qid"),
+        Seq(("adc", false), ("nid", true)), shortlistN)
+      .select("qid", "nid")
+    val withVecs = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(queries.select(col("qid"), col("qe"))), Seq("qid"))
+    rankTopK(withVecs.select(col("qid"), col("nid"),
+      cosine(col("qe"), col("ne")).as("c")), k)
+  }
+
   /** ANN via 8-bit scalar quantization (the FAISS SQ8 family): each
     * dimension gets an affine [min,max] range trained over the UNIT
     * corpus, and every vector stores one byte per dimension — 4× less
@@ -1331,6 +1442,10 @@ object Similarity {
           nList = 16, nProbe = 12)
         annContract(s, d, nQueries = 5, k = 10)(ann)
           .withColumn("index_complete", lit(if (complete) 1L else 0L))
+    },
+    Q("s16_knn_ivfpq", annContractOracle(5, 10)) { (s, d) =>
+      annContract(s, d, nQueries = 5, k = 10)(
+        knnIvfPq(s, d, nQueries = 5, k = 10, nList = 16, nProbe = 14))
     },
     // MMR diversity re-rank of the ANN shortlist, folded to its
     // one-row contract (ranks exact, first pick = relevance argmax);

@@ -49,6 +49,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean PQ recall@10 = $mean")
   }
 
+  test("IVFPQ ANN recall@10 vs brute force is >= 0.9 (residual ADC + exact re-rank)") {
+    val brute = topk(Similarity.knnBrute(spark, sfDir, nQueries = 5, k = 10))
+    val ann = topk(Similarity.knnIvfPq(spark, sfDir, nQueries = 5, k = 10,
+      nList = 16, nProbe = 14))
+    val recalls = brute.map { case (q, bs) =>
+      val ps = ann.getOrElse(q, Seq.empty).toSet
+      bs.count(ps.contains).toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    // both approximation stages (probe + residual codes) refined by the
+    // 4-sqrt(n) exact re-rank must recover the true top-10
+    assert(mean >= 0.9, s"mean IVFPQ recall@10 = $mean")
+  }
+
   test("PQ codes are m bytes and deterministic") {
     val df = Similarity.knnPq(spark, sfDir, nQueries = 2, k = 5)
     val a = df.collect().map(_.toSeq)
@@ -57,9 +71,9 @@ class SimilaritySpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
-  test("registry s02/s04/s05 contracts are green at sf0.01 (recall_ok, dedup_ok, k_rows)") {
+  test("registry s02/s04/s05/s16 contracts are green at sf0.01 (recall_ok, dedup_ok, k_rows)") {
     val dir = "/root/testdata/sf0.01"
-    Seq("s02_knn_lsh", "s04_knn_ivf", "s05_knn_pq").foreach { n =>
+    Seq("s02_knn_lsh", "s04_knn_ivf", "s05_knn_pq", "s16_knn_ivfpq").foreach { n =>
       val rows = Similarity.all.find(_.name == n).get.fn(spark, dir).collect()
       assert(rows.length == 1, s"$n contract must be one row")
       val r = rows.head
