@@ -551,4 +551,87 @@ object Streaming {
       s.catalog.dropTempView(name)
     }
   }
+
+  // ---- p23: exactly-once file delivery (idempotent foreachBatch) -------
+
+  /** Marker-gated idempotent batch commit — the foreachBatch
+    * exactly-once recipe for stores without transactions: write the
+    * batch under a batch-scoped directory, then create the commit
+    * MARKER as the atomic publish point. Re-delivery of a committed
+    * batch (the at-least-once retry every streaming engine makes after
+    * a sink failure) sees the marker and no-ops; a crash BEFORE the
+    * marker leaves uncommitted garbage a retry simply overwrites
+    * (mode=overwrite), and readers never see it because the read side
+    * lists MARKERS, not directories. Idempotence + marker-scoped reads
+    * = exactly-once delivery on top of an at-least-once channel. */
+  private[graft] def commitBatchIdempotent(df: org.apache.spark.sql.Dataset[
+      org.apache.spark.sql.Row], batchId: Long, out: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$out/_commit_$batchId")
+    if (fs.exists(marker)) false // already committed: re-delivery no-ops
+    else {
+      df.write.mode("overwrite").parquet(s"$out/batch_$batchId")
+      fs.create(marker, true).close() // the atomic publish point
+      true
+    }
+  }
+
+  /** Read back ONLY marker-committed batches (uncommitted directories
+    * from a crashed attempt are invisible by construction). */
+  private[graft] def readCommitted(s: SparkSession, out: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(out)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("_commit_")).map(_.stripPrefix("_commit_").toLong)
+      .sorted
+    require(ids.nonEmpty, s"p23: no committed batches under $out")
+    s.read.parquet(ids.map(id => s"$out/batch_$id"): _*)
+  }
+
+  /** [[commitBatchIdempotent]] driven by a REAL streaming query (p23):
+    * file readStream → foreachBatch with the marker protocol →
+    * AvailableNow drain, then every drained batch is RE-DELIVERED
+    * through the same commit path (the retry case) before the read —
+    * the gate therefore fails if idempotence doesn't hold (duplicated
+    * rows double every count) OR if the commit protocol loses rows.
+    * State posture: the sink tracks one marker per batch; re-delivery
+    * cost is one filesystem stat. */
+  def exactlyOnceStreamed(s: SparkSession, dir: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = new org.apache.hadoop.fs.Path(out)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(base, true) // fresh run root (runId-scoped path)
+    fs.deleteOnExit(base)
+    val events = eventsStream(s, dir)
+      .filter(col("event_type").isNotNull)
+      .select("event_id", "event_type")
+    val q = events.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        commitBatchIdempotent(df, id, out); ()
+      }
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      requireSourceDrained(drainStats(q), dir)
+    } finally { if (q.isActive) q.stop() }
+    // the at-least-once event: re-deliver every committed batch through
+    // the same path; markers must make each a no-op
+    val ids = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("_commit_")).map(_.stripPrefix("_commit_").toLong)
+    ids.foreach { id =>
+      val redelivered = commitBatchIdempotent(
+        s.read.parquet(s"$out/batch_$id"), id, out)
+      require(!redelivered, s"p23: batch $id was RE-COMMITTED on retry — " +
+        "the marker protocol is not idempotent")
+    }
+    readCommitted(s, out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"))
+      .orderBy("event_type")
+  }
 }

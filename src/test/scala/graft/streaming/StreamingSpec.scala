@@ -124,6 +124,29 @@ class StreamingSpec extends SparkSpec {
         s"input (${dedupStats.inputRows}) — watermark eviction broken")
   }
 
+  test("p23: marker protocol survives re-delivery AND crash-before-commit") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("p23-spec").toString
+    val batch = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull)
+      .select("event_id", "event_type").limit(100).cache()
+    val n = batch.count()
+    // first delivery commits
+    assert(commitBatchIdempotent(batch.toDF(), 7L, out), "first delivery must commit")
+    // re-delivery (the at-least-once retry) must no-op, not duplicate
+    assert(!commitBatchIdempotent(batch.toDF(), 7L, out), "re-delivery must no-op")
+    assert(readCommitted(spark, out).count() == n)
+    // crash BEFORE the marker: partial garbage in the batch dir, no
+    // marker — invisible to readers, and the retry overwrites it fully
+    batch.limit(10).write.mode("overwrite").parquet(s"$out/batch_9")
+    assert(readCommitted(spark, out).count() == n,
+      "uncommitted batch directory leaked into the read")
+    assert(commitBatchIdempotent(batch.toDF(), 9L, out),
+      "retry after crash-before-commit must commit")
+    assert(readCommitted(spark, out).count() == 2 * n,
+      "retry did not overwrite the partial crash output")
+  }
+
   test("p21: incremental custom-state sessionization equals batch gaps-and-islands") {
     import org.apache.spark.sql.expressions.Window
     val (streamed, st) = sessionizeDrained(spark, sfDir)
