@@ -237,6 +237,17 @@ class PlanSpec extends SparkSpec {
     assert(q42.contains("HashAggregate"), q42)
   }
 
+  test("p22: both SCD2 window passes share one data Exchange") {
+    val p = plan("p22_scd2_history")
+    // one hash Exchange feeds lag, the run-collapse filter, lead AND
+    // row_number (same partition+order spec); the only other Exchange
+    // is the presentation orderBy's range partitioning. A third means
+    // a window spec drifted and the corpus shuffles twice.
+    assert("Exchange".r.findAllIn(p).size == 2, s"p22 plan shuffled extra: $p")
+    assert("Window".r.findAllIn(p).size == 2, p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("p14: bucketed join AND bucket-key aggregate run with zero Exchange") {
     val df = PipelineQueries.bucketedJoinAgg(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
