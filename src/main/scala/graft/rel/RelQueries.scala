@@ -1373,6 +1373,66 @@ object RelQueries {
         .toDF("check_name", "violations")
         .withColumn("passed", (col("violations") === 0L).cast("bigint"))
         .orderBy("check_name")
+    },
+
+    // Incremental MATERIALIZED-VIEW maintenance — the rollup pattern
+    // that makes a 100 TB warehouse affordable: the stored aggregate
+    // merges with a delta aggregate by associative combine, never
+    // re-scanning the base. The corpus splits deterministically
+    // (l_orderkey%10) into a "base" whose aggregate is WRITTEN to
+    // parquet and read back (the stored MV — a genuine disk round
+    // trip, not a cached frame) and a "delta" batch; the refresh is
+    // one full-outer merge on the group key over |MV|+|delta| rows.
+    // The MV stores MERGEABLE state only — counts, sums, and money in
+    // INTEGER ten-thousandths; presentation values (the single /1e4
+    // division, avg = sum/n) derive AFTER the merge, because merging
+    // presentation doubles ((a/1e4)+(b/1e4) vs (a+b)/1e4) or averaging
+    // averages breaks exactness. The oracle is the full recompute over
+    // the whole table: refresh-by-merge must equal compute-from-
+    // scratch.
+    Q("q47_incremental_mv",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | sum(l_quantity) AS sum_qty,
+        | ${moneySumSql("l_extendedprice")} AS sum_price,
+        | sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val keys = Seq("l_returnflag", "l_linestatus")
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(keys.map(col): _*).agg(
+          count(lit(1)).as("n"),
+          sum("l_quantity").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 10000).cast("long"))
+            .as("price_units"))
+      val li = lineitem(s, d)
+      val mvDir = s"/tmp/graft-sink-fixtures/q47_mv_" +
+        s"${new java.io.File(d).getName}_$mvRunId"
+      // build + store the MV over the base partition (paid once)
+      state(li.filter(col("l_orderkey") % 10 =!= 0))
+        .write.mode("overwrite").parquet(mvDir)
+      val mv = s.read.parquet(mvDir)
+        .select(col(keys.head), col(keys(1)), col("n").as("n_a"),
+          col("sum_qty").as("q_a"), col("price_units").as("p_a"))
+      // the refresh: delta aggregate + associative merge, no base scan
+      val delta = state(li.filter(col("l_orderkey") % 10 === 0))
+        .select(col(keys.head), col(keys(1)), col("n").as("n_b"),
+          col("sum_qty").as("q_b"), col("price_units").as("p_b"))
+      mv.join(delta, keys, "full_outer")
+        .select(col(keys.head), col(keys(1)),
+          (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+            .as("n"),
+          (coalesce(col("q_a"), lit(0.0)) + coalesce(col("q_b"), lit(0.0)))
+            .as("sum_qty"),
+          (coalesce(col("p_a"), lit(0L)) + coalesce(col("p_b"), lit(0L)))
+            .as("pu"))
+        .select(col(keys.head), col(keys(1)), col("n"), col("sum_qty"),
+          (col("pu") / 10000.0).as("sum_price"),
+          (col("sum_qty") / col("n")).as("avg_qty"))
+        .orderBy(keys.head, keys(1))
     }
   )
+
+  /** q47's per-process MV path token (the p10/p18 sink discipline:
+    * unique per process, stable within it). */
+  private lazy val mvRunId: String =
+    java.util.UUID.randomUUID().toString.take(8)
 }

@@ -1004,6 +1004,79 @@ object Similarity {
       cosine(col("qe"), col("ne")).as("c")), k)
   }
 
+  /** FILTERED vector search — metadata predicate + ANN, the retrieval
+    * feature every production vector store ships (filtered top-k:
+    * "nearest English documents", "nearest in this tenant"). Strategy
+    * is PRE-filter: the predicate prunes the corpus BEFORE quantizer
+    * training, cell assignment and the probe scan — at 100 TB it
+    * pushes into the parquet scan / partition pruning, k survivors are
+    * guaranteed, and recall is INDEPENDENT of selectivity. The
+    * alternative (post-filtering an unfiltered top-k) silently decays
+    * to ~k·selectivity results and needs speculative over-fetch; at
+    * 1/3 selectivity a post-filtered top-10 averages 3 rows. The cells
+    * also retrain on the filtered corpus: centroids of the full corpus
+    * would misroute a skewed predicate's survivors. Gate = the s04
+    * measured-recall contract against brute force over the SAME
+    * filtered corpus, plus a filter audit (every returned neighbor
+    * satisfies the predicate). */
+  def knnFilteredIvf(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, nList: Int = 16, nProbe: Int = 12): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val corpus0 = e.filter(filterPred)
+    val sample = trainingSample(corpus0, 4096)
+    val centroids = kmeansCentroids(sample, nList, iters = 8)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bc.value) }
+    val probeUdf = udf { (v: Array[Float]) =>
+      nearestCells(unit(v), bc.value, nProbe) }
+    val corpus = corpus0.select(col("vec_id").as("nid"),
+      col("embedding").as("ne"), assignUdf(col("embedding")).as("cell"))
+    // queries come from the FULL corpus — the predicate restricts
+    // what may be RETURNED, not who may ask
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
+    rankTopK(scored, k)
+  }
+
+  /** s17's metadata predicate (vec_id ≡ 0 mod 3 — a deterministic
+    * ~1/3-selectivity stand-in for any attribute filter). */
+  private[rel] def filterPred: org.apache.spark.sql.Column =
+    col("vec_id") % 3 === 0
+
+  /** [[annContract]] with the brute-force leg restricted to the same
+    * filtered corpus, plus the filter audit column. */
+  private[rel] def filteredAnnContract(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int)(ann: DataFrame): DataFrame = {
+    val qids = auditQids(nQueries, MaxAuditQueries)
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.filter(filterPred).crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("c"))
+    val brute = ScaleOps.topKPerKey(scored, Seq("qid"),
+        Seq(("c", false), ("nid", true)), k)
+      .select("qid", "nid").withColumn("_hit", lit(1))
+    val needed = math.ceil(0.9 * qids.size * k).toLong
+    ann.join(broadcast(brute), Seq("qid", "nid"), "left_outer")
+      .agg(
+        count(lit(1)).as("k_rows"),
+        (sum(when(col("_hit") === 1, 1L).otherwise(0L)) >= needed)
+          .cast("long").as("recall_ok"),
+        (countDistinct(col("qid"), col("nid")) === count(lit(1)))
+          .cast("long").as("dedup_ok"),
+        (sum((col("nid") % 3 =!= 0).cast("long")) === 0L)
+          .cast("long").as("filter_ok"))
+      .select(col("k_rows"), col("recall_ok"), col("dedup_ok"),
+        col("filter_ok"), lit(qids.size.toLong).as("queries_audited"))
+  }
+
   /** ANN via 8-bit scalar quantization (the FAISS SQ8 family): each
     * dimension gets an affine [min,max] range trained over the UNIT
     * corpus, and every vector stores one byte per dimension — 4× less
@@ -1446,6 +1519,12 @@ object Similarity {
     Q("s16_knn_ivfpq", annContractOracle(5, 10)) { (s, d) =>
       annContract(s, d, nQueries = 5, k = 10)(
         knnIvfPq(s, d, nQueries = 5, k = 10, nList = 16, nProbe = 14))
+    },
+    Q("s17_knn_filtered",
+      annContractOracle(5, 10).replace("AS dedup_ok",
+        "AS dedup_ok,\n CAST(1 AS BIGINT) AS filter_ok")) { (s, d) =>
+      filteredAnnContract(s, d, nQueries = 5, k = 10)(
+        knnFilteredIvf(s, d, nQueries = 5, k = 10, nList = 16, nProbe = 12))
     },
     // MMR diversity re-rank of the ANN shortlist, folded to its
     // one-row contract (ranks exact, first pick = relevance argmax);

@@ -248,6 +248,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("q47: the refresh reads the STORED MV — exactly one lineitem scan (the delta)") {
+    val p = plan("q47_incremental_mv")
+    // building the frame writes the MV eagerly; the REFRESH plan must
+    // then scan lineitem once (delta side) and read the MV parquet for
+    // the base side — a second lineitem scan means the merge silently
+    // recomputes the base and the MV is decorative
+    assert("lineitem".r.findAllIn(p).size == 1,
+      s"q47 refresh scans lineitem more than once: $p")
+    assert(p.contains("q47_mv"), s"q47 refresh does not read the stored MV: $p")
+  }
+
   test("p14: bucketed join AND bucket-key aggregate run with zero Exchange") {
     val df = PipelineQueries.bucketedJoinAgg(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -63,6 +63,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean IVFPQ recall@10 = $mean")
   }
 
+  test("s17: pre-filter keeps k results where post-filtering decays to ~k/3") {
+    import org.apache.spark.sql.functions.col
+    // the design claim in knnFilteredIvf's doc: filtering AFTER an
+    // unfiltered top-k returns only ~selectivity*k rows, while the
+    // pre-filtered index returns exactly k valid rows per query
+    val pre = Similarity.knnFilteredIvf(spark, sfDir, nQueries = 5, k = 10)
+      .collect()
+    assert(pre.length == 50, s"pre-filter returned ${pre.length} rows, want 50")
+    assert(pre.forall(_.getLong(1) % 3 == 0), "pre-filter leaked a non-matching nid")
+    val post = Similarity.knnBrute(spark, sfDir, nQueries = 5, k = 10)
+      .filter(col("nid") % 3 === 0).collect()
+    assert(post.length < 50,
+      s"post-filtering kept ${post.length}/50 — corpus too small to show decay?")
+    info(s"s17 pre-filter 50/50 vs post-filter ${post.length}/50")
+  }
+
   test("PQ codes are m bytes and deterministic") {
     val df = Similarity.knnPq(spark, sfDir, nQueries = 2, k = 5)
     val a = df.collect().map(_.toSeq)
