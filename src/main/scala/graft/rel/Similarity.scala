@@ -1004,6 +1004,85 @@ object Similarity {
       cosine(col("qe"), col("ne")).as("c")), k)
   }
 
+  /** INCREMENTAL index maintenance (s18) — the operation that keeps a
+    * persisted ANN index (s15) alive between rebuilds: a new corpus
+    * batch is assigned with the STORED centroids (no retraining, no
+    * v1 re-scan) and APPENDED cell-partitioned to the stored layout;
+    * serving reads the union. At 100 TB this is the difference between
+    * "re-index the corpus nightly" (O(corpus) per day) and "append the
+    * day's batch" (O(batch)); the quantizer drifts only as the data
+    * distribution does, and the rebuild (s15) is the periodic
+    * re-version, not the steady state. nProbe rides one step above
+    * s15's 12 (measured at sf0.1: v1-trained centroids routing the
+    * full corpus sit just under the 0.9 recall bar at 12 — the
+    * quantizer-drift cost made visible). Audits: completeness (index
+    * rows == corpus rows after append), APPEND-ONLY (every v1 index
+    * file still present untouched after the append — a rewrite would
+    * invalidate concurrent readers), and the s04 measured-recall
+    * contract over the appended layout. */
+  def knnIvfAppended(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, nList: Int = 16, nProbe: Int = 12)
+      : (DataFrame, Boolean, Boolean) = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val idxPath = ivfIndexPath(dir) + "_append"
+    val v1 = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    // ---- BUILD v1 (the s15 shape: train, assign, persist) ---------------
+    val sample = trainingSample(v1, 4096)
+    val centroids = kmeansCentroids(sample, nList, iters = 8)
+    val bcBuild = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bcBuild.value) }
+    v1.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        assignUdf(col("embedding")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$idxPath/index")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idxPath/centroids")
+    // ---- APPEND (reads only the stored centroids + the batch) -----------
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def indexFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$idxPath/index"), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+      }
+      b.result()
+    }
+    val before = indexFiles()
+    val servedCents: Array[Array[Double]] = spark.read
+      .parquet(s"$idxPath/centroids")
+      .orderBy("cell").as[(Int, Seq[Double])].collect().map(_._2.toArray)
+    require(servedCents.length == nList,
+      s"stored centroid table holds ${servedCents.length} of $nList cells")
+    val bcServe = spark.sparkContext.broadcast(servedCents)
+    val assignStored = udf { (v: Array[Float]) => nearestCell(unit(v), bcServe.value) }
+    batch.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        assignStored(col("embedding")).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$idxPath/index")
+    // append-only audit: every v1 file survives byte-identical
+    val appendOnly = before.subsetOf(indexFiles())
+    // ---- SERVE over the appended layout (the s15 serve path) ------------
+    val probeUdf = udf { (v: Array[Float]) =>
+      nearestCells(unit(v), bcServe.value, nProbe) }
+    val queries = Lineage.cut(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cell")))
+    val probedCells = queries.select("cell").distinct()
+      .as[Int].collect().sorted
+    val idx = spark.read.parquet(s"$idxPath/index")
+      .filter(col("cell").isInCollection(probedCells.toSeq))
+    val scored = idx.join(broadcast(queries), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
+    val complete = spark.read.parquet(s"$idxPath/index").count() == e.count()
+    (rankTopK(scored, k), complete, appendOnly)
+  }
+
   /** FILTERED vector search — metadata predicate + ANN, the retrieval
     * feature every production vector store ships (filtered top-k:
     * "nearest English documents", "nearest in this tenant"). Strategy
@@ -1519,6 +1598,17 @@ object Similarity {
     Q("s16_knn_ivfpq", annContractOracle(5, 10)) { (s, d) =>
       annContract(s, d, nQueries = 5, k = 10)(
         knnIvfPq(s, d, nQueries = 5, k = 10, nList = 16, nProbe = 14))
+    },
+    Q("s18_index_append",
+      annContractOracle(5, 10).replace("AS queries_audited",
+        """AS queries_audited,
+ CAST(1 AS BIGINT) AS index_complete,
+ CAST(1 AS BIGINT) AS append_only""")) { (s, d) =>
+      val (ann, complete, appendOnly) = knnIvfAppended(s, d,
+        nQueries = 5, k = 10, nList = 16, nProbe = 14)
+      annContract(s, d, nQueries = 5, k = 10)(ann)
+        .withColumn("index_complete", lit(if (complete) 1L else 0L))
+        .withColumn("append_only", lit(if (appendOnly) 1L else 0L))
     },
     Q("s17_knn_filtered",
       annContractOracle(5, 10).replace("AS dedup_ok",
