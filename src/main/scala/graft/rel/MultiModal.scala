@@ -1103,6 +1103,74 @@ object MultiModal {
         .orderBy("payload_class")
     },
 
+    // AUDIO activity segmentation over REAL decoded PCM — the
+    // energy-threshold VAD shape every speech pipeline runs before
+    // transcription (cut the signal into active spans, drop silence):
+    // each document's WAV round-trips the genuine RIFF codec (m06),
+    // the decoded samples fold into 64-sample frame energies, the
+    // per-doc mean energy is the activation threshold, and maximal
+    // runs of above-threshold frames become segments — gaps-and-
+    // islands ON THE DECODED SIGNAL. All arithmetic is integer-exact
+    // (energies are exact BIGINTs; the mean is one double division of
+    // exact integers, identical in both engines), so the oracle
+    // replays segmentation from the PCM formula and a codec deviation
+    // on any sample moves a frame energy and breaks the hash. Narrow
+    // per-row pass: audio bytes never shuffle, only (doc, seg) rows.
+    Q("m12_audio_segments",
+      """WITH d AS (SELECT doc_id, 800 + doc_id % 257 AS n FROM documents),
+        |fr AS (SELECT doc_id, f.f AS f,
+        |  CAST(list_sum(list_transform(generate_series(0, 63), j ->
+        |    CAST(((doc_id*31 + (f.f*64 + j)*17) % 65536) - 32768 AS BIGINT)
+        |    * (((doc_id*31 + (f.f*64 + j)*17) % 65536) - 32768))) AS BIGINT) AS e
+        |  FROM d, unnest(generate_series(0, n // 64 - 1)) AS f(f)),
+        |thr AS (SELECT doc_id, sum(e)::DOUBLE / count(*) AS thr
+        |  FROM fr GROUP BY 1),
+        |fl AS (SELECT fr.doc_id, f, e, e > thr AS hot,
+        |  lag(e > thr) OVER (PARTITION BY fr.doc_id ORDER BY f) AS prev
+        |  FROM fr JOIN thr USING (doc_id)),
+        |st AS (SELECT doc_id, f, e,
+        |  CASE WHEN prev IS NULL OR NOT prev THEN 1 ELSE 0 END AS new_s
+        |  FROM fl WHERE hot),
+        |sg AS (SELECT doc_id, f, e,
+        |  sum(new_s) OVER (PARTITION BY doc_id ORDER BY f) AS seg FROM st)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+        |  min(f) AS start_frame, count(*) AS n_frames,
+        |  CAST(sum(e) AS BIGINT) AS energy
+        |FROM sg GROUP BY 1, 2 ORDER BY doc_id, seg""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val xs = decodeWavSamples(encodeWav(id)).getOrElse(
+            sys.error(s"undecodable WAV payload for doc $id"))
+          val nf = xs.length / 64
+          val e = Array.tabulate(nf) { f =>
+            var acc = 0L; var j = 0
+            while (j < 64) {
+              val x = xs(f * 64 + j).toLong; acc += x * x; j += 1
+            }
+            acc
+          }
+          var tot = 0L; e.foreach(tot += _)
+          val thr = tot.toDouble / nf
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long)]
+          var seg = 0L
+          var f = 0
+          while (f < nf) {
+            if (e(f) > thr) {
+              seg += 1
+              val start = f
+              var energy = 0L; var cnt = 0L
+              while (f < nf && e(f) > thr) { energy += e(f); cnt += 1; f += 1 }
+              out += ((id, seg, start.toLong, cnt, energy))
+            } else f += 1
+          }
+          out
+        }
+        .toDF("doc_id", "seg", "start_frame", "n_frames", "energy")
+        .orderBy("doc_id", "seg")
+    },
+
     // VIDEO near-duplicate detection over REAL decoded frames — the
     // frame-fingerprint-set form every video-dedup pipeline uses
     // (decode → per-frame fingerprint → videos sharing most frames are
