@@ -30,8 +30,13 @@ object RelQueries {
     * engines; the sum is then integer arithmetic — no FP accumulation
     * drift, no rounding-boundary hazard against the oracle. (TPC-H
     * specifies DECIMAL for exactly this reason.) */
+  /** Money in integer ten-thousandths — the quantization step whose
+    * rounding mode the oracle parity depends on; q47's mergeable MV
+    * state stores these units undivided. */
+  private[rel] def moneyUnits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 10000).cast("long")
   private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(round(c * 10000).cast("long")).cast("double") / 10000.0
+    sum(moneyUnits(c)).cast("double") / 10000.0
   private def moneySumSql(expr: String): String =
     s"sum(CAST(round(($expr) * 10000) AS BIGINT)) / 10000.0"
 
@@ -1401,11 +1406,10 @@ object RelQueries {
         df.groupBy(keys.map(col): _*).agg(
           count(lit(1)).as("n"),
           sum("l_quantity").as("sum_qty"),
-          sum(round(col("l_extendedprice") * 10000).cast("long"))
-            .as("price_units"))
+          sum(moneyUnits(col("l_extendedprice"))).as("price_units"))
       val li = lineitem(s, d)
       val mvDir = s"/tmp/graft-sink-fixtures/q47_mv_" +
-        s"${new java.io.File(d).getName}_$mvRunId"
+        s"${new java.io.File(d).getName}_${PipelineQueries.sinkRunId}"
       // build + store the MV over the base partition (paid once)
       state(li.filter(col("l_orderkey") % 10 =!= 0))
         .write.mode("overwrite").parquet(mvDir)
@@ -1431,8 +1435,4 @@ object RelQueries {
     }
   )
 
-  /** q47's per-process MV path token (the p10/p18 sink discipline:
-    * unique per process, stable within it). */
-  private lazy val mvRunId: String =
-    java.util.UUID.randomUUID().toString.take(8)
 }

@@ -702,16 +702,21 @@ object Similarity {
     * each corpus vector lives in exactly one cell; recall comes from
     * multi-probing. Recall vs brute asserted in SimilaritySpec. */
   def knnIvf(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    import spark.implicits._
+      nList: Int = 16, nProbe: Int = 4,
+      corpusPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // an optional metadata predicate (s17) prunes the CORPUS side only
+    // — queries still come from the full table — and the quantizer
+    // trains on the pruned corpus so a skewed predicate's survivors
+    // aren't misrouted by full-corpus centroids
+    val corpus0 = corpusPred.map(e.filter).getOrElse(e)
     // train the coarse quantizer on a bounded deterministic sample
-    val sample = trainingSample(e, 4096)
+    val sample = trainingSample(corpus0, 4096)
     val centroids = kmeansCentroids(sample, nList, iters = 8)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bc.value) }
     val probeUdf = udf { (v: Array[Float]) => nearestCells(unit(v), bc.value, nProbe) }
-    val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+    val corpus = corpus0.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       assignUdf(col("embedding")).as("cell"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -748,36 +753,65 @@ object Similarity {
     * one cell — persisted rows == corpus rows). */
   def knnIvfPersisted(spark: SparkSession, dir: String, nQueries: Int,
       k: Int, nList: Int = 16, nProbe: Int = 4): (DataFrame, Boolean) = {
-    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val idxPath = ivfIndexPath(dir)
-    // ---- BUILD (once per corpus version) --------------------------------
-    val sample = trainingSample(e, 4096)
+    buildIvfIndex(spark, e, idxPath, nList)
+    val cents = readStoredCentroids(spark, idxPath, nList)
+    val ann = serveIvfIndex(spark, e, idxPath, cents, nQueries, k, nProbe)
+    // completeness audit on the FULL persisted layout (no cell filter):
+    // a lossy index write must fail here, not surface as decayed recall
+    val idxComplete =
+      spark.read.parquet(s"$idxPath/index").count() == e.count()
+    (ann, idxComplete)
+  }
+
+  /** s15/s18's shared BUILD step: train the coarse quantizer on the
+    * bounded sample, assign, persist the cell-partitioned index and
+    * the centroid table (the stored-layout contract both the append
+    * and serve paths depend on — one definition so it cannot drift). */
+  private def buildIvfIndex(spark: SparkSession, corpus: DataFrame,
+      idxPath: String, nList: Int): Unit = {
+    import spark.implicits._
+    val sample = trainingSample(corpus, 4096)
     val centroids = kmeansCentroids(sample, nList, iters = 8)
     val bcBuild = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bcBuild.value) }
-    e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+    corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
         assignUdf(col("embedding")).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$idxPath/index")
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$idxPath/centroids")
-    // ---- SERVE (reads ONLY the stored state from here on) ---------------
+  }
+
+  /** Read the STORED centroid table back (the serve/append paths must
+    * never touch the training-time in-memory centroids). */
+  private def readStoredCentroids(spark: SparkSession, idxPath: String,
+      nList: Int): Array[Array[Double]] = {
+    import spark.implicits._
     val served = spark.read.parquet(s"$idxPath/centroids")
       .orderBy("cell").as[(Int, Seq[Double])].collect()
     require(served.length == nList, s"centroid table holds ${served.length} " +
       s"of $nList cells — persisted index incomplete")
-    val servedCents: Array[Array[Double]] = served.map(_._2.toArray)
-    val bcServe = spark.sparkContext.broadcast(servedCents)
+    served.map(_._2.toArray)
+  }
+
+  /** s15/s18's shared SERVE step: derive probe cells from the stored
+    * centroids, read ONLY those partitions (static partition predicate
+    * — pruned at file listing, PlanSpec-pinned), score, rank. */
+  private def serveIvfIndex(spark: SparkSession, e: DataFrame,
+      idxPath: String, cents: Array[Array[Double]], nQueries: Int, k: Int,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val bcServe = spark.sparkContext.broadcast(cents)
     val probeUdf = udf { (v: Array[Float]) =>
       nearestCells(unit(v), bcServe.value, nProbe) }
     val queries = Lineage.cut(e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(probeUdf(col("embedding"))).as("cell")))
     // the probe-cell set is ≤ nQueries·nProbe ints — collected so the
-    // index read carries a STATIC partition predicate (pruned at file
-    // listing, before any row is touched)
+    // index read carries a STATIC partition predicate
     val probedCells = queries.select("cell").distinct()
       .as[Int].collect().sorted
     val idx = spark.read.parquet(s"$idxPath/index")
@@ -785,11 +819,7 @@ object Similarity {
     val scored = idx.join(broadcast(queries), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
-    // completeness audit on the FULL persisted layout (no cell filter):
-    // a lossy index write must fail here, not surface as decayed recall
-    val idxComplete =
-      spark.read.parquet(s"$idxPath/index").count() == e.count()
-    (rankTopK(scored, k), idxComplete)
+    rankTopK(scored, k)
   }
 
   // ---- PQ (product quantization: ADC scan + exact re-rank) ---------------
@@ -931,10 +961,12 @@ object Similarity {
     val sub = dim / m
     val coarse = kmeansCentroids(sample, nList, iters = 8)
     // PQ trains on the sample's RESIDUALS under the coarse quantizer
+    // trainingSample already returns UNIT vectors — no re-normalize
+    // (a second unit() would train codebooks on last-bit-different
+    // inputs than the executor encode path's single unit(raw))
     val resSample = sample.map { v =>
-      val u = unit(v)
-      val cen = coarse(nearestCell(u, coarse))
-      Array.tabulate(dim)(i => (u(i) - cen(i)).toFloat)
+      val cen = coarse(nearestCell(v, coarse))
+      Array.tabulate(dim)(i => (v(i) - cen(i)).toFloat)
     }
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
       kmeansCentroids(resSample.map(v => java.util.Arrays.copyOfRange(
@@ -1023,24 +1055,14 @@ object Similarity {
   def knnIvfAppended(spark: SparkSession, dir: String, nQueries: Int,
       k: Int, nList: Int = 16, nProbe: Int = 12)
       : (DataFrame, Boolean, Boolean) = {
-    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val idxPath = ivfIndexPath(dir) + "_append"
     val v1 = e.filter(col("vec_id") % 5 =!= 0)
     val batch = e.filter(col("vec_id") % 5 === 0)
-    // ---- BUILD v1 (the s15 shape: train, assign, persist) ---------------
-    val sample = trainingSample(v1, 4096)
-    val centroids = kmeansCentroids(sample, nList, iters = 8)
-    val bcBuild = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bcBuild.value) }
-    v1.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        assignUdf(col("embedding")).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$idxPath/index")
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxPath/centroids")
-    // ---- APPEND (reads only the stored centroids + the batch) -----------
+    // BUILD v1 + APPEND the batch via the STORED centroids (no retrain,
+    // no v1 re-scan), then SERVE over the union — build and serve are
+    // the s15 helpers, so the stored-layout contract cannot drift
+    buildIvfIndex(spark, v1, idxPath, nList)
     val fs = new org.apache.hadoop.fs.Path(idxPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def indexFiles(): Set[String] = {
@@ -1054,33 +1076,17 @@ object Similarity {
       b.result()
     }
     val before = indexFiles()
-    val servedCents: Array[Array[Double]] = spark.read
-      .parquet(s"$idxPath/centroids")
-      .orderBy("cell").as[(Int, Seq[Double])].collect().map(_._2.toArray)
-    require(servedCents.length == nList,
-      s"stored centroid table holds ${servedCents.length} of $nList cells")
-    val bcServe = spark.sparkContext.broadcast(servedCents)
+    val cents = readStoredCentroids(spark, idxPath, nList)
+    val bcServe = spark.sparkContext.broadcast(cents)
     val assignStored = udf { (v: Array[Float]) => nearestCell(unit(v), bcServe.value) }
     batch.select(col("vec_id").as("nid"), col("embedding").as("ne"),
         assignStored(col("embedding")).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$idxPath/index")
     // append-only audit: every v1 file survives byte-identical
     val appendOnly = before.subsetOf(indexFiles())
-    // ---- SERVE over the appended layout (the s15 serve path) ------------
-    val probeUdf = udf { (v: Array[Float]) =>
-      nearestCells(unit(v), bcServe.value, nProbe) }
-    val queries = Lineage.cut(e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(probeUdf(col("embedding"))).as("cell")))
-    val probedCells = queries.select("cell").distinct()
-      .as[Int].collect().sorted
-    val idx = spark.read.parquet(s"$idxPath/index")
-      .filter(col("cell").isInCollection(probedCells.toSeq))
-    val scored = idx.join(broadcast(queries), Seq("cell"))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
+    val ann = serveIvfIndex(spark, e, idxPath, cents, nQueries, k, nProbe)
     val complete = spark.read.parquet(s"$idxPath/index").count() == e.count()
-    (rankTopK(scored, k), complete, appendOnly)
+    (ann, complete, appendOnly)
   }
 
   /** FILTERED vector search — metadata predicate + ANN, the retrieval
@@ -1099,28 +1105,10 @@ object Similarity {
     * filtered corpus, plus a filter audit (every returned neighbor
     * satisfies the predicate). */
   def knnFilteredIvf(spark: SparkSession, dir: String, nQueries: Int,
-      k: Int, nList: Int = 16, nProbe: Int = 12): DataFrame = {
-    import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-    val corpus0 = e.filter(filterPred)
-    val sample = trainingSample(corpus0, 4096)
-    val centroids = kmeansCentroids(sample, nList, iters = 8)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bc.value) }
-    val probeUdf = udf { (v: Array[Float]) =>
-      nearestCells(unit(v), bc.value, nProbe) }
-    val corpus = corpus0.select(col("vec_id").as("nid"),
-      col("embedding").as("ne"), assignUdf(col("embedding")).as("cell"))
-    // queries come from the FULL corpus — the predicate restricts
-    // what may be RETURNED, not who may ask
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(probeUdf(col("embedding"))).as("cell"))
-    val scored = corpus.join(broadcast(queries), Seq("cell"))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
-    rankTopK(scored, k)
-  }
+      k: Int, nList: Int = 16, nProbe: Int = 12): DataFrame =
+    // the predicate restricts what may be RETURNED, not who may ask —
+    // knnIvf prunes the corpus side only and trains on the survivors
+    knnIvf(spark, dir, nQueries, k, nList, nProbe, Some(filterPred))
 
   /** s17's metadata predicate (vec_id ≡ 0 mod 3 — a deterministic
     * ~1/3-selectivity stand-in for any attribute filter). */
@@ -1130,31 +1118,11 @@ object Similarity {
   /** [[annContract]] with the brute-force leg restricted to the same
     * filtered corpus, plus the filter audit column. */
   private[rel] def filteredAnnContract(spark: SparkSession, dir: String,
-      nQueries: Int, k: Int)(ann: DataFrame): DataFrame = {
-    val qids = auditQids(nQueries, MaxAuditQueries)
-    val e = Tables.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id").isInCollection(qids))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val scored = e.filter(filterPred).crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        cosine(col("qe"), col("embedding")).as("c"))
-    val brute = ScaleOps.topKPerKey(scored, Seq("qid"),
-        Seq(("c", false), ("nid", true)), k)
-      .select("qid", "nid").withColumn("_hit", lit(1))
-    val needed = math.ceil(0.9 * qids.size * k).toLong
-    ann.join(broadcast(brute), Seq("qid", "nid"), "left_outer")
-      .agg(
-        count(lit(1)).as("k_rows"),
-        (sum(when(col("_hit") === 1, 1L).otherwise(0L)) >= needed)
-          .cast("long").as("recall_ok"),
-        (countDistinct(col("qid"), col("nid")) === count(lit(1)))
-          .cast("long").as("dedup_ok"),
-        (sum((col("nid") % 3 =!= 0).cast("long")) === 0L)
-          .cast("long").as("filter_ok"))
-      .select(col("k_rows"), col("recall_ok"), col("dedup_ok"),
-        col("filter_ok"), lit(qids.size.toLong).as("queries_audited"))
-  }
+      nQueries: Int, k: Int)(ann: DataFrame): DataFrame =
+    annContract(spark, dir, nQueries, k,
+      corpusPred = Some(filterPred),
+      extraAudits = Seq("filter_ok" ->
+        ((sum((col("nid") % 3 =!= 0).cast("long")) === 0L).cast("long"))))(ann)
 
   /** ANN via 8-bit scalar quantization (the FAISS SQ8 family): each
     * dimension gets an affine [min,max] range trained over the UNIT
@@ -1365,11 +1333,13 @@ object Similarity {
     * membership. The query side is the SAMPLED ids only (spec-pinned),
     * never the full production query set. */
   private[rel] def bruteTopKSet(spark: SparkSession, dir: String,
-      qids: Seq[Long], k: Int): DataFrame = {
+      qids: Seq[Long], k: Int,
+      corpusPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id").isInCollection(qids))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val scored = e.crossJoin(broadcast(queries))
+    val corpus = corpusPred.map(e.filter).getOrElse(e)
+    val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("c"))
@@ -1387,27 +1357,34 @@ object Similarity {
     * `dedup_ok` pins no (qid, nid) appears twice; `k_rows` pins the
     * exact output cardinality. */
   private[rel] def annContract(spark: SparkSession, dir: String,
-      nQueries: Int, k: Int, maxAudit: Int = MaxAuditQueries)(
+      nQueries: Int, k: Int, maxAudit: Int = MaxAuditQueries,
+      corpusPred: Option[org.apache.spark.sql.Column] = None,
+      extraAudits: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
       ann: DataFrame): DataFrame = {
     val qids = auditQids(nQueries, maxAudit)
     // brute set is |qids|·k rows — broadcast, tag hits with a
     // left-outer join, and fold EVERYTHING into one aggregate over a
     // single evaluation of the ANN plan (no cache, no crossJoin of
-    // separate audit legs)
-    val brute = bruteTopKSet(spark, dir, qids, k)
+    // separate audit legs). `corpusPred` restricts the brute leg to
+    // the same filtered ground truth a filtered index answers (s17);
+    // `extraAudits` appends contract columns before queries_audited.
+    val brute = bruteTopKSet(spark, dir, qids, k, corpusPred)
       .withColumn("_hit", lit(1))
     val needed = math.ceil(0.9 * qids.size * k).toLong
     // brute holds only sampled qids, so a _hit row is in the sample by
     // construction — no extra qid predicate needed
+    val aggs = Seq(
+      count(lit(1)).as("k_rows"),
+      (sum(when(col("_hit") === 1, 1L).otherwise(0L)) >= needed)
+        .cast("long").as("recall_ok"),
+      (countDistinct(col("qid"), col("nid")) === count(lit(1)))
+        .cast("long").as("dedup_ok")) ++
+      extraAudits.map { case (n, c) => c.as(n) }
     ann.join(broadcast(brute), Seq("qid", "nid"), "left_outer")
-      .agg(
-        count(lit(1)).as("k_rows"),
-        (sum(when(col("_hit") === 1, 1L).otherwise(0L)) >= needed)
-          .cast("long").as("recall_ok"),
-        (countDistinct(col("qid"), col("nid")) === count(lit(1)))
-          .cast("long").as("dedup_ok"))
-      .select(col("k_rows"), col("recall_ok"), col("dedup_ok"),
-        lit(qids.size.toLong).as("queries_audited"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("k_rows"), col("recall_ok"), col("dedup_ok")) ++
+        extraAudits.map(a => col(a._1)) :+
+        lit(qids.size.toLong).as("queries_audited"): _*)
   }
 
   /** The literal-SELECT oracle for [[annContract]] at the registry's

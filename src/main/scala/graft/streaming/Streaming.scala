@@ -540,6 +540,15 @@ object Streaming {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val st = drainStats(q)
       requireSourceDrained(st, dir)
+      // the fold below is correct ONLY under a single-data-batch drain
+      // (a later batch could move an open session's start, leaving the
+      // superseded snapshot as a spurious row) — enforce the documented
+      // invariant loudly instead of letting a conf change (e.g.
+      // maxFilesPerTrigger) corrupt the gate silently
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"p21 drained $dataBatches data micro-batches — the session fold " +
+          "assumes one; unset maxFilesPerTrigger or fold by session id")
       val out = s.table(name)
         .groupBy(col("user_id"), col("start").as("session_start"))
         .agg(max("end").as("session_end"), max("n").as("n_events"))
