@@ -1432,6 +1432,51 @@ object RelQueries {
           (col("pu") / 10000.0).as("sum_price"),
           (col("sum_qty") / col("n")).as("avg_qty"))
         .orderBy(keys.head, keys(1))
+    },
+
+    // POINT-IN-TIME join against the SCD2 dimension history (p22) —
+    // the feature-store op that prevents training-serving skew: every
+    // observation joins to the dimension version VALID AT ITS OWN
+    // TIMESTAMP (never the current one, which leaks the future into
+    // training features). Each purchase event looks up the user's
+    // state version whose [valid_from, valid_to) interval contains the
+    // event time; versions partition each user's timeline, so exactly
+    // one matches and the result is a set. Plan shape: both sides
+    // shuffle ONCE on user_id into a sort-merge EQUI-join (the range
+    // condition rides as a join filter — never a BroadcastNestedLoop);
+    // history rows per user are bounded by that user's change count.
+    // The history comes from PipelineQueries.scd2History and the
+    // oracle interpolates the SAME Scd2Cte as p22 — one definition,
+    // two gates.
+    Q("q48_pit_join", {
+      s"""WITH ${PipelineQueries.Scd2Cte},
+        |obs AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'purchase' AND event_id IS NOT NULL
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT o.event_id, o.user_id, o.t AS obs_ts_us,
+        |  v.attr AS state_at_obs, CAST(v.version AS BIGINT) AS version
+        |FROM obs o JOIN v
+        |  ON o.user_id = v.user_id
+        | AND o.t >= v.valid_from_us
+        | AND (v.valid_to_us IS NULL OR o.t < v.valid_to_us)
+        |ORDER BY o.event_id""".stripMargin
+    }) { (s, d) =>
+      val hist = PipelineQueries.scd2History(s, d)
+        .select(col("user_id"), col("attr"), col("valid_from_us"),
+          col("valid_to_us"), col("version"))
+      val obs = events(s, d)
+        .filter(col("event_type") === "purchase" &&
+          col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+      obs.join(hist, obs("user_id") === hist("user_id") &&
+          col("t") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("t") < col("valid_to_us")))
+        .select(obs("event_id"), obs("user_id"), col("t").as("obs_ts_us"),
+          col("attr").as("state_at_obs"), col("version"))
+        .orderBy("event_id")
     }
   )
 

@@ -259,6 +259,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("q47_mv"), s"q47 refresh does not read the stored MV: $p")
   }
 
+  test("q48: the point-in-time join is equi-keyed, never a nested loop") {
+    val p = plan("q48_pit_join")
+    // user_id equality must drive the join (hash or sort-merge — the
+    // planner picks by size); the interval bounds ride as join filters.
+    // A BroadcastNestedLoopJoin here means the equi-key was lost and
+    // the plan is O(obs x history) at scale.
+    assert(!p.contains("BroadcastNestedLoop"), s"q48 degraded to nested loop: $p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("p14: bucketed join AND bucket-key aggregate run with zero Exchange") {
     val df = PipelineQueries.bucketedJoinAgg(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
