@@ -1477,6 +1477,52 @@ object RelQueries {
         .select(obs("event_id"), obs("user_id"), col("t").as("obs_ts_us"),
           col("attr").as("state_at_obs"), col("version"))
         .orderBy("event_id")
+    },
+
+    // User-journey MARKOV transition matrix — the path-analytics
+    // summary under the funnel tier (q43 asks "did the ordered pattern
+    // complete"; this asks "what does the journey graph look like"):
+    // consecutive event-type pairs per user become first-order
+    // transition counts and row-normalized probabilities. Scale shape:
+    // ONE user_id shuffle (the lag window), then the pair aggregate is
+    // bounded by the event-type inventory SQUARED — partial map-side
+    // combine collapses the corpus before the exchange — and row
+    // totals broadcast back onto the tiny matrix. p = n/total is one
+    // IEEE division of exact integers — identical in both engines, no
+    // rounding needed. Ties on ts are total-ordered by event_id (the
+    // p22 discipline) so every journey is the same sequence on both
+    // sides.
+    Q("q49_markov_transitions",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |l AS (SELECT user_id, event_type AS dst,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS src
+        |  FROM e),
+        |c AS (SELECT src, dst, count(*) AS n FROM l
+        |  WHERE src IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+        |  c.n / tot.tn::DOUBLE AS p
+        |FROM c JOIN tot USING (src) ORDER BY src, dst""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d)
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val c = e.withColumn("src", lag("event_type", 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("src").agg(sum("n").as("tn"))
+      c.join(broadcast(tot), Seq("src"))
+        .select(col("src"), col("dst"), col("n"),
+          (col("n") / col("tn")).as("p"))
+        .orderBy("src", "dst")
     }
   )
 
