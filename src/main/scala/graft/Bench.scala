@@ -101,7 +101,13 @@ object Bench {
     // back-to-back runs bounds that poisoning at the cost of one extra
     // pass. I/O counters are taken from the kept (faster) run — the
     // volumes themselves are plan-deterministic.
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional builder-side probe filter (the Verify third-arg
+    // convention): comma-separated name prefixes via SPARK_GRAFT_ONLY
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val r1 = runOnce(name, fn)
       if (!r1._1) (name, false, (r1._2, r1._3, r1._4, r1._5))
       else {

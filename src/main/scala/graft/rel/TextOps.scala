@@ -1012,38 +1012,106 @@ object TextOps {
   /** t23's scorer (see the registry comment for the scale shape);
     * exposed so TextOpsSpec can drive the top-k resampling stage on
     * the same frame. */
+  /** Per-JVM-thread MD5 for the per-row bucket fold (MessageDigest is
+    * neither thread-safe nor serializable — the d05 md5Local shape). */
+  private val dsirMd5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private[rel] val DsirBuckets = 128
+
+  /** The whole DSIR feature extraction folded INTO the row: hashed
+    * unigram+bigram bucket counts as a length-128 array, so the corpus
+    * never explodes into (doc, gram) rows and NO corpus-sized shuffle
+    * ever forms. bucket(g) = first 4 md5 bytes as an unsigned int mod
+    * 128 — bit-identical to the oracle's
+    * ('0x'||substr(md5(g),1,8))::BIGINT % 128. */
+  /** Per-thread gram→bucket memo: gram frequencies are Zipfian, so
+    * the md5 work per OCCURRENCE collapses to md5 work per DISTINCT
+    * gram (Heaps'-law bounded — the t15/t22 model-table class). Capped
+    * so an adversarial vocabulary can't grow executor memory
+    * unboundedly; on overflow we just hash uncached. */
+  private val dsirBucketMemo =
+    new ThreadLocal[java.util.HashMap[String, Integer]] {
+      override def initialValue() = new java.util.HashMap[String, Integer]()
+    }
+  private val DsirMemoCap = 1 << 20
+
+  private[rel] def dsirCounts(text: String): Array[Long] = {
+    val md = dsirMd5.get()
+    val memo = dsirBucketMemo.get()
+    def bucket(g: String): Int = {
+      val hit = memo.get(g)
+      if (hit != null) hit.intValue()
+      else {
+        md.reset()
+        val h = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val b = ((((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % DsirBuckets).toInt
+        if (memo.size < DsirMemoCap) memo.put(g, b)
+        b
+      }
+    }
+    val toks = text.split(' ').filter(_.nonEmpty)
+    val c = new Array[Long](DsirBuckets)
+    toks.foreach(t => c(bucket(t)) += 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      c(bucket(toks(i) + " " + toks(i + 1))) += 1
+      i += 1
+    }
+    c
+  }
+
   private[rel] def dsirScores(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    val countsUdf = udf { (text: String) => dsirCounts(text) }
+    val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
-    val uni = toks.select(col("doc_id"), col("lang"),
-      explode(col("ts")).as("g"))
-    val bi = toks.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(arrays_zip(
-        slice(col("ts"), lit(1), size(col("ts")) - 1),
-        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        concat(col("bg.0"), lit(" "), col("bg.1")).as("g"))
-    // bucket BEFORE the shuffle: gram strings die in the scan stage
-    val docb = uni.unionAll(bi)
-      .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % 128)
-          .as("b"))
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
-    val docbC = Lineage.cut(docb) // three consumers — one corpus pass total
-    val raw = docbC.groupBy("b").agg(sum("n").as("rc"))
-    val tgt = docbC.filter(col("lang") === "en")
-      .groupBy("b").agg(sum("n").as("tc"))
-    val tot = raw.agg(sum("rc").cast("double").as("r"))
-      .crossJoin(tgt.agg(coalesce(sum("tc"), lit(0L)).cast("double").as("t")))
-    val lam = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
-      .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)) + lit(0.5)) * (col("r") + lit(64.0)))
-          - log((col("rc") + lit(0.5)) * (col("t") + lit(64.0)))).as("lam"))
-    docbC.join(broadcast(lam), Seq("b"))
-      .groupBy("doc_id")
-      .agg(sum("n").as("n_grams"),
-        round(sum(col("n") * col("lam")), 4).as("logw"))
+      .select(col("doc_id"), col("lang"), countsUdf(col("text")).as("cnt"))
+    // PASS 1 — the λ table: ONE fused aggregate over the posexploded
+    // per-row counts (raw and target conditioned on lang in the same
+    // pass). posexplode is CPU, not shuffle: the groupBy has 128
+    // groups, so map-side partial combine collapses everything to
+    // ≤ 128 rows per partition before the (only) tiny exchange.
+    // The table is 128 rows — bounded driver state (the d15 class) —
+    // and λ derives on the driver with the same Math.log the codegen
+    // path used.
+    val bt = docs
+      .select(col("lang"), posexplode(col("cnt")).as(Seq("b", "n")))
+      .groupBy("b").agg(sum("n").as("rc"),
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val rTot = bt.map(_._2).sum.toDouble
+    val tTot = bt.map(_._3).sum.toDouble
+    val lam = new Array[Double](DsirBuckets)
+    bt.foreach { case (b, rc, tc) =>
+      lam(b) = math.log((tc + 0.5) * (rTot + 64.0)) -
+        math.log((rc + 0.5) * (tTot + 64.0))
+    }
+    // PASS 2 — per-row score: a fixed-order dot product of the count
+    // array with the broadcast λ. No doc-keyed aggregate exists at
+    // all; the only shuffle in the whole query is the caller's
+    // presentation sort. (Was: a (doc, bucket) groupBy + a doc-keyed
+    // re-aggregate — two corpus-sized shuffles; measured 75s → this
+    // shape at the 100× probe.)
+    val bcLam = s.sparkContext.broadcast(lam)
+    val scoreUdf = udf { (cnt: Seq[Long]) =>
+      val l = bcLam.value
+      var n = 0L
+      var w = 0.0
+      var b = 0
+      while (b < l.length) { n += cnt(b); w += cnt(b) * l(b); b += 1 }
+      // HALF_UP — the mode Spark's round() codegen applies, which the
+      // previous green record was gated under
+      (n, BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    docs.select(col("doc_id"), scoreUdf(col("cnt")).as("sc"))
+      .select(col("doc_id"), col("sc._1").as("n_grams"),
+        col("sc._2").as("logw"))
+      .filter(col("n_grams") > 0)
   }
 
   /** The t22 trainer+scorer (see the registry comment for the scale
