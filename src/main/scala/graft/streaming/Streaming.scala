@@ -561,6 +561,47 @@ object Streaming {
     }
   }
 
+  /** STREAM-STATIC dimension enrichment (p24) — the stateless
+    * streaming class p12/p16/p17/p21 don't cover: a fact stream joined
+    * to a STATIC dimension (here the SCD2 current version per user,
+    * p22's is_current slice). Stream-static inner joins keep NO state
+    * — the static side is planned per micro-batch (broadcast here), so
+    * this topology scales with the dimension, not the stream history;
+    * it's the standard enrichment shape between a kafka fact feed and
+    * a warehouse dim table. Late/duplicate handling stays with the
+    * upstream classes; enrichment itself is pure. */
+  def enrichStreamed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cur = graft.rel.PipelineQueries.scd2History(s, dir)
+      .filter(col("is_current") === 1L)
+      .select(col("user_id"), col("attr").as("cur_attr"), col("version"))
+    val obs = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase" &&
+        col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("obs_ts_us"))
+    val name = "p24_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = obs.join(broadcast(cur), Seq("user_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      requireSourceDrained(drainStats(q), dir)
+      s.table(name)
+        .select(col("event_id"), col("user_id"), col("obs_ts_us"),
+          col("cur_attr"), col("version"))
+        .orderBy("event_id")
+        .localCheckpoint(true)
+    } finally {
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   // ---- p23: exactly-once file delivery (idempotent foreachBatch) -------
 
   /** Marker-gated idempotent batch commit — the foreachBatch
