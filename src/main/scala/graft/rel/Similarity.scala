@@ -1110,6 +1110,63 @@ object Similarity {
     // knnIvf prunes the corpus side only and trains on the survivors
     knnIvf(spark, dir, nQueries, k, nList, nProbe, Some(filterPred))
 
+  /** Index CALIBRATION sweep (s19) — the tuning harness every ANN
+    * deployment runs before picking nProbe: measure candidate recall
+    * of the probe stage alone (no refine) against exact brute force
+    * across a probe ladder. The gate holds the two THEOREMS of the
+    * sweep — [[nearestCells]] returns a distance-sorted list, so the
+    * probe sets NEST along the ladder (recall is non-decreasing), and
+    * probing all nList cells covers the corpus (recall exactly 1) —
+    * while the measured recall numbers land in the spec. Cost shape:
+    * the quantizer trains once on the bounded sample; the brute
+    * ground truth is |qids|·k rows and the audit needs only THOSE
+    * rows' cell assignments plus the |qids| query vectors — two
+    * bounded collects, then the whole ladder is driver arithmetic.
+    * Nothing corpus-sized moves for any ladder step. */
+  def ivfCalibration(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, nList: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    import spark.implicits._
+    require(probes.nonEmpty && probes.last == nList,
+      s"calibration ladder must end at nList=$nList (the exactness theorem)")
+    val e = Tables.embeddings(spark, dir)
+    val qids = auditQids(nQueries, MaxAuditQueries)
+    val sample = trainingSample(e, 4096)
+    val centroids = kmeansCentroids(sample, nList, iters = 8)
+    // bounded collects: the |qids|·k brute pairs, the cell of each
+    // PAIRED neighbor, and the |qids| query vectors
+    val brute = bruteTopKSet(spark, dir, qids, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nids = brute.map(_._2).distinct.toSeq
+    val nidCell: Map[Long, Int] = e
+      .filter(col("vec_id").isInCollection(nids))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> nearestCell(unit(v), centroids) }.toMap
+    val qVec: Map[Long, Array[Float]] = e
+      .filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val total = brute.length
+    val hitsAt = probes.map { p =>
+      val probed: Map[Long, Set[Int]] =
+        qVec.map { case (q, v) => q -> nearestCells(unit(v), centroids, p).toSet }
+      p -> brute.count { case (q, n) => probed(q).contains(nidCell(n)) }
+    }
+    val rows = hitsAt.zipWithIndex.map { case ((p, h), i) =>
+      val mono = i == 0 || h >= hitsAt(i - 1)._2
+      val fullExact = p != nList || h == total
+      (p.toLong, mono, fullExact, h.toLong, total.toLong)
+    }
+    // measured hit counts are data-dependent (spec-asserted); the
+    // oracle gates the theorem booleans per ladder step
+    rows.toDF("n_probe", "mono", "full_exact", "hits", "total")
+      .select(col("n_probe"),
+        col("mono").cast("long").as("recall_nondecreasing"),
+        col("full_exact").cast("long").as("full_probe_exact"))
+      .orderBy("n_probe")
+  }
+
   /** s17's metadata predicate (vec_id ≡ 0 mod 3 — a deterministic
     * ~1/3-selectivity stand-in for any attribute filter). */
   private[rel] def filterPred: org.apache.spark.sql.Column =
@@ -1586,6 +1643,14 @@ object Similarity {
       annContract(s, d, nQueries = 5, k = 10)(ann)
         .withColumn("index_complete", lit(if (complete) 1L else 0L))
         .withColumn("append_only", lit(if (appendOnly) 1L else 0L))
+    },
+    Q("s19_ivf_calibration",
+      """SELECT CAST(p AS BIGINT) AS n_probe,
+        | CAST(1 AS BIGINT) AS recall_nondecreasing,
+        | CAST(1 AS BIGINT) AS full_probe_exact
+        |FROM (SELECT unnest([1, 2, 4, 8, 16]) AS p)
+        |ORDER BY n_probe""".stripMargin) { (s, d) =>
+      ivfCalibration(s, d, nQueries = 5, k = 10)
     },
     Q("s17_knn_filtered",
       annContractOracle(5, 10).replace("AS dedup_ok",

@@ -79,6 +79,18 @@ class SimilaritySpec extends SparkSpec {
     info(s"s17 pre-filter 50/50 vs post-filter ${post.length}/50")
   }
 
+  test("s19: the calibration ladder actually discriminates (recall rises along probes)") {
+    // the registry gate holds the theorems (monotone, exact at full
+    // probe); this pins that the sweep MEASURES something — the first
+    // rung must miss part of the truth (otherwise the ladder says
+    // nothing) and the last must recover it all
+    val rows = Similarity.ivfCalibration(spark, sfDir, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    assert(rows.forall(_._2 == 1L), s"monotonicity violated: ${rows.toSeq}")
+    assert(rows.forall(_._3 == 1L), s"full-probe exactness violated: ${rows.toSeq}")
+  }
+
   test("PQ codes are m bytes and deterministic") {
     val df = Similarity.knnPq(spark, sfDir, nQueries = 2, k = 5)
     val a = df.collect().map(_.toSeq)
