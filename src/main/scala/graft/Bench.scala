@@ -105,6 +105,11 @@ object Bench {
     // convention): comma-separated name prefixes via SPARK_GRAFT_ONLY
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // a filtered probe must NEVER masquerade as the canonical record:
+    // refuse the default artifact path when a filter is active
+    require(only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"),
+      "SPARK_GRAFT_ONLY is set but SPARK_GRAFT_BENCH_OUT is not — a " +
+        "filtered run would overwrite bench_full.json with a partial record")
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
@@ -144,7 +149,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // file artifact: everything (all timings + measured per-query I/O)
     val fileLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"io":$ioJson}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"io":$ioJson${only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val artifactRef =
       try {

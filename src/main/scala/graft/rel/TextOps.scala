@@ -964,13 +964,15 @@ object TextOps {
     // add-0.5-smoothed, and a document's log importance weight is
     // sum_b n_b * [ln p_target(b) - ln p_raw(b)].
     //
-    // Scale shape: ONE tokenize+hash pass over the corpus reduced
-    // map-side to per-doc bucket counts (docb: ≤ 128 rows/doc — the
-    // ONLY corpus-sized shuffle, and it carries (doc_id, bucket,
-    // count), never text or gram strings); the raw/target bucket
-    // tables and their totals re-aggregate docb (≤ 128 groups), and
-    // the λ-table (≤ 128 rows) BROADCASTS back onto docb for the
-    // per-doc score. The gate hashes every doc's weight; the top-k
+    // Scale shape: ZERO corpus-sized shuffles. The feature fold lives
+    // INSIDE the row (a length-128 count array per doc); pass 1 is one
+    // fused 128-group λ aggregate (map-side combined — ≤ 128 rows per
+    // partition reach the exchange; λ derives on the driver, 128 rows
+    // of bounded state), pass 2 scores each row against the broadcast
+    // λ with a fixed-order dot product. Text never leaves its row and
+    // no (doc, gram) explosion ever forms — the prior docb-shuffle
+    // shape measured 75s at the 100× probe vs 41.5s for this one.
+    // The gate hashes every doc's weight; the top-k
     // resample itself is an ORDER BY logw LIMIT k over these scores
     // (exercised in TextOpsSpec, kept out of the oracle to avoid
     // ranking at a float boundary — the q40 class).
@@ -1009,25 +1011,8 @@ object TextOps {
     }
   )
 
-  /** t23's scorer (see the registry comment for the scale shape);
-    * exposed so TextOpsSpec can drive the top-k resampling stage on
-    * the same frame. */
-  /** Per-JVM-thread MD5 for the per-row bucket fold (MessageDigest is
-    * neither thread-safe nor serializable — the d05 md5Local shape). */
-  private val dsirMd5 =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
   private[rel] val DsirBuckets = 128
 
-  /** The whole DSIR feature extraction folded INTO the row: hashed
-    * unigram+bigram bucket counts as a length-128 array, so the corpus
-    * never explodes into (doc, gram) rows and NO corpus-sized shuffle
-    * ever forms. bucket(g) = first 4 md5 bytes as an unsigned int mod
-    * 128 — bit-identical to the oracle's
-    * ('0x'||substr(md5(g),1,8))::BIGINT % 128. */
   /** Per-thread gram→bucket memo: gram frequencies are Zipfian, so
     * the md5 work per OCCURRENCE collapses to md5 work per DISTINCT
     * gram (Heaps'-law bounded — the t15/t22 model-table class). Capped
@@ -1039,17 +1024,21 @@ object TextOps {
     }
   private val DsirMemoCap = 1 << 20
 
+  /** The whole DSIR feature extraction folded INTO the row: hashed
+    * unigram+bigram bucket counts as a length-128 array, so the corpus
+    * never explodes into (doc, gram) rows and NO corpus-sized shuffle
+    * ever forms. bucket(g) = the first 4 md5 bytes as an unsigned int
+    * mod 128 — bit-identical to the oracle's
+    * ('0x'||substr(md5(g),1,8))::BIGINT % 128, via [[Dedup.md5Hash64]]
+    * (first 8 md5 bytes big-endian; >>> 32 keeps the first 4 unsigned)
+    * rather than a second digest stack. */
   private[rel] def dsirCounts(text: String): Array[Long] = {
-    val md = dsirMd5.get()
     val memo = dsirBucketMemo.get()
     def bucket(g: String): Int = {
       val hit = memo.get(g)
       if (hit != null) hit.intValue()
       else {
-        md.reset()
-        val h = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val b = ((((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % DsirBuckets).toInt
+        val b = ((Dedup.md5Hash64(g) >>> 32) % DsirBuckets).toInt
         if (memo.size < DsirMemoCap) memo.put(g, b)
         b
       }
@@ -1065,6 +1054,9 @@ object TextOps {
     c
   }
 
+  /** t23's scorer (see the registry comment for the scale shape);
+    * exposed so TextOpsSpec can drive the top-k resampling stage on
+    * the same frame. */
   private[rel] def dsirScores(s: SparkSession, d: String): DataFrame = {
     val countsUdf = udf { (text: String) => dsirCounts(text) }
     val docs = Tables.documents(s, d)
