@@ -639,6 +639,51 @@ object Streaming {
     s.read.parquet(ids.map(id => s"$out/batch_$id"): _*)
   }
 
+  /** Marker-pinned SNAPSHOT read (p25): the read side of the p23
+    * protocol generalized to time travel — a reader that lists markers
+    * `<= asOf` sees exactly the table as it existed when that batch
+    * committed, untouched by later appends (each batch directory is
+    * immutable once its marker exists). This is snapshot isolation
+    * from nothing but a filesystem: no transaction log replay, no
+    * compaction coordination — the marker SET is the version. */
+  private[graft] def readCommittedAsOf(s: SparkSession, out: String,
+      asOf: Long): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(out)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("_commit_")).map(_.stripPrefix("_commit_").toLong)
+      .filter(_ <= asOf).sorted
+    require(ids.nonEmpty, s"p25: no committed batches <= $asOf under $out")
+    s.read.parquet(ids.map(id => s"$out/batch_$id"): _*)
+  }
+
+  /** p25's registry body: three deterministic event batches committed
+    * through the p23 marker protocol, then EVERY snapshot version is
+    * read back and aggregated — the gate proves each as-of read
+    * reproduces exactly the prefix of history that had committed at
+    * that version, with later appends invisible. */
+  def snapshotReads(s: SparkSession, dir: String, out: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(out)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(base, true)
+    fs.deleteOnExit(base)
+    val ev = graft.rel.Tables.events(s, dir)
+      .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("event_id"), col("event_type"))
+    (0L until 3L).foreach { b =>
+      require(commitBatchIdempotent(
+        ev.filter(col("event_id") % 3 === b), b, out),
+        s"p25: batch $b failed to commit")
+    }
+    (0L until 3L).map { asOf =>
+      readCommittedAsOf(s, out, asOf)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"))
+        .select(lit(asOf).as("as_of"), col("event_type"), col("n"),
+          col("sum_ids"))
+    }.reduce(_ unionAll _).orderBy("as_of", "event_type")
+  }
+
   /** [[commitBatchIdempotent]] driven by a REAL streaming query (p23):
     * file readStream → foreachBatch with the marker protocol →
     * AvailableNow drain, then every drained batch is RE-DELIVERED

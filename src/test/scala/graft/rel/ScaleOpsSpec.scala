@@ -173,4 +173,44 @@ class ScaleOpsSpec extends SparkSpec {
     // the file-skip audit flag: >= 1/3 of files wholly outside the band
     got.foreach(r => assert(r.getLong(3) == 1L, "skip audit failed"))
   }
+
+  test("AQE splits a skewed join partition (skew=true in the executed plan)") {
+    // the runtime skew remedy the engine leans on at 100 TB (SCALE.md's
+    // "salting or AQE skew-join"): pin that OptimizeSkewedJoin actually
+    // FIRES inside this engine's config envelope, not just that the
+    // flag is on. One hot key holds ~95% of the left side; broadcast is
+    // disabled so the join must sort-merge, and the thresholds are
+    // scoped down so the hot partition qualifies. The assertions hold
+    // both halves: results exact AND the final adaptive plan marks the
+    // skew split.
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val left = spark.range(200000).select(
+        when(col("id") < 190000L, 0L).otherwise(col("id") % 64).as("k"),
+        concat(lit("payload-"), col("id")).as("pay"))
+      val right = spark.range(64).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("v"))
+      val joined = left.join(right, Seq("k"))
+      // collect() drives joined's OWN QueryExecution, so the adaptive
+      // plan below is the final one (count() would plan separately and
+      // leave this queryExecution unexecuted, isFinalPlan=false)
+      assert(joined.collect().length == 200000, "skewed join lost/duplicated rows")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
