@@ -1523,6 +1523,70 @@ object RelQueries {
         .select(col("src"), col("dst"), col("n"),
           (col("n") / col("tn")).as("p"))
         .orderBy("src", "dst")
+    },
+
+    // MULTI-TOUCH attribution — the marketing-analytics op above
+    // p16's raw attribution join: every purchase's in-window clicks
+    // share the conversion credit under three standard models at once
+    // (first-touch, last-touch, linear). Channels are synthesized
+    // deterministically from the click id (event_id % 5). first/last
+    // are INTEGER counts (row_number over a (ts, event_id) total
+    // order — no float anywhere); linear credit sums 1/n doubles and
+    // rides the t15 flake-bound under round(,4). Scale shape: one
+    // user_id equi-join (time bounds as join filters), one
+    // purchase-keyed window pass, then a channel-bounded aggregate —
+    // the same three-exchange ladder q43/q44 run, each keyed smaller
+    // than the last.
+    Q("q50_multitouch_attribution",
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS cts,
+        |    event_id % 5 AS channel
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (
+        |  SELECT user_id, event_id AS pid, ts AS pts
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND ts IS NOT NULL),
+        |t AS (SELECT p.pid, c.channel, c.click_id, epoch_us(c.cts) AS ct
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 1 HOUR),
+        |w AS (SELECT pid, channel, click_id,
+        |    count(*) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY ct, click_id) AS rf,
+        |    row_number() OVER (PARTITION BY pid ORDER BY ct DESC, click_id DESC) AS rl
+        |  FROM t)
+        |SELECT channel, count(*) AS n_touches,
+        |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+        |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+        |  round(sum(1.0 / n), 4) AS linear_credit
+        |FROM w GROUP BY channel ORDER BY channel""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = events(s, d)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("ts").isNotNull)
+      val c = base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"), (col("event_id") % 5).as("channel"))
+      val pp = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("ts").as("pts"))
+      val t = pp.join(c, Seq("user_id"))
+        .filter(col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+        .select(col("pid"), col("channel"), col("click_id"),
+          unix_micros(col("cts")).as("ct"))
+      val byP = Window.partitionBy("pid")
+      t.withColumn("n", count(lit(1)).over(byP))
+        .withColumn("rf", row_number().over(
+          byP.orderBy(col("ct"), col("click_id"))))
+        .withColumn("rl", row_number().over(
+          byP.orderBy(col("ct").desc, col("click_id").desc)))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("rf") === 1, 1L).otherwise(0L)).as("first_touch"),
+          sum(when(col("rl") === 1, 1L).otherwise(0L)).as("last_touch"),
+          round(sum(lit(1.0) / col("n")), 4).as("linear_credit"))
+        .orderBy("channel")
     }
   )
 
