@@ -215,6 +215,17 @@ object Cluster {
       |LEFT JOIN sizes s ON a.cluster_id = s.cluster_id
       |ORDER BY d.doc_id""".stripMargin
 
+  private val weightsOracle: String = componentCtes +
+    """
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.cluster_id, d.doc_id) AS BIGINT) AS canonical_id,
+      |  CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+      |  1.0 / coalesce(s.cluster_size, 1) AS weight
+      |FROM documents d
+      |LEFT JOIN asg a USING (doc_id)
+      |LEFT JOIN sizes s ON a.cluster_id = s.cluster_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d07_dedup_clusters", oracle) { (s, d) => nearDupClusters(s, d) },
 
@@ -222,6 +233,30 @@ object Cluster {
     // id + keep verdict + duplicate count (see dedupMaterialize).
     Q("d14_dedup_materialize", materializeOracle) { (s, d) =>
       dedupMaterialize(s, d)
+    },
+
+    // DUPLICATION-AWARE training weights — the alternative to d14's
+    // drop-the-copies survivorship when the pipeline KEEPS duplicates
+    // (to preserve distributional signal, or because the dedup is
+    // near- rather than exact): every member of a duplicate cluster
+    // carries weight 1/cluster_size, so the cluster contributes ONE
+    // unit of training mass however many copies it has (the
+    // upweighting bias Lee 2021 measures simply disappears from the
+    // loss). weight is a single IEEE division of small exact integers
+    // — bit-identical cross-engine, no rounding needed. Same join
+    // shape and cost as d14: components once (d07's machinery), one
+    // id-keyed left join back onto the corpus.
+    Q("d17_dup_weights", weightsOracle) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val asg = nearDupClusters(s, d)
+      docs.join(asg.select("doc_id", "cluster_id", "cluster_size")
+          .hint("shuffle_hash"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          (lit(1.0) / coalesce(col("cluster_size"), lit(1L))).as("weight"))
+        .orderBy("doc_id")
     }
   )
 }
