@@ -103,8 +103,17 @@ object Bench {
     // volumes themselves are plan-deterministic.
     // optional builder-side probe filter (the Verify third-arg
     // convention): comma-separated name prefixes via SPARK_GRAFT_ONLY
+    // the value is embedded verbatim in the JSON artifact line, so it
+    // must be JSON-safe by construction (a quote or backslash would
+    // make the record unparseable); empty string = no filter, so it
+    // neither filters nor forces SPARK_GRAFT_BENCH_OUT
     val only: Option[Seq[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+      sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map { raw =>
+        require(raw.matches("[A-Za-z0-9_,]+"),
+          "SPARK_GRAFT_ONLY must match [A-Za-z0-9_,]+ (it is embedded " +
+            s"verbatim in the bench JSON artifact); got: '$raw'")
+        raw.split(',').toSeq.filter(_.nonEmpty)
+      }.filter(_.nonEmpty)
     // a filtered probe must NEVER masquerade as the canonical record:
     // refuse the default artifact path when a filter is active
     require(only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"),

@@ -1177,19 +1177,28 @@ object Similarity {
         col("full_exact").cast("long").as("full_probe_exact"))
       .orderBy("n_probe")
 
-  /** s17's metadata predicate (vec_id ≡ 0 mod 3 — a deterministic
-    * ~1/3-selectivity stand-in for any attribute filter). */
+  /** s17's metadata predicate (id ≡ 0 mod 3 — a deterministic
+    * ~1/3-selectivity stand-in for any attribute filter), expressed
+    * over a caller-supplied id column so the index-side filter (on
+    * vec_id) and the contract audit (on the result's nid) share ONE
+    * definition — changing the predicate changes both legs together. */
+  private[rel] def filterPredOn(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = id % 3 === 0
+
   private[rel] def filterPred: org.apache.spark.sql.Column =
-    col("vec_id") % 3 === 0
+    filterPredOn(col("vec_id"))
 
   /** [[annContract]] with the brute-force leg restricted to the same
-    * filtered corpus, plus the filter audit column. */
+    * filtered corpus, plus the filter audit column (the NEGATION of
+    * [[filterPredOn]] over the returned neighbor ids — zero violations
+    * required). */
   private[rel] def filteredAnnContract(spark: SparkSession, dir: String,
       nQueries: Int, k: Int)(ann: DataFrame): DataFrame =
     annContract(spark, dir, nQueries, k,
       corpusPred = Some(filterPred),
       extraAudits = Seq("filter_ok" ->
-        ((sum((col("nid") % 3 =!= 0).cast("long")) === 0L).cast("long"))))(ann)
+        ((sum((!filterPredOn(col("nid"))).cast("long")) === 0L)
+          .cast("long"))))(ann)
 
   /** ANN via 8-bit scalar quantization (the FAISS SQ8 family): each
     * dimension gets an affine [min,max] range trained over the UNIT

@@ -1017,11 +1017,18 @@ object TextOps {
     * the md5 work per OCCURRENCE collapses to md5 work per DISTINCT
     * gram (Heaps'-law bounded — the t15/t22 model-table class). Capped
     * so an adversarial vocabulary can't grow executor memory
-    * unboundedly; on overflow we just hash uncached. */
-  private val dsirBucketMemo =
-    new ThreadLocal[java.util.HashMap[String, Integer]] {
-      override def initialValue() = new java.util.HashMap[String, Integer]()
-    }
+    * unboundedly; on overflow we just hash uncached. The cache lives
+    * only as long as the TASK that benefits from it: the first call
+    * inside a task registers a completion listener that clears the
+    * map, so long-lived executor threads don't retain up to ~1M gram
+    * strings each for the process lifetime after t23 finishes. */
+  private final class DsirMemo {
+    var taskId: Long = -1L
+    val map = new java.util.HashMap[String, Integer]()
+  }
+  private val dsirBucketMemo = new ThreadLocal[DsirMemo] {
+    override def initialValue() = new DsirMemo
+  }
   private val DsirMemoCap = 1 << 20
 
   /** The whole DSIR feature extraction folded INTO the row: hashed
@@ -1033,7 +1040,15 @@ object TextOps {
     * (first 8 md5 bytes big-endian; >>> 32 keeps the first 4 unsigned)
     * rather than a second digest stack. */
   private[rel] def dsirCounts(text: String): Array[Long] = {
-    val memo = dsirBucketMemo.get()
+    val holder = dsirBucketMemo.get()
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null && holder.taskId != tc.taskAttemptId()) {
+      holder.taskId = tc.taskAttemptId()
+      tc.addTaskCompletionListener[Unit] { _ =>
+        holder.map.clear(); holder.taskId = -1L
+      }
+    }
+    val memo = holder.map
     def bucket(g: String): Int = {
       val hit = memo.get(g)
       if (hit != null) hit.intValue()
@@ -1112,7 +1127,14 @@ object TextOps {
     * [ln(c1+1)-ln(T1+V)] - [ln(c0+1)-ln(T0+V)], unknown test tokens
     * ignored (standard multinomial NB practice) — only summation
     * order differs, which the margin guard makes irrelevant. */
-  private[rel] def nbClassifier(s: SparkSession, d: String): DataFrame = {
+  /** Driver-side model cap for [[nbClassifier]]: ~4M distinct tokens
+    * (~100 MB of (tok, c0, c1) rows) — an order of magnitude above the
+    * Heaps'-law vocabulary of a web-scale corpus, far below driver
+    * OOM. Overridable so the guard itself is spec-testable. */
+  private[rel] val NbMaxVocab = 1 << 22
+
+  private[rel] def nbClassifier(s: SparkSession, d: String,
+      maxVocab: Int = NbMaxVocab): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     // TRAINING = ONE corpus pass: the class priors ride the same
@@ -1125,9 +1147,13 @@ object TextOps {
     // The aggregate is COLLECTED — the vocabulary is Heaps'-law
     // bounded (t15/t18's model-table class; ~1M tokens × 24 B at web
     // scale, the d15-bloom order of driver state); totals, smoothing
-    // terms, and log-odds all derive from this one result. If a
-    // corpus ever outgrows the driver, the broadcast-join scoring
-    // variant (model stays distributed) is the drop-in fallback.
+    // terms, and log-odds all derive from this one result. The collect
+    // is GUARDED (the boundedIdCollect discipline): it pulls at most
+    // NbMaxVocab+1 rows via limit(), so a pathological corpus whose
+    // "vocabulary" grows with the corpus (e.g. no spaces → one unique
+    // token per doc) fails FAST with the fallback named instead of
+    // silently OOMing the driver. Below the cap the model is exact
+    // (limit over the full aggregate drops nothing).
     val Sentinel = "per doc"
     val all = docs.filter(col("doc_id") % 2 === 0)
       .select(col("text")).as[String]
@@ -1140,7 +1166,14 @@ object TextOps {
       .groupBy("tok").agg(
         sum(when(col("label") === 0L, 1L).otherwise(0L)).as("c0"),
         sum(when(col("label") === 1L, 1L).otherwise(0L)).as("c1"))
+      .limit(maxVocab + 1)
       .collect()
+    require(all.length <= maxVocab,
+      s"t22 training vocabulary exceeds $maxVocab distinct tokens — " +
+        "not Heaps'-bounded for this corpus; use the distributed-model " +
+        "variant (keep the (tok,c0,c1) table as a DataFrame and score " +
+        "via an exploded-token broadcast join) instead of the " +
+        "driver-collected model")
     val sent = all.find(_.getString(0) == Sentinel).getOrElse(
       sys.error("t22: empty training half — no class priors"))
     val (n0, n1) = (sent.getLong(1), sent.getLong(2))

@@ -360,7 +360,11 @@ class PlanSpec extends SparkSpec {
     // aggregate, lineitem-side checks into one join+aggregate pass —
     // 2 driver actions / 2 fact-table scans, not 4. Counted via
     // QueryExecutionListener (one onSuccess per eager action); the
-    // bus is async, so poll until the count is stable.
+    // bus is async, so poll until the count is stable. The query runs
+    // in a DEDICATED child session: ExecutionListenerBus filters
+    // events by session, so eager actions from other suites (or
+    // in-flight events posted before registration) can never inflate
+    // the count — the listener sees exactly this session's actions.
     @volatile var executions = 0
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -370,9 +374,10 @@ class PlanSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
-    spark.listenerManager.register(listener)
+    val session = spark.newSession()
+    session.listenerManager.register(listener)
     try {
-      val out = SparkEntry.queries("q46_quality_checks")(spark, sfDir)
+      val out = SparkEntry.queries("q46_quality_checks")(session, sfDir)
       // settle the async listener bus: wait until no new events for a
       // full second (bounded at 30s)
       var last = -1
@@ -386,6 +391,6 @@ class PlanSpec extends SparkSpec {
         s"q46 ran $executions eager actions — the fused suite runs exactly 2")
       // and the fused result still carries all four checks
       assert(out.count() == 4)
-    } finally spark.listenerManager.unregister(listener)
+    } finally session.listenerManager.unregister(listener)
   }
 }

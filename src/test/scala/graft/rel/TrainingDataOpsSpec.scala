@@ -611,6 +611,28 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(conf.keys.map(_._2).toSet == Set(0L, 1L), conf.toString)
   }
 
+  test("t22 vocab guard: a non-Heaps corpus fails LOUDLY, never OOMs the driver") {
+    import org.apache.spark.sql.functions._
+    // pathological corpus: one UNIQUE token per doc, so the
+    // "vocabulary" grows linearly with the corpus instead of
+    // Heaps'-law-bounded. The guarded collect must fail fast naming
+    // the distributed-model fallback — and because the collect is
+    // limit(cap+1)-bounded, the driver materializes at most cap+1
+    // rows no matter how large the corpus is.
+    val dir = java.nio.file.Files.createTempDirectory("t22guard").toString
+    spark.range(100)
+      .select(col("id").as("doc_id"),
+        concat(lit("uniqtok"), col("id")).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nbClassifier(spark, dir, maxVocab = 8).collect()
+    }
+    assert(e.getMessage.contains("distributed-model"), e.getMessage)
+    // and the REAL corpus is comfortably under the real cap (the
+    // guard never fires on the gate fixtures)
+    assert(TextOps.nbClassifier(spark, sfDir).collect().nonEmpty)
+  }
+
   test("t23 DSIR weights carry the target signal and drive the resample stage") {
     import org.apache.spark.sql.functions._
     // the per-doc weights are hash-gated against DuckDB; this pins the
