@@ -703,9 +703,17 @@ object MultiModal {
 
   /** m05 oracle: rebuild each document's 16×16 luminance grid and the
     * 60-bit gradient hash from the pixel formula (no codec), then count
-    * partners over the ENTIRE quadratic pair space — the oracle has no
-    * blocking, so a blocking bug that INVENTS a pair breaks the hash
-    * match, and every fingerprint is value-checked row by row. */
+    * partners. Every fingerprint is value-checked row by row. Pair
+    * generation blocks on 4×15-bit bands — EXACT by pigeonhole (any
+    * pair at Hamming ≤ 3 differs in ≤ 3 of the 4 bands, so at least
+    * one band matches identically), and the final ham ≤ 3 filter runs
+    * on the FULL fingerprints, so a blocking bug that INVENTS a pair
+    * still breaks the hash match. The blocking is re-derived here in
+    * SQL from the theorem, not shared with the engine; rounds ≤ 7
+    * gated the identical query against the blocking-FREE quadratic
+    * formula at sf ≤ 0.1, pinning agreement of the two oracle shapes.
+    * Blocked, the oracle is near-linear and runs at the 10× replica
+    * (500k docs) where the quadratic form (1.25e11 pairs) cannot. */
   private[rel] lazy val pHashOracleSql: String = {
     val g = PHashGrid
     // grid index for sample point i (0..60), then image coords
@@ -723,12 +731,17 @@ object MultiModal {
        |      i -> CASE WHEN ls[i+1] < ls[i+2]
        |           THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0) AS BIGINT) AS ph
        |  FROM g),
+       |bands AS (
+       |  SELECT doc_id, ph, t.b AS band,
+       |         (ph >> (t.b * 15)) & 32767 AS bv
+       |  FROM h, unnest(generate_series(0, 3)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |         a.ph AS pa, b.ph AS pb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
        |pairs AS (
-       |  SELECT da, db FROM (
-       |    SELECT a.doc_id AS da, b.doc_id AS db,
-       |           bit_count(xor(a.ph, b.ph)) AS ham
-       |    FROM h a JOIN h b ON a.doc_id < b.doc_id)
-       |  WHERE ham <= 3),
+       |  SELECT da, db FROM cand WHERE bit_count(xor(pa, pb)) <= 3),
        |pc AS (
        |  SELECT doc_id, count(*) AS n FROM (
        |    SELECT da AS doc_id FROM pairs
@@ -875,8 +888,10 @@ object MultiModal {
     // discipline — 4×15-bit band blocking guarantees every pair at
     // Hamming ≤ 3 shares an exact band. One row per doc (fingerprint +
     // partner count), so all n fingerprints are value-checked against
-    // DuckDB's blocking-free quadratic formula replay; the planted
-    // doc_id<24 groups guarantee live pairs at every scale factor.
+    // DuckDB's formula replay (pair space band-blocked since round 8 —
+    // pigeonhole-exact, see pHashOracleSql — so the oracle runs at the
+    // 10× replica too); the planted doc_id<24 groups guarantee live
+    // pairs at every scale factor.
     Q("m05_phash_neardup", pHashOracleSql) { (s, d) =>
       perceptualNearDup(s, d, maxHamming = 3)
     },

@@ -1309,6 +1309,51 @@ object RelQueries {
         .orderBy("col_name")
     },
 
+    // The 100 TB profile q45's comment promises, made real and gated:
+    // the sketched column profile. Per profiled column ONE aggregate
+    // computes the plain stats, the EXACT distinct (single-distinct —
+    // Spark plans it as a two-phase partial aggregate, NO Expand) and
+    // the HLL++ sketch side by side, and the query audits the sketch
+    // in-query (|approx−exact|/exact ≤ 3·rsd, the q30/q42 pattern).
+    // Scale shape: four single-COLUMN scans — parquet is columnar, so
+    // total I/O equals q45's one 4-column scan, but nothing Expands:
+    // q45's exact multi-distinct pass widens every corpus row 4× into
+    // the exchange; here each column's distinct path shuffles only its
+    // own partial-distinct keys, and the product path can drop the
+    // exact leg entirely (sketches alone: one narrow pass, fixed-size
+    // mergeable state). PlanSpec pins Expand-freedom.
+    Q("q45b_profile_sketch",
+      """WITH a AS (
+        |  SELECT 'l_orderkey' AS col_name, count(*) AS n,
+        |    count(*) - count(l_orderkey) AS n_null,
+        |    count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |    count(DISTINCT l_quantity) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |    count(DISTINCT l_shipdate) FROM lineitem)
+        |SELECT col_name, n, n_null, n_distinct, true AS approx_ok
+        |FROM a ORDER BY col_name""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      def profile(c: String): DataFrame =
+        li.select(col(c))
+          .agg(count(lit(1)).as("n"),
+            sum(col(c).isNull.cast("long")).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            approx_count_distinct(col(c), 0.05).as("n_approx"))
+          .select(lit(c).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"),
+            (abs(col("n_approx") - col("n_distinct")).cast("double") /
+              col("n_distinct") <= 0.15).as("approx_ok"))
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(profile).reduce(_.unionAll(_))
+        .orderBy("col_name")
+    },
+
     // Constraint validation (the Deequ "check suite"): key uniqueness,
     // referential integrity, value-domain membership, completeness —
     // the gate a training-data ingest runs before anything downstream

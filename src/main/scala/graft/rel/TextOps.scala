@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private def tokens(c: Column): Column =
+  private[rel] def tokens(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
   /** (codepoint count, Shannon entropy rounded to 4 decimals) of the

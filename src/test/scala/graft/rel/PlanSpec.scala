@@ -355,6 +355,45 @@ class PlanSpec extends SparkSpec {
       scanLine.contains("(cell"), scanLine)
   }
 
+  test("p26: four curation stages read the corpus text exactly ONCE") {
+    // gopher stats, the dedup digest, and the quality counts all fold
+    // into one projection over one scan; the split is a per-row md5.
+    // A refactor that gives any stage its own documents scan (the
+    // composition bug this query exists to catch) fails here.
+    val p = PipelineQueries.curationSurvivors(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 1, s"expected exactly 1 documents scan, got $scans:\n$p")
+    // and the one scan prunes to the two columns the DAG consumes
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text"), rs)
+    assert(!rs.contains("lang") && !rs.contains("n_chars"), rs)
+    // the dedup aggregate is two-phase (min(struct) plans as a
+    // SortAggregate — partial before the exchange, final after), and
+    // the digest exchange is the ONLY shuffle: the split/quality
+    // stages are per-row and must not add one
+    assert(p.contains("partial_min"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("q45b: the sketched profile never Expands the corpus") {
+    // q45's exact multi-distinct pass widens every row 4-5x through an
+    // Expand before the exchange; the sketched profile's contract is
+    // that NOTHING does — each column's exact leg is a single-distinct
+    // two-phase aggregate and the HLL++ sketch is a plain aggregate,
+    // so the plan must contain no Expand node at all. Each profile
+    // branch must also prune its scan to the one profiled column.
+    val p = plan("q45b_profile_sketch")
+    assert(!p.contains("Expand"), p)
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, p)
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("l_comment") && !rs.contains("l_extendedprice"), rs)
+    }
+  }
+
   test("q46: the quality suite runs exactly TWO actions (fused same-table checks)") {
     // the suite's scale discipline: orders-side checks fuse into one
     // aggregate, lineitem-side checks into one join+aggregate pass —

@@ -147,6 +147,47 @@ class StreamingSpec extends SparkSpec {
       "retry did not overwrite the partial crash output")
   }
 
+  test("p23/p25: a batch killed MID-WRITE is invisible at every snapshot version") {
+    // failure injection for the marker protocol: batches 0 and 2
+    // commit; batch 1 "crashes" between them mid-write — its directory
+    // holds a partial row subset plus a stray in-flight temp file, and
+    // NO marker ever appears. Readers at EVERY version (latest and
+    // each as-of) must see nothing from it; the retry then overwrites
+    // the garbage wholesale and publishes atomically.
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("p23-crash").toString
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+      .select("event_id", "event_type").limit(300).cache()
+    def slice(b: Long) = ev.filter(col("event_id") % 3 === b)
+    val Seq(n0, n1, n2) = (0L to 2L).map(slice(_).count())
+    assert(n1 > 10, "fixture too small for a meaningful partial write")
+    assert(commitBatchIdempotent(slice(0).toDF(), 0L, out))
+    // the mid-write kill: a partial prefix of batch 1 + an in-flight
+    // temp artifact, no marker
+    slice(1).limit(10).write.mode("overwrite").parquet(s"$out/batch_1")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(out, "batch_1", "part-00007.snappy.parquet.tmp"))
+    assert(commitBatchIdempotent(slice(2).toDF(), 2L, out))
+    // every version: the orphan contributes NOTHING
+    assert(readCommittedAsOf(spark, out, 0L).count() == n0,
+      "version 0 leaked rows from the uncommitted batch")
+    assert(readCommittedAsOf(spark, out, 1L).count() == n0,
+      "version 1 must equal version 0 while batch 1 is uncommitted")
+    assert(readCommittedAsOf(spark, out, 2L).count() == n0 + n2,
+      "version 2 leaked rows from the uncommitted batch")
+    assert(readCommitted(spark, out).count() == n0 + n2,
+      "the latest reader leaked rows from the uncommitted batch")
+    // retry: overwrites the partial directory COMPLETELY and commits
+    assert(commitBatchIdempotent(slice(1).toDF(), 1L, out),
+      "retry after the mid-write kill must commit")
+    assert(readCommittedAsOf(spark, out, 1L).count() == n0 + n1,
+      "retried batch must replace the partial write, not append to it")
+    assert(readCommitted(spark, out).count() == n0 + n1 + n2)
+    // and version 0 is still immutable history
+    assert(readCommittedAsOf(spark, out, 0L).count() == n0)
+  }
+
   test("p21: incremental custom-state sessionization equals batch gaps-and-islands") {
     import org.apache.spark.sql.expressions.Window
     val (streamed, st) = sessionizeDrained(spark, sfDir)
