@@ -93,6 +93,26 @@ object MultiModal {
     bos.toByteArray
   }
 
+  /** Header-ONLY PNG metadata: (width, height, bitDepth, colorType)
+    * parsed directly from the container bytes — the 8-byte signature
+    * then the mandatory first chunk (IHDR: 4-byte length, 4-byte
+    * type, 13-byte payload with big-endian dims). No decompression,
+    * no reader dispatch, no pixel pass: O(33 bytes) per payload
+    * regardless of image size — the fast path a metadata-only query
+    * takes at 100 TB instead of [[decode]]'s full inflate. None on
+    * anything that isn't a signature-valid PNG with IHDR first (the
+    * spec requires IHDR first, so a None here is a malformed file,
+    * not a miss). */
+  def pngHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    def be(off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    if (p.length < 33 || !sig.indices.forall(i => (p(i) & 0xff) == sig(i))) None
+    else if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')) None
+    else Some((be(16), be(20), p(24) & 0xff, p(25) & 0xff))
+  }
+
   /** Real PNG/JPEG/BMP/... decode — container sniffing is ImageIO's;
     * unrecognized bytes decode to None (tombstone contract). NonFatal,
     * not just IIOException: sniffing dispatches to every installed
@@ -1258,6 +1278,35 @@ object MultiModal {
         .select(col("ka").as("keeper_a"), col("kb").as("keeper_b"),
           col("shared"), col("na"), col("nb"), round(col("jacc"), 6).as("jacc"))
         .orderBy("keeper_a", "keeper_b")
+    },
+
+    // Header-ONLY metadata extraction — the fast path a 100 TB
+    // metadata query must take instead of paying the decode: dims and
+    // pixel format parsed from the PNG container's fixed IHDR layout
+    // (signature + first chunk) in O(33 bytes) per payload, no
+    // inflate, no reader dispatch, no pixel pass. The payloads are the
+    // REAL encoder's output and the parse is a real byte-level
+    // container walk (signature and chunk type verified, loud on
+    // mismatch); the oracle replays dims from the dims formula and the
+    // format constants from the encoder contract (TYPE_INT_RGB → PNG
+    // bit depth 8, color type 2 truecolor), so an encoder or parser
+    // byte-offset deviation on any doc breaks the hash. The spec
+    // additionally pins header == full-decode dims on a sample.
+    // Narrow per-row pass; payload bytes never shuffle.
+    Q("m13_header_metadata",
+      s"""WITH $docDimsCte
+         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  8 AS bit_depth, 2 AS color_type
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      docPayloads(s, d).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          val (w, h, depth, ct) = pngHeader(p).getOrElse(
+            sys.error(s"doc $id payload is not a signature-valid PNG"))
+          (id, w, h, depth, ct)
+        })
+        .toDF("doc_id", "width", "height", "bit_depth", "color_type")
+        .orderBy("doc_id")
     }
   )
 

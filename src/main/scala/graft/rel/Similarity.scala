@@ -1816,6 +1816,47 @@ object Similarity {
             x => abs(x.cast("double"))), lit(0.0), (a, v) => a + v), 6).as("l1"),
           size(col("embedding")).as("dim"))
         .orderBy("vec_id")
+    },
+
+    // EMBEDDING-space benchmark decontamination — d09's overlap check
+    // lifted from exact n-grams to semantic similarity (the LLM-eval
+    // hygiene pass that catches paraphrased eval leakage n-grams
+    // miss): flag every corpus vector whose cosine to ANY eval vector
+    // (vec_id < 20, the d09 eval-slice convention) clears the
+    // threshold. Scale shape — the d09 discipline: the eval side is
+    // BENCHMARK-SIZED by definition, so it broadcasts and the corpus
+    // streams through ONE pass scoring |eval| native-codegen cosines
+    // per row; map-side partial aggregation collapses each vector's
+    // eval-candidates before the exchange, so the one shuffle carries
+    // n narrow (id, max, hits) rows — embeddings never shuffle. No
+    // ANN needed: brute-vs-broadcast IS the scale-correct shape when
+    // one side is eval-set-sized. Float discipline: max over the
+    // eval cosines is order-insensitive; the flag compares the raw
+    // double (the d06 accepted class); rounding is display-only.
+    Q("s20_eval_decontam",
+      s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee
+         |  FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT e.vec_id,
+         |    max(${cosineSql("ev.ee", "e.embedding")}) AS mc,
+         |    CAST(sum(CASE WHEN ${cosineSql("ev.ee", "e.embedding")} >= 0.35
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM embeddings e CROSS JOIN ev
+         |  WHERE e.vec_id >= 20 GROUP BY 1)
+         |SELECT vec_id, round(mc, 6) AS max_cos, n_hits,
+         |  CAST(mc >= 0.35 AS BIGINT) AS contaminated
+         |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val ev = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("eid"), col("embedding").as("ee"))
+      e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(ev))
+        .select(col("vec_id"), cosine(col("ee"), col("embedding")).as("c"))
+        .groupBy("vec_id")
+        .agg(max("c").as("mc"),
+          sum((col("c") >= 0.35).cast("long")).as("n_hits"))
+        .select(col("vec_id"), round(col("mc"), 6).as("max_cos"),
+          col("n_hits"), (col("mc") >= 0.35).cast("bigint").as("contaminated"))
+        .orderBy("vec_id")
     }
   )
 }

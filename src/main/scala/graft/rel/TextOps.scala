@@ -1008,6 +1008,58 @@ object TextOps {
         |FROM docb d JOIN lam l USING (b)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       dsirScores(s, d).orderBy("doc_id")
+    },
+
+    // Quantile-binned corpus partitioning (curriculum / quality-decile
+    // binning): every doc assigned its n_chars decile, per-bin stats +
+    // a deterministic representative. The bin boundary is INTEGER
+    // arithmetic end to end — bin(v) = (10 · |{docs with n_chars <
+    // v}|) div N — not an interpolated percentile, so there is no
+    // float cut-point for ties to straddle and the assignment is
+    // bit-identical cross-engine (equal values always share a bin;
+    // q24/t10's hash-determinism principle applied to quantiles).
+    // Scale shape: ONE map-side-combined value-histogram aggregate
+    // (bounded by the n_chars DOMAIN, not the corpus), a cumulative
+    // window over that domain-sized table (hundreds of rows — the
+    // 128-row λ-table class, explicitly NOT a corpus window), the
+    // rank table broadcast back onto the corpus for a per-row bin
+    // assign, then a 10-group aggregate. Nothing corpus-sized
+    // shuffles except the final 10-group partial aggregate's
+    // combiner outputs. Representative = arg-min of md5(doc_id) —
+    // integer/hex selection, no float order anywhere.
+    Q("t24_quantile_bins",
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+        |r AS (SELECT n_chars, CAST(coalesce(sum(c) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS below FROM h),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |b AS (SELECT d.doc_id, d.n_chars, (10 * r.below) // n.n AS bin
+        |      FROM documents d JOIN r USING (n_chars) CROSS JOIN n)
+        |SELECT bin, count(*) AS n_docs,
+        |  min(n_chars) AS lo_chars, max(n_chars) AS hi_chars,
+        |  arg_min(doc_id, md5(doc_id::VARCHAR)) AS keeper_id
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val h = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      // domain-bounded cumulative rank (single-partition window over
+      // the histogram, NOT the corpus — h has one row per distinct
+      // n_chars value)
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = h.select(col("n_chars"),
+        coalesce(sum("c").over(w), lit(0L)).as("below"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      docs.join(broadcast(r), Seq("n_chars"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_chars"),
+          expr("(10 * below) div n").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"),
+          min_by(col("doc_id"), md5(col("doc_id").cast("string")))
+            .as("keeper_id"))
+        .orderBy("bin")
     }
   )
 

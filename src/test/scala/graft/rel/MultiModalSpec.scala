@@ -351,6 +351,27 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("m13: header-only parse equals the full decode, and rejects non-PNG bytes") {
+    // the fast path must agree with the slow path it replaces: for a
+    // sample of real encoder outputs, IHDR-parsed dims == full-decode
+    // dims, and the format constants match the encoder contract
+    for (id <- Seq(0L, 7L, 13L, 63L, 500L)) {
+      val payload = MultiModal.encodePng(MultiModal.renderDoc(id))
+      val (w, h, depth, ct) = MultiModal.pngHeader(payload)
+        .getOrElse(fail(s"encoder output for doc $id not header-parseable"))
+      val img = MultiModal.decode(payload).get
+      assert((w, h) == (img.getWidth, img.getHeight), s"doc $id dims")
+      assert(depth == 8 && ct == 2, s"doc $id format ($depth, $ct)")
+    }
+    // malformed containers return None, never throw: too short, bad
+    // signature, signature without IHDR first
+    assert(MultiModal.pngHeader(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MultiModal.pngHeader(Array.fill[Byte](64)(0x42)).isEmpty)
+    val sigOnly = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ Array.fill[Byte](40)(0)
+    assert(MultiModal.pngHeader(sigOnly).isEmpty)
+  }
+
   test("m11: planted partner videos are the ONLY near-dups, at the designed Jaccard") {
     // the registry gate hash-checks the pair list against the DuckDB
     // pixel replay; this pins the CONSTRUCTION claim: every reported

@@ -581,4 +581,38 @@ class SimilaritySpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.length > 1, s"expected cell= partition dirs in $idxDir")
   }
+
+  test("s20: the decontamination flag is non-vacuous and agrees with a driver recompute") {
+    val rows = Similarity.all.find(_.name == "s20_eval_decontam").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // both classes must be live, or the gate proves nothing about the flag
+    assert(rows.exists(_._4 == 1L), "no contaminated vectors — vacuous gate")
+    assert(rows.exists(_._4 == 0L), "everything contaminated — vacuous gate")
+    // flag/hits/max are mutually consistent on every row
+    rows.foreach { case (id, mc, hits, flag) =>
+      assert((flag == 1L) == (mc >= 0.35), s"vec $id flag vs max_cos $mc")
+      assert((hits > 0) == (flag == 1L), s"vec $id hits $hits vs flag $flag")
+    }
+    // driver recompute of one contaminated row's max cosine
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val evs = e.filter(_._1 < 20).values.toSeq
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (cid, cmc, _, _) = rows.find(_._4 == 1L).get
+    val want = evs.map(ev => cosD(ev, e(cid))).max
+    assert(math.abs(cmc - want) < 1e-6, s"vec $cid max_cos $cmc vs $want")
+  }
 }

@@ -663,4 +663,38 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(topRate > baseRate,
       f"top-$k resample ($topRate%.3f) not enriched over base ($baseRate%.3f)")
   }
+
+  test("t24 quantile bins partition the corpus into balanced, ordered, member-keepered deciles") {
+    import org.apache.spark.sql.functions.col
+    val bins = TextOps.all.find(_.name == "t24_quantile_bins").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = Tables.documents(spark, sfDir).count()
+    // a partition: every doc in exactly one bin
+    assert(bins.map(_._2).sum == n, s"bins don't partition the corpus: $bins")
+    assert(bins.map(_._1).toSeq == bins.map(_._1).toSeq.sorted)
+    assert(bins.length >= 5 && bins.length <= 10, bins.map(_._1).mkString(","))
+    // bins are VALUE-ordered: each bin's hi <= next bin's lo (equal
+    // values share a bin, so strict ranges never interleave)
+    bins.sliding(2).foreach {
+      case Array((_, _, _, hi1, _), (_, _, lo2, _, _)) =>
+        assert(hi1 <= lo2, s"bin ranges interleave: $hi1 > $lo2")
+      case _ =>
+    }
+    // integer-rank binning bounds each bin at N/10 + the largest tie
+    // group (ties share a bin and can only inflate ONE bin each)
+    val maxTie = Tables.documents(spark, sfDir)
+      .groupBy("n_chars").count().collect().map(_.getLong(1)).max
+    bins.foreach { case (b, nd, _, _, _) =>
+      assert(nd <= n / 10 + maxTie, s"bin $b has $nd docs (n=$n, maxTie=$maxTie)")
+    }
+    // the keeper is a member of its own bin
+    val docChars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    bins.foreach { case (b, _, lo, hi, keeper) =>
+      val c = docChars(keeper)
+      assert(c >= lo && c <= hi, s"bin $b keeper $keeper n_chars $c outside [$lo,$hi]")
+    }
+  }
 }
