@@ -1857,6 +1857,100 @@ object Similarity {
         .select(col("vec_id"), round(col("mc"), 6).as("max_cos"),
           col("n_hits"), (col("mc") >= 0.35).cast("bigint").as("contaminated"))
         .orderBy("vec_id")
+    },
+
+    // Distributed kNN JOIN — the batch-serving shape none of s01-s19
+    // covers: the probe side is a TABLE (10% of the corpus, vec_id %
+    // 10 = 0), not a broadcastable constant query set, so the
+    // candidate fetch is an EQUI-JOIN ON THE IVF CELL — probes
+    // explode to their nProbe cells, the corpus carries its one
+    // assigned cell, and both sides meet in a cell-keyed join (AQE
+    // broadcasts the probe side while it's small and shuffles both
+    // sides by cell once it isn't; skew lands on AQE's skew-join).
+    // Join parallelism = nList, which ADAPTS as ceil(√n) with the
+    // corpus (the standard IVF sizing), so reducers scale with data —
+    // a fixed 16-cell layout would cap a 1000-executor cluster at 16
+    // streams. Per-probe top-k rides the native TopKPerKey (survivor-
+    // only exchange). Contract gate (the s02 pattern, join-shaped):
+    // n_probes and queries_audited are oracle-COMPUTED from the probe
+    // predicate, full_k_ok pins every probe found its full k inside
+    // its probed cells, recall_ok is measured ≥ 0.9 vs exact brute
+    // over the ≤5-probe audit sample, dedup_ok pins pair uniqueness.
+    Q("s21_knn_join",
+      """WITH p AS (SELECT count(*) AS np FROM embeddings
+        |           WHERE vec_id % 10 = 0)
+        |SELECT CAST(np AS BIGINT) AS n_probes,
+        |  CAST(1 AS BIGINT) AS full_k_ok,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS dedup_ok,
+        |  CAST(least(np, 5) AS BIGINT) AS queries_audited
+        |FROM p""".stripMargin) { (s, d) =>
+      knnJoinContract(s, d, k = 10)
     }
   )
+
+  /** [[Q s21_knn_join]]'s engine body: IVF-cell equi-join kNN between
+    * the probe slice (vec_id % 10 = 0) and the corpus, folded into a
+    * one-row measured contract. */
+  private[rel] def knnJoin(spark: SparkSession, dir: String, k: Int)
+      : DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    // corpus-adaptive IVF sizing: cells ~ √n (join parallelism grows
+    // with data); nProbe = 3/4 of nList because the driver corpus is
+    // ISOTROPIC random (the s04 comment's caveat — neighbors spread
+    // almost uniformly over cells, so high probe fractions are what
+    // the 0.9 recall bar costs on this data; clustered production
+    // embeddings probe far fewer), floored so tiny gate corpora still
+    // cover a full k of candidates
+    val nList = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = math.max(math.min(nList, 5), (3 * nList + 3) / 4)
+    val sample = trainingSample(e, 4096)
+    val centroids = kmeansCentroids(sample, nList, iters = 8)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bc.value) }
+    val probeUdf = udf { (v: Array[Float]) =>
+      nearestCells(unit(v), bc.value, nProbe) }
+    val corpus = e.select(col("vec_id").as("nid"),
+      col("embedding").as("ne"), assignUdf(col("embedding")).as("cell"))
+    // NOT broadcast by hand: the probe side is corpus-proportional,
+    // so the planner must stay free to shuffle both sides by cell
+    val probes = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeUdf(col("embedding"))).as("cell"))
+    val scored = corpus.join(probes, Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
+    ScaleOps.topKPerKey(scored, Seq("qid"),
+      Seq(("c", false), ("nid", true)), k)
+      .select("qid", "nid")
+  }
+
+  private[rel] def knnJoinContract(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val probeIds = e.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val audit = probeIds.take(5).toSeq
+    val fullK = math.min(k.toLong, n - 1)
+    val brute = bruteTopKSet(spark, dir, audit, k).withColumn("_hit", lit(1))
+    val needed = math.ceil(0.9 * audit.size * fullK).toLong
+    knnJoin(spark, dir, k)
+      .join(broadcast(brute), Seq("qid", "nid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("rows_per_probe"),
+        sum(when(col("_hit") === 1, 1L).otherwise(0L)).as("hits"),
+        countDistinct(col("nid")).as("distinct_n"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        (min(col("rows_per_probe")) === fullK &&
+          max(col("rows_per_probe")) === fullK)
+          .cast("long").as("full_k_ok"),
+        (sum("hits") >= needed).cast("long").as("recall_ok"),
+        (sum(when(col("distinct_n") === col("rows_per_probe"), 0L)
+          .otherwise(1L)) === 0L).cast("long").as("dedup_ok"))
+      .select(col("n_probes"), col("full_k_ok"), col("recall_ok"),
+        col("dedup_ok"), lit(audit.size.toLong).as("queries_audited"))
+  }
 }

@@ -378,6 +378,24 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
+  test("s21/t24/s20: the round-8 additions keep cartesians and corpus sorts out") {
+    // s21: candidate fetch is an equi-join on the IVF cell + native
+    // TopKPerKey — never a cartesian or nested-loop pair space
+    val s21 = plan("s21_knn_join")
+    assert(!s21.contains("CartesianProduct"), s21)
+    assert(s21.contains("TopKPerKey"), s21)
+    // t24: the rank table broadcasts back onto the corpus — the bin
+    // assign must not shuffle-join, and no corpus-sized window exists
+    val t24 = plan("t24_quantile_bins")
+    assert(t24.contains("BroadcastHashJoin"), t24)
+    assert(!t24.contains("SortMergeJoin"), t24)
+    // s20: eval side broadcasts; the only aggregate is partial+final
+    val s20 = plan("s20_eval_decontam")
+    assert(s20.contains("Broadcast"), s20)
+    assert(!s20.contains("SortMergeJoin"), s20)
+    assert("HashAggregate".r.findAllIn(s20).size >= 2, s20)
+  }
+
   test("q45b: the sketched profile never Expands the corpus") {
     // q45's exact multi-distinct pass widens every row 4-5x through an
     // Expand before the exchange; the sketched profile's contract is
