@@ -1930,9 +1930,14 @@ object Similarity {
       k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
-    val probeIds = e.filter(col("vec_id") % 10 === 0)
-      .select("vec_id").collect().map(_.getLong(0)).sorted
-    val audit = probeIds.take(5).toSeq
+    // the audit sample is BOUNDED at the plan level (sort + limit 5 =
+    // TakeOrdered, 5 rows to the driver) — collecting the whole probe
+    // id set to take its head would scale driver memory with the
+    // corpus, the exact anti-pattern the bounded-collect discipline
+    // exists to prevent
+    val audit = e.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").orderBy("vec_id").limit(5)
+      .collect().map(_.getLong(0)).toSeq
     val fullK = math.min(k.toLong, n - 1)
     val brute = bruteTopKSet(spark, dir, audit, k).withColumn("_hit", lit(1))
     val needed = math.ceil(0.9 * audit.size * fullK).toLong
