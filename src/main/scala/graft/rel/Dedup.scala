@@ -431,6 +431,62 @@ object Dedup {
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+  /** Lowercase-hex md5 of the UTF-8 bytes — bit-identical to DuckDB's
+    * `md5(s)` so chunk digests computed row-side (d18) compare equal
+    * to oracle-side digests without ever shipping the chunk text. */
+  private[rel] def md5Hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Content-defined chunking over the token stream (the
+    * rolling-hash boundary idea of Rabin/FastCDC applied at word
+    * granularity): a chunk ends AT every token whose hash ≡ 0 mod 8
+    * (expected chunk length 8 tokens), so chunk boundaries depend
+    * only on LOCAL content — an insertion early in a document shifts
+    * byte offsets but re-synchronizes the chunking within one chunk,
+    * which is why CDC dedup catches shared passages that fixed-width
+    * blocking misses. Returns (chunk_idx, md5-hex digest) per chunk;
+    * the boundary hash `(md5Hash64(t) >>> 32) % 8` is the first 4
+    * md5 bytes unsigned — the DuckDB-recomputable t23 convention.
+    * Runs per row in one compiled pass: the corpus never explodes
+    * into (doc, token) rows and only 16-byte digests ever shuffle. */
+  private[rel] def cdcChunkDigests(text: String): Seq[(Int, String)] = {
+    val out = Seq.newBuilder[(Int, String)]
+    val sb = new java.lang.StringBuilder
+    var idx = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      // manual split-on-' ' with empty-token skip = tokens() contract
+      var j = text.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) {
+        val tok = text.substring(i, j)
+        if (sb.length > 0) sb.append(' ')
+        sb.append(tok)
+        if ((md5Hash64(tok) >>> 32) % 8 == 0) {
+          out += ((idx, md5Hex(sb.toString)))
+          idx += 1
+          sb.setLength(0)
+        }
+      }
+      i = j + 1
+    }
+    if (sb.length > 0) out += ((idx, md5Hex(sb.toString)))
+    out.result()
+  }
+
   /** 64-bit SimHash over word hashes (Charikar 2002): sign of the
     * per-bit weighted sum. Near-dups = small Hamming distance. */
   private[rel] def simhash64(tokens: Seq[String]): Long = {
@@ -1178,6 +1234,143 @@ object Dedup {
           |FROM documents d LEFT JOIN m ON d.doc_id = m.db
           |WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id""".stripMargin) {
       (s, d) => incrementalNearDup(s, d, 0.8)
+    },
+
+    // Paragraph/passage-level dedup via content-defined chunking (the
+    // CCNet paragraph-dedup stage generalized to corpora without
+    // newline structure; see [[cdcChunkDigests]] for the boundary
+    // rule). Keeper per distinct chunk = the globally smallest
+    // (doc_id, chunk_idx) instance; output is the per-document yield
+    // report (chunks kept/removed) a curation pipeline logs. Scale
+    // shape: chunking + digesting fold into ONE compiled per-row pass
+    // (no token explode, chunk text never leaves the row), the keeper
+    // set is ONE digest-keyed aggregate whose map-side partial
+    // pre-combines hot chunks (a boilerplate chunk repeated in every
+    // document arrives pre-counted — no skewed window partition, the
+    // reason this is groupBy(min(struct)) and NOT row_number over
+    // digest), and the per-doc report is a second narrow aggregate of
+    // the digest-table keepers — the corpus text itself never
+    // shuffles anywhere.
+    Q("d18_chunk_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |                             t -> length(t) > 0) AS w
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id, i, w[i] AS tok,
+        |    CASE WHEN ('0x' || substr(md5(w[i]), 1, 8))::BIGINT % 8 = 0
+        |         THEN 1 ELSE 0 END AS bnd
+        |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+        |cid AS (
+        |  SELECT doc_id, i, tok,
+        |    CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS chunk
+        |  FROM tw),
+        |ch AS (
+        |  SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY i)) AS dg
+        |  FROM cid GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, chunk,
+        |    row_number() OVER (PARTITION BY dg ORDER BY doc_id, chunk) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |    AS kept_frac
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          cdcChunkDigests(t).map { case (i, dg) => (id, i, dg) } }
+        .toDF("doc_id", "chunk_idx", "dg")
+      // keeper = min (doc_id, chunk_idx) struct per digest; a doc's
+      // kept-instance count = # digests whose keeper lies in it (the
+      // min is unique, so within-doc repeats count once — exactly the
+      // oracle's rn = 1 instances)
+      val keepers = chunks.groupBy("dg")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      val keptPerDoc = keepers.groupBy(col("k.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("kept"))
+      val perDoc = chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"))
+      perDoc.join(keptPerDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("kept"), lit(0L)).as("n_kept"),
+          (col("n_chunks") - coalesce(col("kept"), lit(0L)))
+            .as("n_removed"),
+          (coalesce(col("kept"), lit(0L)).cast("double")
+            / col("n_chunks")).as("kept_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Canonical-URL dedup (the RefinedWeb/C4 first stage: normalize
+    // the crawl URL, keep one fetch per canonical form — upstream of
+    // every content-based dedup because it is free). URLs are
+    // synthesized deterministically from doc_id with the mirror
+    // variants real crawls contain — scheme http/https, www
+    // subdomain, :80 port, tracking query, fragment, trailing slash —
+    // all mapping to ONE canonical form per collision group
+    // (doc_id % 97), so normalization is what creates the duplicate
+    // classes. Canonicalization = lowercase, strip fragment → query →
+    // scheme → port → www → trailing slash (that order: each step's
+    // regex assumes the earlier strips). Scale shape: a pure narrow
+    // projection (six codegen'd regexp_replace) and ONE aggregate
+    // keyed on the normalized URL — for a 100 TB crawl this is the
+    // cheapest dedup pass there is, and the keeper rides min() so no
+    // self-join forms. No backreference regexes: Java ($1) and RE2
+    // (\1) disagree on replacement syntax, so the port strip matches
+    // ':digits/' literally (every synthesized URL keeps its path).
+    Q("d19_url_dedup",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || 'site' || ((doc_id % 97) % 13) || '.'
+        |    || (['com', 'org', 'net'])[((doc_id % 97) % 3 + 1)::INT]
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+        |    || '/p/' || (doc_id % 97)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |        THEN '?utm_source=feed&utm_campaign=x' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN '#section-2' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(lower(url),
+        |      '#.*$', ''), '\?.*$', ''), '^[a-z]+://', ''),
+        |      ':[0-9]+/', '/'), '^www\.', ''), '/$', '') AS url_norm
+        |  FROM u)
+        |SELECT url_norm, min(doc_id) AS keeper, count(*) AS copies
+        |FROM n GROUP BY url_norm ORDER BY url_norm""".stripMargin) {
+      (s, d) =>
+        val g = col("doc_id") % 97
+        val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+          (g % 3 + 1).cast("int"))
+        val url = concat(
+          when(col("doc_id") % 2 === 0, "https://").otherwise("http://"),
+          when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+          lit("site"), g % 13, lit("."), tld,
+          when(col("doc_id") % 5 === 0, ":80").otherwise(""),
+          lit("/p/"), g,
+          when(col("doc_id") % 7 === 0, "/").otherwise(""),
+          when(col("doc_id") % 11 === 0, "?utm_source=feed&utm_campaign=x")
+            .otherwise(""),
+          when(col("doc_id") % 13 === 0, "#section-2").otherwise(""))
+        val norm = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(lower(url),
+          "#.*$", ""), "\\?.*$", ""), "^[a-z]+://", ""),
+          ":[0-9]+/", "/"), "^www\\.", ""), "/$", "")
+        Tables.documents(s, d)
+          .select(col("doc_id"), norm.as("url_norm"))
+          .groupBy("url_norm")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"))
+          .orderBy("url_norm")
     }
   )
 }
