@@ -1060,6 +1060,106 @@ object TextOps {
           min_by(col("doc_id"), md5(col("doc_id").cast("string")))
             .as("keeper_id"))
         .orderBy("bin")
+    },
+
+    // CCNet perplexity tiers (Wenzek 2020 §4.3): split each language's
+    // corpus into head/middle/tail TERCILES of LM score — the standard
+    // quality partition LLM pipelines train on (head = most in-domain).
+    // The score is t15's gated per-doc bigram nll ROUNDED TO 4
+    // DECIMALS, which is what makes the tier assignment scale-correct:
+    // the rounded score has a bounded VALUE DOMAIN (a few hundred
+    // thousand distinct values at any corpus size), so tier cutoffs
+    // come from the t24 histogram machinery — ONE (lang, score)
+    // aggregate, a cumulative window over that domain-sized table
+    // (explicitly NOT a corpus window: no per-language corpus-wide
+    // sort, which at 5 languages would also be maximally skewed), and
+    // the rank table broadcasts back for a per-row integer tier
+    // assign `(3·below) div n_lang` — ties share a tier, no float
+    // comparison against an interpolated cutoff (the cross-engine
+    // quantile_cont hazard). Docs with < 2 tokens have no bigrams and
+    // are unscored on both sides.
+    Q("t25_ppl_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+        |vv AS (SELECT count(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS t(i)
+        |  WHERE len(ts) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT b.doc_id, b.lang,
+        |    -ln((g.c2 + 0.5) / (u.c1 + 0.5 * vv.v)) AS nll
+        |  FROM bi b JOIN big g USING (w1, w2) JOIN uni u ON u.tok = b.w1
+        |  CROSS JOIN vv),
+        |doc AS (
+        |  SELECT doc_id, lang, round(avg(nll), 4) AS nll
+        |  FROM scored GROUP BY 1, 2),
+        |hist AS (SELECT lang, nll, count(*) AS c FROM doc GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, nll,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY nll
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+        |  FROM hist),
+        |b AS (
+        |  SELECT d.doc_id, d.lang, d.nll, (3 * r.below) // r.n_lang AS tier
+        |  FROM doc d JOIN r USING (lang, nll))
+        |SELECT lang,
+        |  CASE tier WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, min(nll) AS lo_nll, max(nll) AS hi_nll,
+        |  min(doc_id) AS sample_id
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+        val uni = toks.select(explode(col("ts")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c1"))
+        val bi = toks.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(arrays_zip(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            col("bg.0").as("w1"), col("bg.1").as("w2"))
+        val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val vv = uni.agg(count(lit(1)).as("v"))
+        // t15's scoring pass verbatim, with lang riding the doc key
+        val doc = bi.join(broadcast(big), Seq("w1", "w2"))
+          .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
+          .crossJoin(broadcast(vv))
+          .select(col("doc_id"), col("lang"),
+            (-log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5)))
+              .as("nll"))
+          .groupBy("doc_id", "lang")
+          .agg(round(avg(col("nll")), 4).as("nll"))
+        // domain-bounded score histogram + cumulative rank (the t24
+        // class — the window runs over the histogram, not the corpus)
+        val hist = doc.groupBy("lang", "nll").agg(count(lit(1)).as("c"))
+        val wBelow = Window.partitionBy("lang").orderBy("nll")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wLang = Window.partitionBy("lang")
+        val r = hist.select(col("lang"), col("nll"),
+          coalesce(sum("c").over(wBelow), lit(0L)).as("below"),
+          sum("c").over(wLang).as("n_lang"))
+        doc.join(broadcast(r), Seq("lang", "nll"))
+          .select(col("doc_id"), col("lang"), col("nll"),
+            expr("(3 * below) div n_lang").as("tier"))
+          .groupBy(col("lang"),
+            when(col("tier") === 0, "head")
+              .when(col("tier") === 1, "middle")
+              .otherwise("tail").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min("nll").as("lo_nll"), max("nll").as("hi_nll"),
+            min("doc_id").as("sample_id"))
+          .orderBy("lang", "bucket")
     }
   )
 
