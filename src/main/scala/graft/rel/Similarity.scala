@@ -799,10 +799,17 @@ object Similarity {
 
   /** s15/s18's shared SERVE step: derive probe cells from the stored
     * centroids, read ONLY those partitions (static partition predicate
-    * — pruned at file listing, PlanSpec-pinned), score, rank. */
+    * — pruned at file listing, PlanSpec-pinned), score, rank.
+    *
+    * `tombstones` (s22) points at a CELL-PARTITIONED delete-vector
+    * table (the Lucene live-docs / Milvus delete-bitmap shape applied
+    * at scan time): the same static partition predicate prunes it to
+    * the probed cells, and a broadcast anti-join drops deleted rows
+    * BEFORE scoring — serve-side delete cost is O(tombstones in the
+    * probed cells), never a corpus-wide mask. */
   private def serveIvfIndex(spark: SparkSession, e: DataFrame,
       idxPath: String, cents: Array[Array[Double]], nQueries: Int, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, tombstones: Option[String] = None): DataFrame = {
     import spark.implicits._
     val bcServe = spark.sparkContext.broadcast(cents)
     val probeUdf = udf { (v: Array[Float]) =>
@@ -814,8 +821,13 @@ object Similarity {
     // index read carries a STATIC partition predicate
     val probedCells = queries.select("cell").distinct()
       .as[Int].collect().sorted
-    val idx = spark.read.parquet(s"$idxPath/index")
+    val idx0 = spark.read.parquet(s"$idxPath/index")
       .filter(col("cell").isInCollection(probedCells.toSeq))
+    val idx = tombstones.fold(idx0) { tp =>
+      idx0.join(broadcast(spark.read.parquet(tp)
+          .filter(col("cell").isInCollection(probedCells.toSeq))),
+        Seq("cell", "nid"), "left_anti")
+    }
     val scored = idx.join(broadcast(queries), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))
@@ -1087,6 +1099,65 @@ object Similarity {
     val ann = serveIvfIndex(spark, e, idxPath, cents, nQueries, k, nProbe)
     val complete = spark.read.parquet(s"$idxPath/index").count() == e.count()
     (ann, complete, appendOnly)
+  }
+
+  /** s22's delete predicate (id ≡ 0 mod 7, ~14% of the corpus),
+    * expressed over a caller-supplied id column so the tombstone
+    * write, the result audit, and the rebuild leg share ONE
+    * definition (the s17 filterPredOn discipline). */
+  private[rel] def deletePredOn(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = id % 7 === 0
+
+  /** Index DELETE via tombstones (s22) — the mutation every serving
+    * vector store needs between rebuilds (GDPR erasure, content
+    * takedowns, stale-document eviction). The index is NOT rewritten:
+    * the delete batch is assigned to its cell with the STORED
+    * centroids — O(deletes), the append-path dual — and written as a
+    * cell-partitioned delete-vector table next to the index; the
+    * serve path prunes both tables with the same static partition
+    * predicate and anti-joins within the probed cells (see
+    * [[serveIvfIndex]]). Contract: (a) the s04 measured-recall gate
+    * against brute force over the SURVIVOR corpus, (b) zero deleted
+    * ids in any result, (c) the STRUCTURAL equivalence that makes
+    * tombstones safe to trust at 100 TB — serving through tombstones
+    * returns row-for-row exactly what a physical rebuild from the
+    * survivors (same stored centroids) serves, so the lazy path can
+    * replace the rebuild until compaction amortizes. */
+  def knnIvfDeleted(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, nList: Int = 16, nProbe: Int = 12)
+      : (DataFrame, Boolean) = {
+    val e = Tables.embeddings(spark, dir)
+    val idxPath = ivfIndexPath(dir) + "_delete"
+    buildIvfIndex(spark, e, idxPath, nList)
+    val cents = readStoredCentroids(spark, idxPath, nList)
+    val bcDel = spark.sparkContext.broadcast(cents)
+    val assignStored = udf { (v: Array[Float]) =>
+      nearestCell(unit(v), bcDel.value) }
+    // the delete batch routes through the stored quantizer exactly as
+    // an append would — the tombstone lands in the same cell its index
+    // row lives in, which is what makes the serve-side anti-join a
+    // per-cell (never corpus-wide) operation
+    e.filter(deletePredOn(col("vec_id")))
+      .select(col("vec_id").as("nid"),
+        assignStored(col("embedding")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idxPath/tombstones")
+    val ann = serveIvfIndex(spark, e, idxPath, cents, nQueries, k, nProbe,
+      tombstones = Some(s"$idxPath/tombstones"))
+    // rebuild-equivalence audit: physically rebuild from the survivors
+    // with the SAME stored centroids and serve identically — the two
+    // results must agree row for row (same vectors, same float op
+    // order ⇒ bit-identical cosines; exceptAll both ways pins it)
+    e.filter(!deletePredOn(col("vec_id")))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        assignStored(col("embedding")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idxPath/rebuilt/index")
+    val rebuilt = serveIvfIndex(spark, e, s"$idxPath/rebuilt", cents,
+      nQueries, k, nProbe)
+    val equiv = ann.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(ann).isEmpty
+    (ann, equiv)
   }
 
   /** FILTERED vector search — metadata predicate + ANN, the retrieval
@@ -1662,6 +1733,20 @@ object Similarity {
       annContract(s, d, nQueries = 5, k = 10)(ann)
         .withColumn("index_complete", lit(if (complete) 1L else 0L))
         .withColumn("append_only", lit(if (appendOnly) 1L else 0L))
+    },
+    Q("s22_index_delete",
+      annContractOracle(5, 10).replace("AS dedup_ok",
+        """AS dedup_ok,
+ CAST(1 AS BIGINT) AS delete_ok,
+ CAST(1 AS BIGINT) AS rebuild_equiv""")) { (s, d) =>
+      val (ann, equiv) = knnIvfDeleted(s, d, nQueries = 5, k = 10,
+        nList = 16, nProbe = 14)
+      annContract(s, d, nQueries = 5, k = 10,
+        corpusPred = Some(!deletePredOn(col("vec_id"))),
+        extraAudits = Seq("delete_ok" ->
+          ((sum(deletePredOn(col("nid")).cast("long")) === 0L)
+            .cast("long"))))(ann)
+        .withColumn("rebuild_equiv", lit(if (equiv) 1L else 0L))
     },
     Q("s19_ivf_calibration",
       """SELECT CAST(p AS BIGINT) AS n_probe,
