@@ -1283,7 +1283,9 @@ object Dedup {
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val chunks = Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .as[(Long, String)]
         .flatMap { case (id, t) =>
           cdcChunkDigests(t).map { case (i, dg) => (id, i, dg) } }
         .toDF("doc_id", "chunk_idx", "dg")

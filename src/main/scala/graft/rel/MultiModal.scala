@@ -109,6 +109,7 @@ object MultiModal {
       ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
         ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
     if (p.length < 33 || !sig.indices.forall(i => (p(i) & 0xff) == sig(i))) None
+    else if (be(8) != 13) None // IHDR payload is exactly 13 bytes by spec
     else if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')) None
     else Some((be(16), be(20), p(24) & 0xff, p(25) & 0xff))
   }

@@ -1977,10 +1977,12 @@ object Similarity {
   /** [[Q s21_knn_join]]'s engine body: IVF-cell equi-join kNN between
     * the probe slice (vec_id % 10 = 0) and the corpus, folded into a
     * one-row measured contract. */
-  private[rel] def knnJoin(spark: SparkSession, dir: String, k: Int)
-      : DataFrame = {
+  private[rel] def knnJoin(spark: SparkSession, dir: String, k: Int,
+      precomputedN: Option[Long] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val n = e.count()
+    // the contract wrapper already counted the corpus to size fullK —
+    // reuse it rather than paying a second full count action
+    val n = precomputedN.getOrElse(e.count())
     // corpus-adaptive IVF sizing: cells ~ √n (join parallelism grows
     // with data); nProbe = 3/4 of nList because the driver corpus is
     // ISOTROPIC random (the s04 comment's caveat — neighbors spread
@@ -2026,7 +2028,7 @@ object Similarity {
     val fullK = math.min(k.toLong, n - 1)
     val brute = bruteTopKSet(spark, dir, audit, k).withColumn("_hit", lit(1))
     val needed = math.ceil(0.9 * audit.size * fullK).toLong
-    knnJoin(spark, dir, k)
+    knnJoin(spark, dir, k, precomputedN = Some(n))
       .join(broadcast(brute), Seq("qid", "nid"), "left_outer")
       .groupBy("qid")
       .agg(count(lit(1)).as("rows_per_probe"),

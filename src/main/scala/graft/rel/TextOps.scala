@@ -571,25 +571,7 @@ object TextOps {
         |  CROSS JOIN vv)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
-      val uni = toks.select(explode(col("ts")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1"))
-      val bi = toks.filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
-        .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
-      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val vv = uni.agg(count(lit(1)).as("v"))
-      bi.join(broadcast(big), Seq("w1", "w2"))
-        .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
-        .crossJoin(broadcast(vv))
-        .select(col("doc_id"),
-          (-log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5))).as("nll"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("nll"))
-        .orderBy("doc_id")
+      lmPerplexity(s, d)
     },
 
     // Character-entropy quality signal: Shannon entropy of the char
@@ -1131,6 +1113,7 @@ object TextOps {
             col("bg.0").as("w1"), col("bg.1").as("w2"))
         val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val vv = uni.agg(count(lit(1)).as("v"))
+        lmBroadcastGuard(big, uni)
         // t15's scoring pass verbatim, with lang riding the doc key
         val doc = bi.join(broadcast(big), Seq("w1", "w2"))
           .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
@@ -1273,6 +1256,65 @@ object TextOps {
       .filter(col("n_grams") > 0)
   }
 
+  /** Driver-broadcast budget for the t15/t25 bigram-LM model tables:
+    * ~4M distinct bigrams/unigrams (~150 MB of (w1, w2, c2) rows) —
+    * Heaps'-bounded real corpora sit orders of magnitude below this,
+    * far below driver OOM. Overridable so the guard is spec-testable
+    * (the [[NbMaxVocab]] discipline). */
+  private[rel] val LmMaxModelRows = 1 << 22
+
+  /** Loud pre-broadcast guard for the bigram-LM model tables (t15 and
+    * t25 share it): both `big` (w1, w2, c2) and `uni` (tok, c1) are
+    * broadcast back against the exploded corpus, which is only safe
+    * while the model is Heaps'-bounded. An adversarial corpus (e.g.
+    * no-space text, one giant token per doc → every adjacent pair
+    * unique) makes `big` grow LINEARLY with the corpus — this must
+    * fail fast naming the fallback, not OOM the driver mid-broadcast.
+    * Each probe is `limit(cap+1).count()`, so the check itself never
+    * materializes more than cap+1 rows regardless of corpus size. */
+  private[rel] def lmBroadcastGuard(big: DataFrame, uni: DataFrame,
+      maxRows: Int = LmMaxModelRows): Unit = {
+    def probe(df: DataFrame, what: String): Unit = {
+      val n = df.limit(maxRows + 1).count()
+      require(n <= maxRows,
+        s"bigram-LM $what table exceeds $maxRows rows — the model is " +
+          "not Heaps'-bounded for this corpus, so broadcasting it " +
+          "would grow the driver with the data; use the " +
+          "distributed-model variant (keep the (w1,w2,c2)/(tok,c1) " +
+          "tables as DataFrames and score via shuffle joins on the " +
+          "token keys) instead of the driver broadcast")
+    }
+    probe(big, "bigram")
+    probe(uni, "unigram")
+  }
+
+  /** The t15 trainer+scorer (see the registry comment for the scale
+    * shape and the rounding-margin analysis). `maxModelRows` is the
+    * [[lmBroadcastGuard]] cap, overridable for the guard spec. */
+  private[rel] def lmPerplexity(s: SparkSession, d: String,
+      maxModelRows: Int = LmMaxModelRows): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vv = uni.agg(count(lit(1)).as("v"))
+    lmBroadcastGuard(big, uni, maxModelRows)
+    bi.join(broadcast(big), Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"),
+        (-log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
   /** The t22 trainer+scorer (see the registry comment for the scale
     * shape). Formula parity with the oracle is EXACT term-for-term:
     * prior ln(n1)-ln(n0), per-token delta
@@ -1318,9 +1360,11 @@ object TextOps {
       .groupBy("tok").agg(
         sum(when(col("label") === 0L, 1L).otherwise(0L)).as("c0"),
         sum(when(col("label") === 1L, 1L).otherwise(0L)).as("c1"))
-      .limit(maxVocab + 1)
+      .limit(maxVocab + 2)
       .collect()
-    require(all.length <= maxVocab,
+    // budget check: collected rows = distinct tokens + 1 sentinel row,
+    // so a corpus with exactly maxVocab tokens is still within cap
+    require(all.length <= maxVocab + 1,
       s"t22 training vocabulary exceeds $maxVocab distinct tokens — " +
         "not Heaps'-bounded for this corpus; use the distributed-model " +
         "variant (keep the (tok,c0,c1) table as a DataFrame and score " +

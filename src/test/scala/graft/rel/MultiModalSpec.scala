@@ -370,6 +370,12 @@ class MultiModalSpec extends SparkSpec {
     val sigOnly = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte) ++ Array.fill[Byte](40)(0)
     assert(MultiModal.pngHeader(sigOnly).isEmpty)
+    // a signature-valid payload whose IHDR declares the wrong length
+    // (spec says exactly 13) is malformed even though the type bytes
+    // match — the parser must reject it, not trust the dims
+    val badLen = MultiModal.encodePng(MultiModal.renderDoc(0L)).clone()
+    badLen(11) = 14.toByte // length 13 -> 14 (bytes 8-11 big-endian)
+    assert(MultiModal.pngHeader(badLen).isEmpty)
   }
 
   test("m11: planted partner videos are the ONLY near-dups, at the designed Jaccard") {

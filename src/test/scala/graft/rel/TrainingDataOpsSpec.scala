@@ -633,6 +633,29 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(TextOps.nbClassifier(spark, sfDir).collect().nonEmpty)
   }
 
+  test("t15/t25 LM broadcast guard: a non-Heaps bigram table fails LOUDLY, never OOMs the driver") {
+    import org.apache.spark.sql.functions._
+    // adversarial corpus: every doc is two unique space-separated
+    // tokens, so BOTH model tables (distinct unigrams AND distinct
+    // bigrams) grow linearly with the corpus instead of
+    // Heaps'-bounding. The pre-broadcast guard must fail fast naming
+    // the distributed-model fallback — and because each probe is
+    // limit(cap+1)-bounded, the driver materializes at most cap+1
+    // rows no matter how large the corpus is.
+    val dir = java.nio.file.Files.createTempDirectory("lmguard").toString
+    spark.range(100)
+      .select(col("id").as("doc_id"),
+        concat(lit("aa"), col("id"), lit(" bb"), col("id")).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.lmPerplexity(spark, dir, maxModelRows = 8).collect()
+    }
+    assert(e.getMessage.contains("distributed-model"), e.getMessage)
+    // and the REAL corpus is comfortably under the real cap (the
+    // guard never fires on the gate fixtures)
+    assert(TextOps.lmPerplexity(spark, sfDir).collect().nonEmpty)
+  }
+
   test("t23 DSIR weights carry the target signal and drive the resample stage") {
     import org.apache.spark.sql.functions._
     // the per-doc weights are hash-gated against DuckDB; this pins the
