@@ -1118,36 +1118,62 @@ object Similarity {
     * predicate and anti-joins within the probed cells (see
     * [[serveIvfIndex]]). Contract: (a) the s04 measured-recall gate
     * against brute force over the SURVIVOR corpus, (b) zero deleted
-    * ids in any result, (c) the STRUCTURAL equivalence that makes
-    * tombstones safe to trust at 100 TB — serving through tombstones
-    * returns row-for-row exactly what a physical rebuild from the
-    * survivors (same stored centroids) serves, so the lazy path can
-    * replace the rebuild until compaction amortizes. */
+    * ids in any result. The STRUCTURAL theorem that makes tombstones
+    * safe to trust at 100 TB — serving through tombstones returns
+    * row-for-row exactly what a physical rebuild from the survivors
+    * (same stored centroids) serves — is pinned in SimilaritySpec via
+    * [[deleteRebuildEquivalence]]: it is a property of the serve
+    * machinery, not of any particular corpus, so the gated query
+    * measures only the op a user actually runs (the tombstone serve),
+    * not a rebuild it exists to avoid. */
   def knnIvfDeleted(spark: SparkSession, dir: String, nQueries: Int,
-      k: Int, nList: Int = 16, nProbe: Int = 12)
-      : (DataFrame, Boolean) = {
+      k: Int, nList: Int = 16, nProbe: Int = 12): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val idxPath = ivfIndexPath(dir) + "_delete"
+    val cents = buildDeleteLayout(spark, e, idxPath, nList)
+    serveIvfIndex(spark, e, idxPath, cents, nQueries, k, nProbe,
+      tombstones = Some(s"$idxPath/tombstones"))
+  }
+
+  /** Shared build step for the delete paths (s22 and the spec-level
+    * equivalence audit): full-corpus index + cell-partitioned
+    * tombstone table for [[deletePredOn]], both under `idxPath`. The
+    * delete batch routes through the STORED quantizer exactly as an
+    * append would — the tombstone lands in the same cell its index
+    * row lives in, which is what makes the serve-side anti-join a
+    * per-cell (never corpus-wide) operation. */
+  private def buildDeleteLayout(spark: SparkSession, e: DataFrame,
+      idxPath: String, nList: Int): Array[Array[Double]] = {
     buildIvfIndex(spark, e, idxPath, nList)
     val cents = readStoredCentroids(spark, idxPath, nList)
     val bcDel = spark.sparkContext.broadcast(cents)
     val assignStored = udf { (v: Array[Float]) =>
       nearestCell(unit(v), bcDel.value) }
-    // the delete batch routes through the stored quantizer exactly as
-    // an append would — the tombstone lands in the same cell its index
-    // row lives in, which is what makes the serve-side anti-join a
-    // per-cell (never corpus-wide) operation
     e.filter(deletePredOn(col("vec_id")))
       .select(col("vec_id").as("nid"),
         assignStored(col("embedding")).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$idxPath/tombstones")
+    cents
+  }
+
+  /** The rebuild-equivalence THEOREM behind s22, spec-pinned (moved
+    * out of the gated query so the bench path measures the tombstone
+    * serve alone): serving through tombstones returns row-for-row
+    * exactly what a physical rebuild from the survivors (same stored
+    * centroids) serves — same vectors, same float op order ⇒
+    * bit-identical cosines; exceptAll both ways pins it. */
+  private[rel] def deleteRebuildEquivalence(spark: SparkSession,
+      dir: String, nQueries: Int, k: Int, nList: Int = 16,
+      nProbe: Int = 12): Boolean = {
+    val e = Tables.embeddings(spark, dir)
+    val idxPath = ivfIndexPath(dir) + "_deleteq"
+    val cents = buildDeleteLayout(spark, e, idxPath, nList)
     val ann = serveIvfIndex(spark, e, idxPath, cents, nQueries, k, nProbe,
       tombstones = Some(s"$idxPath/tombstones"))
-    // rebuild-equivalence audit: physically rebuild from the survivors
-    // with the SAME stored centroids and serve identically — the two
-    // results must agree row for row (same vectors, same float op
-    // order ⇒ bit-identical cosines; exceptAll both ways pins it)
+    val bcDel = spark.sparkContext.broadcast(cents)
+    val assignStored = udf { (v: Array[Float]) =>
+      nearestCell(unit(v), bcDel.value) }
     e.filter(!deletePredOn(col("vec_id")))
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
         assignStored(col("embedding")).as("cell"))
@@ -1155,9 +1181,87 @@ object Similarity {
       .parquet(s"$idxPath/rebuilt/index")
     val rebuilt = serveIvfIndex(spark, e, s"$idxPath/rebuilt", cents,
       nQueries, k, nProbe)
-    val equiv = ann.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(ann).isEmpty
-    (ann, equiv)
+    ann.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(ann).isEmpty
+  }
+
+  /** Index COMPACTION (s23) — the maintenance op that closes the
+    * lifecycle s15 (build) / s18 (append) / s22 (delete) opened: fold
+    * the tombstone table and the appended segments into a rewritten
+    * index version (the Lucene segment-merge / vector-store compaction
+    * step), after which serving needs no anti-join and the tombstone
+    * table is GONE. Cost shape at 100 TB: compaction reads ONLY the
+    * stored layout — one pass over the cell-partitioned index rows
+    * anti-joined (per cell, tombstones broadcast) against the
+    * cell-partitioned tombstones, written back cell-partitioned; the
+    * corpus is never re-scanned and the quantizer is never retrained
+    * (the stored centroids carry over verbatim, so probe routing is
+    * unchanged). A production deployment would compact cell-by-cell
+    * as tombstone density crosses a threshold; the full rewrite here
+    * is the one-shot form of the same fold. Contract: the s04
+    * measured-recall gate over the survivor corpus, zero deleted ids
+    * served, v2 completeness (rows == survivors), post-compaction
+    * serve ≡ tombstone serve row-for-row (same cents, same probe set,
+    * same float op order — s22's equivalence audit, HERE it gates the
+    * per-corpus fold), and the tombstone table physically absent
+    * after. */
+  def knnIvfCompacted(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, nList: Int = 16, nProbe: Int = 14)
+      : (DataFrame, Boolean, Boolean, Boolean) = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val idxPath = ivfIndexPath(dir) + "_compact"
+    // the full pre-compaction lifecycle: v1 build on 4/5 of the
+    // corpus, the s18 append of the remaining batch via the STORED
+    // centroids, the s22 tombstone write — so the fold covers both
+    // appended segments and deletes
+    val v1 = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    buildIvfIndex(spark, v1, idxPath, nList)
+    val cents = readStoredCentroids(spark, idxPath, nList)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val assignStored = udf { (v: Array[Float]) =>
+      nearestCell(unit(v), bcC.value) }
+    batch.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        assignStored(col("embedding")).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$idxPath/index")
+    e.filter(deletePredOn(col("vec_id")))
+      .select(col("vec_id").as("nid"),
+        assignStored(col("embedding")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idxPath/tombstones")
+    // the reference result BEFORE compacting: tombstone serve over the
+    // appended layout (s22's shape)
+    val viaTombstones = serveIvfIndex(spark, e, idxPath, cents,
+      nQueries, k, nProbe, tombstones = Some(s"$idxPath/tombstones"))
+    // COMPACT: stored-layout-only fold into version 2 — no corpus
+    // read, no retrain; the anti-join is per-cell (both sides are
+    // cell-partitioned on disk) with the tombstone side broadcast
+    spark.read.parquet(s"$idxPath/index")
+      .join(broadcast(spark.read.parquet(s"$idxPath/tombstones")),
+        Seq("cell", "nid"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idxPath/v2/index")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idxPath/v2/centroids")
+    val annV2 = serveIvfIndex(spark, e, s"$idxPath/v2", cents,
+      nQueries, k, nProbe)
+    // post-compaction serve ≡ tombstone serve, row for row (same
+    // cents ⇒ same probe cells; same survivor candidate set; same
+    // float op order ⇒ bit-identical cosines). Evaluated BEFORE the
+    // tombstone drop below — the reference plan reads that table.
+    val compactEquiv = annV2.exceptAll(viaTombstones).isEmpty &&
+      viaTombstones.exceptAll(annV2).isEmpty
+    val complete = spark.read.parquet(s"$idxPath/v2/index").count() ==
+      e.filter(!deletePredOn(col("vec_id"))).count()
+    // fold complete → the tombstone table is DROPPED (its information
+    // now lives in the v2 row set); serving v2 needs no anti-join
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idxPath/tombstones"), true)
+    val tombstonesCleared =
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/tombstones"))
+    (annV2, compactEquiv, complete, tombstonesCleared)
   }
 
   /** FILTERED vector search — metadata predicate + ANN, the retrieval
@@ -1734,19 +1838,41 @@ object Similarity {
         .withColumn("index_complete", lit(if (complete) 1L else 0L))
         .withColumn("append_only", lit(if (appendOnly) 1L else 0L))
     },
+    // Tombstone-serve gate only — the rebuild-equivalence theorem
+    // moved to SimilaritySpec (deleteRebuildEquivalence) so this cell
+    // measures the op a user runs, not the rebuild it avoids.
     Q("s22_index_delete",
       annContractOracle(5, 10).replace("AS dedup_ok",
         """AS dedup_ok,
- CAST(1 AS BIGINT) AS delete_ok,
- CAST(1 AS BIGINT) AS rebuild_equiv""")) { (s, d) =>
-      val (ann, equiv) = knnIvfDeleted(s, d, nQueries = 5, k = 10,
+ CAST(1 AS BIGINT) AS delete_ok""")) { (s, d) =>
+      val ann = knnIvfDeleted(s, d, nQueries = 5, k = 10,
         nList = 16, nProbe = 14)
       annContract(s, d, nQueries = 5, k = 10,
         corpusPred = Some(!deletePredOn(col("vec_id"))),
         extraAudits = Seq("delete_ok" ->
           ((sum(deletePredOn(col("nid")).cast("long")) === 0L)
             .cast("long"))))(ann)
-        .withColumn("rebuild_equiv", lit(if (equiv) 1L else 0L))
+    },
+    // Compaction closes the index lifecycle: build → append → delete →
+    // FOLD (see knnIvfCompacted). The equivalence leg here is the
+    // per-corpus contract of the fold itself, so it gates.
+    Q("s23_index_compact",
+      annContractOracle(5, 10).replace("AS dedup_ok",
+        """AS dedup_ok,
+ CAST(1 AS BIGINT) AS delete_ok,
+ CAST(1 AS BIGINT) AS compact_equiv,
+ CAST(1 AS BIGINT) AS index_complete,
+ CAST(1 AS BIGINT) AS tombstones_cleared""")) { (s, d) =>
+      val (ann, equiv, complete, cleared) = knnIvfCompacted(s, d,
+        nQueries = 5, k = 10, nList = 16, nProbe = 14)
+      annContract(s, d, nQueries = 5, k = 10,
+        corpusPred = Some(!deletePredOn(col("vec_id"))),
+        extraAudits = Seq("delete_ok" ->
+          ((sum(deletePredOn(col("nid")).cast("long")) === 0L)
+            .cast("long"))))(ann)
+        .withColumn("compact_equiv", lit(if (equiv) 1L else 0L))
+        .withColumn("index_complete", lit(if (complete) 1L else 0L))
+        .withColumn("tombstones_cleared", lit(if (cleared) 1L else 0L))
     },
     Q("s19_ivf_calibration",
       """SELECT CAST(p AS BIGINT) AS n_probe,

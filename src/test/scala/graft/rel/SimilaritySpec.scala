@@ -582,6 +582,33 @@ class SimilaritySpec extends SparkSpec {
     assert(cellDirs.length > 1, s"expected cell= partition dirs in $idxDir")
   }
 
+  test("s22 rebuild-equivalence theorem: tombstone serve == physical rebuild, row for row") {
+    // moved OUT of the gated query (round-9): it is a property of the
+    // serve machinery (same stored centroids -> same probe cells, same
+    // survivor candidate set, same float op order -> bit-identical
+    // cosines), not of any particular corpus — so it belongs here, and
+    // the s22 bench cell measures only the tombstone serve users run
+    assert(Similarity.deleteRebuildEquivalence(
+      spark, sfDir, nQueries = 5, k = 10, nList = 16, nProbe = 14),
+      "tombstone serve diverged from the physical-rebuild serve")
+  }
+
+  test("s23 compaction: fold is lossless, tombstones gone, serve unchanged") {
+    import org.apache.spark.sql.functions.col
+    val (ann, equiv, complete, cleared) = Similarity.knnIvfCompacted(
+      spark, sfDir, nQueries = 5, k = 10, nList = 16, nProbe = 14)
+    assert(equiv, "post-compaction serve diverged from tombstone serve")
+    assert(complete, "compacted index row count != survivor count")
+    assert(cleared, "tombstone table still present after compaction")
+    // no deleted id is served, and the v2 layout contains none at all
+    val served = ann.select(col("nid")).collect().map(_.getLong(0))
+    assert(served.forall(_ % 7 != 0), "a deleted id was served post-compaction")
+    val v2 = spark.read.parquet(
+      Similarity.ivfIndexPath(sfDir) + "_compact/v2/index")
+    assert(v2.filter(col("nid") % 7 === 0).count() == 0L,
+      "compacted index retains deleted rows")
+  }
+
   test("s20: the decontamination flag is non-vacuous and agrees with a driver recompute") {
     val rows = Similarity.all.find(_.name == "s20_eval_decontam").get
       .fn(spark, sfDir).collect()
