@@ -84,6 +84,85 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** FUSED cosine similarity: dot / (sqrt(Σa²) · sqrt(Σb²)) in ONE pass
+  * over both arrays instead of the three separate loops the
+  * dot/(norm·norm) composition pays — the ANN scoring hot path
+  * evaluates this once per (query, candidate), so at n·m candidate
+  * scale the 3× array-traversal cut is the dominant cost lever.
+  * Numeric contract: each of the three accumulators sees exactly the
+  * per-element sequence it saw in the unfused composition (independent
+  * accumulators, same element order), and the final combine is the
+  * identical double expression — bit-identical results, including the
+  * IEEE NaN on a zero-norm side. NULL contract matches the
+  * composition: length mismatch or any null element → NULL. */
+case class FloatCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_cosine"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull})
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm: sqrt(Σ x_i²), same accumulation contract. */
 case class FloatL2Norm(child: Expression) extends UnaryExpression {
 
@@ -138,8 +217,11 @@ object VectorFunctions {
   def floatNorm(a: Column): Column =
     GraftBridge.column(FloatL2Norm(GraftBridge.expression(a)))
 
+  /** Fused one-pass cosine (see [[FloatCosine]]) — bit-identical to
+    * the unfused floatDot/(floatNorm·floatNorm) composition. */
   def cosine(a: Column, b: Column): Column =
-    floatDot(a, b) / (floatNorm(a) * floatNorm(b))
+    GraftBridge.column(
+      FloatCosine(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** packed (table << 16 | bucket) sign-LSH index keys, array<int> */
   def lshKeys(a: Column): Column =

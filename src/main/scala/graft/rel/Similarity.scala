@@ -2104,20 +2104,26 @@ object Similarity {
     * the probe slice (vec_id % 10 = 0) and the corpus, folded into a
     * one-row measured contract. */
   private[rel] def knnJoin(spark: SparkSession, dir: String, k: Int,
-      precomputedN: Option[Long] = None): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+      precomputedN: Option[Long] = None,
+      nProbeOverride: Option[Int] = None,
+      embeddingsOverride: Option[DataFrame] = None): DataFrame = {
+    val e = embeddingsOverride.getOrElse(Tables.embeddings(spark, dir))
     // the contract wrapper already counted the corpus to size fullK —
     // reuse it rather than paying a second full count action
     val n = precomputedN.getOrElse(e.count())
     // corpus-adaptive IVF sizing: cells ~ √n (join parallelism grows
-    // with data); nProbe = 3/4 of nList because the driver corpus is
-    // ISOTROPIC random (the s04 comment's caveat — neighbors spread
-    // almost uniformly over cells, so high probe fractions are what
-    // the 0.9 recall bar costs on this data; clustered production
-    // embeddings probe far fewer), floored so tiny gate corpora still
-    // cover a full k of candidates
+    // with data); the default nProbe = 3/4 of nList is what the 0.9
+    // recall bar costs on the driver corpus, which is ISOTROPIC
+    // random (the s04 comment's caveat — neighbors spread almost
+    // uniformly over cells), floored so tiny gate corpora still cover
+    // a full k of candidates. Clustered production embeddings probe a
+    // small FRACTION of nList at the same recall — measured, not
+    // argued: SimilaritySpec's mixture-of-Gaussians fixture holds
+    // recall ≥ 0.9 at nProbe = nList/16 (see "s21 clustered" there
+    // and SCALE.md) — which is what nProbeOverride exposes.
     val nList = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val nProbe = math.max(math.min(nList, 5), (3 * nList + 3) / 4)
+    val nProbe = nProbeOverride.getOrElse(
+      math.max(math.min(nList, 5), (3 * nList + 3) / 4))
     val sample = trainingSample(e, 4096)
     val centroids = kmeansCentroids(sample, nList, iters = 8)
     val bc = spark.sparkContext.broadcast(centroids)
@@ -2131,6 +2137,11 @@ object Similarity {
     val probes = e.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(probeUdf(col("embedding"))).as("cell"))
+    // scoring rides the FUSED one-pass native cosine (FloatCosine) on
+    // the raw parquet arrays — pre-unitizing through a projection is a
+    // trap here: Catalyst collapses the projection past the join, so a
+    // unitize UDF would re-evaluate (and allocate) once per CANDIDATE,
+    // not once per row (measured 1.5x slower at sf1 than this shape)
     val scored = corpus.join(probes, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ne")).as("c"))

@@ -34,6 +34,43 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0)) // null input propagates
   }
 
+  test("fused float_cosine is bit-identical to the dot/(norm*norm) composition") {
+    import spark.implicits._
+    // includes near-orthogonal, anti-parallel and denormal-ish values —
+    // the fused one-pass accumulators must reproduce the unfused
+    // composition EXACTLY (same per-accumulator element order, same
+    // final combine), not just approximately
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f)),
+      (Array(1e-20f, 2e-20f, -3e-20f), Array(7e19f, -1e19f, 2e19f)),
+      (Array(-1.5f, 2.5f, -3.5f), Array(1.5f, -2.5f, 3.5f))).toDF("a", "b")
+    df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("fused"),
+      (VectorFunctions.floatDot(col("a"), col("b")) /
+        (VectorFunctions.floatNorm(col("a")) *
+          VectorFunctions.floatNorm(col("b")))).as("unfused"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"${r.getDouble(0)} != ${r.getDouble(1)}")
+      }
+    // zero-norm side -> IEEE NaN (never NULL), like the composition
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b"))).head()
+    assert(!z.isNullAt(0) && z.getDouble(0).isNaN)
+    // NULL contract: length mismatch and null element -> NULL
+    val nulls = Seq(1).toDF("x").select(
+      expr("float_dot(array(cast(1.0 as float)), array(cast(1.0 as float), " +
+        "cast(2.0 as float)))").as("probe"),
+      VectorFunctions.cosine(
+        array(lit(1.0f), lit(2.0f)), array(lit(3.0f))).as("mismatch"),
+      VectorFunctions.cosine(
+        array(lit(1.0f), lit(null).cast("float")),
+        array(lit(3.0f), lit(4.0f))).as("nullElem")).head()
+    assert(nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
   test("SQL registration via GraftExtensions, codegen plan") {
     // the shared SparkSpec session is built withExtensions(GraftExtensions)
     import spark.implicits._
