@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 159 registry queries generate enough whole-stage-codegen classes
+  // to pressure the default 240m code cache on full Verify/Bench runs;
+  // a sweeper eviction mid-run deopts hot kernels and shows up as
+  // unattributable per-query variance
+  "-XX:ReservedCodeCacheSize=512m",
 )

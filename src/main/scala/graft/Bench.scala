@@ -35,6 +35,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle files and spilled/checkpointed blocks on tmpfs: the VM
+      // shares a host whose disk latency fluctuates on multi-minute
+      // scales, and the localCheckpoint/shuffle-heavy queries (the CC
+      // trio, q38) swung 25-50% between invocations while the CPU
+      // calibration moved <5% — the artifact should measure the plan's
+      // cost, not the neighbors' disk traffic. Local-mode-bench only;
+      // a cluster deployment sizes real local disks instead.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-bench-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer init otherwise lands on
@@ -53,8 +62,14 @@ object Bench {
     // and wide feature plans otherwise charge their first-run warmup
     // to whichever p-query times first (observed p01 8.4s cold vs
     // 3.3s warm)
+    // ...plus one connected-components query: the alternating-star
+    // fixpoint's kernel JIT + localCheckpoint block-manager paths
+    // otherwise warm up inside whichever CC query times first — the
+    // d07/d14/d17 trio swung ±30% across rounds on identical plans,
+    // and an unwarmed first-timed-run is half of that lottery
     Seq(SparkEntry.queries.toSeq.sortBy(_._1).headOption.map(_._1),
-        Some("p01_pipeline_e2e")).flatten.distinct.foreach { name =>
+        Some("p01_pipeline_e2e"), Some("d07_dedup_clusters"))
+      .flatten.distinct.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
     }
@@ -119,25 +134,104 @@ object Bench {
     require(only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"),
       "SPARK_GRAFT_ONLY is set but SPARK_GRAFT_BENCH_OUT is not — a " +
         "filtered run would overwrite bench_full.json with a partial record")
+    // MACHINE CALIBRATION: a deterministic CPU spin (single-thread and
+    // all-cores), timed once per invocation, plus the OS load averages.
+    // The VM shares a host; whole invocations shift ±30-70% with
+    // ambient load the bench can't control (measured: four identical
+    // back-to-back CC-probe invocations at loadavg≈2 spread 2-19%
+    // per query, shifting UNIFORMLY across unrelated queries — an
+    // environment signature, not a plan one). Embedding the
+    // calibration in the artifact makes cross-round drift diagnosable
+    // FROM THE RECORD: if cal_1t moved, the machine moved.
+    def spin(iters: Long): Double = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42) System.err.println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val loadStart = loadavg()
+    spin(50000000L) // JIT the spin itself before timing it
+    val cal1t = spin(1000000000L)
+    val calAll = {
+      val nThreads = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (0 until nThreads).map { _ =>
+        val t = new Thread(() => { spin(500000000L); () }); t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // iterative driver-loop queries (the alternating-star CC fixpoint,
+    // PageRank's synchronized power iterations) stack one JIT/GC/IO
+    // lottery ticket PER ROUND of their loop, so best-of-2 under-bounds
+    // their variance (observed ±30% across rounds on identical plans
+    // where the one-job queries hold ~±5%); they run to CONVERGENCE —
+    // up to 5 attempts, stopping once the two fastest agree within 5% —
+    // so the recorded min is a stable statistic of the plan given the
+    // invocation's environment, and their raw attempt times land in
+    // the artifact ("attempts") so within-invocation spread is
+    // auditable next to the calibration
+    val iterative = Set("d07_dedup_clusters", "d14_dedup_materialize",
+      "d17_dup_weights", "q38_pagerank")
+    val attemptLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
-      val r1 = runOnce(name, fn)
-      if (!r1._1) (name, false, (r1._2, r1._3, r1._4, r1._5))
-      else {
-        val r2 = runOnce(name, fn)
-        // EITHER run failing marks the query failed: a pass-then-throw
-        // is rerun-instability (leaked state, fixture race) that a
-        // best-of record must surface, not hide behind run 1's timing
-        if (!r2._1) (name, false, (r2._2, r2._3, r2._4, r2._5))
-        else {
-          val best = if (r2._2 < r1._2) r2 else r1
-          (name, true, (best._2, best._3, best._4, best._5))
-        }
+      val maxAttempts = if (iterative(name)) 5 else 2
+      val minAttempts = if (iterative(name)) 3 else 2
+      // ANY attempt failing marks the query failed: a pass-then-throw
+      // is rerun-instability (leaked state, fixture race) that a
+      // best-of record must surface, not hide behind run 1's timing
+      var times = List.empty[Double]
+      var kept: Option[(Boolean, Double, Long, Long, Long)] = None
+      var bad: Option[(Boolean, Double, Long, Long, Long)] = None
+      var i = 0
+      def converged: Boolean = {
+        val best2 = times.sorted.take(2)
+        i >= minAttempts && best2.size == 2 && best2(1) <= best2.head * 1.05
       }
+      while (i < maxAttempts && bad.isEmpty && !converged) {
+        val r = runOnce(name, fn)
+        if (!r._1) bad = Some(r)
+        else {
+          times ::= r._2
+          if (kept.forall(r._2 < _._2)) kept = Some(r)
+        }
+        i += 1
+      }
+      if (iterative(name)) attemptLog(name) = times.reverse
+      val v = bad.orElse(kept).get
+      (name, bad.isEmpty, (v._2, v._3, v._4, v._5))
     }
-    val failed = runs.filterNot(_._2).map(_._1)
-    val results = runs.collect { case (name, true, v) => name -> v }.toMap
+    val results0 = runs.collect { case (name, true, v) => name -> v }.toMap
+    // SECOND-WINDOW revisit for the iterative set: their back-to-back
+    // attempts all sit inside one host-contention burst window, so an
+    // invocation that lands on a noisy minute records a uniformly slow
+    // plateau no matter how many attempts it takes (measured: plateau
+    // mins 2.0/2.4/2.6s across three identical d07-only invocations).
+    // One more attempt at the END of the run — minutes away from the
+    // first window — samples an independent burst; min over BOTH
+    // windows is what makes two independent invocations reproduce.
+    // The any-attempt-fails rule applies here too: a late-window throw
+    // is the same rerun-instability the main loop surfaces.
+    val lateFailed = scala.collection.mutable.ListBuffer.empty[String]
+    val results = results0.map { case (name, v) =>
+      if (!iterative(name)) name -> v
+      else {
+        val r = runOnce(name, SparkEntry.queries(name))
+        if (r._1) {
+          attemptLog(name) = attemptLog.getOrElse(name, Nil) :+ r._2
+          if (r._2 < v._1) name -> ((r._2, r._3, r._4, r._5)) else name -> v
+        } else { lateFailed += name; name -> v }
+      }
+    }.filterNot { case (name, _) => lateFailed.contains(name) }
+    val failed = runs.filterNot(_._2).map(_._1) ++ lateFailed
     // Truncation-proof reporting. The driver tail-captures stdout, and
     // both the r3 (~4.6 KB unsorted) and r4 (~2.3 KB sorted) single
     // lines lost their HEAD to the capture window — an unparseable
@@ -156,9 +250,15 @@ object Bench {
         r4(v._3 / 1e6) + ",\"in_mb\":" + r4(v._4 / 1e6) + "}"
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // file artifact: everything (all timings + measured per-query I/O)
+    val attemptsJson = attemptLog.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(r4).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val envJson =
+      s"""{"cal_1t_sec":${r4(cal1t)},"cal_allcores_sec":${r4(calAll)},"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadavg())}}"""
+    // file artifact: everything (all timings + measured per-query I/O +
+    // the machine calibration and iterative-query attempt traces)
     val fileLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"io":$ioJson${only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"env":$envJson,"attempts":$attemptsJson,"io":$ioJson${only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val artifactRef =
       try {
