@@ -41,9 +41,27 @@ object MultiModal {
   def heightOf(seed: Long): Int = 16 + ((seed * 7) % 11).toInt
 
   /** Ground-truth pixel value in 0..255 — pure integer arithmetic,
-    * replicated verbatim in the DuckDB oracles via [[pixSql]]. */
+    * replicated verbatim in the DuckDB oracles via [[pixSql]].
+    *
+    * The last term is a Knuth-multiply of the seed read through a
+    * POSITION-DEPENDENT bit window (shift varies with x/y/band). It
+    * exists because the original all-linear form was degenerate for
+    * gradient-sign fingerprints: in any luma DIFFERENCE between two
+    * pixels of the same image the seed·31 term cancels (mod
+    * wraparound aside), so m05's 60-bit pHash collapsed to the 143
+    * (w, h) dimension classes and the true near-dup structure went
+    * quadratic at the 100× replica — a fixture artifact, not an
+    * engine property. With the windowed term the seed survives
+    * differencing: 499,990 distinct fingerprints across 500k docs
+    * (replica scale), the planted trios the ONLY equal-hash groups,
+    * zero accidental Hamming≤3 pairs, hottest pHash band bucket 574
+    * docs (guard ceiling 4096). seed·2654435761 ≤ ~2⁵⁴ for any
+    * realistic replica, so the Long/BIGINT product never overflows
+    * and `>>` on the non-negative value is floor division in both
+    * engines. */
   def pix(seed: Long, x: Int, y: Int, band: Int): Int =
-    ((seed * 31 + x * 7 + y * 13 + band * 101 + (x * y) % 17) % 256).toInt
+    ((seed * 31 + x * 7 + y * 13 + band * 101 + (x * y) % 17 +
+      ((seed * 2654435761L) >> ((x + 2 * y + band) % 48))) % 256).toInt
 
   /** ITU-R 601 integer luma (floor division, both engines). */
   def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
@@ -132,7 +150,8 @@ object MultiModal {
     * arithmetic; `//` is floor division on the non-negative operands
     * used here, matching JVM `/` on non-negative ints. */
   private def pixSql(s: String, x: String, y: String, band: Int): String =
-    s"((($s)*31 + ($x)*7 + ($y)*13 + ${band * 101} + (($x)*($y))%17) % 256)"
+    s"((($s)*31 + ($x)*7 + ($y)*13 + ${band * 101} + (($x)*($y))%17 + " +
+      s"((($s)*2654435761) >> ((($x) + 2*($y) + $band) % 48))) % 256)"
 
   /** DuckDB expression for [[luma]] of the formula pixel at (x, y). */
   private def lumaSql(s: String, x: String, y: String): String =
@@ -184,7 +203,10 @@ object MultiModal {
     import java.nio.file.{Files, Paths}
     val root = Paths.get("/tmp", "graft-img-fixtures")
     Files.createDirectories(root)
-    Fixtures.ensure(root.resolve("png")) { dir =>
+    // v2: the pixel formula gained the seed-windowed term (see [[pix]])
+    // — a versioned directory name so a cached v1 fixture from an
+    // earlier process can never green-wash against the new oracles
+    Fixtures.ensure(root.resolve("png-v2")) { dir =>
       Files.createDirectories(dir)
       for (k <- 0 until FixtureImages)
         Files.write(dir.resolve(f"img_$k%04d.png"),
