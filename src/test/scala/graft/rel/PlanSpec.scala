@@ -378,6 +378,35 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
+  test("p26c: the near-dup stage adds exactly the band exchange, and nothing re-reads text") {
+    // head of the DAG: adding the simhash column to the one-scan
+    // projection must change neither the scan count nor the exchange
+    // count vs the p26 pin above
+    val head = PipelineQueries.curationKeepersSim(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val headScans = head.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(headScans == 1, s"expected exactly 1 documents scan, got $headScans:\n$head")
+    val rs = head.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text"), rs)
+    assert(!rs.contains("lang") && !rs.contains("n_chars"), rs)
+    assert(head.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, head)
+    // the near-dup stage itself, over the materialized keepers: NO
+    // parquet scan anywhere (text is never re-read — the Hamming
+    // verify runs on carried signatures), exactly ONE hash exchange
+    // (the 4x16-bit band shuffle), and the drop set comes back as a
+    // broadcast anti-join, never a shuffled one
+    val keepers = Lineage.cut(PipelineQueries.curationKeepersSim(spark, sfDir))
+    val nd = PipelineQueries.curationNearDup(keepers)
+      .queryExecution.executedPlan.toString
+    assert(!nd.contains("Scan parquet") && !nd.contains("FileScan parquet"),
+      s"near-dup stage re-reads from disk:\n$nd")
+    assert(nd.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly the band exchange:\n$nd")
+    assert(nd.contains("BroadcastHashJoin") && nd.contains("LeftAnti"), nd)
+    assert(!nd.contains("SortMergeJoin"), nd)
+  }
+
   test("s21/t24/s20: the round-8 additions keep cartesians and corpus sorts out") {
     // s21: candidate fetch is an equi-join on the IVF cell + native
     // TopKPerKey — never a cartesian or nested-loop pair space
