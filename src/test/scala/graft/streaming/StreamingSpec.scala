@@ -218,6 +218,224 @@ class StreamingSpec extends SparkSpec {
       .exists(_.name.startsWith("p21_sink_")))
   }
 
+  // ---- restart-from-checkpoint (a REAL stop between AvailableNow
+  // drains, phase 2 resumes from the SAME checkpoint) ------------------
+
+  /** Two-phase harness: write the time-earlier half of events, drain
+    * it (phase 1), STOP, append the later half to the source dir,
+    * restart the same pipeline from the SAME checkpoint (phase 2).
+    * Returns (phase1 rows, phase2 rows, full batch frame, part2 count,
+    * phase2 drained-input count, cut micros). Splitting by TIME (not
+    * id) keeps part 2 ahead of the restored watermark, so engine/batch
+    * parity is exact — no late-drop asymmetry.  */
+  private def restartDrain(tag: String,
+      cutOverride: Option[Long] = None)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode)
+      : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
+         org.apache.spark.sql.DataFrame, Long, Long, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files
+      .createTempDirectory(s"restart_$tag").toString
+    val base = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .cache()
+    val cut = cutOverride.getOrElse {
+      val times = base.select(unix_micros(col("ts")).as("t"))
+        .orderBy("t").collect().map(_.getLong(0))
+      times(times.length / 2)
+    }
+    val part1 = base.filter(unix_micros(col("ts")) <= cut)
+    val part2 = base.filter(unix_micros(col("ts")) > cut)
+    val n2 = part2.count()
+    assert(part1.count() > 0 && n2 > 0, "degenerate time split")
+    val src = s"$root/events"
+    part1.write.mode("overwrite").parquet(src)
+    val sch = spark.read.parquet(src).schema
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    // sink choice follows recoverability: an append-mode MEMORY sink
+    // refuses checkpoint recovery, so the append classes write a real
+    // parquet sink (the production restart shape — the _spark_metadata
+    // commit log is what makes the restart exactly-once); complete
+    // mode keeps the memory sink (its restart re-emits the full
+    // restored snapshot, which is the thing under test)
+    val isComplete = mode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    def sinkRows(): Seq[org.apache.spark.sql.Row] =
+      spark.read.parquet(outDir).collect().toSeq
+    def drain(phase: Int): (Seq[org.apache.spark.sql.Row], Long) = {
+      val name = s"restart_${tag}_$phase"
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val writer0 = build(spark.readStream.schema(sch).parquet(src))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+      val writer =
+        if (isComplete) writer0.format("memory").queryName(name)
+        else writer0.format("parquet").option("path", outDir)
+      val q =
+        try writer.start()
+        catch { case e: Throwable =>
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+        }
+      try {
+        try q.awaitTermination()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val rows =
+          if (isComplete) spark.table(name).collect().toSeq else sinkRows()
+        (rows, drainStats(q).inputRows)
+      } finally {
+        if (q.isActive) q.stop()
+        if (isComplete) spark.catalog.dropTempView(name)
+      }
+    }
+    val (all1, in1) = drain(1)
+    assert(in1 > 0, "phase 1 drained no input")
+    // the stop is REAL: phase 1's query object is gone; only the
+    // checkpoint carries its offsets, watermark, and operator state
+    part2.write.mode("append").parquet(src)
+    val (all2, in2) = drain(2)
+    // append classes: the file sink accumulates, so phase-2-emitted
+    // rows = multiset difference; complete mode: each phase IS a
+    // snapshot already
+    val r2 = if (isComplete) all2 else all2.diff(all1)
+    (all1, r2, base, n2, in2, cut)
+  }
+
+  test("p12 restart: complete-mode agg resumes from checkpointed state, equals batch") {
+    val (r1, r2, base, n2, in2, _) = restartDrain("p12")(
+      windowedTypeCounts(_), org.apache.spark.sql.streaming.OutputMode.Complete())
+    // offsets restored: phase 2 read ONLY the appended files
+    assert(in2 == n2, s"phase 2 drained $in2 rows, expected part2=$n2 — " +
+      "restart reprocessed already-committed input")
+    // complete mode: phase 2's snapshot alone is the full aggregate —
+    // counts over part 1 survive only via the RESTORED state store
+    val got = r2.map(_.toSeq).toSet
+    val want = windowedTypeCounts(base).collect().map(_.toSeq).toSet
+    assert(got == want, "post-restart complete snapshot diverged from batch")
+    assert(r1.nonEmpty && got.nonEmpty)
+    assert(got != r1.map(_.toSeq).toSet,
+      "part 2 changed no aggregate — restart untested")
+  }
+
+  test("p16 restart: stream-stream join buffers survive the restart, union equals batch") {
+    // place the cut exactly AT a joined pair's click: the click lands
+    // in part 1 (ts <= cut), its purchase in part 2 — so the pair can
+    // only be produced from the click buffered in phase 1's restored
+    // state. A median cut can miss (no pair straddles it by luck).
+    def clickOf(r: org.apache.spark.sql.Row): Long = {
+      val t = r.getAs[java.sql.Timestamp]("click_ts")
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+    }
+    def purchOf(r: org.apache.spark.sql.Row): Long = {
+      val t = r.getAs[java.sql.Timestamp]("purchase_ts")
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+    }
+    val batchBase = Tables.events(spark, sfDir)
+    val batchPairs = attributionJoin(
+        batchBase.filter(col("event_type") === "click" && col("user_id").isNotNull),
+        batchBase.filter(col("event_type") === "purchase" && col("user_id").isNotNull))
+      .collect().filter(r => purchOf(r) > clickOf(r))
+    assert(batchPairs.nonEmpty,
+      "corpus has no strictly-ordered (click, purchase) pair — cannot place the cut")
+    val boundaryCut = clickOf(batchPairs.maxBy(r => purchOf(r) - clickOf(r)))
+    val (r1, r2, base, n2, in2, cut) = restartDrain("p16",
+      cutOverride = Some(boundaryCut))({ ev =>
+      attributionJoin(
+        ev.filter(col("event_type") === "click" && col("user_id").isNotNull),
+        ev.filter(col("event_type") === "purchase" && col("user_id").isNotNull))
+    }, org.apache.spark.sql.streaming.OutputMode.Append())
+    // a stream-stream self-join plans TWO file-source instances over
+    // the same directory, so the drain ingests part 2 once per leg
+    assert(in2 == 2 * n2, s"phase 2 drained $in2 rows, expected 2x part2=$n2")
+    val got = (r1 ++ r2).map(_.toSeq).toSet
+    val want = attributionJoin(
+        base.filter(col("event_type") === "click" && col("user_id").isNotNull),
+        base.filter(col("event_type") === "purchase" && col("user_id").isNotNull))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "restarted join union diverged from batch")
+    // non-vacuous: at least one pair CROSSES the stop — its click was
+    // buffered in phase 1's state store and matched only after restart
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+    val crossing = r2.count { r =>
+      us(r.getAs[java.sql.Timestamp]("click_ts")) <= cut &&
+        us(r.getAs[java.sql.Timestamp]("purchase_ts")) > cut
+    }
+    assert(crossing > 0,
+      "no pair crossed the restart boundary — join-state recovery untested")
+  }
+
+  test("p17 restart: dedup keys seen before the stop stay deduped after it") {
+    // watermark wider than the corpus's whole time span (30 days): the
+    // registry query's horizon-bounded eviction is pinned elsewhere
+    // (the p16/p17 watermark-bounded-state test); HERE the point is
+    // state RESTORATION, so every part-1 key must still be in the
+    // store when part 2 re-delivers it after the restart
+    val (r1, r2, base, n2, in2, cut) = restartDrain("p17")({ ev =>
+      ev.filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+    }, org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(in2 == n2, s"phase 2 drained $in2 rows, expected part2=$n2")
+    val got = (r1 ++ r2).map(_.toSeq).toSet
+    val want = base.filter(col("user_id").isNotNull)
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "restarted dedup union diverged from DISTINCT")
+    // non-vacuous: phase 2 re-sees keys from phase 1 within the
+    // watermark horizon and must NOT re-emit them (restored state) —
+    // so phase 2 emits strictly fewer keys than a from-scratch run
+    // over part 2 alone would
+    val part2Fresh = base.filter(col("user_id").isNotNull)
+      .filter(unix_micros(col("ts")) > cut)
+      .select("user_id", "event_type").distinct().count()
+    assert(r1.nonEmpty && r2.size < part2Fresh,
+      s"phase 2 emitted ${r2.size} of $part2Fresh part-2 keys — " +
+        "dedup state was not restored")
+  }
+
+  test("p21 restart: an open session spans the stop and merges across it") {
+    val gap = graft.rel.PipelineQueries.SessionGapMs
+    val (r1, r2, base, n2, in2, cut) = restartDrain("p21")({ ev =>
+      sessionize(eventRows(ev), gapMs = gap, watermark = "10 seconds").toDF()
+    }, org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(in2 == n2, s"phase 2 drained $in2 rows, expected part2=$n2")
+    // fold snapshots exactly like sessionizeDrained; time-split input
+    // guarantees a session's start never moves across phases, so the
+    // (user, start) fold is exact here too
+    import spark.implicits._
+    val got = (r1 ++ r2)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((u, s), ts) =>
+        (u, s, ts.map(_._3).max, ts.map(_._4).max) }
+      .toSet
+    import org.apache.spark.sql.expressions.Window
+    val e = eventRows(base).toDF()
+      .select(col("user_id"), unix_millis(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val want = e.withColumn("prev", lag("t", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("t") - col("prev") > gap, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("s"), max("t").as("e2"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e2", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, "restarted sessionization diverged from batch")
+    // non-vacuous: at least one session spans the stop — its open
+    // state crossed the checkpoint and part-2 events extended it
+    val cutMs = cut / 1000
+    assert(got.exists { case (_, s, e2, _) => s <= cutMs && e2 > cutMs },
+      "no session spans the restart boundary — state recovery untested")
+  }
+
   test("p16/p17: an empty stream RESULT is legitimate — only zero-input drains error") {
     // ADVICE fix: a corpus where no click precedes any purchase in the
     // horizon produces an EMPTY join output; the engine must hand that
