@@ -205,9 +205,10 @@ object Streaming {
     * stream-stream join (no click within the horizon of any purchase)
     * or a filtered dedup it is a legitimate data state the oracle
     * reproduces, not a harness failure. */
-  private def requireSourceDrained(st: DrainStats, dir: String): Unit =
+  private def requireSourceDrained(st: DrainStats, dir: String,
+      table: String = "events.parquet"): Unit =
     require(st.inputRows > 0,
-      s"streaming source drained ZERO input rows from $dir/events.parquet — " +
+      s"streaming source drained ZERO input rows from $dir/$table — " +
         "file-source layout mismatch (no files matched the listing)")
 
   /** [[attributionJoin]] executed as a REAL incremental stream-stream
@@ -692,6 +693,89 @@ object Streaming {
     * rows double every count) OR if the commit protocol loses rows.
     * State posture: the sink tracks one marker per batch; re-delivery
     * cost is one filesystem stat. */
+  /** File-source documents STREAM — the docs-table dual of
+    * [[eventsStream]] (same two-layout handling; no ts column, so no
+    * nanos normalization). */
+  private def docsStream(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDirLayout = hPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(hPath).isDirectory
+    val rdr0 = s.readStream.schema(batchSchema)
+    val rdr = maxFilesPerTrigger.fold(rdr0)(n =>
+      rdr0.option("maxFilesPerTrigger", n.toString))
+    if (isDirLayout) rdr.parquet(path)
+    else rdr.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** INCREMENTAL curation (p27) — the batch curation DAG (p26) run
+    * through the real streaming engine, micro-batch by micro-batch:
+    * file readStream over the documents parquet → the IDENTICAL
+    * per-row stage definitions the batch DAG uses (curationGopher's
+    * one-projection rule battery, curationKeepers' min-struct dedup,
+    * curationFinal's quality+split — shared code, so batch and
+    * incremental curation cannot drift) → Complete-mode memory sink,
+    * AvailableNow. The keeper aggregate is the stream's STATE: one
+    * (digest → min keeper-row) entry per distinct digest, updated as
+    * batches arrive — the incremental-materialized-view shape (q47's
+    * class), which is what makes the final snapshot ARRIVAL-ORDER
+    * INDEPENDENT: min(struct) commutes, so any partitioning of the
+    * corpus into micro-batches converges to the batch answer (a
+    * first-arrival dedup would not — the survivor would depend on
+    * file listing order). State posture at 100 TB: one row per
+    * distinct digest (corpus-scale, RocksDB-backed) — the price of
+    * exact min-keeper semantics; pipelines that can accept
+    * first-arrival survivorship run the d15 bloom/anti-join per batch
+    * instead and keep no dense state. */
+  def curationStreamed(s: SparkSession, dir: String): DataFrame =
+    curationDrained(s, dir, maxFilesPerTrigger = None)._1
+
+  /** p27 with drain observability: `maxFilesPerTrigger` forces a
+    * GENUINELY multi-batch drain (StreamingSpec uses it to pin that
+    * the incremental keeper state converges to the batch answer
+    * across micro-batch boundaries, not just on a one-batch drain);
+    * the second element counts data micro-batches. */
+  private[graft] def curationDrained(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): (DataFrame, Int) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val staged = graft.rel.PipelineQueries.curationFinal(
+      graft.rel.PipelineQueries.curationKeepers(
+        graft.rel.PipelineQueries.curationGopher(
+          docsStream(s, dir, maxFilesPerTrigger))))
+    val name = "p27_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // one state-store instance per partition; same bounded-drain
+    // scoping (and restore-after-termination race note) as p16/p17/p21
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try staged
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      catch { case e: Throwable =>
+        s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+      }
+    try {
+      try q.awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      requireSourceDrained(drainStats(q), dir, "documents.parquet")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val out = s.table(name)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      (out, dataBatches)
+    } finally {
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
+
   def exactlyOnceStreamed(s: SparkSession, dir: String,
       out: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger

@@ -436,6 +436,32 @@ class StreamingSpec extends SparkSpec {
       "no session spans the restart boundary — state recovery untested")
   }
 
+  test("p27: incremental curation over MULTIPLE micro-batches equals the batch DAG") {
+    // the registry gate drains the single-file corpus in one batch —
+    // HERE the corpus is split into four files and maxFilesPerTrigger
+    // forces four micro-batches, so the keeper state genuinely updates
+    // across batch boundaries; min(struct) commutes, so the final
+    // snapshot must equal the batch DAG regardless of the partitioning
+    val root = java.nio.file.Files.createTempDirectory("p27multi").toString
+    graft.rel.Tables.documents(spark, sfDir)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val (got, dataBatches) = Streaming.curationDrained(
+      spark, root, maxFilesPerTrigger = Some(1))
+    assert(dataBatches >= 2,
+      s"drained $dataBatches data micro-batches — multi-batch path untested")
+    val want = graft.rel.PipelineQueries.curationFinal(
+        graft.rel.PipelineQueries.curationKeepers(
+          graft.rel.PipelineQueries.curationGopher(
+            graft.rel.Tables.documents(spark, sfDir))))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want,
+      "incremental curation diverged from the batch DAG")
+    assert(want.nonEmpty)
+  }
+
   test("p16/p17: an empty stream RESULT is legitimate — only zero-input drains error") {
     // ADVICE fix: a corpus where no click precedes any purchase in the
     // horizon produces an EMPTY join output; the engine must hand that
