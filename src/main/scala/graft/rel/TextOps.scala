@@ -1112,14 +1112,12 @@ object TextOps {
           .select(col("doc_id"), col("lang"),
             col("bg.0").as("w1"), col("bg.1").as("w2"))
         val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val vv = uni.agg(count(lit(1)).as("v"))
-        lmBroadcastGuard(big, uni)
+        val (bigL, uniL, v) = lmCollectModel(s, big, uni)
         // t15's scoring pass verbatim, with lang riding the doc key
-        val doc = bi.join(broadcast(big), Seq("w1", "w2"))
-          .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
-          .crossJoin(broadcast(vv))
+        val doc = bi.join(broadcast(bigL), Seq("w1", "w2"))
+          .join(broadcast(uniL.withColumnRenamed("tok", "w1")), Seq("w1"))
           .select(col("doc_id"), col("lang"),
-            (-log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5)))
+            (-log((col("c2") + 0.5) / (col("c1") + lit(v) * 0.5)))
               .as("nll"))
           .groupBy("doc_id", "lang")
           .agg(round(avg(col("nll")), 4).as("nll"))
@@ -1256,43 +1254,58 @@ object TextOps {
       .filter(col("n_grams") > 0)
   }
 
-  /** Driver-broadcast budget for the t15/t25 bigram-LM model tables:
-    * ~4M distinct bigrams/unigrams (~150 MB of (w1, w2, c2) rows) —
+  /** Driver budget for the t15/t25 bigram-LM model tables: ~4M
+    * distinct bigrams/unigrams (~150 MB of (w1, w2, c2) rows) —
     * Heaps'-bounded real corpora sit orders of magnitude below this,
     * far below driver OOM. Overridable so the guard is spec-testable
     * (the [[NbMaxVocab]] discipline). */
   private[rel] val LmMaxModelRows = 1 << 22
 
-  /** Loud pre-broadcast guard for the bigram-LM model tables (t15 and
-    * t25 share it): both `big` (w1, w2, c2) and `uni` (tok, c1) are
-    * broadcast back against the exploded corpus, which is only safe
-    * while the model is Heaps'-bounded. An adversarial corpus (e.g.
-    * no-space text, one giant token per doc → every adjacent pair
-    * unique) makes `big` grow LINEARLY with the corpus — this must
-    * fail fast naming the fallback, not OOM the driver mid-broadcast.
-    * Each probe is `limit(cap+1).count()`, so the check itself never
-    * materializes more than cap+1 rows regardless of corpus size. */
-  private[rel] def lmBroadcastGuard(big: DataFrame, uni: DataFrame,
-      maxRows: Int = LmMaxModelRows): Unit = {
-    def probe(df: DataFrame, what: String): Unit = {
-      val n = df.limit(maxRows + 1).count()
-      require(n <= maxRows,
+  /** Collect-once bounded materialization of the bigram-LM model
+    * tables (t15 and t25 share it) — the t22 discipline. Each table
+    * is pulled through `limit(cap+1).collect()`, so the
+    * corpus-exploded aggregate underneath it runs EXACTLY ONCE and
+    * the driver holds at most cap+1 rows no matter how large the
+    * corpus is; below the cap the model is exact (the limit drops
+    * nothing). The collected rows come back as LocalRelations, so the
+    * scoring joins broadcast them without re-planning the aggregate
+    * lineage (the round-9 guard probed the UNCACHED frames with
+    * `count()` and paid two extra corpus passes per query), and the
+    * vocabulary size falls out of the collected unigram count — the
+    * old single-row `vv` sub-aggregate pass is gone too. An
+    * adversarial corpus (e.g. no-space text, one giant token per
+    * doc → every adjacent pair unique) makes `big` grow LINEARLY with
+    * the corpus: that fails fast here naming
+    * [[lmPerplexityDistributed]], the fallback that keeps the model
+    * distributed, instead of OOMing the driver mid-collect. */
+  private[rel] def lmCollectModel(s: SparkSession, big: DataFrame,
+      uni: DataFrame, maxRows: Int = LmMaxModelRows)
+      : (DataFrame, DataFrame, Long) = {
+    import s.implicits._
+    def bounded(df: DataFrame, what: String) = {
+      val rows = df.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
         s"bigram-LM $what table exceeds $maxRows rows — the model is " +
-          "not Heaps'-bounded for this corpus, so broadcasting it " +
-          "would grow the driver with the data; use the " +
-          "distributed-model variant (keep the (w1,w2,c2)/(tok,c1) " +
-          "tables as DataFrames and score via shuffle joins on the " +
-          "token keys) instead of the driver broadcast")
+          "not Heaps'-bounded for this corpus, so holding it on the " +
+          "driver would grow with the data; use " +
+          "graft.rel.TextOps.lmPerplexityDistributed, which keeps the " +
+          "(w1,w2,c2)/(tok,c1) tables as DataFrames and scores via " +
+          "shuffle joins on the token keys")
+      rows
     }
-    probe(big, "bigram")
-    probe(uni, "unigram")
+    val bigL = bounded(big, "bigram")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      .toDF("w1", "w2", "c2")
+    val uniRows = bounded(uni, "unigram")
+    val uniL = uniRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("tok", "c1")
+    (bigL, uniL, uniRows.length.toLong)
   }
 
-  /** The t15 trainer+scorer (see the registry comment for the scale
-    * shape and the rounding-margin analysis). `maxModelRows` is the
-    * [[lmBroadcastGuard]] cap, overridable for the guard spec. */
-  private[rel] def lmPerplexity(s: SparkSession, d: String,
-      maxModelRows: Int = LmMaxModelRows): DataFrame = {
+  /** Shared t15 trainer lineage over the documents table:
+    * (uni (tok, c1), bi (doc_id, w1, w2), big (w1, w2, c2)). */
+  private def lmFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
     val uni = toks.select(explode(col("ts")).as("tok"))
@@ -1303,10 +1316,45 @@ object TextOps {
         slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
       .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    (uni, bi, big)
+  }
+
+  /** The t15 trainer+scorer (see the registry comment for the scale
+    * shape and the rounding-margin analysis). `maxModelRows` is the
+    * [[lmCollectModel]] cap, overridable for the guard spec; past the
+    * cap, [[lmPerplexityDistributed]] is the same scorer with the
+    * model left distributed. */
+  private[rel] def lmPerplexity(s: SparkSession, d: String,
+      maxModelRows: Int = LmMaxModelRows): DataFrame = {
+    val (uni, bi, big) = lmFrames(s, d)
+    val (bigL, uniL, v) = lmCollectModel(s, big, uni, maxModelRows)
+    bi.join(broadcast(bigL), Seq("w1", "w2"))
+      .join(broadcast(uniL.withColumnRenamed("tok", "w1")), Seq("w1"))
+      .select(col("doc_id"),
+        (-log((col("c2") + 0.5) / (col("c1") + lit(v) * 0.5))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** The distributed-model variant of [[lmPerplexity]] — the escape
+    * hatch [[lmCollectModel]]'s guard names. Identical trainer and
+    * scoring arithmetic, but the (w1,w2,c2)/(tok,c1) model tables
+    * stay DataFrames end to end: scoring is two shuffle joins on the
+    * token keys ((w1,w2), then w1) plus a broadcast of the single-row
+    * vocabulary count, so nothing on the driver scales with the
+    * model — the right shape once the model outgrows the
+    * [[LmMaxModelRows]] budget (a corpus whose vocabulary is NOT
+    * Heaps'-bounded). Costs two exchanges of the corpus-sized
+    * exploded bigram frame where the collect path has none, which is
+    * why it is the fallback, not the default. Spec-pinned equal to
+    * [[lmPerplexity]] on the gate corpus (TrainingDataOpsSpec). */
+  private[rel] def lmPerplexityDistributed(s: SparkSession, d: String)
+      : DataFrame = {
+    val (uni, bi, big) = lmFrames(s, d)
     val vv = uni.agg(count(lit(1)).as("v"))
-    lmBroadcastGuard(big, uni, maxModelRows)
-    bi.join(broadcast(big), Seq("w1", "w2"))
-      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
       .crossJoin(broadcast(vv))
       .select(col("doc_id"),
         (-log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5))).as("nll"))
@@ -1366,10 +1414,10 @@ object TextOps {
     // so a corpus with exactly maxVocab tokens is still within cap
     require(all.length <= maxVocab + 1,
       s"t22 training vocabulary exceeds $maxVocab distinct tokens — " +
-        "not Heaps'-bounded for this corpus; use the distributed-model " +
-        "variant (keep the (tok,c0,c1) table as a DataFrame and score " +
-        "via an exploded-token broadcast join) instead of the " +
-        "driver-collected model")
+        "not Heaps'-bounded for this corpus; use " +
+        "graft.rel.TextOps.nbClassifierDistributed, which keeps the " +
+        "(tok,c0,c1) table as a DataFrame and scores via a shuffle " +
+        "join on the exploded token keys")
     val sent = all.find(_.getString(0) == Sentinel).getOrElse(
       sys.error("t22: empty training half — no class priors"))
     val (n0, n1) = (sent.getLong(1), sent.getLong(2))
@@ -1421,6 +1469,91 @@ object TextOps {
               "cross-engine argmax no longer safe; widen smoothing or drop the doc")
           (label, if (total > 0) 1L else 0L)
         }
+      }
+      .toDF("label", "pred")
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "pred")
+  }
+
+  /** The distributed-model variant of [[nbClassifier]] — the escape
+    * hatch its vocab guard names. Same trainer aggregate and the same
+    * term-for-term formula, but the (tok, c0, c1) model table stays a
+    * DataFrame end to end: only the FIXED-SIZE scalars every term
+    * needs (class priors from the sentinel row; totals + vocab size
+    * from one 1-row aggregate) are collected, so driver state is O(1)
+    * no matter how large the vocabulary grows. Scoring explodes the
+    * test half to (doc, tok) and shuffle-joins the token keys against
+    * the per-token log-odds table, re-aggregating per doc — the shape
+    * that survives a non-Heaps' vocabulary at 100 TB, at the cost of
+    * a corpus-sized exchange the executor-memory model path never
+    * pays. Per-doc sums associate in shuffle order rather than doc
+    * order; the same 1e-6 decision-margin guard that already covers
+    * libm/summation reach makes the argmax refuse loudly instead of
+    * flipping, so the confusion matrix is spec-pinned identical to
+    * [[nbClassifier]] on the gate corpus (TrainingDataOpsSpec). */
+  private[rel] def nbClassifierDistributed(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val Sentinel = "per doc"
+    val model = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("text")).as[String]
+      .mapPartitions(_.flatMap { text =>
+        val (toks, label) = nbTokensAndLabel(text)
+        Iterator.single((Sentinel, label)) ++
+          toks.iterator.map(t => (t, label))
+      })
+      .toDF("tok", "label")
+      .groupBy("tok").agg(
+        sum(when(col("label") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("c1"))
+    val sentRow = model.filter(col("tok") === Sentinel)
+      .select(col("c0"), col("c1")).collect()
+    require(sentRow.nonEmpty,
+      "t22 distributed: empty training half — no class priors")
+    val (n0, n1) = (sentRow(0).getLong(0), sentRow(0).getLong(1))
+    require(n0 > 0 && n1 > 0,
+      s"t22 needs both classes in the training half (n0=$n0, n1=$n1) — " +
+        "a one-class prior has no decision boundary to gate")
+    val tots = model.filter(col("tok") =!= Sentinel)
+      .agg(sum("c0").as("t0"), sum("c1").as("t1"), count(lit(1)).as("v"))
+      .collect()(0)
+    require(!tots.isNullAt(0), "t22 distributed: empty training vocabulary")
+    val (t0, t1, v) = (tots.getLong(0), tots.getLong(1), tots.getLong(2))
+    val priorDelta = math.log(n1.toDouble) - math.log(n0.toDouble)
+    val lt0 = math.log((t0 + v).toDouble)
+    val lt1 = math.log((t1 + v).toDouble)
+    val delta = model.filter(col("tok") =!= Sentinel)
+      .select(col("tok"),
+        ((log(col("c1") + 1.0) - lt1) - (log(col("c0") + 1.0) - lt0))
+          .as("dl"))
+    val test = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (toks, label) = nbTokensAndLabel(text)
+        (id, toks, label)
+      })
+      .toDF("doc_id", "toks", "label")
+    // unknown test tokens drop at the inner join (ignored, as in the
+    // executor-memory path); docs whose every token is unknown — or
+    // that have none — come back through the left join with known=0,
+    // the deterministic balanced-prior case both engines agree on
+    val scored = test
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(delta, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("dl").as("sdl"), count(lit(1)).as("known"))
+    test.join(scored, Seq("doc_id"), "left")
+      .select(col("label"),
+        (lit(priorDelta) + coalesce(col("sdl"), lit(0.0))).as("total"),
+        coalesce(col("known"), lit(0L)).as("known"))
+      .as[(Long, Double, Long)]
+      .map { case (label, total, known) =>
+        require(known == 0L || math.abs(total) > 1e-6,
+          f"t22 decision margin $total%.3e within 1e-6 of the boundary — " +
+            "cross-engine argmax no longer safe; widen smoothing or drop the doc")
+        (label, if (total > 0) 1L else 0L)
       }
       .toDF("label", "pred")
       .groupBy("label", "pred")

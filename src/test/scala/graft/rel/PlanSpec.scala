@@ -407,6 +407,30 @@ class PlanSpec extends SparkSpec {
     assert(!nd.contains("SortMergeJoin"), nd)
   }
 
+  test("t15: the scoring plan carries no model aggregates — collect-once LocalRelations only") {
+    // round-9's pre-broadcast guard probed the UNCACHED model
+    // aggregates with count(), re-running the corpus tokenize/explode
+    // twice per query (the round's only bench regression). The
+    // collect-once design evaluates each model aggregate exactly once
+    // (inside lmCollectModel's bounded collect, one job per table) and
+    // hands the scorer LocalRelations — so the SCORING plan here must
+    // contain exactly one documents scan, the two model tables as
+    // LocalTableScans behind broadcast joins, and exactly one
+    // aggregate pair (partial+final of the per-doc mean). Any extra
+    // HashAggregate means the model lineage leaked back into the
+    // scoring job and the corpus pays the explode again.
+    val p = plan("t15_lm_perplexity")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 1, s"expected exactly 1 documents scan, got $scans:\n$p")
+    assert(p.linesIterator.count(_.contains("LocalTableScan")) == 2,
+      s"expected the two collected model tables as LocalTableScans:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2, p)
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs == 2, s"expected only the per-doc aggregate pair, got $aggs:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("s21/t24/s20: the round-8 additions keep cartesians and corpus sorts out") {
     // s21: candidate fetch is an equi-join on the IVF cell + native
     // TopKPerKey — never a cartesian or nested-loop pair space

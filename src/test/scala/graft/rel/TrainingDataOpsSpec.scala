@@ -627,7 +627,7 @@ class TrainingDataOpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       TextOps.nbClassifier(spark, dir, maxVocab = 8).collect()
     }
-    assert(e.getMessage.contains("distributed-model"), e.getMessage)
+    assert(e.getMessage.contains("nbClassifierDistributed"), e.getMessage)
     // and the REAL corpus is comfortably under the real cap (the
     // guard never fires on the gate fixtures)
     assert(TextOps.nbClassifier(spark, sfDir).collect().nonEmpty)
@@ -650,10 +650,39 @@ class TrainingDataOpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       TextOps.lmPerplexity(spark, dir, maxModelRows = 8).collect()
     }
-    assert(e.getMessage.contains("distributed-model"), e.getMessage)
+    assert(e.getMessage.contains("lmPerplexityDistributed"), e.getMessage)
+    // the named escape hatch is REAL code that handles the very corpus
+    // the guard rejected: on the same adversarial fixture the
+    // distributed scorer runs, and it matches the collect path (which
+    // at the default cap still fits this 200-row "model") exactly
+    val viaDistributed = TextOps.lmPerplexityDistributed(spark, dir).collect()
+    assert(viaDistributed.toSeq == TextOps.lmPerplexity(spark, dir).collect().toSeq)
     // and the REAL corpus is comfortably under the real cap (the
     // guard never fires on the gate fixtures)
     assert(TextOps.lmPerplexity(spark, sfDir).collect().nonEmpty)
+  }
+
+  test("t15/t22 distributed-model fallbacks match the executor-memory paths row-for-row") {
+    // the guards name lmPerplexityDistributed / nbClassifierDistributed
+    // as the 100 TB escape hatch for non-Heaps' vocabularies; this pins
+    // that both produce the executor-memory results EXACTLY on the gate
+    // corpus — with broadcasting disabled, so the token-keyed shuffle
+    // joins (the shape that actually replaces the driver model) are the
+    // code path being measured, not an auto-broadcast of a small model
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val lmD = TextOps.lmPerplexityDistributed(spark, sfDir)
+      assert(lmD.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "distributed LM scorer must shuffle-join the token keys when broadcast is off")
+      assert(lmD.collect().toSeq ==
+        TextOps.lmPerplexity(spark, sfDir).collect().toSeq)
+      assert(TextOps.nbClassifierDistributed(spark, sfDir).collect().toSeq ==
+        TextOps.nbClassifier(spark, sfDir).collect().toSeq)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("t23 DSIR weights carry the target signal and drive the resample stage") {
