@@ -26,6 +26,41 @@ object Bench {
       (shuffleWrite.get, shuffleRead.get, input.get)
   }
 
+  /** Pick the Spark scratch dir for this bench run. tmpfs by default
+    * (see the spark.local.dir comment below), but with two guards the
+    * round-9 advice asked for: (1) the reused directory is cleaned at
+    * startup, so shuffle files from a crashed invocation can't
+    * accumulate across runs; (2) tmpfs is only trusted when /dev/shm
+    * has ≥ 8× the corpus in free space — shuffle+spill for the
+    * heaviest queries stays within a few × corpus, so at the larger
+    * scale factors (sf10/100 probes) where that headroom isn't there,
+    * fall back to real disk rather than ENOSPC mid-run or squeezing
+    * the page cache the timings depend on. SPARK_GRAFT_LOCAL_DIR
+    * still overrides everything. */
+  private def chooseLocalDir(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      def du(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+        else f.length()
+      val shm = new java.io.File("/dev/shm")
+      val d = new java.io.File(shm, "graft-bench-local")
+      rm(d)
+      val corpus = du(new java.io.File(sfDir))
+      if (shm.isDirectory && shm.getUsableSpace > 8L * corpus) d.getPath
+      else {
+        System.err.println(
+          s"[bench] /dev/shm headroom ${shm.getUsableSpace} < 8x corpus " +
+            s"$corpus — using disk for spark.local.dir")
+        java.nio.file.Files.createTempDirectory("graft-bench-local").toString
+      }
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,8 +77,7 @@ object Bench {
       // calibration moved <5% — the artifact should measure the plan's
       // cost, not the neighbors' disk traffic. Local-mode-bench only;
       // a cluster deployment sizes real local disks instead.
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-bench-local"))
+      .config("spark.local.dir", chooseLocalDir(sfDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer init otherwise lands on
