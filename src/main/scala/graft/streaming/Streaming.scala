@@ -739,7 +739,8 @@ object Streaming {
     * across micro-batch boundaries, not just on a one-batch drain);
     * the second element counts data micro-batches. */
   private[graft] def curationDrained(s: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int]): (DataFrame, Int) = {
+      maxFilesPerTrigger: Option[Int],
+      checkpoint: Option[String] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
     val staged = graft.rel.PipelineQueries.curationFinal(
       graft.rel.PipelineQueries.curationKeepers(
@@ -747,14 +748,109 @@ object Streaming {
           docsStream(s, dir, maxFilesPerTrigger))))
     val name = "p27_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // data-batch counting rides a listener, NOT q.recentProgress: the
+    // progress ring buffer keeps only the last
+    // spark.sql.streaming.numRecentProgressUpdates (default 100)
+    // entries, so a drain with more micro-batches than that would
+    // silently under-report (round-9 advice). The listener sees every
+    // progress event; the listener bus is drained before the count is
+    // read so no in-flight event is missed.
+    val dataBatchCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == name && e.progress.numInputRows > 0) {
+          dataBatchCount.incrementAndGet(); ()
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
     // one state-store instance per partition; same bounded-drain
     // scoping (and restore-after-termination race note) as p16/p17/p21
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // with a checkpoint the run is RESTARTABLE: offsets + keeper state
+    // recover from it, so a second drain over the same location picks
+    // up only new files and re-emits the full restored snapshot (the
+    // complete-mode memory sink re-materializes on restart — the
+    // recoverable shape, unlike an append-mode memory sink)
+    val writer0 = staged
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+    val writer = checkpoint.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c))
     val q =
-      try staged
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete())
+      try writer.start()
+      catch { case e: Throwable =>
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.streams.removeListener(listener)
+        throw e
+      }
+    try {
+      try q.awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      requireSourceDrained(drainStats(q), dir, "documents.parquet")
+      org.apache.spark.sql.GraftBridge.drainListenerBus(s)
+      val dataBatches = dataBatchCount.get
+      val out = s.table(name)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      (out, dataBatches)
+    } finally {
+      if (q.isActive) q.stop()
+      s.streams.removeListener(listener)
+      s.catalog.dropTempView(name)
+    }
+  }
+
+  /** INCREMENTAL curation WITH the near-dup stage (p27c) — p26c's DAG
+    * run micro-batch by micro-batch. The per-row stages and the
+    * snapshot rule are the SHARED batch definitions
+    * (curationGopher/Keepers/Final and the d05 simhash blocking —
+    * batch and incremental cannot drift); what is genuinely
+    * incremental is the CROSS-BATCH NEAR-DUP STATE
+    * (PipelineQueries.NearDupState): each arriving batch upserts the
+    * keeper table, broadcasts its band table against the accumulated
+    * signatures (the d16 batch-vs-corpus prune), and appends the
+    * discovered Hamming ≤ 3 pairs — so per-batch work scales with the
+    * batch while the final snapshot equals the batch p26c answer for
+    * ANY micro-batch partitioning of the corpus (nearDupStep's
+    * scaladoc carries the argument; StreamingSpec pins it through a
+    * forced multi-batch drain). The keeper/band/reason state rides
+    * foreachBatch rather than a streaming aggregate because the
+    * near-dup stage needs a SECOND keyed grouping downstream of the
+    * keeper aggregate — beyond what chained stateful operators
+    * support in one Complete-mode query; foreachBatch with
+    * transactional state tables is the standard production shape for
+    * exactly this (the same slot d15's bloom state occupies). */
+  def curationNearDupStreamed(s: SparkSession, dir: String): DataFrame =
+    curationNearDupDrained(s, dir, maxFilesPerTrigger = None)._1
+
+  /** p27c with drain observability (the curationDrained convention):
+    * `maxFilesPerTrigger` forces a genuinely multi-batch drain; the
+    * second element counts data micro-batches. */
+  private[graft] def curationNearDupDrained(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): (DataFrame, Int) = {
+    import org.apache.spark.sql.streaming.Trigger
+    var state: Option[graft.rel.PipelineQueries.NearDupState] = None
+    val dataBatches = new java.util.concurrent.atomic.AtomicInteger
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try docsStream(s, dir, maxFilesPerTrigger).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          if (!df.isEmpty) {
+            state = Some(graft.rel.PipelineQueries.nearDupStep(state, df))
+            dataBatches.incrementAndGet()
+          }
+          ()
+        }
         .trigger(Trigger.AvailableNow())
         .start()
       catch { case e: Throwable =>
@@ -764,16 +860,14 @@ object Streaming {
       try q.awaitTermination()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       requireSourceDrained(drainStats(q), dir, "documents.parquet")
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      val out = s.table(name)
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-      (out, dataBatches)
-    } finally {
-      if (q.isActive) q.stop()
-      s.catalog.dropTempView(name)
-    }
+    } finally { if (q.isActive) q.stop() }
+    val st = state.getOrElse(
+      sys.error("p27c drained zero data micro-batches"))
+    val out = graft.rel.PipelineQueries.nearDupSnapshot(st)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    (out, dataBatches.get)
   }
 
   def exactlyOnceStreamed(s: SparkSession, dir: String,

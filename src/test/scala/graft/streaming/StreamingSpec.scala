@@ -462,6 +462,81 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("p27 restart: keeper state survives a kill between drains, on both providers") {
+    // the corpus-sized keeper state is what makes p27 the most
+    // state-heavy stateful class — a restart that loses or mis-merges
+    // it silently corrupts survivorship. Phase 1 drains everything
+    // EXCEPT the latest duplicate of every multi-doc digest group
+    // (plus one held-out singleton); the query is then gone — only the
+    // checkpoint carries offsets + keeper state. Phase 2 appends the
+    // held-out docs and restarts from the same checkpoint, so every
+    // one of those keeper decisions is made against RESTORED state:
+    // the late duplicates must lose to their restored keepers
+    // (min(struct) merged across the restart), the held-out singleton
+    // must appear as a NEW keeper, and the final snapshot must equal
+    // the batch DAG over the full corpus. Run on the default provider
+    // and on RocksDB — the backend p27's own scaladoc prescribes for
+    // corpus-sized state at 100 TB.
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val docs = Tables.documents(spark, sfDir)
+    val gop = graft.rel.PipelineQueries.curationGopher(docs)
+    val groups = gop.groupBy("dg")
+      .agg(max("doc_id").as("m"), count(lit(1)).as("c")).cache()
+    val dupLate = groups.filter(col("c") >= 2)
+      .select("m").collect().map(_.getLong(0)).toSet
+    assert(dupLate.nonEmpty,
+      "fixture has no duplicate digest groups — restart survivorship untested")
+    val want = graft.rel.PipelineQueries.curationFinal(
+        graft.rel.PipelineQueries.curationKeepers(gop))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // the held-out singleton must be a FINAL survivor (curationFinal
+    // filters keepers by quality and train-split bucket), or holding
+    // it out wouldn't change the phase-1 snapshot at all
+    val wantIds = want.map(_.head.asInstanceOf[Long]).toSet
+    val singles = groups.filter(col("c") === 1)
+      .select("m").collect().map(_.getLong(0)).filter(wantIds.contains)
+    assert(singles.nonEmpty,
+      "no singleton-digest doc survives curation — held-out path untested")
+    val singletonLate = singles.max
+    val lateIds = dupLate + singletonLate
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    for (provider <- Seq(None, Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider"))) {
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val root = java.nio.file.Files
+          .createTempDirectory("p27restart").toString
+        val src = s"$root/documents.parquet"
+        docs.filter(!col("doc_id").isin(lateIds.toSeq: _*))
+          .repartition(2).write.mode("overwrite").parquet(src)
+        val ckpt = s"$root/ckpt"
+        val (snap1df, _) =
+          Streaming.curationDrained(spark, root, Some(1), Some(ckpt))
+        val snap1 = snap1df.collect().map(_.toSeq).toSeq
+        assert(snap1.size == want.size - 1,
+          "phase 1 should hold every keeper except the held-out singleton")
+        docs.filter(col("doc_id").isin(lateIds.toSeq: _*))
+          .repartition(1).write.mode("append").parquet(src)
+        val (snap2df, _) =
+          Streaming.curationDrained(spark, root, Some(1), Some(ckpt))
+        val got = snap2df.collect().map(_.toSeq).toSeq
+        val tag = provider.map(_ => "rocksdb").getOrElse("default")
+        assert(got == want,
+          s"restarted p27 ($tag) diverged from the batch DAG")
+        assert(!dupLate.exists(id => got.exists(_.head == id)),
+          s"a late duplicate displaced its restored keeper ($tag)")
+        assert(got.exists(_.head == singletonLate),
+          s"the held-out singleton never became a keeper ($tag)")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    groups.unpersist()
+  }
+
   test("p16/p17: an empty stream RESULT is legitimate — only zero-input drains error") {
     // ADVICE fix: a corpus where no click precedes any purchase in the
     // horizon produces an EMPTY join output; the engine must hand that
