@@ -1583,7 +1583,7 @@ object Similarity {
     * alone (survivor-only exchange), since the audit only needs set
     * membership. The query side is the SAMPLED ids only (spec-pinned),
     * never the full production query set. */
-  private[rel] def bruteTopKSet(spark: SparkSession, dir: String,
+  private[graft] def bruteTopKSet(spark: SparkSession, dir: String,
       qids: Seq[Long], k: Int,
       corpusPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -2103,7 +2103,52 @@ object Similarity {
   /** [[Q s21_knn_join]]'s engine body: IVF-cell equi-join kNN between
     * the probe slice (vec_id % 10 = 0) and the corpus, folded into a
     * one-row measured contract. */
-  private[rel] def knnJoin(spark: SparkSession, dir: String, k: Int,
+  // -- clustered fixture (shared by SimilaritySpec and the 100x scale
+  // record tool) ---------------------------------------------------------
+
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def u01(h: Long): Double =
+    ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
+  private def fixtureGauss(seed: Long): Double = {
+    val u1 = u01(splitmix(seed * 2))
+    val u2 = u01(splitmix(seed * 2 + 1))
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** The production-shaped embedding fixture (SimilaritySpec's "s21
+    * clustered" measurement, generated DISTRIBUTED so the 100x size
+    * class doesn't build on the driver): a deterministic
+    * `nClusters`-component mixture of Gaussians on the unit sphere —
+    * centers near-orthogonal at d=64, sigma well under the
+    * inter-center gap, cluster membership striped (`vec_id %
+    * nClusters`) so every probe stride samples every cluster. Same
+    * seeds as the spec fixture: the first 20k vectors ARE the spec's
+    * rows. */
+  private[graft] def clusteredEmbeddings(spark: SparkSession, n: Long,
+      d: Int = 64, nClusters: Int = 64, sigma: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val centers = Array.tabulate(nClusters) { c =>
+      val raw = Array.tabulate(d)(j => fixtureGauss(0x5EED0000L + c * 1000L + j))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / nrm).toFloat)
+    }
+    val bc = spark.sparkContext.broadcast(centers)
+    spark.range(n).mapPartitions { it =>
+      val ctrs = bc.value
+      it.map { i =>
+        val ctr = ctrs((i % nClusters).toInt)
+        (i, Array.tabulate(d)(j =>
+          (ctr(j) + sigma * fixtureGauss(0xC1A55EDL + i * 64 + j)).toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  private[graft] def knnJoin(spark: SparkSession, dir: String, k: Int,
       precomputedN: Option[Long] = None,
       nProbeOverride: Option[Int] = None,
       embeddingsOverride: Option[DataFrame] = None): DataFrame = {

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The 100x-size-class record for the s21 clustered-probe claim.
+  *
+  * SimilaritySpec's "s21 clustered" measurement holds recall@10 ≥ 0.9
+  * at a 5.6% probe fraction on production-shaped (mixture-of-Gaussians)
+  * embeddings — but only at n=20k, the sf1 size class. This tool runs
+  * the IDENTICAL knnJoin plan on the SAME fixture definition
+  * ([[graft.rel.Similarity.clusteredEmbeddings]]) at the sf10 size
+  * class (n=500k, the driver fixture's 100x embedding count, where the
+  * isotropic corpus is quadratic-by-fixture and s21 is absent from the
+  * probe artifact), measures serve wall + recall@10 against exact brute
+  * force over the 32-probe audit stride, and prints one JSON line for
+  * the scale record (committed as bench_s21_clustered.json).
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.S21ClusteredScale"
+  *
+  * Env knobs: SPARK_GRAFT_S21_N (default 500000), SPARK_GRAFT_S21_DIR
+  * (fixture parquet location; default a temp dir), SPARK_GRAFT_CPUS.
+  */
+object S21ClusteredScale {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_S21_N", "500000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_S21_DIR",
+      java.nio.file.Files.createTempDirectory("s21scale").toString)
+    val k = 10
+    graft.rel.Similarity.clusteredEmbeddings(spark, n)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the spec's probe fraction, scaled: nList = ceil(sqrt(n)) (the
+    // knnJoin sizing rule), nProbe = nList/16
+    val nList = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = math.max(4, nList / 16)
+    val t0 = System.nanoTime()
+    val ann = graft.rel.Similarity
+      .knnJoin(spark, dir, k, precomputedN = Some(n),
+        nProbeOverride = Some(nProbe))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annSec = (System.nanoTime() - t0) / 1e9
+    // exact ground truth over the bounded audit stride (the spec's
+    // sampling rule at this n)
+    val qids = (0 until 32).map(i => (i.toLong * (n / 10) / 32) * 10)
+    val t1 = System.nanoTime()
+    val brute = graft.rel.Similarity.bruteTopKSet(spark, dir, qids, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val auditSec = (System.nanoTime() - t1) / 1e9
+    val recall = brute.count(ann.contains).toDouble / brute.length
+    println(f"""{"metric":"s21_clustered_scale","n":$n,"d":64,""" +
+      f""""n_clusters":64,"k":$k,"n_list":$nList,"n_probe":$nProbe,""" +
+      f""""probe_frac":${nProbe.toDouble / nList}%.4f,""" +
+      f""""ann_rows":${ann.size},"serve_sec":$annSec%.1f,""" +
+      f""""audit_sec":$auditSec%.1f,"recall_at_k":$recall%.4f}""")
+    spark.stop()
+  }
+}

@@ -595,32 +595,11 @@ class SimilaritySpec extends SparkSpec {
     // only the probe count drops 12x (107 -> 8), and recall against
     // exact brute force must still clear the 0.9 bar.
     import org.apache.spark.sql.functions.col
-    def splitmix(x0: Long): Long = {
-      var z = x0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    def u01(h: Long): Double = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
-    def gauss(seed: Long): Double = {
-      val u1 = u01(splitmix(seed * 2))
-      val u2 = u01(splitmix(seed * 2 + 1))
-      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
-    }
-    val n = 20000; val d = 64; val nClusters = 64; val sigma = 0.2
-    val centers = Array.tabulate(nClusters) { c =>
-      val raw = Array.tabulate(d)(j => gauss(0x5EED0000L + c * 1000L + j))
-      val nrm = math.sqrt(raw.map(x => x * x).sum)
-      raw.map(x => (x / nrm).toFloat)
-    }
-    val rows = (0 until n).map { i =>
-      val ctr = centers(i % nClusters)
-      (i.toLong, Array.tabulate(d)(j =>
-        (ctr(j) + sigma * gauss(0xC1A55EDL + i.toLong * 64 + j)).toFloat))
-    }
+    val n = 20000
     val dir = java.nio.file.Files.createTempDirectory("s21clustered").toString
-    import spark.implicits._
-    spark.createDataset(rows).toDF("vec_id", "embedding")
+    // generator shared with graft.tools.S21ClusteredScale (the 100x
+    // scale record) — one fixture definition for both size classes
+    Similarity.clusteredEmbeddings(spark, n)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val nList = math.ceil(math.sqrt(n.toDouble)).toInt // 142, the sf1 class
