@@ -552,25 +552,7 @@ object TextOps {
     // boundaries. If a future corpus closes the gap, quantize each
     // term to integer micro-nats and SUM as BIGINT (order-free),
     // dividing once at the end.
-    Q("t15_lm_perplexity",
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
-        |  FROM documents),
-        |uni AS (
-        |  SELECT tok, count(*) AS c1
-        |  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
-        |vv AS (SELECT count(*) AS v FROM uni),
-        |bi AS (
-        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
-        |  FROM toks, unnest(range(1, len(ts))) AS t(i)
-        |  WHERE len(ts) >= 2),
-        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
-        |scored AS (
-        |  SELECT b.doc_id, -ln((g.c2 + 0.5) / (u.c1 + 0.5 * vv.v)) AS nll
-        |  FROM bi b JOIN big g USING (w1, w2) JOIN uni u ON u.tok = b.w1
-        |  CROSS JOIN vv)
-        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Q("t15_lm_perplexity", lmPerplexityOracle) { (s, d) =>
       lmPerplexity(s, d)
     },
 
@@ -894,45 +876,7 @@ object TextOps {
     // hash-flipping (corpus margins measured >= 6e-4 at sf0.001/0.01).
     // Exact-zero totals are legitimate (token-less docs under equal
     // priors: ln(n)-ln(n) is exactly 0 in both engines) => pred 0.
-    Q("t22_nb_classifier",
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-        |    t -> length(t) > 0)) AS tok
-        |  FROM documents WHERE text IS NOT NULL),
-        |lab0 AS (
-        |  SELECT doc_id, CASE WHEN sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END)
-        |                    > sum(CASE WHEN tok = 'sort' THEN 1 ELSE 0 END)
-        |                 THEN 1 ELSE 0 END AS label
-        |  FROM toks GROUP BY 1),
-        |lab AS (
-        |  SELECT d.doc_id, coalesce(l.label, 0) AS label
-        |  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
-        |tr AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
-        |te AS (SELECT * FROM lab WHERE doc_id % 2 = 1),
-        |cls AS (SELECT
-        |  CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
-        |  FROM tr),
-        |tc AS (SELECT t.tok,
-        |  CAST(sum(CASE WHEN l.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        |  CAST(sum(CASE WHEN l.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
-        |  FROM toks t JOIN tr l ON t.doc_id = l.doc_id GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS t0,
-        |        CAST(sum(c1) AS BIGINT) AS t1,
-        |        CAST(count(*) AS BIGINT) AS v FROM tc),
-        |model AS (SELECT tok,
-        |  (ln(c1 + 1.0) - ln((SELECT t1 + v FROM tot)))
-        |  - (ln(c0 + 1.0) - ln((SELECT t0 + v FROM tot))) AS delta FROM tc),
-        |sc AS (SELECT te.doc_id, te.label,
-        |  (SELECT ln(n1) - ln(n0) FROM cls) + coalesce(sum(m.delta), 0.0)
-        |    AS total
-        |  FROM te
-        |  LEFT JOIN toks tk ON te.doc_id = tk.doc_id
-        |  LEFT JOIN model m ON tk.tok = m.tok
-        |  GROUP BY 1, 2)
-        |SELECT label, CASE WHEN total > 0 THEN 1 ELSE 0 END AS pred,
-        |  count(*) AS n_docs
-        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Q("t22_nb_classifier", nbClassifierOracle) { (s, d) =>
       nbClassifier(s, d)
     },
 
@@ -1141,6 +1085,24 @@ object TextOps {
             min("nll").as("lo_nll"), max("nll").as("hi_nll"),
             min("doc_id").as("sample_id"))
           .orderBy("lang", "bucket")
+    },
+
+    // The DISTRIBUTED-MODEL variants of t15 and t22 — the escape
+    // hatches the Heaps'-bound guards name for corpora whose
+    // vocabulary grows with the data (where broadcasting/collecting
+    // the model would grow the driver). Gated against the SAME oracle
+    // text as their executor-memory twins (the q32 salted-aggregation
+    // precedent: one semantic definition, two physical plans, both
+    // hash-checked). Scale shape: the model tables stay DataFrames
+    // end to end and scoring shuffle-joins the token keys — two
+    // corpus-sized exchanges the default paths never pay, which is
+    // why these are the fallback, not the default.
+    Q("t26_lm_distributed", lmPerplexityOracle) { (s, d) =>
+      lmPerplexityDistributed(s, d)
+    },
+
+    Q("t27_nb_distributed", nbClassifierOracle) { (s, d) =>
+      nbClassifierDistributed(s, d)
     }
   )
 
@@ -1253,6 +1215,71 @@ object TextOps {
         col("sc._2").as("logw"))
       .filter(col("n_grams") > 0)
   }
+
+  /** t22's oracle — shared verbatim by t27, the distributed-model
+    * variant (same precedent as [[lmPerplexityOracle]]). */
+  private lazy val nbClassifierOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    t -> length(t) > 0)) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |lab0 AS (
+      |  SELECT doc_id, CASE WHEN sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END)
+      |                    > sum(CASE WHEN tok = 'sort' THEN 1 ELSE 0 END)
+      |                 THEN 1 ELSE 0 END AS label
+      |  FROM toks GROUP BY 1),
+      |lab AS (
+      |  SELECT d.doc_id, coalesce(l.label, 0) AS label
+      |  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
+      |tr AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
+      |te AS (SELECT * FROM lab WHERE doc_id % 2 = 1),
+      |cls AS (SELECT
+      |  CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM tr),
+      |tc AS (SELECT t.tok,
+      |  CAST(sum(CASE WHEN l.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |  CAST(sum(CASE WHEN l.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM toks t JOIN tr l ON t.doc_id = l.doc_id GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS t0,
+      |        CAST(sum(c1) AS BIGINT) AS t1,
+      |        CAST(count(*) AS BIGINT) AS v FROM tc),
+      |model AS (SELECT tok,
+      |  (ln(c1 + 1.0) - ln((SELECT t1 + v FROM tot)))
+      |  - (ln(c0 + 1.0) - ln((SELECT t0 + v FROM tot))) AS delta FROM tc),
+      |sc AS (SELECT te.doc_id, te.label,
+      |  (SELECT ln(n1) - ln(n0) FROM cls) + coalesce(sum(m.delta), 0.0)
+      |    AS total
+      |  FROM te
+      |  LEFT JOIN toks tk ON te.doc_id = tk.doc_id
+      |  LEFT JOIN model m ON tk.tok = m.tok
+      |  GROUP BY 1, 2)
+      |SELECT label, CASE WHEN total > 0 THEN 1 ELSE 0 END AS pred,
+      |  count(*) AS n_docs
+      |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** t15's oracle — shared verbatim by t26, the distributed-model
+    * variant: one semantic definition gates both physical plans (the
+    * q32 salted-aggregation precedent). */
+  private lazy val lmPerplexityOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |uni AS (
+      |  SELECT tok, count(*) AS c1
+      |  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+      |vv AS (SELECT count(*) AS v FROM uni),
+      |bi AS (
+      |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |  FROM toks, unnest(range(1, len(ts))) AS t(i)
+      |  WHERE len(ts) >= 2),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT b.doc_id, -ln((g.c2 + 0.5) / (u.c1 + 0.5 * vv.v)) AS nll
+      |  FROM bi b JOIN big g USING (w1, w2) JOIN uni u ON u.tok = b.w1
+      |  CROSS JOIN vv)
+      |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Driver budget for the t15/t25 bigram-LM model tables: ~4M
     * distinct bigrams/unigrams (~150 MB of (w1, w2, c2) rows) —
