@@ -177,4 +177,74 @@ object ScaleOps {
     parted.unpersist()
     out
   }
+
+  /** Per-GROUP exclusive prefix sum of `valueCol` (long) in
+    * `orderCols` order within each `groupCol` (string) group, as the
+    * same distributed two-phase pass as [[prefixSum]]: range-partition
+    * on (group, order...), per-partition PER-GROUP subtotals collect
+    * to the driver (bounded by `partitions + distinct groups` entries
+    * — each partition holds at most one group that also appears in a
+    * later partition, so the list is partitions-many boundary groups
+    * plus one entry per wholly-contained group run), cumulative
+    * offsets broadcast back, second pass streams each partition once.
+    *
+    * The naive formulation — `sum() OVER (PARTITION BY group ORDER BY
+    * ...)` — funnels every row of a group through ONE reducer task,
+    * which is exactly the skew ceiling a training-data corpus hits at
+    * 100 TB (one dominant language = one task owning trillions of
+    * tokens). Range partitioning on (group, order) instead splits a
+    * big group across many partitions and the offset pass stitches the
+    * sums back; no task ever holds more than one partition's rows.
+    *
+    * Output: the input columns plus "cum_before" (the group's running
+    * token count BEFORE this row). All other columns ride along.
+    */
+  def groupedPrefixSum(df: DataFrame, groupCol: String,
+      orderCols: Seq[Column], valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols = col(groupCol) +: orderCols
+    val parted = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .cache() // both phases must see identical partitions
+    val gIdx = parted.schema.fieldIndex(groupCol)
+    val vIdx = parted.schema.fieldIndex(valueCol)
+    val subtotals = parted.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          m.update(r.getString(gIdx),
+            m.getOrElse(r.getString(gIdx), 0L) + r.getLong(vIdx))
+        }
+        m.iterator.map { case (g, s) => (pid, g, s) }
+      }
+      .collect()
+    // offsets(pid -> group -> sum of the group's subtotals in pid' < pid)
+    val byGroup = subtotals.groupBy(_._2)
+    val offsets: Map[Int, Map[String, Long]] = subtotals
+      .map { case (pid, g, _) =>
+        (pid, g, byGroup(g).iterator.filter(_._1 < pid).map(_._3).sum)
+      }
+      .groupBy(_._1)
+      .map { case (pid, xs) => pid -> xs.map(t => t._2 -> t._3).toMap }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = parted.schema
+      .add("cum_before", org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = parted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val run = scala.collection.mutable.HashMap.empty[String, Long]
+      bc.value.get(pid).foreach(run ++= _)
+      it.map { r =>
+        val g = r.getString(gIdx)
+        val p = run.getOrElse(g, 0L)
+        run.update(g, p + r.getLong(vIdx))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ p)
+      }
+    }
+    val out = spark.createDataFrame(rows, outSchema)
+      // materialize before unpersist so the cache isn't yanked from
+      // under a lazy consumer
+      .localCheckpoint()
+    parted.unpersist()
+    out
+  }
 }

@@ -1103,8 +1103,88 @@ object TextOps {
 
     Q("t27_nb_distributed", nbClassifierOracle) { (s, d) =>
       nbClassifierDistributed(s, d)
+    },
+
+    // Token-budget domain mixing — the corpus-assembly step after
+    // curation: given a total token budget (¼ of corpus tokens here)
+    // and sqrt-share mixing weights (the standard low-resource-language
+    // upweighting: budget_l ∝ √tokens_l), take each language's
+    // highest-quality documents (ttr DESC, doc_id tiebreak) until its
+    // budget is exhausted. The per-language cumulative token count is
+    // a groupedPrefixSum — range-partitioned two-phase, NOT a
+    // window(PARTITION BY lang): at 100 TB one dominant language
+    // would otherwise funnel through a single reducer task
+    // (PlanSpec pins the plan Window-free). Budgets are computed in
+    // pure 64-bit integer arithmetic with the overflow-safe split
+    // u·(B div S) + (u·(B mod S)) div S, bit-identical to the
+    // oracle's // and % — no floating-point boundary can flip a
+    // document at any scale.
+    Q("t28_token_budget_mix",
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+        |    len(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0)))::DOUBLE
+        |      / len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS ttr
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), t -> length(t) > 0)) > 0),
+        |lt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t FROM tok GROUP BY lang),
+        |u AS (SELECT lang, CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS u FROM lt),
+        |tots AS (SELECT CAST(sum(t) AS BIGINT) // 4 AS b FROM lt),
+        |us AS (SELECT CAST(sum(u) AS BIGINT) AS s FROM u),
+        |bud AS (SELECT lang, u * (b // s) + (u * (b % s)) // s AS budget
+        |  FROM u, tots, us),
+        |ord AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY ttr DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+        |  FROM tok)
+        |SELECT o.doc_id, o.lang, o.n_tokens, o.cum_before
+        |FROM ord o JOIN bud b ON o.lang = b.lang
+        |WHERE o.cum_before < b.budget
+        |ORDER BY o.doc_id""".stripMargin) { (s, d) =>
+      tokenBudgetMix(s, d)
     }
   )
+
+  /** t28 — see the registry comment. The oracle's window formulation
+    * IS the semantic definition; this is the scale-shaped plan: one
+    * corpus scan into (n_tokens, ttr), a lang-keyed aggregate for the
+    * sqrt-share budgets (langs-many rows — broadcasts), and the
+    * two-phase [[ScaleOps.groupedPrefixSum]] for the per-lang running
+    * token count. */
+  private[rel] def tokenBudgetMix(s: SparkSession, d: String): DataFrame = {
+    val w = tokens(col("text"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), w.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("n_tokens"),
+        // one division of exact integers — bit-identical across
+        // engines (the t02 note), so the ORDER the cumsum follows
+        // cannot diverge from the oracle's
+        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("ttr"))
+    // langs-sized (5 rows at any sf) — cut so the budget arithmetic's
+    // THREE consumers (u, total, u-sum) reuse one materialization
+    // instead of re-running the corpus tokenize+aggregate each
+    val lt = Lineage.cut(tok.groupBy("lang").agg(sum("n_tokens").as("t")))
+    val u = Lineage.cut(lt.select(col("lang"),
+      floor(sqrt(col("t").cast("double"))).as("u")))
+    val budgets = u
+      .crossJoin(broadcast(lt.agg(expr("sum(t) div 4").as("b"))))
+      .crossJoin(broadcast(u.agg(sum(col("u")).as("s"))))
+      .select(col("lang"),
+        // overflow-safe ⌊B·u/S⌋: u·(B div S) + ⌊u·(B mod S)/S⌋ —
+        // u·(B mod S) ≤ u·S which is ~(√T)² = T, far under 2⁶³ even
+        // at 100 TB, where the naive B·u product would overflow
+        (col("u") * expr("b div s") + expr("(u * (b % s)) div s"))
+          .as("budget"))
+    val cum = ScaleOps.groupedPrefixSum(tok, "lang",
+      Seq(col("ttr").desc, col("doc_id")), "n_tokens")
+    cum.join(broadcast(budgets), Seq("lang"))
+      .filter(col("cum_before") < col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+      .orderBy("doc_id")
+  }
 
   private[rel] val DsirBuckets = 128
 

@@ -43,10 +43,16 @@ object S21ClusteredScale {
     val nList = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nProbe = math.max(4, nList / 16)
     val t0 = System.nanoTime()
-    val ann = graft.rel.Similarity
+    // persist + count forces the full serve without pulling the n·k
+    // result to the driver (at n=500k that is 5M pairs — harmless
+    // here, but the measurement tool should model the production
+    // posture: results stay distributed, only the bounded audit
+    // stride collects)
+    val annDf = graft.rel.Similarity
       .knnJoin(spark, dir, k, precomputedN = Some(n),
         nProbeOverride = Some(nProbe))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .persist()
+    val annRows = annDf.count()
     val annSec = (System.nanoTime() - t0) / 1e9
     // exact ground truth over the bounded audit stride (the spec's
     // sampling rule at this n)
@@ -55,11 +61,17 @@ object S21ClusteredScale {
     val brute = graft.rel.Similarity.bruteTopKSet(spark, dir, qids, k)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val auditSec = (System.nanoTime() - t1) / 1e9
+    // only the audit stride's ANN rows come to the driver: 32·k pairs
+    val qidSet = qids.toSet
+    val ann = annDf
+      .filter(org.apache.spark.sql.functions.col(annDf.columns.head)
+        .isInCollection(qidSet))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(ann.contains).toDouble / brute.length
     println(f"""{"metric":"s21_clustered_scale","n":$n,"d":64,""" +
       f""""n_clusters":64,"k":$k,"n_list":$nList,"n_probe":$nProbe,""" +
       f""""probe_frac":${nProbe.toDouble / nList}%.4f,""" +
-      f""""ann_rows":${ann.size},"serve_sec":$annSec%.1f,""" +
+      f""""ann_rows":$annRows,"serve_sec":$annSec%.1f,""" +
       f""""audit_sec":$auditSec%.1f,"recall_at_k":$recall%.4f}""")
     spark.stop()
   }

@@ -118,6 +118,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("t28: per-lang token cumsum is the two-phase prefix sum — no Window, no single-partition funnel") {
+    val p = plan("t28_token_budget_mix")
+    // window(PARTITION BY lang) would put one language's whole corpus
+    // on one reducer task; the groupedPrefixSum result arrives as a
+    // pre-materialized two-phase pass instead (the only remaining
+    // scalar reductions fold the langs-sized budget table, never the
+    // corpus)
+    assert(!p.contains("Window"), p)
+    // budgets arrive by broadcast — the corpus never shuffle-joins a
+    // langs-sized table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the budget arithmetic reuses one langs-sized materialization —
+    // no corpus FileScan may survive into the gate plan (both corpus
+    // passes happen inside the bounded cut / two-phase prefix sum)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q24: stratified sample selects through the native bounded top-k, not a full window sort") {
     val p = plan("q24_stratified_sample")
     // selection = TopKPerKey partial heaps + key-clustered final merge;

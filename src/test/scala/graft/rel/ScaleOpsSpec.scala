@@ -69,6 +69,28 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("groupedPrefixSum equals the window formulation, groups split across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // two dominant groups (the skew shape the operator exists for) +
+    // a tail of singletons; low partition sizes force both dominant
+    // groups to straddle range-partition boundaries
+    val rows = (0 until 2000).map { i =>
+      val g = if (i < 900) "en" else if (i < 1800) "zh" else s"g$i"
+      (i.toLong, g, (i % 11 + 1).toLong, (i % 13).toDouble / 13.0)
+    }
+    val df = rows.toDF("id", "g", "v", "q").repartition(32)
+    val got = ScaleOps.groupedPrefixSum(df, "g",
+      Seq(col("q").desc, col("id")), "v")
+      .select("id", "cum_before").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("cum_before",
+      sum("v").over(W.partitionBy("g").orderBy(col("q").desc, col("id"))
+        .rowsBetween(W.unboundedPreceding, -1)))
+      .na.fill(0L, Seq("cum_before"))
+      .select("id", "cum_before").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = li.groupBy("l_returnflag")

@@ -749,4 +749,45 @@ class TrainingDataOpsSpec extends SparkSpec {
       assert(c >= lo && c <= hi, s"bin $b keeper $keeper n_chars $c outside [$lo,$hi]")
     }
   }
+
+  test("t28 token-budget mix: greedy-by-quality per lang, budgets exact, maximal") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.tokenBudgetMix(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // in-memory reference: same tokenizer/quality/order, same
+    // integer-split budget formula
+    val toks = docs.map { case (id, t) =>
+      (id, t.split(" ").filter(_.nonEmpty))
+    }.filter(_._2.nonEmpty)
+    val langOf = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = toks.map { case (id, w) =>
+      (id, langOf(id), w.length.toLong, w.distinct.length.toDouble / w.length)
+    }
+    val tByLang = perDoc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val b = tByLang.values.sum / 4
+    val uByLang = tByLang.view.mapValues(t => math.floor(math.sqrt(t.toDouble)).toLong).toMap
+    val s0 = uByLang.values.sum
+    val budget = uByLang.map { case (l, u) => l -> (u * (b / s0) + u * (b % s0) / s0) }
+    val want = perDoc.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(x => (-x._4, x._1)).flatMap { case (id, _, n, _) =>
+        val keep = cum < budget(lang)
+        val r = if (keep) Some((id, lang, n, cum)) else None
+        cum += n
+        r
+      }
+    }.toSet
+    assert(got.toSet == want, s"got ${got.length} rows, want ${want.size}")
+    // each lang stops within one doc of its budget (greedy maximality)
+    got.groupBy(_._2).foreach { case (lang, sel) =>
+      val kept = sel.map(_._3).sum
+      assert(sel.forall(_._4 < budget(lang)))
+      // the last kept doc started under budget; total tokens of the
+      // lang either exhaust it or the next doc would overshoot
+      assert(kept >= math.min(budget(lang), tByLang(lang)),
+        s"$lang kept $kept < budget ${budget(lang)}")
+    }
+  }
 }
