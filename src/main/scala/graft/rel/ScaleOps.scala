@@ -178,6 +178,14 @@ object ScaleOps {
     out
   }
 
+  /** Cap on the driver-collected (partition, group, subtotal) list in
+    * [[groupedPrefixSum]]. The list is bounded by partitions + distinct
+    * groups; at 1M entries × ~64 bytes that is ~64 MB of driver heap —
+    * far above any sane grouping column (languages, domains-of-interest)
+    * and far below where the driver falls over, so the failure is loud
+    * while legitimate callers never see it. */
+  val GroupedPrefixMaxSubtotals: Int = 1 << 20
+
   /** Per-GROUP exclusive prefix sum of `valueCol` (long) in
     * `orderCols` order within each `groupCol` (string) group, as the
     * same distributed two-phase pass as [[prefixSum]]: range-partition
@@ -198,9 +206,26 @@ object ScaleOps {
     *
     * Output: the input columns plus "cum_before" (the group's running
     * token count BEFORE this row). All other columns ride along.
+    *
+    * The driver-collected subtotal list is capped at
+    * `maxDriverSubtotals` entries (default [[GroupedPrefixMaxSubtotals]])
+    * — keying on an unbounded column (domain, url) fails loudly rather
+    * than growing the driver heap silently.
     */
   def groupedPrefixSum(df: DataFrame, groupCol: String,
-      orderCols: Seq[Column], valueCol: String): DataFrame = {
+      orderCols: Seq[Column], valueCol: String,
+      maxDriverSubtotals: Int = GroupedPrefixMaxSubtotals): DataFrame = {
+    require(!df.columns.contains("cum_before"),
+      "groupedPrefixSum: input already has a 'cum_before' column — " +
+        "rename or drop it before calling (the output column would collide)")
+    require(df.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"groupedPrefixSum: groupCol '$groupCol' must be StringType, got " +
+        df.schema(groupCol).dataType.simpleString)
+    require(df.schema(valueCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"groupedPrefixSum: valueCol '$valueCol' must be LongType, got " +
+        df.schema(valueCol).dataType.simpleString)
     val spark = df.sparkSession
     val sortCols = col(groupCol) +: orderCols
     val parted = df
@@ -219,12 +244,30 @@ object ScaleOps {
         m.iterator.map { case (g, s) => (pid, g, s) }
       }
       .collect()
-    // offsets(pid -> group -> sum of the group's subtotals in pid' < pid)
-    val byGroup = subtotals.groupBy(_._2)
+    // The driver-side list is bounded by partitions + distinct groups
+    // (see scaladoc), but a caller keying on an UNBOUNDED column
+    // (domain, url) would grow it silently — fail loudly instead,
+    // the LmMaxModelRows discipline.
+    require(subtotals.length <= maxDriverSubtotals,
+      s"groupedPrefixSum: ${subtotals.length} per-partition group " +
+        s"subtotals exceed maxDriverSubtotals=$maxDriverSubtotals — the " +
+        s"group column '$groupCol' has too many distinct values for a " +
+        "driver-collected offset table; raise the cap only if the driver " +
+        "heap can hold it, or pre-aggregate the group key")
+    // offsets(pid -> group -> sum of the group's subtotals in pid' < pid):
+    // per group, sort its subtotals by pid once and scanLeft the running
+    // sum — O(P log P) per group, not O(P^2) re-scans
     val offsets: Map[Int, Map[String, Long]] = subtotals
-      .map { case (pid, g, _) =>
-        (pid, g, byGroup(g).iterator.filter(_._1 < pid).map(_._3).sum)
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (g, entries) =>
+        val sorted = entries.sortBy(_._1)
+        val cum = sorted.scanLeft(0L)((acc, e) => acc + e._3)
+        sorted.iterator.zip(cum.iterator).map { case ((pid, _, _), before) =>
+          (pid, g, before)
+        }
       }
+      .toArray
       .groupBy(_._1)
       .map { case (pid, xs) => pid -> xs.map(t => t._2 -> t._3).toMap }
     val bc = spark.sparkContext.broadcast(offsets)

@@ -449,6 +449,29 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("t26/t27: the distributed-model variants never collect the model") {
+    // TrainingDataOpsSpec pins row-for-row equality with broadcast
+    // globally off; this pins the DEFAULT-CONFIG registry plan so a
+    // future "optimization" cannot silently collect the model tables
+    // to the driver (a LocalTableScan is lmCollectModel's signature —
+    // the exact thing these fallbacks exist to avoid). The model may
+    // legitimately arrive at the join via a BroadcastExchange over the
+    // distributed aggregate at gate scale — that is the planner sizing
+    // a small relation, not a driver collect — but it must stay a
+    // DataFrame end to end: aggregates in-plan, zero local relations.
+    for (q <- Seq("t26_lm_distributed", "t27_nb_distributed")) {
+      val p = plan(q)
+      assert(!p.contains("LocalTableScan"),
+        s"$q: model was collected to the driver —\n$p")
+      // the model aggregates execute inside this plan (collect-once
+      // would leave only the scoring aggregate pair, t15's shape)
+      val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+      assert(aggs > 2, s"$q: expected model aggregates in-plan, got $aggs:\n$p")
+      // scoring joins the token keys
+      assert(p.contains("Join"), s"$q: no token-key join in plan:\n$p")
+    }
+  }
+
   test("s21/t24/s20: the round-8 additions keep cartesians and corpus sorts out") {
     // s21: candidate fetch is an equi-join on the IVF cell + native
     // TopKPerKey — never a cartesian or nested-loop pair space

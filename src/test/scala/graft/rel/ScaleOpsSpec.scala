@@ -91,6 +91,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("groupedPrefixSum guards: column collision, types, driver-subtotal cap") {
+    import spark.implicits._
+    val df = Seq((1L, "en", 3L), (2L, "zh", 5L)).toDF("id", "g", "v")
+    // pre-existing cum_before column collides with the output
+    val clash = intercept[IllegalArgumentException] {
+      ScaleOps.groupedPrefixSum(df.withColumn("cum_before", col("v")),
+        "g", Seq(col("id")), "v")
+    }
+    assert(clash.getMessage.contains("cum_before"))
+    // group column must be StringType
+    val badG = intercept[IllegalArgumentException] {
+      ScaleOps.groupedPrefixSum(df, "id", Seq(col("id")), "v")
+    }
+    assert(badG.getMessage.contains("StringType"))
+    // value column must be LongType
+    val badV = intercept[IllegalArgumentException] {
+      ScaleOps.groupedPrefixSum(df.withColumn("v", col("v").cast("int")),
+        "g", Seq(col("id")), "v")
+    }
+    assert(badV.getMessage.contains("LongType"))
+    // an unbounded group key trips the driver-subtotal cap loudly
+    val wide = (0 until 64).map(i => (i.toLong, s"url$i", 1L))
+      .toDF("id", "g", "v")
+    val cap = intercept[IllegalArgumentException] {
+      ScaleOps.groupedPrefixSum(wide, "g", Seq(col("id")), "v",
+        maxDriverSubtotals = 16)
+    }
+    assert(cap.getMessage.contains("maxDriverSubtotals"))
+    // and the default cap leaves legitimate callers untouched
+    assert(ScaleOps.groupedPrefixSum(wide, "g", Seq(col("id")), "v")
+      .count() == 64)
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = li.groupBy("l_returnflag")
