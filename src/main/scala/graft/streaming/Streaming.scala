@@ -833,26 +833,41 @@ object Streaming {
 
   /** p27c with drain observability (the curationDrained convention):
     * `maxFilesPerTrigger` forces a genuinely multi-batch drain; the
-    * second element counts data micro-batches. */
+    * second element counts data micro-batches. `checkpoint` +
+    * `stateRoot` together make the drain RESTARTABLE: the checkpoint
+    * carries the source offsets, the [[graft.rel.PipelineQueries
+    * .NearDupStore]] at `stateRoot` carries the marker-committed
+    * per-batch state deltas, and a fresh call with the same pair
+    * restores the fold exactly (kill-and-restart spec-pinned in
+    * IncrementalCurationSpec). Defaults keep the registry gate
+    * run-scoped: a fresh temp state root per call. */
   private[graft] def curationNearDupDrained(s: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int]): (DataFrame, Int) = {
+      maxFilesPerTrigger: Option[Int], checkpoint: Option[String] = None,
+      stateRoot: Option[String] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
+    val store = graft.rel.PipelineQueries.NearDupStore(stateRoot.getOrElse(
+      java.nio.file.Files.createTempDirectory("p27c-state").toString))
+    // the hot state starts empty on every call — after a restart the
+    // first delivered batch restores it from the committed deltas
     var state: Option[graft.rel.PipelineQueries.NearDupState] = None
     val dataBatches = new java.util.concurrent.atomic.AtomicInteger
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
-      try docsStream(s, dir, maxFilesPerTrigger).writeStream
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          if (!df.isEmpty) {
-            state = Some(graft.rel.PipelineQueries.nearDupStep(state, df))
-            dataBatches.incrementAndGet()
+      try {
+        val w0 = docsStream(s, dir, maxFilesPerTrigger).writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], batchId: Long) =>
+            if (!df.isEmpty) {
+              state = Some(graft.rel.PipelineQueries.nearDupStep(
+                store, state, batchId, df))
+              dataBatches.incrementAndGet()
+            }
+            ()
           }
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
+          .trigger(Trigger.AvailableNow())
+        checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+      }
       catch { case e: Throwable =>
         s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
       }
@@ -861,7 +876,10 @@ object Streaming {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       requireSourceDrained(drainStats(q), dir, "documents.parquet")
     } finally { if (q.isActive) q.stop() }
-    val st = state.getOrElse(
+    // a restarted drain may deliver ZERO new batches (everything was
+    // committed before the kill) — the snapshot then comes entirely
+    // from the restored store
+    val st = state.orElse(store.restore(s)).getOrElse(
       sys.error("p27c drained zero data micro-batches"))
     val out = graft.rel.PipelineQueries.nearDupSnapshot(st)
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))

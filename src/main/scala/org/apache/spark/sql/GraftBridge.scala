@@ -39,4 +39,17 @@ object GraftBridge {
     * whatever happens to have drained */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** The files each FileSourceScanExec in a plan will ACTUALLY read
+    * after static partition pruning (`selectedPartitions` is
+    * private[sql]) — `df.inputFiles` lists the whole FileIndex and so
+    * cannot prove a pruning claim; specs that pin PartitionFilters
+    * behavior (s15's cell prune, p27c's band-group prune) need the
+    * post-prune listing. */
+  def prunedInputFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray
+          .map(_.urlEncodedPath).toSeq
+    }.flatten
 }

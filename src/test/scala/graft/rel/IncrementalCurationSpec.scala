@@ -50,8 +50,15 @@ class IncrementalCurationSpec extends SparkSpec {
       "simhash vote margins degenerate for this fixture"))
   }
 
-  test("p27c multi-batch: cross-batch drops, retroactive drops, and reason invalidation") {
-    import spark.implicits._
+  /** The crafted cross-batch corpus: every id named, every Hamming ≤ 3
+    * pair intended (loudly re-verified), plus the four-batch
+    * partitioning that forces each cross-batch code path. */
+  private case class Fixture(a: Long, c: Long, b: Long, d: Long,
+      k1: Long, c2: Long, k0: Long, fillers: Vector[Long],
+      docs: scala.collection.immutable.ListMap[Long, Vector[String]],
+      batches: Seq[Seq[Long]])
+
+  private def buildFixture(): Fixture = {
     // ids all from the train-split shard so every survivorship
     // decision is attributable to dedup stages, never the split
     val pool = (1L to 3000L).filter(splitBucket(_) < 8).toVector
@@ -83,27 +90,41 @@ class IncrementalCurationSpec extends SparkSpec {
       if (!intended((x, y)))
         require(java.lang.Long.bitCount(sims(x) ^ sims(y)) > 3,
           s"fixture degenerate: unintended near-pair ($x, $y)")
-    // four batches as four part files with strictly increasing mtimes
-    // (the file source drains oldest-first under maxFilesPerTrigger=1)
-    val root = java.nio.file.Files.createTempDirectory("p27c").toString
-    val src = s"$root/documents.parquet"
     val batches = Seq(
       Seq(a, k1) ++ fillers.slice(0, 8),
       Seq(b, c2) ++ fillers.slice(8, 16),
       Seq(c) ++ fillers.slice(16, 24),
       Seq(d, k0) ++ fillers.slice(24, 30))
+    Fixture(a, c, b, d, k1, c2, k0, fillers,
+      scala.collection.immutable.ListMap.from(docs), batches)
+  }
+
+  /** Append the given batches as part files with strictly increasing
+    * mtimes (the file source drains oldest-first under
+    * maxFilesPerTrigger=1); `firstIdx` keeps mtimes monotone across
+    * two-phase writes. */
+  private def writeBatches(fx: Fixture, src: String,
+      batchIdxs: Seq[Int]): Unit = {
+    import spark.implicits._
     val t0 = System.currentTimeMillis() - 3600 * 1000L
     def partFiles(): Set[java.io.File] =
       Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet")).toSet
-    batches.zipWithIndex.foreach { case (ids, i) =>
+    batchIdxs.foreach { i =>
       val before = partFiles()
-      ids.map(id => (id, docs(id).mkString(" ")))
+      fx.batches(i).map(id => (id, fx.docs(id).mkString(" ")))
         .toDF("doc_id", "text")
         .repartition(1).write.mode("append").parquet(src)
       (partFiles() -- before).foreach(f =>
         assert(f.setLastModified(t0 + i * 60000L)))
     }
+  }
+
+  test("p27c multi-batch: cross-batch drops, retroactive drops, and reason invalidation") {
+    val fx = buildFixture()
+    import fx._
+    val root = java.nio.file.Files.createTempDirectory("p27c").toString
+    writeBatches(fx, s"$root/documents.parquet", 0 until 4)
     val (got, dataBatches) = graft.streaming.Streaming
       .curationNearDupDrained(spark, root, maxFilesPerTrigger = Some(1))
     assert(dataBatches == 4,
@@ -129,6 +150,129 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(fillers.forall(ids), "a filler singleton was lost")
   }
 
+  test("p27c restart: keeper/band/reason state survives a kill between drains, on both providers") {
+    // the NearDupState deltas are marker-committed to the store per
+    // batch, so a driver restart restores the fold exactly. Phase 1
+    // drains the first two crafted batches and the query DIES (the hot
+    // state is a local var of the drain call — gone); phase 2 appends
+    // the two batches that retroactively drop phase-1 keepers and
+    // re-drains from the SAME checkpoint + state root, so every
+    // cross-batch decision (forward drop, retroactive drop, keeper
+    // replacement + reason invalidation) is made against RESTORED
+    // state. Final snapshot must equal the batch p26c DAG — the same
+    // bar the single-run spec holds. Run on both state-store providers
+    // (the house restart convention; p27c's own state rides the store,
+    // not the provider, so this also pins provider-independence).
+    val fx = buildFixture()
+    import fx._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    for (provider <- Seq(None, Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider"))) {
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val root = java.nio.file.Files
+          .createTempDirectory("p27c-restart").toString
+        val src = s"$root/documents.parquet"
+        val ckpt = Some(s"$root/ckpt")
+        val stRoot = Some(s"$root/state")
+        writeBatches(fx, src, Seq(0, 1))
+        val (snap1, n1) = graft.streaming.Streaming.curationNearDupDrained(
+          spark, root, maxFilesPerTrigger = Some(1), ckpt, stRoot)
+        assert(n1 == 2, s"phase 1 drained $n1 data micro-batches, expected 2")
+        val ids1 = snap1.collect().map(_.getLong(0)).toSet
+        // phase-1 truth: b and k1 are still keepers (their dooms — d
+        // and k0 — arrive after the restart)
+        assert(ids1(b) && ids1(k1) && ids1(a) && !ids1(c2),
+          s"phase-1 snapshot wrong: $ids1")
+        writeBatches(fx, src, Seq(2, 3))
+        val (snap2, n2) = graft.streaming.Streaming.curationNearDupDrained(
+          spark, root, maxFilesPerTrigger = Some(1), ckpt, stRoot)
+        assert(n2 == 2, s"phase 2 drained $n2 data micro-batches, expected 2")
+        val got = snap2.collect().map(_.toSeq).toSeq
+        val want = PipelineQueries.curationFinal(
+            PipelineQueries.curationNearDupSurvivors(spark, root))
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("n_tokens")
+              .cast("long").as("n_tokens"))
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        val tag = provider.map(_ => "rocksdb").getOrElse("default")
+        assert(got == want,
+          s"restarted p27c ($tag) diverged from the batch p26c DAG")
+        val ids = got.map(_.head.asInstanceOf[Long]).toSet
+        assert(ids(a) && !ids(c), s"forward drop lost across restart ($tag)")
+        assert(ids(d) && !ids(b),
+          s"retroactive drop failed against restored state ($tag)")
+        assert(!ids(k1) && ids(k0) && ids(c2),
+          s"keeper replacement / reason invalidation broke across restart ($tag)")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("p27c re-delivery of a committed batch no-ops on the marker") {
+    import spark.implicits._
+    val store = PipelineQueries.NearDupStore(java.nio.file.Files
+      .createTempDirectory("p27c-redeliver").toString)
+    val batch0 = (1L to 10L).map(i => (i, tokensFor(i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val st0 = PipelineQueries.nearDupStep(store, None, 0L, batch0)
+    val k0 = st0.keepers.collect().map(_.toSeq).toSet
+    // the at-least-once retry: same batch id again — state unchanged,
+    // and the step must not double-commit (still exactly one marker)
+    val st1 = PipelineQueries.nearDupStep(store, Some(st0), 0L, batch0)
+    assert(st1.keepers.collect().map(_.toSeq).toSet == k0)
+    assert(store.committedIds(spark) == Seq(0L),
+      "re-delivery created a second commit")
+    // and a RESTARTED re-delivery (no hot state) restores, then no-ops
+    val st2 = PipelineQueries.nearDupStep(store, None, 0L, batch0)
+    assert(st2.keepers.collect().map(_.toSeq).toSet == k0)
+  }
+
+  test("p27c band probe prunes the stored index to the batch's band groups") {
+    import spark.implicits._
+    // two committed batches, then a probe for a strict subset of the
+    // band groups: the scan must carry a static PartitionFilters
+    // predicate on bgrp and list ONLY the probed groups' files — the
+    // s15 discipline applied to the near-dup index (at 100 TB of
+    // accumulated signatures the unpruned scan is the bill)
+    val store = PipelineQueries.NearDupStore(java.nio.file.Files
+      .createTempDirectory("p27c-prune").toString)
+    val b0 = (1L to 40L).map(i => (i, tokensFor(i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val b1 = (101L to 140L).map(i => (i, tokensFor(i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val st0 = PipelineQueries.nearDupStep(store, None, 0L, b0)
+    PipelineQueries.nearDupStep(store, Some(st0), 1L, b1)
+    val allGrps = store.readBands(spark, (0 until 256).toSeq)
+      .select("bucket").as[Long].collect()
+      .map(b => (b >> 10).toInt).distinct.sorted
+    assert(allGrps.length >= 2, "fixture spans too few band groups to prune")
+    val probe = allGrps.take(allGrps.length / 2).toSeq
+    val df = store.readBands(spark, probe)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bgrp"),
+      s"probe scan carries no bgrp partition predicate:\n$plan")
+    // file-listing proof, stronger than the plan string: every file
+    // the pruned scan will ACTUALLY read (post-prune selection —
+    // df.inputFiles lists the whole index and can't prove this) lives
+    // under a probed bgrp= directory
+    val files = org.apache.spark.sql.GraftBridge.prunedInputFiles(df)
+    assert(files.nonEmpty)
+    val probed = probe.map(g => s"bgrp=$g/").toSet
+    assert(files.forall(f => probed.exists(f.contains)),
+      s"pruned probe read an unprobed partition:\n${files.mkString("\n")}")
+    // and the pruned result equals the full read filtered after the fact
+    val want = store.readBands(spark, (0 until 256).toSeq)
+      .filter((org.apache.spark.sql.functions.shiftright(
+        org.apache.spark.sql.functions.col("bucket"), 10))
+        .isin(probe.map(_.toLong): _*))
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == want)
+  }
+
   test("p27c per-batch shuffle scales with the batch, not the accumulated state") {
     import spark.implicits._
     // same batch stepped into a 1x and a 10x state: the d16 discipline
@@ -152,12 +296,14 @@ class IncrementalCurationSpec extends SparkSpec {
     val batch = (1L to 20L).map(i => (i, tokensFor(i).mkString(" ")))
       .toDF("doc_id", "text")
     def stepShuffle(stateDocs: Int): Long = {
-      val st0 = PipelineQueries.nearDupStep(None, corpus(stateDocs))
+      val store = PipelineQueries.NearDupStore(java.nio.file.Files
+        .createTempDirectory("p27c-shuffle").toString)
+      val st0 = PipelineQueries.nearDupStep(store, None, 0L, corpus(stateDocs))
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       spark.sparkContext.addSparkListener(l)
       shuffled.set(0L)
       try {
-        PipelineQueries.nearDupStep(Some(st0), batch)
+        PipelineQueries.nearDupStep(store, Some(st0), 1L, batch)
         org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
         shuffled.get
       } finally spark.sparkContext.removeSparkListener(l)
