@@ -212,12 +212,26 @@ object Bench {
     // auditable next to the calibration
     val iterative = Set("d07_dedup_clusters", "d14_dedup_materialize",
       "d17_dup_weights", "q38_pagerank")
+    // streaming-trigger cells: each starts a real streaming query
+    // (AvailableNow drain), whose fixed trigger/checkpoint overhead is
+    // a per-attempt lottery the same way the iterative loops' rounds
+    // are (r10 measured p12 swinging 1.9 -> 4.5s on untouched code
+    // with no trace to prove the variance) — they get the same
+    // attempt-trace + second-window treatment, with a slightly
+    // lighter budget (2..4 attempts vs 3..5: one trigger, not N loop
+    // rounds)
+    val streamingTrigger = Set("p12_stream_windowed",
+      "p16_stream_attribution", "p17_stream_dedup", "p21_stream_sessions",
+      "p23_exactly_once", "p24_stream_enrich", "p27_stream_curation",
+      "p27c_stream_neardup")
+    val traced = iterative ++ streamingTrigger
     val attemptLog =
       scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
-      val maxAttempts = if (iterative(name)) 5 else 2
+      val maxAttempts =
+        if (iterative(name)) 5 else if (streamingTrigger(name)) 4 else 2
       val minAttempts = if (iterative(name)) 3 else 2
       // ANY attempt failing marks the query failed: a pass-then-throw
       // is rerun-instability (leaked state, fixture race) that a
@@ -239,12 +253,13 @@ object Bench {
         }
         i += 1
       }
-      if (iterative(name)) attemptLog(name) = times.reverse
+      if (traced(name)) attemptLog(name) = times.reverse
       val v = bad.orElse(kept).get
       (name, bad.isEmpty, (v._2, v._3, v._4, v._5))
     }
     val results0 = runs.collect { case (name, true, v) => name -> v }.toMap
-    // SECOND-WINDOW revisit for the iterative set: their back-to-back
+    // SECOND-WINDOW revisit for the traced set (iterative + streaming-
+    // trigger): their back-to-back
     // attempts all sit inside one host-contention burst window, so an
     // invocation that lands on a noisy minute records a uniformly slow
     // plateau no matter how many attempts it takes (measured: plateau
@@ -256,7 +271,7 @@ object Bench {
     // is the same rerun-instability the main loop surfaces.
     val lateFailed = scala.collection.mutable.ListBuffer.empty[String]
     val results = results0.map { case (name, v) =>
-      if (!iterative(name)) name -> v
+      if (!traced(name)) name -> v
       else {
         val r = runOnce(name, SparkEntry.queries(name))
         if (r._1) {

@@ -1057,14 +1057,23 @@ object TextOps {
             col("bg.0").as("w1"), col("bg.1").as("w2"))
         val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val (bigL, uniL, v) = lmCollectModel(s, big, uni)
-        // t15's scoring pass verbatim, with lang riding the doc key
-        val doc = bi.join(broadcast(bigL), Seq("w1", "w2"))
-          .join(broadcast(uniL.withColumnRenamed("tok", "w1")), Seq("w1"))
-          .select(col("doc_id"), col("lang"),
-            (-log((col("c2") + 0.5) / (col("c1") + lit(v) * 0.5)))
-              .as("nll"))
-          .groupBy("doc_id", "lang")
-          .agg(round(avg(col("nll")), 4).as("nll"))
+        // t15's scoring pass verbatim, with lang riding the doc key.
+        // The per-doc score frame feeds BOTH the histogram (broadcast
+        // back) and the final tier join, and AQE does NOT reuse the
+        // shared exchange across the broadcast boundary here (measured
+        // on the executed plan: 0 ReusedExchange, 2 corpus scans) — so
+        // without a cut the corpus tokenize/explode/score runs once
+        // PER CONSUMER. Cut it: the materialized frame is one narrow
+        // row per document (doc_id, lang, nll — the t13 class), cheap
+        // at any scale, and the explode drops from 2 passes to 1.
+        val doc = Lineage.cut(
+          bi.join(broadcast(bigL), Seq("w1", "w2"))
+            .join(broadcast(uniL.withColumnRenamed("tok", "w1")), Seq("w1"))
+            .select(col("doc_id"), col("lang"),
+              (-log((col("c2") + 0.5) / (col("c1") + lit(v) * 0.5)))
+                .as("nll"))
+            .groupBy("doc_id", "lang")
+            .agg(round(avg(col("nll")), 4).as("nll")))
         // domain-bounded score histogram + cumulative rank (the t24
         // class — the window runs over the histogram, not the corpus)
         val hist = doc.groupBy("lang", "nll").agg(count(lit(1)).as("c"))
