@@ -273,6 +273,68 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(df.collect().map(_.toSeq).toSet == want)
   }
 
+  test("p27c compaction folds the store without changing any answer") {
+    // the s23 discipline applied to the near-dup state: readBands'
+    // union fan-in and restore's dir count grow with batch count until
+    // compact() folds base+deltas into one base_<maxId>/ tree. Fold
+    // after the second crafted batch, continue the stream over the
+    // folded store, and hold the exact bars of the uncompacted runs:
+    // final snapshot = batch p26c DAG, all three crafted cross-batch
+    // cases, restart-restore equality, folded-batch re-delivery no-op.
+    val fx = buildFixture()
+    import fx._
+    val root = java.nio.file.Files.createTempDirectory("p27c-compact").toString
+    val src = s"$root/documents.parquet"
+    val store = PipelineQueries.NearDupStore(s"$root/state")
+    import org.apache.spark.sql.functions.{col => fcol}
+    def batchDf(i: Int) = {
+      import spark.implicits._
+      fx.batches(i).map(id => (id, fx.docs(id).mkString(" ")))
+        .toDF("doc_id", "text")
+    }
+    var st = Option(PipelineQueries.nearDupStep(store, None, 0L, batchDf(0)))
+    st = Some(PipelineQueries.nearDupStep(store, st, 1L, batchDf(1)))
+    store.compact(spark)
+    assert(store.baseId(spark) == 1L && store.committedIds(spark).isEmpty,
+      "fold did not supersede the batch dirs")
+    // folded-batch re-delivery: still a no-op (id <= baseId)
+    val afterRedeliver = PipelineQueries.nearDupStep(store, st, 0L, batchDf(0))
+    assert(afterRedeliver.keepers.count() == st.get.keepers.count(),
+      "re-delivery of a folded batch mutated state")
+    // the probe through the base still prunes (PartitionFilters on the
+    // base tree's bgrp dirs)
+    val probed = store.readBands(spark, Seq(0, 1, 2, 3))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bgrp"), plan)
+    // continue the stream over the folded store
+    st = Some(PipelineQueries.nearDupStep(store, st, 2L, batchDf(2)))
+    // a second fold mid-stream (base + one delta) — the repeated-fold
+    // path cleans the OLD base too
+    store.compact(spark)
+    assert(store.baseId(spark) == 2L)
+    st = Some(PipelineQueries.nearDupStep(store, st, 3L, batchDf(3)))
+    writeBatches(fx, src, 0 until 4) // batch oracle corpus
+    val want = PipelineQueries.curationFinal(
+        PipelineQueries.curationNearDupSurvivors(spark, root))
+      .select(fcol("doc_id"), fcol("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def snap(state: PipelineQueries.NearDupState) =
+      PipelineQueries.nearDupSnapshot(state)
+        .select(fcol("doc_id"), fcol("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(snap(st.get) == want,
+      "compacted-store snapshot diverged from the batch p26c DAG")
+    // restart-restore from the compacted store (hot state dropped)
+    val restored = store.restore(spark).getOrElse(
+      fail("restore found nothing in the compacted store"))
+    assert(snap(restored) == want,
+      "restore from a compacted store diverged")
+    val ids = snap(restored).map(_.head.asInstanceOf[Long]).toSet
+    assert(ids(a) && !ids(c) && ids(d) && !ids(b) &&
+      !ids(k1) && ids(k0) && ids(c2),
+      "a crafted cross-batch case broke across compaction")
+  }
+
   test("p27c per-batch shuffle scales with the batch, not the accumulated state") {
     import spark.implicits._
     // same batch stepped into a 1x and a 10x state: the d16 discipline
