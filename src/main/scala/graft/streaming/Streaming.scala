@@ -843,7 +843,8 @@ object Streaming {
     * run-scoped: a fresh temp state root per call. */
   private[graft] def curationNearDupDrained(s: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int], checkpoint: Option[String] = None,
-      stateRoot: Option[String] = None): (DataFrame, Int) = {
+      stateRoot: Option[String] = None,
+      compactEvery: Option[Int] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
     val store = graft.rel.PipelineQueries.NearDupStore(stateRoot.getOrElse(
       java.nio.file.Files.createTempDirectory("p27c-state").toString))
@@ -861,7 +862,14 @@ object Streaming {
             if (!df.isEmpty) {
               state = Some(graft.rel.PipelineQueries.nearDupStep(
                 store, state, batchId, df))
-              dataBatches.incrementAndGet()
+              val n = dataBatches.incrementAndGet()
+              // periodic store maintenance INSIDE the live loop (the
+              // production cadence — a real deployment runs it on a
+              // schedule): folds the delta dirs so probe fan-in stays
+              // O(batches since last fold); the hot state is
+              // untouched — only the storage layout changes
+              if (compactEvery.exists(k => k > 0 && n % k == 0))
+                store.compact(s)
             }
             ()
           }

@@ -335,6 +335,41 @@ class IncrementalCurationSpec extends SparkSpec {
       "a crafted cross-batch case broke across compaction")
   }
 
+  test("p27c live-stream compaction: folding mid-drain changes nothing") {
+    // the step-level fold is pinned above; this drives compact()
+    // through the REAL streaming loop (compactEvery=2 folds after
+    // batches 2 and 4 while the query is live) and holds the same
+    // bars as the uncompacted multi-batch drain — the production
+    // shape, where maintenance runs on a cadence inside the pipeline
+    val fx = buildFixture()
+    import fx._
+    val root = java.nio.file.Files.createTempDirectory("p27c-live").toString
+    writeBatches(fx, s"$root/documents.parquet", 0 until 4)
+    val stRoot = s"$root/state"
+    val (got, dataBatches) = graft.streaming.Streaming.curationNearDupDrained(
+      spark, root, maxFilesPerTrigger = Some(1),
+      stateRoot = Some(stRoot), compactEvery = Some(2))
+    assert(dataBatches == 4)
+    val store = PipelineQueries.NearDupStore(stRoot)
+    assert(store.baseId(spark) == 3L,
+      s"expected the last fold at batch id 3, got base ${store.baseId(spark)}")
+    assert(store.committedIds(spark).isEmpty,
+      "folded delta dirs still listed as unfolded")
+    val want = PipelineQueries.curationFinal(
+        PipelineQueries.curationNearDupSurvivors(spark, root))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want,
+      "live-compacted drain diverged from the batch p26c DAG")
+    // and a restart-restore from the twice-folded store agrees too
+    val restored = store.restore(spark).getOrElse(
+      fail("nothing restorable from the live-compacted store"))
+    val snap = PipelineQueries.nearDupSnapshot(restored)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(snap == want)
+  }
+
   test("p27c per-batch shuffle scales with the batch, not the accumulated state") {
     import spark.implicits._
     // same batch stepped into a 1x and a 10x state: the d16 discipline
