@@ -370,6 +370,34 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(snap == want)
   }
 
+  test("p27c tolerates a leading batch with zero keepers") {
+    import spark.implicits._
+    // every doc in batch 0 fails the gopher length rule (< 50 words),
+    // so no added/band delta is written; batch 1's probe must see an
+    // EMPTY index, not a missing-dir error, and the near-dup logic
+    // must still fire within batch 1 itself
+    val store = PipelineQueries.NearDupStore(java.nio.file.Files
+      .createTempDirectory("p27c-empty").toString)
+    val junk = (900L to 905L).map(i => (i, "too short"))
+      .toDF("doc_id", "text")
+    val st0 = PipelineQueries.nearDupStep(store, None, 0L, junk)
+    assert(st0.keepers.count() == 0)
+    // ids from the train-split shard so survivorship is dedup-decided
+    val pool = (1L to 200L).filter(splitBucket(_) < 8)
+    val (x, y, z) = (pool(0), pool(5), pool(9))
+    val base = tokensFor(x)
+    val good = Seq((x, base), (y, nearVariant(base)), (z, tokensFor(z)))
+      .map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val st1 = PipelineQueries.nearDupStep(store, Some(st0), 1L, good)
+    val snap = PipelineQueries.nearDupSnapshot(st1)
+      .select("doc_id").as[Long].collect().toSet
+    // y is a Hamming<=3 near-dup of keeper x (same-batch pair through
+    // the empty-index path); z survives; the junk never appears
+    assert(snap.contains(x) && !snap.contains(y) && snap.contains(z),
+      s"snapshot wrong after empty leading batch: $snap")
+  }
+
   test("p27c per-batch shuffle scales with the batch, not the accumulated state") {
     import spark.implicits._
     // same batch stepped into a 1x and a 10x state: the d16 discipline
