@@ -815,19 +815,22 @@ object Streaming {
     * batch and incremental cannot drift); what is genuinely
     * incremental is the CROSS-BATCH NEAR-DUP STATE
     * (PipelineQueries.NearDupState): each arriving batch upserts the
-    * keeper table, broadcasts its band table against the accumulated
-    * signatures (the d16 batch-vs-corpus prune), and appends the
-    * discovered Hamming ≤ 3 pairs — so per-batch work scales with the
-    * batch while the final snapshot equals the batch p26c answer for
-    * ANY micro-batch partitioning of the corpus (nearDupStep's
-    * scaladoc carries the argument; StreamingSpec pins it through a
-    * forced multi-batch drain). The keeper/band/reason state rides
-    * foreachBatch rather than a streaming aggregate because the
+    * keeper table, probes the STORED bucket-partitioned band index
+    * with a statically-pruned scan (the d16 batch-vs-corpus prune),
+    * and appends the discovered Hamming ≤ 3 pairs — so per-batch work
+    * scales with the batch while the final snapshot equals the batch
+    * p26c answer for ANY micro-batch partitioning of the corpus
+    * (nearDupStep's scaladoc carries the argument; the specs pin it
+    * through forced multi-batch drains). The keeper/band/reason state
+    * rides foreachBatch rather than a streaming aggregate because the
     * near-dup stage needs a SECOND keyed grouping downstream of the
     * keeper aggregate — beyond what chained stateful operators
-    * support in one Complete-mode query; foreachBatch with
-    * transactional state tables is the standard production shape for
-    * exactly this (the same slot d15's bloom state occupies). */
+    * support in one Complete-mode query; foreachBatch with a
+    * marker-committed state store (PipelineQueries.NearDupStore —
+    * per-batch deltas, restart restore, re-delivery no-op, periodic
+    * compaction) is the standard production shape for exactly this
+    * (the same slot d15's bloom state occupies), and the restart spec
+    * kills between drains to prove the fold survives. */
   def curationNearDupStreamed(s: SparkSession, dir: String): DataFrame =
     curationNearDupDrained(s, dir, maxFilesPerTrigger = None)._1
 
