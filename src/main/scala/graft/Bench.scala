@@ -227,6 +227,49 @@ object Bench {
     val traced = iterative ++ streamingTrigger
     val attemptLog =
       scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // per-attempt START offsets (seconds since the run began), aligned
+    // 1:1 with attemptLog — the evidence that adjudicates a host-
+    // contention burst from the record alone: a regression cluster
+    // whose cells' attempt windows are contiguous in wall time IS the
+    // burst signature (r10's p12 and r11's m11..p01 clusters were
+    // unprovable precisely because untraced cells kept only their min)
+    val startLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val benchStartMs = System.currentTimeMillis()
+    def sinceStart(): Double =
+      (System.currentTimeMillis() - benchStartMs) / 1e3
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // the PREVIOUS round's per-query record (read BEFORE this run
+    // overwrites the file): any untraced cell whose best-of-2 lands
+    // >1.5x its previous time gets one extra attempt at the END of the
+    // run — the second-window rule the traced set already follows —
+    // so a contention burst during its first window can't stand as the
+    // round's number without a late-window sample to contradict it.
+    // Only trusted when the previous artifact ran the same sf.
+    val prevQueries: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", outPath)
+      try {
+        val f = new java.io.File(path)
+        if (!f.isFile) Map.empty
+        else {
+          val node =
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          if (node.path("sf").asText("") != sfDir) Map.empty
+          else {
+            val q = node.path("queries")
+            val it = q.fieldNames()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val k = it.next(); b += k -> q.path(k).asDouble()
+            }
+            b.result()
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN: previous bench artifact unreadable: $e")
+        Map.empty
+      }
+    }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
@@ -244,16 +287,24 @@ object Bench {
         val best2 = times.sorted.take(2)
         i >= minAttempts && best2.size == 2 && best2(1) <= best2.head * 1.05
       }
+      var starts = List.empty[Double]
       while (i < maxAttempts && bad.isEmpty && !converged) {
+        starts ::= sinceStart()
         val r = runOnce(name, fn)
+        // the failed attempt's wall time is logged too (keeps the
+        // attempts/starts arrays aligned); it never enters the kept
+        // timings — the query is excluded from results on any failure
+        times ::= r._2
         if (!r._1) bad = Some(r)
-        else {
-          times ::= r._2
-          if (kept.forall(r._2 < _._2)) kept = Some(r)
-        }
+        else if (kept.forall(r._2 < _._2)) kept = Some(r)
         i += 1
       }
-      if (traced(name)) attemptLog(name) = times.reverse
+      // EVERY cell's raw attempts + start offsets land in the artifact
+      // (the data was always measured; only the min used to survive) —
+      // so any future regression, traced or not, is adjudicable from
+      // the record without a re-run
+      attemptLog(name) = times.reverse
+      startLog(name) = starts.reverse
       val v = bad.orElse(kept).get
       (name, bad.isEmpty, (v._2, v._3, v._4, v._5))
     }
@@ -269,13 +320,24 @@ object Bench {
     // windows is what makes two independent invocations reproduce.
     // The any-attempt-fails rule applies here too: a late-window throw
     // is the same rerun-instability the main loop surfaces.
+    // ...and for any UNTRACED cell whose best-of-2 regressed >1.5x vs
+    // the previous round's artifact (same sf): its first-window
+    // attempts all sat inside one burst window too, so the same late
+    // sample either clears the regression or confirms the plan got
+    // slower — the record adjudicates either way (the hole r10's p12
+    // and r11's m12/m13/p01 sat in).
     val lateFailed = scala.collection.mutable.ListBuffer.empty[String]
+    val regressed = scala.collection.mutable.ListBuffer.empty[String]
     val results = results0.map { case (name, v) =>
-      if (!traced(name)) name -> v
+      val regressedVsPrev =
+        prevQueries.get(name).exists(p => p > 0 && v._1 > p * 1.5)
+      if (!traced(name) && regressedVsPrev) regressed += name
+      if (!traced(name) && !regressedVsPrev) name -> v
       else {
+        startLog(name) = startLog.getOrElse(name, Nil) :+ sinceStart()
         val r = runOnce(name, SparkEntry.queries(name))
+        attemptLog(name) = attemptLog.getOrElse(name, Nil) :+ r._2
         if (r._1) {
-          attemptLog(name) = attemptLog.getOrElse(name, Nil) :+ r._2
           if (r._2 < v._1) name -> ((r._2, r._3, r._4, r._5)) else name -> v
         } else { lateFailed += name; name -> v }
       }
@@ -302,13 +364,18 @@ object Bench {
     val attemptsJson = attemptLog.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(r4).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val startsJson = startLog.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => r4(t)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val envJson =
-      s"""{"cal_1t_sec":${r4(cal1t)},"cal_allcores_sec":${r4(calAll)},"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadavg())}}"""
+      s"""{"cal_1t_sec":${r4(cal1t)},"cal_allcores_sec":${r4(calAll)},"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadavg())},"run_start_epoch_ms":$benchStartMs}"""
     // file artifact: everything (all timings + measured per-query I/O +
-    // the machine calibration and iterative-query attempt traces)
+    // the machine calibration + per-cell attempt traces and attempt
+    // START offsets — enough to adjudicate a contention burst from the
+    // record alone)
     val fileLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"env":$envJson,"attempts":$attemptsJson,"io":$ioJson${only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")}}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"env":$envJson,"attempts":$attemptsJson,"starts":$startsJson,"revisited_regressions":$regressedJson,"io":$ioJson${only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")}}"""
     val artifactRef =
       try {
         java.nio.file.Files.write(
