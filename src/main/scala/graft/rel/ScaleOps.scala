@@ -234,7 +234,7 @@ object ScaleOps {
       .cache() // both phases must see identical partitions
     val gIdx = parted.schema.fieldIndex(groupCol)
     val vIdx = parted.schema.fieldIndex(valueCol)
-    val subtotals = parted.rdd
+    val subRdd = parted.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         it.foreach { r =>
@@ -243,17 +243,22 @@ object ScaleOps {
         }
         m.iterator.map { case (g, s) => (pid, g, s) }
       }
-      .collect()
     // The driver-side list is bounded by partitions + distinct groups
     // (see scaladoc), but a caller keying on an UNBOUNDED column
     // (domain, url) would grow it silently — fail loudly instead,
-    // the LmMaxModelRows discipline.
-    require(subtotals.length <= maxDriverSubtotals,
-      s"groupedPrefixSum: ${subtotals.length} per-partition group " +
+    // the LmMaxModelRows discipline. The size check runs BEFORE
+    // collect() materializes anything on the driver (a post-collect
+    // require would fire only after the heap it guards is already
+    // spent): one extra executor-side pass over the CACHED partitions,
+    // returning a single long.
+    val nSubtotals = subRdd.count()
+    require(nSubtotals <= maxDriverSubtotals,
+      s"groupedPrefixSum: $nSubtotals per-partition group " +
         s"subtotals exceed maxDriverSubtotals=$maxDriverSubtotals — the " +
         s"group column '$groupCol' has too many distinct values for a " +
         "driver-collected offset table; raise the cap only if the driver " +
         "heap can hold it, or pre-aggregate the group key")
+    val subtotals = subRdd.collect()
     // offsets(pid -> group -> sum of the group's subtotals in pid' < pid):
     // per group, sort its subtotals by pid once and scanLeft the running
     // sum — O(P log P) per group, not O(P^2) re-scans

@@ -69,6 +69,10 @@ object S21ClusteredScale {
         .isInCollection(qidSet))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val auditSec = (System.nanoTime() - t1) / 1e9
+    // serve work was counted once, in serve_sec (the persist above
+    // means the stride filter read the cache, not a recomputation);
+    // release the cache now that the audit is done
+    annDf.unpersist()
     val recall = brute.count(ann.contains).toDouble / brute.length
     // ann_rows_total = raw serve row count (equals distinct (qid,nid)
     // pairs while knnJoin's dedup contract holds — spec-asserted);
