@@ -849,6 +849,10 @@ object Streaming {
       stateRoot: Option[String] = None,
       compactEvery: Option[Int] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
+    // a caller-less state root is RUN-SCOPED: it must die with the
+    // call (the bench runs this gate up to 5 attempts per invocation —
+    // leaked roots would accumulate in /tmp forever)
+    val tmpStore = stateRoot.isEmpty
     val store = graft.rel.PipelineQueries.NearDupStore(stateRoot.getOrElse(
       java.nio.file.Files.createTempDirectory("p27c-state").toString))
     // the hot state starts empty on every call — after a restart the
@@ -896,6 +900,16 @@ object Streaming {
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
       .orderBy("doc_id")
       .localCheckpoint(true)
+    // the eager checkpoint above means nothing references the store's
+    // files anymore (the hot state is in-memory cuts); a run-scoped
+    // temp root is deleted here rather than leaked — deliberately only
+    // on the SUCCESS path, so a failed drain leaves the store for a
+    // post-mortem (and a caller-provided root is never touched)
+    if (tmpStore) {
+      val p = new org.apache.hadoop.fs.Path(store.root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
     (out, dataBatches.get)
   }
 

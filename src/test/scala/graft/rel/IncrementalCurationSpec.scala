@@ -370,6 +370,115 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(snap == want)
   }
 
+  test("p27c compaction crash-safety: a crash at either publish boundary leaves a readable store") {
+    import spark.implicits._
+    // the scaladoc argues a crash ANYWHERE in compact leaves a
+    // readable store; this injects the two interesting crashes and
+    // holds it. Fixture: two committed batches with a cross-batch
+    // near-dup (y arrives a batch after its keeper x).
+    val pool = (1L to 300L).filter(splitBucket(_) < 8)
+    val (x, y, z) = (pool(0), pool(5), pool(9))
+    val base = tokensFor(x)
+    def df(rows: Seq[(Long, Vector[String])]) =
+      rows.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+    val store = PipelineQueries.NearDupStore(java.nio.file.Files
+      .createTempDirectory("p27c-crash").toString)
+    val st0 = PipelineQueries.nearDupStep(store, None, 0L,
+      df(Seq((x, base), (z, tokensFor(z)))))
+    val st1 = PipelineQueries.nearDupStep(store, Some(st0), 1L,
+      df(Seq((y, nearVariant(base)))))
+    def snapIds(st: PipelineQueries.NearDupState): Set[Long] =
+      PipelineQueries.nearDupSnapshot(st)
+        .select("doc_id").as[Long].collect().toSet
+    val want = snapIds(st1)
+    assert(want.contains(x) && !want.contains(y) && want.contains(z),
+      s"fixture broken before any crash: $want")
+    // CRASH 1: base trees written, marker NOT — the fold must be
+    // invisible: readers still see the uncompacted layout, restore
+    // still equals the hot state, and a re-run compact converges
+    intercept[RuntimeException] { store.compact(spark, failpoint = 1) }
+    assert(store.baseId(spark) == -1L,
+      "a marker-less fold became visible")
+    assert(store.committedIds(spark) == Seq(0L, 1L),
+      "batch deltas disappeared before the fold published")
+    assert(snapIds(store.restore(spark).get) == want,
+      "restore diverged after the pre-marker crash")
+    store.compact(spark)
+    assert(store.baseId(spark) == 1L && store.committedIds(spark).isEmpty,
+      "the re-run fold did not converge")
+    assert(snapIds(store.restore(spark).get) == want)
+    // CRASH 2: marker landed, cleanup skipped — the fold is LIVE
+    // (readers use the new base, folded ids re-deliver as no-ops) and
+    // the stranded dirs are reclaimed by the next compact's sweep,
+    // even when that compact has nothing to fold
+    val st2 = PipelineQueries.nearDupStep(store,
+      Some(store.restore(spark).get), 2L,
+      df(Seq((pool(12), tokensFor(pool(12))))))
+    intercept[RuntimeException] { store.compact(spark, failpoint = 2) }
+    assert(store.baseId(spark) == 2L,
+      "the post-marker crash lost the published fold")
+    assert(store.committedIds(spark).isEmpty)
+    assert(snapIds(store.restore(spark).get) == snapIds(st2),
+      "restore diverged after the post-marker crash")
+    val strands = new java.io.File(store.root).list().toSet
+    assert(strands.exists(_.startsWith("batch_")) &&
+      strands.contains("base_1"),
+      s"fixture never stranded anything: $strands")
+    store.compact(spark) // nothing unfolded — but the sweep still runs
+    val after = new java.io.File(store.root).list().toSet
+    assert(!after.exists(_.startsWith("batch_")) && !after.contains("base_1"),
+      s"stranded dirs survived the sweep: $after")
+    assert(snapIds(store.restore(spark).get) == snapIds(st2),
+      "the sweep changed an answer")
+  }
+
+  test("p27c hot state survives an immediate fold (compactEvery=1)") {
+    import spark.implicits._
+    // the r11 hazard: batch-0 hot state backed by batch_0/ file scans
+    // would dangle when compact() deletes the dir right after the
+    // first batch. Hot state is now in-memory cuts by construction —
+    // fold immediately, then drive every consumer of the OLD hot
+    // state (next step's probes, the snapshot) against the folded
+    // store.
+    val pool = (1L to 300L).filter(splitBucket(_) < 8)
+    val (x, y, z) = (pool(0), pool(5), pool(9))
+    val base = tokensFor(x)
+    val store = PipelineQueries.NearDupStore(java.nio.file.Files
+      .createTempDirectory("p27c-every1").toString)
+    val st0 = PipelineQueries.nearDupStep(store, None, 0L,
+      Seq((x, base.mkString(" ")), (z, tokensFor(z).mkString(" ")))
+        .toDF("doc_id", "text"))
+    store.compact(spark) // deletes batch_0/ — the r11 dangling point
+    val st1 = PipelineQueries.nearDupStep(store, Some(st0), 1L,
+      Seq((y, nearVariant(base).mkString(" "))).toDF("doc_id", "text"))
+    val ids = PipelineQueries.nearDupSnapshot(st1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(x) && !ids.contains(y) && ids.contains(z),
+      s"hot state dangled (or the fold lost rows) under compactEvery=1: $ids")
+  }
+
+  test("p27c run-scoped drains leave no state root behind") {
+    // the registry gate (stateRoot = None) creates a temp store per
+    // call; the bench runs the gate up to 5 times per invocation, so
+    // a leaked root is unbounded growth in /tmp across invocations
+    val fx = buildFixture()
+    val root = java.nio.file.Files.createTempDirectory("p27c-noleak").toString
+    writeBatches(fx, s"$root/documents.parquet", 0 until 4)
+    def stateRoots(): Set[String] = {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      Option(tmp.list()).getOrElse(Array.empty)
+        .filter(_.startsWith("p27c-state")).toSet
+    }
+    val before = stateRoots()
+    val (got, _) = graft.streaming.Streaming.curationNearDupDrained(
+      spark, root, maxFilesPerTrigger = None)
+    assert(got.count() > 0)
+    assert(stateRoots() == before,
+      s"drain leaked state roots: ${stateRoots() -- before}")
+  }
+
   test("p27c tolerates a leading batch with zero keepers") {
     import spark.implicits._
     // every doc in batch 0 fails the gopher length rule (< 50 words),
