@@ -1096,10 +1096,13 @@ object TextOps {
           .orderBy("lang", "bucket")
     },
 
-    // The DISTRIBUTED-MODEL variants of t15 and t22 — the escape
-    // hatches the Heaps'-bound guards name for corpora whose
+    // The DISTRIBUTED-MODEL variants of t15 and t22 for corpora whose
     // vocabulary grows with the data (where broadcasting/collecting
-    // the model would grow the driver). Gated against the SAME oracle
+    // the model would grow the driver): t15's switch now lands here
+    // AUTOMATICALLY past the driver budget (see t15b), while t22's
+    // guard still names t27's path by hand (NB's tiny model keeps
+    // collect the right default — t27/t22 = 2.89 at sf1, SCALE.md).
+    // Gated against the SAME oracle
     // text as their executor-memory twins (the q32 salted-aggregation
     // precedent: one semantic definition, two physical plans, both
     // hash-checked). Scale shape: the model tables stay DataFrames
@@ -1112,6 +1115,30 @@ object TextOps {
 
     Q("t27_nb_distributed", nbClassifierOracle) { (s, d) =>
       nbClassifierDistributed(s, d)
+    },
+
+    // The LM model-path switch, BOTH sides in one gated query: the
+    // default driver budget keeps the gate corpus's model on the
+    // collect-and-broadcast path, while a forced 4-row budget pushes
+    // the SAME call onto the distributed shuffle-join plan — each half
+    // hash-gated against the one oracle definition (the q32 "one
+    // semantic definition, two physical plans" precedent). The switch
+    // is lmPerplexity's own: no caller chooses a path, the measured
+    // model size does (PlanSpec pins LocalTableScans under the cap and
+    // in-plan model aggregates over it).
+    Q("t15b_lm_auto_switch",
+      s"""SELECT 'collect' AS path, doc_id, n_bigrams, nll
+         |FROM ($lmPerplexityOracle)
+         |UNION ALL
+         |SELECT 'distributed' AS path, doc_id, n_bigrams, nll
+         |FROM ($lmPerplexityOracle)
+         |ORDER BY path, doc_id""".stripMargin) { (s, d) =>
+      def side(tag: String, df: DataFrame) =
+        df.select(lit(tag).as("path"), col("doc_id"),
+          col("n_bigrams"), col("nll"))
+      side("collect", lmPerplexity(s, d))
+        .unionAll(side("distributed", lmPerplexity(s, d, maxModelRows = 4)))
+        .orderBy("path", "doc_id")
     },
 
     // Token-budget domain mixing — the corpus-assembly step after
@@ -1396,26 +1423,42 @@ object TextOps {
     * distributed, instead of OOMing the driver mid-collect. */
   private[rel] def lmCollectModel(s: SparkSession, big: DataFrame,
       uni: DataFrame, maxRows: Int = LmMaxModelRows)
-      : (DataFrame, DataFrame, Long) = {
-    import s.implicits._
-    def bounded(df: DataFrame, what: String) = {
-      val rows = df.limit(maxRows + 1).collect()
-      require(rows.length <= maxRows,
-        s"bigram-LM $what table exceeds $maxRows rows — the model is " +
-          "not Heaps'-bounded for this corpus, so holding it on the " +
-          "driver would grow with the data; use " +
+      : (DataFrame, DataFrame, Long) =
+    lmTryCollectModel(s, big, uni, maxRows).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: bigram-LM model table exceeds $maxRows " +
+          "rows — the model is not Heaps'-bounded for this corpus, so " +
+          "holding it on the driver would grow with the data; use " +
           "graft.rel.TextOps.lmPerplexityDistributed, which keeps the " +
           "(w1,w2,c2)/(tok,c1) tables as DataFrames and scores via " +
-          "shuffle joins on the token keys")
-      rows
+          "shuffle joins on the token keys"))
+
+  /** [[lmCollectModel]] that reports an over-cap model as None instead
+    * of throwing — the probe half of [[lmPerplexity]]'s cost-based
+    * switch. Each `limit(cap+1).collect()` is itself the cheapest
+    * exact size estimate available: it runs the model aggregate once
+    * (the fast path's entire training work — nothing is wasted below
+    * the cap) and materializes at most cap+1 rows on the driver no
+    * matter how large the corpus is. */
+  private[rel] def lmTryCollectModel(s: SparkSession, big: DataFrame,
+      uni: DataFrame, maxRows: Int = LmMaxModelRows)
+      : Option[(DataFrame, DataFrame, Long)] = {
+    import s.implicits._
+    def bounded(df: DataFrame) = {
+      val rows = df.limit(maxRows + 1).collect()
+      if (rows.length <= maxRows) Some(rows) else None
     }
-    val bigL = bounded(big, "bigram")
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-      .toDF("w1", "w2", "c2")
-    val uniRows = bounded(uni, "unigram")
-    val uniL = uniRows.map(r => (r.getString(0), r.getLong(1))).toSeq
-      .toDF("tok", "c1")
-    (bigL, uniL, uniRows.length.toLong)
+    for {
+      bigRows <- bounded(big)
+      uniRows <- bounded(uni)
+    } yield {
+      val bigL = bigRows
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        .toDF("w1", "w2", "c2")
+      val uniL = uniRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("tok", "c1")
+      (bigL, uniL, uniRows.length.toLong)
+    }
   }
 
   /** Shared t15 trainer lineage over the documents table:
@@ -1436,21 +1479,33 @@ object TextOps {
   }
 
   /** The t15 trainer+scorer (see the registry comment for the scale
-    * shape and the rounding-margin analysis). `maxModelRows` is the
-    * [[lmCollectModel]] cap, overridable for the guard spec; past the
-    * cap, [[lmPerplexityDistributed]] is the same scorer with the
-    * model left distributed. */
+    * shape and the rounding-margin analysis), with a COST-BASED model
+    * path: collect-and-broadcast while the model fits the
+    * `maxModelRows` driver budget (the Heaps'-bounded common case —
+    * zero corpus-sized exchanges), [[lmPerplexityDistributed]]'s
+    * shuffle-join plan once it doesn't. The decision is exact, not
+    * heuristic: the bounded probe IS the fast path's training collect
+    * (below the cap nothing is wasted), and above the cap the sf1
+    * measurement already showed the distributed plan is the CHEAPER
+    * one (t26/t15 = 0.75, SCALE.md) — so the one probe-priced
+    * aggregate pass the switch costs there buys the plan that wins in
+    * exactly that regime. No human fallback step remains. */
   private[rel] def lmPerplexity(s: SparkSession, d: String,
       maxModelRows: Int = LmMaxModelRows): DataFrame = {
     val (uni, bi, big) = lmFrames(s, d)
-    val (bigL, uniL, v) = lmCollectModel(s, big, uni, maxModelRows)
-    bi.join(broadcast(bigL), Seq("w1", "w2"))
-      .join(broadcast(uniL.withColumnRenamed("tok", "w1")), Seq("w1"))
-      .select(col("doc_id"),
-        (-log((col("c2") + 0.5) / (col("c1") + lit(v) * 0.5))).as("nll"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("nll"))
-      .orderBy("doc_id")
+    lmTryCollectModel(s, big, uni, maxModelRows) match {
+      case Some((bigL, uniL, v)) =>
+        bi.join(broadcast(bigL), Seq("w1", "w2"))
+          .join(broadcast(uniL.withColumnRenamed("tok", "w1")), Seq("w1"))
+          .select(col("doc_id"),
+            (-log((col("c2") + 0.5) / (col("c1") + lit(v) * 0.5))).as("nll"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(col("nll")), 4).as("nll"))
+          .orderBy("doc_id")
+      case None =>
+        lmPerplexityDistributed(s, d)
+    }
   }
 
   /** The distributed-model variant of [[lmPerplexity]] — the escape

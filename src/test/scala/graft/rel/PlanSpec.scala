@@ -472,6 +472,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t15b: the model-path switch pins both physical plans in one registry query") {
+    // the switch is cost-based and automatic (lmPerplexity measures
+    // the model against the driver budget); this pins that the
+    // DEFAULT-CONFIG registry union really contains BOTH shapes —
+    // exactly one collect-and-broadcast half (its two model tables as
+    // LocalTableScans) and one distributed half (model aggregates
+    // in-plan). A regression that silently collects both halves (or
+    // distributes both) flips one of these counts.
+    val p = plan("t15b_lm_auto_switch")
+    assert(p.linesIterator.count(_.contains("LocalTableScan")) == 2,
+      s"expected exactly the collect half's two model tables:\n$p")
+    // collect half: per-doc aggregate pair (2). distributed half: the
+    // same pair PLUS the uni/big model aggregates in-plan (partial +
+    // final each) — strictly more than double the collect half's
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs > 4,
+      s"distributed half's model aggregates missing from the plan " +
+        s"(got $aggs HashAggregates):\n$p")
+  }
+
   test("s21/t24/s20: the round-8 additions keep cartesians and corpus sorts out") {
     // s21: candidate fetch is an equi-join on the IVF cell + native
     // TopKPerKey — never a cartesian or nested-loop pair space

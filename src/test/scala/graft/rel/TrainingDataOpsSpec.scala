@@ -633,32 +633,58 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(TextOps.nbClassifier(spark, sfDir).collect().nonEmpty)
   }
 
-  test("t15/t25 LM broadcast guard: a non-Heaps bigram table fails LOUDLY, never OOMs the driver") {
+  test("t15 LM model-path switch: an over-budget model goes distributed by itself, bounded probe, no human step") {
     import org.apache.spark.sql.functions._
     // adversarial corpus: every doc is two unique space-separated
     // tokens, so BOTH model tables (distinct unigrams AND distinct
     // bigrams) grow linearly with the corpus instead of
-    // Heaps'-bounding. The pre-broadcast guard must fail fast naming
-    // the distributed-model fallback — and because each probe is
-    // limit(cap+1)-bounded, the driver materializes at most cap+1
-    // rows no matter how large the corpus is.
+    // Heaps'-bounding. lmPerplexity must now SWITCH to the
+    // distributed-model plan on its own (the r11 guard made a human
+    // swap in lmPerplexityDistributed; the sf1 measurement — t26/t15
+    // = 0.75 — showed the distributed plan is the cheaper one in
+    // exactly this regime, so failing was the wrong answer). The
+    // probe stays limit(cap+1)-bounded: the driver materializes at
+    // most cap+1 rows no matter how large the corpus is.
     val dir = java.nio.file.Files.createTempDirectory("lmguard").toString
     spark.range(100)
       .select(col("id").as("doc_id"),
         concat(lit("aa"), col("id"), lit(" bb"), col("id")).as("text"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val switched = TextOps.lmPerplexity(spark, dir, maxModelRows = 8)
+    // the switched plan is the distributed one: model stays in-plan,
+    // nothing was collected to the driver
+    assert(!switched.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+      "over-budget model was still collected to the driver")
+    assert(switched.collect().toSeq ==
+      TextOps.lmPerplexityDistributed(spark, dir).collect().toSeq)
+    // below the budget the same call keeps the collect-and-broadcast
+    // plan (this 200-row "model" fits the default cap) and both paths
+    // agree on the same corpus
+    val collected = TextOps.lmPerplexity(spark, dir)
+    assert(collected.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(switched.collect().toSeq == collected.collect().toSeq)
+    // t25's shared collect (no distributed twin of the lang-bucketed
+    // scorer) still fails LOUDLY rather than OOMing the driver
+    val (uni, _, big) = {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      val u = toks.select(explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val bi = toks.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+      (u, bi, bi.select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+    }
     val e = intercept[IllegalArgumentException] {
-      TextOps.lmPerplexity(spark, dir, maxModelRows = 8).collect()
+      TextOps.lmCollectModel(spark, big, uni, maxRows = 8)
     }
     assert(e.getMessage.contains("lmPerplexityDistributed"), e.getMessage)
-    // the named escape hatch is REAL code that handles the very corpus
-    // the guard rejected: on the same adversarial fixture the
-    // distributed scorer runs, and it matches the collect path (which
-    // at the default cap still fits this 200-row "model") exactly
-    val viaDistributed = TextOps.lmPerplexityDistributed(spark, dir).collect()
-    assert(viaDistributed.toSeq == TextOps.lmPerplexity(spark, dir).collect().toSeq)
     // and the REAL corpus is comfortably under the real cap (the
-    // guard never fires on the gate fixtures)
+    // switch never leaves the collect path on the gate fixtures)
     assert(TextOps.lmPerplexity(spark, sfDir).collect().nonEmpty)
   }
 
