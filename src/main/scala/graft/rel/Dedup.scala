@@ -896,6 +896,241 @@ object Dedup {
       .orderBy("va", "vb"), numBlocks)
   }
 
+  /** d20 fixture geometry: every `D20Stride`-th embedding gains a
+    * planted near-twin (same vector with dim 0 nudged by +0.05 —
+    * cosine ≈ 0.999 against its source on this corpus, where the max
+    * UNplanted pairwise cosine measures 0.479). At `D20Threshold` =
+    * 0.9 the true near-dup pair set of the augmented corpus is
+    * therefore EXACTLY the planted (id, id + D20SiblingOffset) pairs:
+    * the oracle knows `planted_pairs` from SQL alone, and recall /
+    * purity become measurable one-row contract booleans. The nudge is
+    * deliberate — an exact scaled copy would make blocked recall a
+    * THEOREM (identical direction ⟹ identical cells) and the contract
+    * vacuous; the perturbed twin keeps "do near-identical vectors land
+    * in a shared cell" a genuine measurement. */
+  private[rel] val D20SiblingOffset = 1000000L
+  private[rel] val D20Stride = 5L
+  private[rel] val D20Threshold = 0.9
+
+  /** The augmented d20 corpus: embeddings ∪ planted near-twins. */
+  private[rel] def d20Corpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val twins = e.filter(col("vec_id") % D20Stride === 0)
+      .map { case (id, v) =>
+        val w = v.clone()
+        w(0) = (w(0).toDouble + 0.05).toFloat
+        (id + D20SiblingOffset, w)
+      }
+    e.union(twins).toDF("vec_id", "embedding")
+  }
+
+  /** IVF-blocked embedding near-dup — the subquadratic scale path
+    * beside d06's exact all-pairs ground truth. d06 proves the
+    * predicate; this proves the 100 TB plan: train √n k-means cells on
+    * a bounded deterministic sample, assign every vector to its
+    * `nAssign` nearest cells (multi-assignment buys boundary recall
+    * the same way IVF multi-probe does on the query side), generate
+    * candidate pairs only WITHIN a cell, then exact-cosine-verify.
+    * Comparison count drops from n²/2 to Σ_cells m(m−1)/2 ≈
+    * n²·nAssign²/(2·nList) — O(n^1.5) at nList = √n — and it's
+    * MEASURED here, not argued: the contract asserts the win against
+    * the quadratic count alongside recall over the planted pairs.
+    * Verification is exact cosine, so precision is 1 by construction;
+    * recall is where blocking can lose, which is exactly what the
+    * contract measures. Per-cell state is loudly bounded (the
+    * MaxBucketDocs discipline): k-means on this corpus concentrates
+    * cell sizes near 2n/nList, and a pathological hot cell must fail
+    * with advice, not OOM an executor.
+    *
+    * Returns the raw one-row measurement frame; the registry gates
+    * [[ivfNearDupGate]]'s boolean projection. */
+  private[rel] def ivfNearDupRaw(spark: SparkSession, dir: String,
+      nAssign: Int = 2): DataFrame = {
+    import spark.implicits._
+    val aug = d20Corpus(spark, dir)
+    // two bounded driver scalars: corpus size (sizes nList, the d06
+    // count precedent) and the planted-pair count (analytic from the
+    // stride — the oracle recomputes it from SQL)
+    val hdr = aug.agg(count(lit(1)),
+      sum(when(col("vec_id") >= D20SiblingOffset, 1L).otherwise(0L))).head()
+    val n = hdr.getLong(0)
+    val planted = if (hdr.isNullAt(1)) 0L else hdr.getLong(1)
+    require(n > 0, "d20: embeddings corpus is empty")
+    val nList = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val centroids = Similarity.kmeansCentroids(
+      Similarity.trainingSample(aug, 4096), nList, iters = 8)
+    val bc = spark.sparkContext.broadcast(centroids)
+    // assignment: ONE corpus pass, each row exploded to its nAssign
+    // cells — the only corpus-sized shuffle in the plan (key = cell)
+    val assigned = aug.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          Similarity.nearestCells(Similarity.unit(v), bc.value, nAssign)
+            .iterator.map(c => (c, id, v))
+        }
+      }
+      .toDF("cell", "vec_id", "v")
+      // read twice below (pair generation + comparison accounting) —
+      // materialize once so assignment doesn't re-run per consumer
+      .transform(Lineage.cut)
+    // loud per-cell ceiling: generous (16× the balanced size) so only
+    // a genuinely degenerate clustering trips it
+    val cellCap = math.max(1024L, 16L * nAssign * n / nList)
+    val pairs = assigned.as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val xs = it.toArray
+        require(xs.length <= cellCap,
+          s"d20 cell $cell holds ${xs.length} vectors (cap $cellCap) — " +
+            "k-means degenerated; raise nList or inspect the embedding " +
+            "distribution for mass duplication")
+        val s = xs.sortBy(_._2)
+        val norms = s.map { case (_, _, v) =>
+          var ss = 0.0; var i = 0
+          while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(ss)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < s.length) {
+          val va = s(i)._3
+          var j = i + 1
+          while (j < s.length) {
+            val vb = s(j)._3
+            var dot = 0.0
+            var k = 0
+            while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+            val c = dot / (norms(i) * norms(j))
+            if (c >= D20Threshold) out += ((s(i)._2, s(j)._2, c))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("va", "vb", "cos")
+      // a pair sharing BOTH assigned cells is emitted twice with the
+      // same compiled-loop cosine — bit-identical, so distinct dedups
+      .distinct()
+    // comparison accounting from cell sizes — integer-exact
+    val cmp = assigned.groupBy("cell").agg(count(lit(1)).as("m"))
+      .agg(sum(expr("m * (m - 1) div 2"))).as[Long].head()
+    val quadratic = n * (n - 1) / 2
+    val needed = math.ceil(0.9 * planted).toLong
+    pairs.agg(
+        count(lit(1)).as("found"),
+        sum(when(col("vb") === col("va") + D20SiblingOffset, 1L)
+          .otherwise(0L)).as("found_planted"),
+        countDistinct(col("va"), col("vb")).as("found_distinct"))
+      .select(
+        lit(n).as("corpus_rows"),
+        lit(planted).as("planted_pairs"),
+        coalesce(col("found"), lit(0L)).as("found"),
+        coalesce(col("found_planted"), lit(0L)).as("found_planted"),
+        lit(cmp).as("comparisons"),
+        lit(quadratic).as("quadratic_comparisons"),
+        (coalesce(col("found_planted"), lit(0L)) >= needed)
+          .cast("long").as("recall_ok"),
+        (coalesce(col("found"), lit(0L)) ===
+          coalesce(col("found_planted"), lit(0L)))
+          .cast("long").as("all_planted_ok"),
+        (coalesce(col("found_distinct"), lit(0L)) ===
+          coalesce(col("found"), lit(0L))).cast("long").as("dedup_ok"),
+        lit(if (cmp <= quadratic / 2) 1L else 0L).as("comparisons_win_ok"))
+  }
+
+  /** The registry projection of [[ivfNearDupRaw]]: SQL-derivable counts
+    * plus measured booleans (raw found/comparisons counts are
+    * blocking-dependent and spec-asserted, not oracled). */
+  private def ivfNearDupGate(spark: SparkSession, dir: String): DataFrame =
+    ivfNearDupRaw(spark, dir)
+      .select("corpus_rows", "planted_pairs", "recall_ok",
+        "all_planted_ok", "dedup_ok", "comparisons_win_ok")
+
+  /** Minimum exact Jaccard for a pair to count as d21 ground truth.
+    * The fixture's true near-dups all measure J ≥ 0.875; at J = 0.7
+    * the 16-band/4-row banding catches a pair with probability
+    * 1 − (1 − 0.7⁴)¹⁶ ≈ 0.988, so the measured full-band recall bound
+    * of 0.9 holds with wide margin at every SF. */
+  private[rel] val D21TruthJ = 0.7
+
+  /** MinHash-LSH calibration ladder — the dedup-tier analog of s19's
+    * IVF probe calibration: how much of the TRUE near-dup pair set
+    * does the banding pass catch as the band budget grows? Ground
+    * truth is the exact-Jaccard pair set at [[D21TruthJ]] from the
+    * same shared-shingle bucket counting d03 gates (cost scales with
+    * shingle collisions, never n²); the ladder evaluates PREFIXES of
+    * the production 16-band scheme, so candidate sets are nested by
+    * construction and recall is nondecreasing as a structural theorem
+    * — the gate pins that the implementation preserves that nesting,
+    * plus the measured full-band recall ≥ 0.9. Per-pair band collision
+    * is computed from the two signatures directly (truth pairs are
+    * broadcast against the signature frame twice, the
+    * lshCandidatesWithTexts fetch shape) — no bucket table forms and
+    * the corpus is only ever streamed. Raw hit counts ride the full
+    * frame for the spec; the registry gates the boolean projection. */
+  private[rel] def lshCalibrationRaw(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val truth = jaccardPairs(spark, docs, D21TruthJ)
+      .select("da", "db")
+      // tiny by construction; feeds two broadcast joins — materialize
+      // once so the shingle-bucket aggregate doesn't run per subtree
+      .transform(Lineage.cut)
+    val sigs = minhashSignatures(spark, docs)
+    val withA = sigs.as("sa")
+      .join(broadcast(truth), col("da") === col("sa.doc_id"))
+      .select(col("da"), col("db"), col("sa.sig").as("siga"))
+    val both = sigs.as("sb")
+      .join(broadcast(withA), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), col("siga"), col("sb.sig").as("sigb"))
+    val rowsPerBand = MinhashK / MinhashBands
+    val firstBand = both.as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (da, db, sa, sb) =>
+        var fb = MinhashBands // sentinel: no band collides
+        var b = 0
+        while (b < MinhashBands && fb == MinhashBands) {
+          if (bandBucket(sa, b, rowsPerBand) == bandBucket(sb, b, rowsPerBand))
+            fb = b
+          b += 1
+        }
+        (da, db, fb)
+      }
+      .toDF("da", "db", "first_band")
+    val ladder = Seq(2, 4, 8, 16)
+    val aggCols = ladder.map(p =>
+      sum(when(col("first_band") < p, 1L).otherwise(0L)).as(s"h$p")) :+
+      count(lit(1)).as("total")
+    val r = firstBand.agg(aggCols.head, aggCols.tail: _*).head()
+    val total = r.getLong(ladder.length)
+    // an empty ground truth would make every recall boolean vacuously
+    // green — out-of-domain fixture, fail loudly (semdedup precedent)
+    require(total > 0,
+      s"d21: no ground-truth pairs at J >= $D21TruthJ in $dir — " +
+        "the calibration has nothing to measure")
+    val hits = ladder.indices.map(r.getLong(_))
+    val needed = math.ceil(0.9 * total).toLong
+    val rows = ladder.zipWithIndex.map { case (b, i) =>
+      val mono = i == 0 || hits(i) >= hits(i - 1)
+      val fullOk = b != ladder.last || hits(i) >= needed
+      (b.toLong, hits(i), total, mono, fullOk)
+    }
+    rows.toDF("bands", "hits", "total",
+      "recall_nondecreasing", "full_band_recall_ok")
+  }
+
+  /** The registry projection of [[lshCalibrationRaw]]: theorem/measured
+    * booleans only (hit counts are data-dependent and spec-asserted). */
+  private def lshCalibrationGate(spark: SparkSession, dir: String): DataFrame =
+    lshCalibrationRaw(spark, dir)
+      .select(col("bands"),
+        col("recall_nondecreasing").cast("long").as("recall_nondecreasing"),
+        col("full_band_recall_ok").cast("long").as("full_band_recall_ok"))
+      .orderBy("bands")
+
   val all: Seq[Q] = Seq(
     // Exact dedup via content digest: one hash-aggregate, keeps the
     // smallest doc_id per distinct text (deterministic survivor).
@@ -1373,6 +1608,43 @@ object Dedup {
           .groupBy("url_norm")
           .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"))
           .orderBy("url_norm")
+    },
+
+    // IVF-blocked embedding near-dup — d06's subquadratic scale path,
+    // gated as a one-row measured contract: the corpus (augmented with
+    // planted near-twins the oracle can count from SQL alone) is
+    // blocked into √n k-means cells with 2-way assignment; pairs form
+    // only within cells; exact-cosine verify makes precision 1 by
+    // construction, so the contract measures what blocking can
+    // actually lose (recall over the planted pairs) and what it buys
+    // (comparisons ≤ half the quadratic count, measured not argued).
+    Q("d20_ivf_blocked_neardup",
+      s"""SELECT
+         | CAST(count(*) + count(*) FILTER (vec_id % $D20Stride = 0)
+         |   AS BIGINT) AS corpus_rows,
+         | CAST(count(*) FILTER (vec_id % $D20Stride = 0)
+         |   AS BIGINT) AS planted_pairs,
+         | CAST(1 AS BIGINT) AS recall_ok,
+         | CAST(1 AS BIGINT) AS all_planted_ok,
+         | CAST(1 AS BIGINT) AS dedup_ok,
+         | CAST(1 AS BIGINT) AS comparisons_win_ok
+         |FROM embeddings""".stripMargin) { (s, d) =>
+      ivfNearDupGate(s, d)
+    },
+
+    // MinHash-LSH band calibration — the dedup-tier analog of s19:
+    // recall of the banding pass vs the exact-Jaccard ground truth as
+    // the band budget grows through nested prefixes of the production
+    // 16-band scheme. Theorem (prefix nesting ⟹ recall nondecreasing)
+    // plus the measured full-band recall ≥ 0.9 under the gate; raw hit
+    // counts are spec-asserted.
+    Q("d21_lsh_calibration",
+      """SELECT CAST(b AS BIGINT) AS bands,
+        | CAST(1 AS BIGINT) AS recall_nondecreasing,
+        | CAST(1 AS BIGINT) AS full_band_recall_ok
+        |FROM (SELECT unnest([2, 4, 8, 16]) AS b)
+        |ORDER BY bands""".stripMargin) { (s, d) =>
+      lshCalibrationGate(s, d)
     }
   )
 }

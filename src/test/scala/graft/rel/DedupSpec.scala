@@ -232,6 +232,101 @@ class DedupSpec extends SparkSpec {
     assert(rows(3L) == ((27L, 2L, 2L, 16L)), rows(3L))
   }
 
+  test("d20: blocked near-dup recall, purity, and comparison win with margin") {
+    val r = Dedup.ivfNearDupRaw(spark, sfDir).collect()(0)
+    val planted = r.getAs[Long]("planted_pairs")
+    val found = r.getAs[Long]("found")
+    val foundPlanted = r.getAs[Long]("found_planted")
+    val cmp = r.getAs[Long]("comparisons")
+    val quad = r.getAs[Long]("quadratic_comparisons")
+    info(s"planted=$planted found=$found foundPlanted=$foundPlanted " +
+      s"cmp=$cmp quad=$quad ratio=${cmp.toDouble / quad}")
+    assert(planted > 0, "fixture has no planted twins")
+    // the gate bound is 0.9 — the spec pins extra margin so a drift
+    // toward the bound is visible before the gate reds
+    assert(foundPlanted >= math.ceil(0.95 * planted).toLong,
+      s"blocked recall $foundPlanted/$planted below the 0.95 spec margin")
+    // every emitted pair is a planted pair (θ=0.9 sits far above the
+    // fixture's max unplanted cosine 0.479) and pairs are distinct
+    assert(found == foundPlanted)
+    // the blocking win: well under the gate's ≤ 1/2-quadratic bound
+    assert(cmp <= (quad * 3) / 10,
+      s"comparisons $cmp above 0.3×quadratic $quad — blocking degenerated")
+  }
+
+  test("d20: planted twins measure cosine ≥ 0.99 against their source") {
+    import org.apache.spark.sql.functions._
+    val aug = Dedup.d20Corpus(spark, sfDir)
+    val twins = aug.filter(col("vec_id") >= Dedup.D20SiblingOffset)
+      .select((col("vec_id") - Dedup.D20SiblingOffset).as("vec_id"),
+        col("embedding").as("twin"))
+    val joined = aug.join(twins, "vec_id")
+      .select(Similarity.cosine(col("embedding"), col("twin")).as("c"))
+      .agg(min("c")).collect()(0).getDouble(0)
+    assert(joined >= 0.99, s"min twin cosine $joined")
+  }
+
+  test("d21: ladder is monotone, full-band recall has margin, truth nonempty") {
+    val rows = Dedup.lshCalibrationRaw(spark, sfDir)
+      .orderBy("bands").collect()
+    val hits = rows.map(_.getAs[Long]("hits"))
+    val total = rows(0).getAs[Long]("total")
+    info(s"total=$total hits=${hits.mkString(",")}")
+    assert(total > 0)
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)), "ladder not monotone")
+    // gate bound 0.9; fixture pairs are all J ≥ 0.875, where a 16-band
+    // miss has probability ~7e-7 — pin full recall with deterministic
+    // hashes so any signature-machinery drift is loud
+    assert(hits.last == total,
+      s"full-band recall ${hits.last}/$total — signature drift?")
+  }
+
+  test("d21: the ladder discriminates on moderate-jaccard pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // every doc = a shared 60-token prefix + an 11-token unique suffix,
+    // so EVERY pair measures J = 56/78 ≈ 0.718 — just above the 0.7
+    // truth threshold, where a 4-row band agrees with probability
+    // 0.718⁴ ≈ 0.266: 2 bands catch ~46% of pairs, 16 bands ~99%. The
+    // rungs must genuinely separate, not saturate at rung 1.
+    // Deterministic hashes make the measured counts stable.
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 80L).map { i =>
+      val suf = (0 until 11).map(j => s"u${i}_$j").mkString(" ")
+      (i, s"$base $suf")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d21disc").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.lshCalibrationRaw(spark, dir).orderBy("bands").collect()
+    val hits = rows.map(_.getAs[Long]("hits"))
+    val total = rows(0).getAs[Long]("total")
+    info(s"moderate-J ladder: total=$total hits=${hits.mkString(",")}")
+    // rung 1 must sit well inside the ladder (~46% expected) and the
+    // rungs must separate — a saturated ladder measures nothing
+    assert(hits.head < hits.last,
+      s"ladder saturated: hits=${hits.mkString(",")} — rungs don't discriminate")
+    assert(hits.head <= (total * 3) / 4,
+      s"rung 1 caught ${hits.head}/$total — fixture J too high to discriminate")
+  }
+
+  test("d21: empty ground truth fails loudly, not vacuously green") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, (0 until 20).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d21empty").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshCalibrationRaw(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("nothing to measure"))
+  }
+
   test("hot-bucket guard fails loudly DURING aggregation, not after materializing") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

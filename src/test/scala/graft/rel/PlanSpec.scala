@@ -29,6 +29,19 @@ class PlanSpec extends SparkSpec {
     } finally sys.props.remove("graft.lineage.nocut")
   }
 
+  test("d20: blocked pair generation never shuffle-joins or cartesians the corpus") {
+    // nocut so the assignment/pair lineage stays visible through the
+    // contract aggregate (the Lineage.cut would otherwise collapse it
+    // to a LogicalRDD scan)
+    sys.props("graft.lineage.nocut") = "true"
+    try {
+      val p = plan("d20_ivf_blocked_neardup")
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    } finally sys.props.remove("graft.lineage.nocut")
+  }
+
   test("q02: filter is pushed into the parquet scan") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters: ["), p)
