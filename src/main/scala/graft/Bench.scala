@@ -211,7 +211,7 @@ object Bench {
     // the artifact ("attempts") so within-invocation spread is
     // auditable next to the calibration
     val iterative = Set("d07_dedup_clusters", "d14_dedup_materialize",
-      "d17_dup_weights", "q38_pagerank")
+      "d17_dup_weights", "d22_cluster_split", "q38_pagerank")
     // streaming-trigger cells: each starts a real streaming query
     // (AvailableNow drain), whose fixed trigger/checkpoint overhead is
     // a per-attempt lottery the same way the iterative loops' rounds

@@ -165,6 +165,36 @@ object Cluster {
       .orderBy("doc_id")
   }
 
+  /** Leakage-free train/val/test split — the assignment step a
+    * training pipeline runs AFTER dedup clustering, and the reason the
+    * clustering has to come first: splitting on a hash of doc_id
+    * scatters the members of a near-dup cluster across splits, so the
+    * eval set contains near-copies of training documents and the
+    * benchmark is contaminated by construction. Keying the split hash
+    * on the cluster's canonical id instead makes leakage impossible:
+    * split is a pure function of the cluster, so no cluster can
+    * straddle a boundary (ClusterSpec additionally shows the naive
+    * doc_id-keyed split DOES leak on the same fixture).
+    *
+    * Scale shape: zero shuffles beyond d14's survivorship join — the
+    * bucket is a narrow per-row expression over canonical_id, and the
+    * leakage guarantee is by construction, not by a corpus-wide audit
+    * groupBy. The hash is the first 48 bits of md5 of the decimal id
+    * string — chosen over xxhash64 because the DuckDB oracle computes
+    * the identical value (hex-literal cast), so the gate replays the
+    * exact assignment cross-engine, not just the fractions. 90/5/5 by
+    * bucket < 90 / < 95.
+    */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val mat = dedupMaterialize(spark, dir)
+    val bucket = conv(substring(md5(col("canonical_id").cast("string")),
+      1, 12), 16, 10).cast("long") % 100
+    mat.select(col("doc_id"), col("canonical_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Shared oracle prefix: the exact pair predicate closed transitively
     * with a recursive CTE, component id = min reachable node; `asg` =
     * (doc_id, cluster_id), `sizes` = per-cluster member count. */
@@ -257,6 +287,27 @@ object Cluster {
           coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
           (lit(1.0) / coalesce(col("cluster_size"), lit(1L))).as("weight"))
         .orderBy("doc_id")
+    },
+
+    // Leakage-free split assignment keyed on the dedup cluster (see
+    // clusterSplit). The oracle replays the exact md5-bucket
+    // assignment, so the gate proves the per-doc split matches
+    // cross-engine — not merely that the fractions look right.
+    Q("d22_cluster_split", componentCtes +
+      """, matd AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(a.cluster_id, d.doc_id) AS BIGINT) AS canonical_id
+        |  FROM documents d LEFT JOIN asg a USING (doc_id)
+        |), b AS (
+        |  SELECT doc_id, canonical_id,
+        |    CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 12))
+        |         AS BIGINT) % 100 AS bucket
+        |  FROM matd)
+        |SELECT doc_id, canonical_id,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      clusterSplit(s, d)
     }
   )
 }

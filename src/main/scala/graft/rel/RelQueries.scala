@@ -1632,6 +1632,41 @@ object RelQueries {
           sum(when(col("rl") === 1, 1L).otherwise(0L)).as("last_touch"),
           round(sum(lit(1.0) / col("n")), 4).as("linear_credit"))
         .orderBy("channel")
+    },
+
+    // Salted skew JOIN (ScaleOps.saltedJoin) — the join-side
+    // counterpart of q32: documents joined to per-language corpus
+    // stats on `lang`, a key with a handful of distinct values, so a
+    // plain shuffle join would funnel the whole corpus into ≤ |langs|
+    // reducer tasks regardless of the partition count (the regime
+    // AQE's skew-join cannot fix: it splits oversized partitions by
+    // file, but the per-key build/probe funnel remains). The dim side
+    // here is derived small, but the technique is for when it is NOT
+    // broadcastable (10M+ entities); the spec asserts exact equality
+    // with the broadcast plan and the (key × salt) spread. rarity is
+    // one IEEE division of exact integers — bit-identical
+    // cross-engine. Output stays aggregate-shaped (per-lang recount
+    // over the joined fact rows) to keep the gate row count bounded.
+    Q("q51_salted_skew_join",
+      """WITH lc AS (
+        |  SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang),
+        |tot AS (SELECT count(*) AS total FROM documents)
+        |SELECT d.lang, lc.lang_n,
+        |  CAST(tot.total AS DOUBLE) / lc.lang_n AS rarity,
+        |  count(*) AS joined_rows,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d
+        |JOIN lc ON d.lang = lc.lang CROSS JOIN tot
+        |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin) { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "lang", "n_chars")
+      val total = docs.count() // one scalar for the rarity weight
+      val dim = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+        .withColumn("rarity", lit(total.toDouble) / col("lang_n"))
+      ScaleOps.saltedJoin(docs, dim, "lang", 8)
+        .groupBy("lang", "lang_n", "rarity")
+        .agg(count(lit(1)).as("joined_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
     }
   )
 

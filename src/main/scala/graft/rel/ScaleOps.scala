@@ -65,6 +65,46 @@ object ScaleOps {
         sum(col("_pn")).as("n"))
   }
 
+  /** Salted equi-join for skewed keys: the JOIN-side counterpart of
+    * [[saltedSumCount]], for the regime AQE's skew-join cannot reach —
+    * when EVERY key is hot (a handful of distinct values over a huge
+    * fact side), a plain shuffle join routes the entire fact table
+    * into ≤ |keys| reducer tasks no matter how many partitions are
+    * configured; AQE can split a skewed partition's FILES, but a
+    * hash-join build/probe on (key) still funnels per-key. The fix is
+    * classic salting: replicate the (small-per-key but not
+    * broadcastable) `dim` side once per salt bucket, route each fact
+    * row to one bucket, and join on (key, salt) — the widest task
+    * shrinks by ~saltBuckets while the result set is EXACTLY the plain
+    * join's (each fact row meets each matching dim row exactly once,
+    * at its one salt value; spec-asserted against the broadcast plan).
+    *
+    * Fact-side routing uses a row-index salt, not a column hash, for
+    * the same reason as saltedSumCount: byte-identical hot rows must
+    * still spread. `dim` must be unique per `key` (the usual dim-table
+    * contract) — with duplicate dim keys the join is still correct
+    * (every copy is replicated to every salt) but the fan-out
+    * multiplies, so callers should pre-aggregate first.
+    *
+    * Cost model: dim is written saltBuckets× into the exchange (it is
+    * the SMALL side — that is the premise), fact once; versus the
+    * unsalted plan the fact-side exchange is unchanged and the max
+    * task width drops by the salt factor. At 100 TB this is the
+    * difference between 6 reducers owning a corpus and 6×64 sharing
+    * it. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    val salts = array((0 until saltBuckets).map(i => lit(i.toLong)): _*)
+    val dimSalted = dim.withColumn("_salt", explode(salts))
+    // shuffle_hash, not the default sort-merge: no sort on either side,
+    // and the build side is the replicated dim (still the small one)
+    fact.withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      .join(dimSalted.hint("shuffle_hash"), Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
   /** Z-order (Morton) clustered write — the lakehouse data-layout
     * technique (Delta/Iceberg `OPTIMIZE ZORDER`) for tables filtered
     * on MORE THAN ONE dimension: each row's two cluster columns are

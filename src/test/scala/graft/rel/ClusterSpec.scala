@@ -125,4 +125,39 @@ class ClusterSpec extends SparkSpec {
     val clustered = asg.length
     assert(keepers == nDocs - clustered + components)
   }
+
+  test("d22 split: no cluster straddles a split; the naive doc_id split leaks") {
+    val split = Cluster.clusterSplit(spark, sfDir)
+    // leakage audit over the REAL assignment: every cluster lives in
+    // exactly one split (by construction — split hashes canonical_id)
+    val leaky = split.groupBy("canonical_id")
+      .agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky == 0L, s"$leaky clusters straddle a split boundary")
+    // total coverage + sane shape: every doc assigned once, train the
+    // strict majority (90/5/5 buckets; the fixture is small so val and
+    // test get a loose nonempty-union check, not exact fractions)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum == nDocs)
+    assert(byS.getOrElse("train", 0L) >
+      byS.getOrElse("val", 0L) + byS.getOrElse("test", 0L))
+    // the contrast that justifies the operator: the SAME hash keyed on
+    // doc_id instead of canonical_id scatters at least one cluster's
+    // members across splits on this fixture — eval-set contamination
+    val naiveBucket = conv(substring(
+      md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long") % 100
+    val naiveLeaky = split
+      .withColumn("nsplit",
+        when(naiveBucket < 90, "train").when(naiveBucket < 95, "val")
+          .otherwise("test"))
+      .groupBy("canonical_id")
+      .agg(countDistinct("nsplit").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(naiveLeaky > 0L,
+      "fixture has no cluster the naive split would scatter — " +
+        "the contrast is vacuous; strengthen the fixture")
+  }
 }

@@ -577,4 +577,48 @@ class PlanSpec extends SparkSpec {
       assert(out.count() == 4)
     } finally session.listenerManager.unregister(listener)
   }
+
+  test("p29: CDC apply is one hash aggregate — no Window, no changelog sort") {
+    val p = plan("p29_cdc_apply")
+    assert(!p.contains("Window"), s"CDC apply regressed to a window:\n$p")
+    // map-side partial combine on the latest-version fold — each task
+    // shrinks its changelog to one row per local key pre-exchange
+    assert(p.contains("partial_max_by"), s"no partial aggregation:\n$p")
+    // the fold must stay a HashAggregate: a string-valued max_by would
+    // demote it to SortAggregate (immutable buffer), which Sorts the
+    // full changelog twice — the exact plan this operator replaces
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), s"fold demoted to SortAggregate:\n$p")
+    // the only Sort is the presentation orderBy above the aggregate;
+    // a per-key changelog sort below it would be a second one
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts <= 1, s"expected at most the presentation sort, got $sorts:\n$p")
+  }
+
+  test("q51: the salted join stays shuffled-hash — no sort-merge, no broadcast, dim replicated") {
+    val p = plan("q51_salted_skew_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), s"dim side not salt-replicated:\n$p")
+  }
+
+  test("d22: the split adds no exchanges or aggregates over d14's survivorship plan") {
+    // the leakage-free guarantee is by construction (split hashes
+    // canonical_id), so the assignment must cost nothing beyond d14's
+    // join — no extra exchange, no corpus-wide audit aggregate. It is
+    // in fact strictly CHEAPER: d22 never reads cluster_size, so
+    // Catalyst prunes the per-cluster size subtree (its aggregate pair
+    // and exchange) out of the plan entirely — pin ≤ componentwise.
+    def shape(n: String): (Int, Int) = {
+      val p = plan(n)
+      (p.linesIterator.count(_.contains("Exchange")),
+        p.linesIterator.count(_.contains("HashAggregate")))
+    }
+    val d14 = shape("d14_dedup_materialize")
+    val d22 = shape("d22_cluster_split")
+    assert(d22._1 <= d14._1 && d22._2 <= d14._2,
+      s"d22 plan shape $d22 exceeds d14's $d14 — the split " +
+        "should be a narrow projection over the same survivorship join")
+  }
 }

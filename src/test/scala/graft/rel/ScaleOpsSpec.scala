@@ -268,4 +268,58 @@ class ScaleOpsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("saltedJoin equals the plain join; plan is shuffled-hash over the replicated dim") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+    val dim = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val salted = ScaleOps.saltedJoin(docs, dim, "lang", 8)
+      .select("doc_id", "lang", "n_chars", "lang_n")
+    val plain = docs.join(broadcast(dim), Seq("lang"))
+      .select("doc_id", "lang", "n_chars", "lang_n")
+    // doc_id is unique, so the ordered row arrays compare exactly
+    val a = salted.orderBy("doc_id").collect()
+    val b = plain.orderBy("doc_id").collect()
+    assert(a.length == b.length && a.sameElements(b),
+      "salted join diverged from the plain join")
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), s"dim side not replicated via explode:\n$p")
+    // guard trips loudly
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(docs, dim, "lang", 1)
+    }
+  }
+
+  test("cdcApply: latest version wins, deletes don't resurrect; equals the window plan") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, 1L, "U", 10.0), (1L, 2L, "U", 20.0), // update chain -> latest
+      (2L, 1L, "U", 5.0), (2L, 2L, "D", 0.0),   // delete last -> absent
+      (3L, 1L, "D", 0.0), (3L, 2L, "U", 7.0),   // re-insert after delete -> present
+      (4L, 3L, "U", 1.0)                        // single version
+    ).toDF("k", "seq", "op", "qty")
+    val got = PipelineQueries.cdcApply(crafted).orderBy("cust_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 20.0), (3L, 2L, 7.0), (4L, 3L, 1.0)), got)
+    // on the real changelog the one-aggregate fold must equal the
+    // window row_number formulation it replaces (seq = o_orderkey is
+    // globally unique, so both formulations are deterministic)
+    val real = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+      col("o_totalprice").as("qty"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("seq").desc)
+    val viaWindow = real.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k").as("cust_key"), col("seq").as("last_seq"),
+        col("qty"))
+    val viaAgg = PipelineQueries.cdcApply(real)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty,
+      "cdcApply diverged from the window formulation")
+  }
 }
