@@ -1659,9 +1659,15 @@ object RelQueries {
         |JOIN lc ON d.lang = lc.lang CROSS JOIN tot
         |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin) { (s, d) =>
       val docs = documents(s, d).select("doc_id", "lang", "n_chars")
-      val total = docs.count() // one scalar for the rarity weight
-      val dim = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
-        .withColumn("rarity", lit(total.toDouble) / col("lang_n"))
+      // one corpus pass builds the per-lang dim; cut its lineage so the
+      // corpus total (sum of the tiny dim's counts — NOT a second
+      // count() pass over documents) reuses the materialized rows
+      val langCounts = Lineage.cut(
+        docs.groupBy("lang").agg(count(lit(1)).as("lang_n")))
+      val dim = langCounts
+        .crossJoin(langCounts.agg(sum("lang_n").as("_total")))
+        .withColumn("rarity", col("_total").cast("double") / col("lang_n"))
+        .drop("_total")
       ScaleOps.saltedJoin(docs, dim, "lang", 8)
         .groupBy("lang", "lang_n", "rarity")
         .agg(count(lit(1)).as("joined_rows"),

@@ -53,17 +53,36 @@ object ScaleOps {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
-    // row-index salt (not a column hash): spreads even when the hot
-    // key's rows are byte-identical; any routing works — the final
-    // combine is total regardless of salt assignment
-    df.withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    require(!df.columns.contains("_salt"),
+      "saltedSumCount reserves the _salt column — rename it on the input")
+    df.withColumn("_salt", contentSalt(df, saltBuckets))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("sum_" + valueCol),
         sum(col("_pn")).as("n"))
   }
+
+  /** Deterministic per-row salt: a content hash over every column,
+    * NOT a row-index (`monotonically_increasing_id`) or random. The
+    * distinction only matters under failure, which is exactly when it
+    * matters most: a row-index salt changes when a lost map task is
+    * recomputed with a different input order (any input downstream of
+    * a shuffle has fetch-order-dependent row order), so reducers that
+    * already fetched the original output and reducers that fetch the
+    * recomputed output see DIFFERENT (key, salt) routings of the same
+    * rows — rows silently double-count or vanish (the SPARK-23207
+    * round-robin-repartition bug class; Spark's own fix sorts before
+    * round-robin). A content hash routes a given row identically on
+    * every recomputation, so retries are safe by construction.
+    *
+    * The price: byte-identical duplicate rows co-route to one salt
+    * bucket. If a hot key's rows are literal copies, salting cannot
+    * spread them deterministically — deduplicate first (d01) or carry
+    * a unique id column; any distinguishing column restores spread. */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+      lit(saltBuckets.toLong))
 
   /** Salted equi-join for skewed keys: the JOIN-side counterpart of
     * [[saltedSumCount]], for the regime AQE's skew-join cannot reach —
@@ -79,11 +98,12 @@ object ScaleOps {
     * join's (each fact row meets each matching dim row exactly once,
     * at its one salt value; spec-asserted against the broadcast plan).
     *
-    * Fact-side routing uses a row-index salt, not a column hash, for
-    * the same reason as saltedSumCount: byte-identical hot rows must
-    * still spread. `dim` must be unique per `key` (the usual dim-table
-    * contract) — with duplicate dim keys the join is still correct
-    * (every copy is replicated to every salt) but the fan-out
+    * Fact-side routing uses the deterministic content salt (see
+    * [[contentSalt]] — a row-index salt corrupts results under stage
+    * retry; for a join the corruption is per-row output, not even a
+    * re-foldable aggregate). `dim` must be unique per `key` (the usual
+    * dim-table contract) — with duplicate dim keys the join is still
+    * correct (every copy is replicated to every salt) but the fan-out
     * multiplies, so callers should pre-aggregate first.
     *
     * Cost model: dim is written saltBuckets× into the exchange (it is
@@ -95,12 +115,13 @@ object ScaleOps {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column — rename it on the input")
     val salts = array((0 until saltBuckets).map(i => lit(i.toLong)): _*)
     val dimSalted = dim.withColumn("_salt", explode(salts))
     // shuffle_hash, not the default sort-merge: no sort on either side,
     // and the build side is the replicated dim (still the small one)
-    fact.withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    fact.withColumn("_salt", contentSalt(fact, saltBuckets))
       .join(dimSalted.hint("shuffle_hash"), Seq(key, "_salt"))
       .drop("_salt")
   }
