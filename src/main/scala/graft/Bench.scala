@@ -223,7 +223,7 @@ object Bench {
     val streamingTrigger = Set("p12_stream_windowed",
       "p16_stream_attribution", "p17_stream_dedup", "p21_stream_sessions",
       "p23_exactly_once", "p24_stream_enrich", "p27_stream_curation",
-      "p27c_stream_neardup")
+      "p27c_stream_neardup", "p29b_stream_cdc")
     val traced = iterative ++ streamingTrigger
     val attemptLog =
       scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]

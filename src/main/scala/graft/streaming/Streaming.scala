@@ -950,4 +950,139 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"))
       .orderBy("event_type")
   }
+
+  // ---- p29b: streaming CDC apply (latest-version-per-key state) --------
+
+  /** One changelog version: key, per-key-unique monotone sequence,
+    * delete tombstone flag, payload. */
+  final case class CdcVersion(k: Long, seq: Long, del: Boolean, qty: Double)
+  /** Per-key retained state: the highest-seq version seen so far.
+    * Tombstones are RETAINED (never `state.remove()`d): a removed
+    * tombstone would let a late out-of-order version OLDER than the
+    * delete resurrect the key on arrival — the state must remember
+    * how far the key's history has been applied. Production retention:
+    * at 100 TB the tombstone set is bounded by the live-key count, and
+    * a deployment that can bound disorder (e.g. by source semantics)
+    * evicts via GroupStateTimeout after the disorder horizon; this
+    * gate keeps NoTimeout because the drain is finite. */
+  final case class CdcState(lastSeq: Long, del: Boolean, qty: Double)
+  /** One emitted row per key per batch: the key's new snapshot. */
+  final case class CdcUpdate(k: Long, last_seq: Long, del: Boolean,
+      qty: Double)
+
+  /** Orders-table file stream — the changelog source for p29b (same
+    * two-layout handling as [[eventsStream]]; no timestamp column is
+    * consumed, so no nanos normalization applies). */
+  private def ordersStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/orders.parquet"
+    val batchSchema = s.read.parquet(path).schema
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDirLayout = hPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(hPath).isDirectory
+    if (isDirLayout) s.readStream.schema(batchSchema).parquet(path)
+    else s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+  }
+
+  /** The latest-version-per-key fold as STREAMING STATE — the
+    * incremental form of [[graft.rel.PipelineQueries.cdcApply]]'s one
+    * hash aggregate: `mapGroupsWithState` keeps exactly one
+    * [[CdcState]] per key (the same per-key O(1) footprint the batch
+    * fold's partial-aggregate buffer has) and each micro-batch emits
+    * the key's updated snapshot row. Within a batch AND against the
+    * retained state, the highest seq wins — so re-ordered delivery
+    * across batches converges to the same snapshot the batch fold
+    * computes over the full changelog (spec-asserted, including a
+    * late pre-delete version arriving after its key's tombstone). */
+  private[graft] def cdcUpdates(log: Dataset[CdcVersion])
+      : Dataset[CdcUpdate] = {
+    implicit val stEnc = Encoders.product[CdcState]
+    implicit val upEnc = Encoders.product[CdcUpdate]
+    implicit val keyEnc = Encoders.scalaLong
+    log.groupByKey(_.k)
+      .mapGroupsWithState[CdcState, CdcUpdate](GroupStateTimeout.NoTimeout) {
+        (k: Long, versions: Iterator[CdcVersion],
+         state: GroupState[CdcState]) =>
+          var best = state.getOption.getOrElse(
+            CdcState(Long.MinValue, del = true, qty = 0.0))
+          versions.foreach { v =>
+            if (v.seq > best.lastSeq) best = CdcState(v.seq, v.del, v.qty)
+          }
+          state.update(best)
+          CdcUpdate(k, best.lastSeq, best.del, best.qty)
+      }
+  }
+
+  def cdcStreamed(s: SparkSession, dir: String): DataFrame =
+    cdcDrained(s, dir)._1
+
+  /** p29b's drained body: orders-as-changelog file stream →
+    * [[cdcUpdates]] state fold (Update mode) → foreachBatch with the
+    * p23 marker-idempotent commit (Update-mode output needs an
+    * at-least-once-safe sink; the marker protocol upgrades it to
+    * exactly-once) → AvailableNow drain → snapshot read. The snapshot
+    * re-folds the committed update rows per key by last_seq: across a
+    * multi-batch drain (or a restart) a key emits once per batch it
+    * appears in, and the highest-seq emission is its final state —
+    * the same max_by discipline as the batch fold, over batch-count-
+    * bounded rows per key, never the changelog. A run-scoped out root
+    * (no caller checkpoint/out) dies on the success path, the p27c
+    * tempdir discipline. */
+  private[graft] def cdcDrained(s: SparkSession, dir: String,
+      checkpoint: Option[String] = None,
+      outRoot: Option[String] = None): (DataFrame, DrainStats) = {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val verEnc = Encoders.product[CdcVersion]
+    val tmpOut = outRoot.isEmpty
+    val out = outRoot.getOrElse(
+      java.nio.file.Files.createTempDirectory("p29b-out").toString)
+    val log = ordersStream(s, dir).select(
+        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        (col("o_orderstatus") === "F").as("del"),
+        col("o_totalprice").as("qty"))
+      .as[CdcVersion]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try {
+        val w0 = cdcUpdates(log).toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], id: Long) =>
+            commitBatchIdempotent(df, id, out); ()
+          }
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow())
+        w0.option("checkpointLocation",
+          checkpoint.getOrElse(s"$out/_checkpoint")).start()
+      } catch { case e: Throwable =>
+        s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+      }
+    val st =
+      try {
+        try q.awaitTermination()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val st0 = drainStats(q)
+        requireSourceDrained(st0, dir, "orders.parquet")
+        st0
+      } finally { if (q.isActive) q.stop() }
+    val upd = readCommitted(s, out)
+    val snap = upd
+      .groupBy("k")
+      .agg(max(col("last_seq")).as("final_seq"),
+        max_by(col("del").cast("long"), col("last_seq")).as("_del_last"),
+        max_by(col("qty"), col("last_seq")).as("_qty_last"))
+      .filter(col("_del_last") === 0L)
+      .select(col("k").as("cust_key"), col("final_seq").as("last_seq"),
+        col("_qty_last").as("qty"))
+      .orderBy("cust_key")
+      .localCheckpoint(true)
+    if (tmpOut) {
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    (snap, st)
+  }
 }

@@ -860,4 +860,55 @@ class StreamingSpec extends SparkSpec {
       .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
     assert(batch == streamed)
   }
+
+  test("p29b restart: CDC state survives a real stop; tombstones block late pre-delete versions") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("restart_p29b").toString
+    try {
+      val src = s"$root/orders.parquet" // directory layout
+      def write(rows: Seq[(Long, Long, String, Double)]): Unit =
+        rows.toDF("o_custkey", "o_orderkey", "o_orderstatus",
+            "o_totalprice")
+          .coalesce(1).write.mode("append").parquet(src)
+      def tuples(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val ckpt = Some(s"$root/ckpt")
+      val out = Some(s"$root/out")
+      // phase 1: two live keys; k3 deleted at seq 30 with an OLDER
+      // version in the same batch (the in-batch fold must pick the
+      // tombstone, not the last-arriving row)
+      write(Seq((1L, 10L, "O", 1.0), (2L, 20L, "O", 2.0),
+        (3L, 30L, "F", 3.0), (3L, 25L, "O", 9.0)))
+      val (snap1, st1) = Streaming.cdcDrained(spark, root, ckpt, out)
+      assert(st1.inputRows == 4, "phase 1 drained unexpected input")
+      assert(tuples(snap1) == Seq((1L, 10L, 1.0), (2L, 20L, 2.0)))
+      // REAL stop: only the checkpoint + committed updates survive.
+      // phase 2: a LATE version of k3 older than its tombstone (must
+      // not resurrect — requires the restored per-key state), k2's
+      // delete, and a fresh k4
+      write(Seq((3L, 28L, "O", 7.0), (2L, 21L, "F", 0.0),
+        (4L, 40L, "O", 4.0)))
+      val (snap2, st2) = Streaming.cdcDrained(spark, root, ckpt, out)
+      assert(st2.inputRows == 3,
+        "restart re-read already-committed input — offsets not restored")
+      assert(tuples(snap2) == Seq((1L, 10L, 1.0), (4L, 40L, 4.0)),
+        s"post-restart snapshot wrong: ${tuples(snap2)}")
+      // stream == batch: the incremental fold over two drains equals
+      // the one-aggregate batch apply over the full changelog
+      val log = spark.read.parquet(src).select(
+        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_totalprice").as("qty"))
+      val batchSnap = graft.rel.PipelineQueries.cdcApply(log)
+        .orderBy("cust_key")
+      assert(tuples(batchSnap) == tuples(snap2),
+        "streamed snapshot diverged from the batch CDC apply")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
 }
