@@ -98,28 +98,37 @@ object Streaming {
   /** File-source events STREAM with the same schema + ts normalization
     * `Tables.events` applies to the batch read (shared by every
     * registry query that runs the real incremental engine). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val path = s"$dir/events.parquet"
-    // schema from the batch reader (nanosAsLong conversions included),
-    // then the same ts normalization Tables.events applies
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Two-layout file stream over `$dir/<name>` — THE shared source
+    * plumbing for every streamed registry gate (events/documents/
+    * orders). FileStreamSource requires a DIRECTORY base path, so two
+    * layouts are accepted (the same two the batch readers handle): a
+    * single FILE `<name>` (driver testdata) is scoped via
+    * pathGlobFilter over its parent, while a Spark-written DIRECTORY
+    * `<name>` (part-files inside) streams from the directory itself —
+    * the glob would match no part-file there and silently drain zero
+    * rows. Schema comes from a batch probe of the same path (so any
+    * session conf the caller sets first, e.g. nanosAsLong, applies). */
+  private def tableStream(s: SparkSession, dir: String, name: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val path = s"$dir/$name"
     val batchSchema = s.read.parquet(path).schema
-    // FileStreamSource requires a DIRECTORY base path. Two layouts are
-    // accepted (the same two Tables.events reads): a single FILE
-    // `events.parquet` (driver testdata) is scoped via pathGlobFilter
-    // over its parent, while a Spark-written DIRECTORY `events.parquet`
-    // (part-files inside) streams from the directory itself — the glob
-    // would match no part-file and silently drain zero rows.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val isDirLayout = hPath
       .getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(hPath).isDirectory
-    val raw =
-      if (isDirLayout) s.readStream.schema(batchSchema).parquet(path)
-      else s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+    val rdr0 = s.readStream.schema(batchSchema)
+    val rdr = maxFilesPerTrigger.fold(rdr0)(n =>
+      rdr0.option("maxFilesPerTrigger", n.toString))
+    if (isDirLayout) rdr.parquet(path)
+    else rdr.option("pathGlobFilter", name).parquet(dir)
+  }
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // schema from the batch reader (nanosAsLong conversions included),
+    // then the same ts normalization Tables.events applies
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = tableStream(s, dir, "events.parquet")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -697,19 +706,8 @@ object Streaming {
     * [[eventsStream]] (same two-layout handling; no ts column, so no
     * nanos normalization). */
   private def docsStream(s: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val batchSchema = s.read.parquet(path).schema
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val isDirLayout = hPath
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(hPath).isDirectory
-    val rdr0 = s.readStream.schema(batchSchema)
-    val rdr = maxFilesPerTrigger.fold(rdr0)(n =>
-      rdr0.option("maxFilesPerTrigger", n.toString))
-    if (isDirLayout) rdr.parquet(path)
-    else rdr.option("pathGlobFilter", "documents.parquet").parquet(dir)
-  }
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    tableStream(s, dir, "documents.parquet", maxFilesPerTrigger)
 
   /** INCREMENTAL curation (p27) — the batch curation DAG (p26) run
     * through the real streaming engine, micro-batch by micro-batch:
@@ -970,21 +968,10 @@ object Streaming {
   final case class CdcUpdate(k: Long, last_seq: Long, del: Boolean,
       qty: Double)
 
-  /** Orders-table file stream — the changelog source for p29b (same
-    * two-layout handling as [[eventsStream]]; no timestamp column is
-    * consumed, so no nanos normalization applies). */
-  private def ordersStream(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/orders.parquet"
-    val batchSchema = s.read.parquet(path).schema
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val isDirLayout = hPath
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(hPath).isDirectory
-    if (isDirLayout) s.readStream.schema(batchSchema).parquet(path)
-    else s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(dir)
-  }
+  /** Orders-table file stream — the changelog source for p29b (no
+    * timestamp column is consumed, so no nanos normalization). */
+  private def ordersStream(s: SparkSession, dir: String): DataFrame =
+    tableStream(s, dir, "orders.parquet")
 
   /** The latest-version-per-key fold as STREAMING STATE — the
     * incremental form of [[graft.rel.PipelineQueries.cdcApply]]'s one
@@ -1038,9 +1025,15 @@ object Streaming {
     val tmpOut = outRoot.isEmpty
     val out = outRoot.getOrElse(
       java.nio.file.Files.createTempDirectory("p29b-out").toString)
+    // del is NULL-safe (coalesce to false) to match the batch twin's
+    // when(...).otherwise("U") and the oracle's CASE ... ELSE 'U' — a
+    // NULL status row must not NPE the non-nullable CdcVersion field
+    // while both other engines default it to an upsert. Key/seq/
+    // payload follow the changelog PK contract (non-null), which the
+    // orders derivation satisfies by construction.
     val log = ordersStream(s, dir).select(
         col("o_custkey").as("k"), col("o_orderkey").as("seq"),
-        (col("o_orderstatus") === "F").as("del"),
+        coalesce(col("o_orderstatus") === "F", lit(false)).as("del"),
         col("o_totalprice").as("qty"))
       .as[CdcVersion]
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -1050,7 +1043,10 @@ object Streaming {
         val w0 = cdcUpdates(log).toDF().writeStream
           .foreachBatch { (df: org.apache.spark.sql.Dataset[
               org.apache.spark.sql.Row], id: Long) =>
-            commitBatchIdempotent(df, id, out); ()
+            // AvailableNow can deliver a trailing empty batch — skip
+            // the write+marker (p27c's guard): an empty batch dir
+            // would be listed and opened by every snapshot read
+            if (!df.isEmpty) { commitBatchIdempotent(df, id, out); () }
           }
           .outputMode(OutputMode.Update())
           .trigger(Trigger.AvailableNow())
@@ -1064,7 +1060,19 @@ object Streaming {
         try q.awaitTermination()
         finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         val st0 = drainStats(q)
-        requireSourceDrained(st0, dir, "orders.parquet")
+        // a crash-recovery rerun may legitimately drain ZERO new rows
+        // (everything committed before the stop) — the snapshot then
+        // comes entirely from the committed updates (the p27c
+        // zero-new-batches discipline). Only a zero-input drain with
+        // NO committed history is the layout-mismatch error.
+        if (st0.inputRows == 0) {
+          val fs = new org.apache.hadoop.fs.Path(out)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val hasCommits = fs.exists(new org.apache.hadoop.fs.Path(out)) &&
+            fs.listStatus(new org.apache.hadoop.fs.Path(out))
+              .exists(_.getPath.getName.startsWith("_commit_"))
+          if (!hasCommits) requireSourceDrained(st0, dir, "orders.parquet")
+        }
         st0
       } finally { if (q.isActive) q.stop() }
     val upd = readCommitted(s, out)

@@ -905,6 +905,13 @@ class StreamingSpec extends SparkSpec {
         .orderBy("cust_key")
       assert(tuples(batchSnap) == tuples(snap2),
         "streamed snapshot diverged from the batch CDC apply")
+      // crash-recovery rerun with NOTHING new: zero input drained, and
+      // the snapshot is served entirely from the committed updates
+      // (must not trip the layout-mismatch guard)
+      val (snap3, st3) = Streaming.cdcDrained(spark, root, ckpt, out)
+      assert(st3.inputRows == 0, "recovery rerun re-read committed input")
+      assert(tuples(snap3) == tuples(snap2),
+        "recovery-rerun snapshot diverged")
     } finally {
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
