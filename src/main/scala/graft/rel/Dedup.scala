@@ -1422,24 +1422,26 @@ object Dedup {
         .groupBy("dg")
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("batch_copies"))
         .transform(Lineage.cut)
-      // size from the actual batch key count (q33 precedent) so the
-      // realized fpp holds at any sf. NULL digests (a NULL-text row)
-      // stay OUT of the bloom and OUT of the sliver on both sides:
-      // SQL equality never matches NULL, so a NULL corpus digest can't
-      // eliminate anything and a NULL batch digest always survives the
-      // anti-join — exactly d12's semantics, without the UDF ever
-      // seeing null
+      // the Bloom build/probe ride Spark's NATIVE runtime-filter
+      // expressions (bloom_filter_agg / might_contain), not a Scala
+      // UDF: the probe codegens into the corpus scan's whole-stage
+      // span, and sizing folds into the aggregate's conf defaults
+      // (spark.sql.optimizer.runtime.bloomFilter.{expectedNumItems,
+      // numBits} — 1M keys / 1 MB bits), deleting the separate
+      // count() sizing action the UDF path needed. NULL digests (a
+      // NULL-text row) stay OUT of the bloom and OUT of the sliver on
+      // both sides: SQL equality never matches NULL, so a NULL corpus
+      // digest can't eliminate anything and a NULL batch digest
+      // always survives the anti-join — exactly d12's semantics.
       // presentation order on a NULLABLE key must pin NULL placement
       // explicitly: Spark's orderBy is NULLS FIRST, DuckDB's is NULLS
       // LAST, so the oracle writes ORDER BY digest NULLS FIRST — both
       // engines then agree when a NULL-text batch row survives
       val nonNullBatch = batch.filter(col("dg").isNotNull)
-      val bloom = nonNullBatch.stat.bloomFilter("dg",
-        math.max(1024L, nonNullBatch.count()), 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      val might = udf((k: String) => bc.value.mightContainString(k))
+      val bloomBits = ScaleOps.bloomBuild(nonNullBatch, col("dg"))
       val corpusSliver = p.filter(col("doc_id") % 10 < 8)
-        .filter(col("dg").isNotNull && might(col("dg")))
+        .filter(col("dg").isNotNull &&
+          ScaleOps.bloomMightContain(bloomBits, col("dg")))
         .select("dg").distinct()
       batch.join(corpusSliver, Seq("dg"), "left_anti")
         .select(col("dg").as("digest"), col("keeper"), col("batch_copies"))

@@ -686,8 +686,8 @@ object RelQueries {
     },
 
     // Bloom-filter semi-join — Spark's runtime-filter/DPP idea made
-    // explicit: the selective dim key set folds to ~KB of Bloom bits
-    // (df.stat.bloomFilter → one aggregate, driver gets bits not
+    // explicit: the selective dim key set folds to Bloom bits
+    // (native bloom_filter_agg → one aggregate, driver gets bits not
     // keys), the bits broadcast, and the fact side pre-filters in a
     // narrow scan with NO shuffle of non-matching rows. At 100 TB the
     // fact table never shuffles on the join key at all; only the
@@ -703,16 +703,18 @@ object RelQueries {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""".stripMargin) { (s, d) =>
       val keys = part(s, d).filter(col("p_size") >= 40).select("p_partkey")
-      // size the filter from the ACTUAL key count (one tiny dim-side
-      // job), not a constant: a fixed 1<<14 under-sizes at sf >= 1,
-      // inflating the realized fpp past the 0.01 the fp_bounded audit
-      // certifies against
-      val nKeys = math.max(1024L, keys.count())
-      val bloom = keys.stat.bloomFilter("p_partkey", nKeys, 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      val might = udf((k: Long) => bc.value.mightContainLong(k))
+      // the build/probe are Spark's NATIVE runtime-filter expressions
+      // (bloom_filter_agg / might_contain), not a Scala UDF: the probe
+      // codegens into the fact scan's whole-stage span (PlanSpec pins
+      // zero ScalaUDF there), and sizing folds into the aggregate's
+      // conf defaults (1M keys / 1 MB bits — generous headroom over
+      // any p_size slice, so the realized fpp stays far under the
+      // 0.03 the fp_bounded audit certifies), deleting the separate
+      // count() sizing action the UDF path needed
+      val bloomBits = ScaleOps.bloomBuild(keys, col("p_partkey"))
       val li = lineitem(s, d).select("l_partkey")
-      val passed = li.filter(might(col("l_partkey")))
+      val passed = li.filter(
+        ScaleOps.bloomMightContain(bloomBits, col("l_partkey")))
       val exactAll = li.join(broadcast(keys),
         col("l_partkey") === col("p_partkey"), "left_semi")
       val exactPassed = passed.join(broadcast(keys),

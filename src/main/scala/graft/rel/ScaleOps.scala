@@ -37,6 +37,43 @@ object ScaleOps {
       .join(spark.table(right).hint("merge"), key)
   }
 
+  /** Build a Bloom filter over `key`'s values with Spark's NATIVE
+    * `bloom_filter_agg` (the runtime-row-level-filtering aggregate):
+    * map-side partial filters merge bitwise up the normal aggregate
+    * path, sizing comes from the engine confs
+    * (`spark.sql.optimizer.runtime.bloomFilter.{expectedNumItems,
+    * numBits}` — 1M keys / 1 MB bits by default), so no separate
+    * count() sizing action runs. Returns the serialized bits (null
+    * for an empty/all-null input — [[bloomMightContain]] then yields
+    * null, i.e. filters everything, the correct empty-build
+    * semantics). Keys enter the filter as xxhash64 longs — the same
+    * convention Spark's InjectRuntimeFilter rule uses, and the one
+    * type the probe expression accepts for any key column. NULL keys
+    * must be pre-filtered on BOTH sides: xxhash64 maps NULL to the
+    * seed, so an unfiltered NULL would otherwise enter/match. */
+  def bloomBuild(df: DataFrame, key: Column): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(GraftBridge.expression(xxhash64(key)))
+      .toAggregateExpression()
+    df.select(GraftBridge.column(agg)).head.getAs[Array[Byte]](0)
+  }
+
+  /** Probe of a [[bloomBuild]] filter via the native codegen'd
+    * `might_contain` expression — unlike a Scala-UDF probe it stays
+    * INSIDE the scan's whole-stage-codegen span (PlanSpec pins zero
+    * ScalaUDF in the d15/q33 scans), deserializing the bits once per
+    * task. No false negatives (the Bloom contract); false positives
+    * at the configured fpp ride into whatever exact verify follows. */
+  def bloomMightContain(bits: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bits,
+          org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expression(xxhash64(key))))
+  }
+
   /** Salted two-phase aggregation: spread one hot group over
     * `saltBuckets` sub-keys, aggregate partially per (key, salt), then
     * combine per key. Exactly equals the direct groupBy for count/
@@ -51,11 +88,11 @@ object ScaleOps {
     * aggregation-side equivalent.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-      saltBuckets: Int): DataFrame = {
+      saltBuckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
     require(!df.columns.contains("_salt"),
       "saltedSumCount reserves the _salt column — rename it on the input")
-    df.withColumn("_salt", contentSalt(df, saltBuckets))
+    df.withColumn("_salt", contentSalt(df, saltBuckets, saltCols))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col(key))
@@ -78,11 +115,17 @@ object ScaleOps {
     *
     * The price: byte-identical duplicate rows co-route to one salt
     * bucket. If a hot key's rows are literal copies, salting cannot
-    * spread them deterministically — deduplicate first (d01) or carry
-    * a unique id column; any distinguishing column restores spread. */
-  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
-      lit(saltBuckets.toLong))
+    * spread them deterministically — the caller then passes
+    * `saltCols` naming a distinguishing column set (a unique id) and
+    * the hash ranges over exactly those instead of the whole row.
+    * `saltCols` must themselves be retry-deterministic per row (a
+    * stored id qualifies; a generated row index does NOT — that
+    * re-opens the SPARK-23207 hole this hash exists to close). */
+  private def contentSalt(df: DataFrame, saltBuckets: Int,
+      saltCols: Seq[String] = Nil): Column = {
+    val src = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
+    pmod(xxhash64(src.map(col): _*), lit(saltBuckets.toLong))
+  }
 
   /** Salted equi-join for skewed keys: the JOIN-side counterpart of
     * [[saltedSumCount]], for the regime AQE's skew-join cannot reach —
@@ -113,7 +156,7 @@ object ScaleOps {
     * difference between 6 reducers owning a corpus and 6×64 sharing
     * it. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      saltBuckets: Int): DataFrame = {
+      saltBuckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "saltedJoin reserves the _salt column — rename it on the input")
@@ -121,7 +164,7 @@ object ScaleOps {
     val dimSalted = dim.withColumn("_salt", explode(salts))
     // shuffle_hash, not the default sort-merge: no sort on either side,
     // and the build side is the replicated dim (still the small one)
-    fact.withColumn("_salt", contentSalt(fact, saltBuckets))
+    fact.withColumn("_salt", contentSalt(fact, saltBuckets, saltCols))
       .join(dimSalted.hint("shuffle_hash"), Seq(key, "_salt"))
       .drop("_salt")
   }

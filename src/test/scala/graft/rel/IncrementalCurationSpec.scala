@@ -549,4 +549,43 @@ class IncrementalCurationSpec extends SparkSpec {
       s"per-batch shuffle grew with state size: $small -> $big bytes " +
         "for 10x state and an identical batch")
   }
+
+  test("p28: inventory audit survives stray staging dirs, _temporary " +
+    "trees, and mtime perturbation between the writes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("p28-audit").toString
+    val out = new org.apache.hadoop.fs.Path(root, "table")
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(("a", 1), ("a", 2), ("b", 3))
+      .toDF("day", "v").write.partitionBy("day").parquet(out.toString)
+    val before = PipelineQueries.partitionInventory(fs, out)
+    assert(before.keySet == Set("day=a", "day=b"))
+
+    // exactly the driver-flake mechanism: a not-yet-reaped staging
+    // dir, a _temporary tree, a stray hidden file inside a partition,
+    // and an mtime bump on the untouched partition's part files —
+    // none of which is a data change
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out, ".spark-staging-x"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out, "_temporary/0/task"))
+    fs.create(new org.apache.hadoop.fs.Path(out, "day=b/.part-x.crc"))
+      .close()
+    fs.listStatus(new org.apache.hadoop.fs.Path(out, "day=b"))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach(f => fs.setTimes(f.getPath, f.getModificationTime + 5000, -1))
+
+    // dynamic overwrite of day=a only (the backfill shape)
+    Seq(("a", 9)).toDF("day", "v").write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out.toString)
+    val after = PipelineQueries.partitionInventory(fs, out)
+
+    assert(after.keySet == Set("day=a", "day=b"),
+      s"staging/_temporary dirs leaked into the inventory: ${after.keySet}")
+    assert(before("day=b") == after("day=b"),
+      "untouched partition's inventory changed under mtime/crc noise")
+    assert(before("day=a") != after("day=a"),
+      "rewritten partition's inventory did not register the rewrite")
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    ()
+  }
 }

@@ -188,6 +188,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q33/d15: the bloom probe is the native might_contain — " +
+    "no ScalaUDF breaking the scan's codegen span") {
+    for (name <- Seq("q33_bloom_semi", "d15_bloom_incremental")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("pythonudf"),
+        s"$name: a UDF probe re-appeared in the scan:\n$p")
+      assert(p.contains("might_contain"),
+        s"$name: native bloom probe missing from the plan:\n$p")
+    }
+  }
+
   test("q31: set ops plan as aggregate + hash semi/anti join, no sort or cartesian") {
     val p = plan("q31_set_ops")
     assert(p.contains("HashAggregate"), p)
