@@ -1043,57 +1043,7 @@ object TextOps {
         |  count(*) AS n_docs, min(nll) AS lo_nll, max(nll) AS hi_nll,
         |  min(doc_id) AS sample_id
         |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin) {
-      (s, d) =>
-        import org.apache.spark.sql.expressions.Window
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
-        val uni = toks.select(explode(col("ts")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("c1"))
-        val bi = toks.filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), col("lang"), explode(arrays_zip(
-            slice(col("ts"), lit(1), size(col("ts")) - 1),
-            slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
-          .select(col("doc_id"), col("lang"),
-            col("bg.0").as("w1"), col("bg.1").as("w2"))
-        val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val (bigL, uniL, v) = lmCollectModel(s, big, uni)
-        // t15's scoring pass verbatim, with lang riding the doc key.
-        // The per-doc score frame feeds BOTH the histogram (broadcast
-        // back) and the final tier join, and AQE does NOT reuse the
-        // shared exchange across the broadcast boundary here (measured
-        // on the executed plan: 0 ReusedExchange, 2 corpus scans) — so
-        // without a cut the corpus tokenize/explode/score runs once
-        // PER CONSUMER. Cut it: the materialized frame is one narrow
-        // row per document (doc_id, lang, nll — the t13 class), cheap
-        // at any scale, and the explode drops from 2 passes to 1.
-        val doc = Lineage.cut(
-          bi.join(broadcast(bigL), Seq("w1", "w2"))
-            .join(broadcast(uniL.withColumnRenamed("tok", "w1")), Seq("w1"))
-            .select(col("doc_id"), col("lang"),
-              (-log((col("c2") + 0.5) / (col("c1") + lit(v) * 0.5)))
-                .as("nll"))
-            .groupBy("doc_id", "lang")
-            .agg(round(avg(col("nll")), 4).as("nll")))
-        // domain-bounded score histogram + cumulative rank (the t24
-        // class — the window runs over the histogram, not the corpus)
-        val hist = doc.groupBy("lang", "nll").agg(count(lit(1)).as("c"))
-        val wBelow = Window.partitionBy("lang").orderBy("nll")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wLang = Window.partitionBy("lang")
-        val r = hist.select(col("lang"), col("nll"),
-          coalesce(sum("c").over(wBelow), lit(0L)).as("below"),
-          sum("c").over(wLang).as("n_lang"))
-        doc.join(broadcast(r), Seq("lang", "nll"))
-          .select(col("doc_id"), col("lang"), col("nll"),
-            expr("(3 * below) div n_lang").as("tier"))
-          .groupBy(col("lang"),
-            when(col("tier") === 0, "head")
-              .when(col("tier") === 1, "middle")
-              .otherwise("tail").as("bucket"))
-          .agg(count(lit(1)).as("n_docs"),
-            min("nll").as("lo_nll"), max("nll").as("hi_nll"),
-            min("doc_id").as("sample_id"))
-          .orderBy("lang", "bucket")
+      (s, d) => pplBuckets(s, d)
     },
 
     // The DISTRIBUTED-MODEL variants of t15 and t22 for corpora whose
@@ -1181,6 +1131,79 @@ object TextOps {
     }
   )
 
+  /** t25 — see the registry comment for the tercile semantics. Model
+    * path is COST-BASED like [[lmPerplexity]]'s (the t15b switch):
+    * collect-and-broadcast while the bigram/unigram tables fit the
+    * `maxModelRows` driver budget, the distributed shuffle-join
+    * scorer once they don't — no human fallback step, no loud guard;
+    * the bounded probe IS the fast path's training collect, so below
+    * the cap nothing is wasted. Both sides feed the SAME tercile
+    * machinery, so the switch only changes the scoring plan, never
+    * the buckets (spec-pinned equal in TrainingDataOpsSpec). */
+  private[rel] def pplBuckets(s: SparkSession, d: String,
+      maxModelRows: Int = LmMaxModelRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // t15's scoring pass, with lang riding the doc key; model path
+    // chosen by the measured model size (see scaladoc)
+    val scored = lmTryCollectModel(s, big, uni, maxModelRows) match {
+      case Some((bigL, uniL, v)) =>
+        bi.join(broadcast(bigL), Seq("w1", "w2"))
+          .join(broadcast(uniL.withColumnRenamed("tok", "w1")), Seq("w1"))
+          .select(col("doc_id"), col("lang"),
+            (-log((col("c2") + 0.5) / (col("c1") + lit(v) * 0.5)))
+              .as("nll"))
+      case None =>
+        bi.join(big, Seq("w1", "w2"))
+          .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+          .crossJoin(broadcast(uni.agg(count(lit(1)).as("v"))))
+          .select(col("doc_id"), col("lang"),
+            (-log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5)))
+              .as("nll"))
+    }
+    // The per-doc score frame feeds BOTH the histogram (broadcast
+    // back) and the final tier join, and AQE does NOT reuse the
+    // shared exchange across the broadcast boundary here (measured
+    // on the executed plan: 0 ReusedExchange, 2 corpus scans) — so
+    // without a cut the corpus tokenize/explode/score runs once
+    // PER CONSUMER. Cut it: the materialized frame is one narrow
+    // row per document (doc_id, lang, nll — the t13 class), cheap
+    // at any scale, and the explode drops from 2 passes to 1.
+    val doc = Lineage.cut(scored
+      .groupBy("doc_id", "lang")
+      .agg(round(avg(col("nll")), 4).as("nll")))
+    // domain-bounded score histogram + cumulative rank (the t24
+    // class — the window runs over the histogram, not the corpus)
+    val hist = doc.groupBy("lang", "nll").agg(count(lit(1)).as("c"))
+    val wBelow = Window.partitionBy("lang").orderBy("nll")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLang = Window.partitionBy("lang")
+    val r = hist.select(col("lang"), col("nll"),
+      coalesce(sum("c").over(wBelow), lit(0L)).as("below"),
+      sum("c").over(wLang).as("n_lang"))
+    doc.join(broadcast(r), Seq("lang", "nll"))
+      .select(col("doc_id"), col("lang"), col("nll"),
+        expr("(3 * below) div n_lang").as("tier"))
+      .groupBy(col("lang"),
+        when(col("tier") === 0, "head")
+          .when(col("tier") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("nll").as("lo_nll"), max("nll").as("hi_nll"),
+        min("doc_id").as("sample_id"))
+      .orderBy("lang", "bucket")
+  }
+
   /** t28 — see the registry comment. The oracle's window formulation
     * IS the semantic definition; this is the scale-shaped plan: one
     * corpus scan into (n_tokens, ttr), a lang-keyed aggregate for the
@@ -1189,7 +1212,13 @@ object TextOps {
     * token count. */
   private[rel] def tokenBudgetMix(s: SparkSession, d: String): DataFrame = {
     val w = tokens(col("text"))
-    val tok = Tables.documents(s, d)
+    // cut HERE, at the tokenize boundary: tok is 4 narrow columns
+    // (the text never survives the projection), and it has TWO
+    // corpus-pass consumers — the budget aggregate and the prefix
+    // sum's range partition. Uncut, each re-runs the tokenize (the
+    // dominant per-row cost); cut, the corpus splits text exactly
+    // once and every consumer reads doc-count-sized narrow rows.
+    val tok = Lineage.cut(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), w.as("w"))
       .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("lang"),
@@ -1198,10 +1227,10 @@ object TextOps {
         // engines (the t02 note), so the ORDER the cumsum follows
         // cannot diverge from the oracle's
         (size(array_distinct(col("w"))).cast("double") / size(col("w")))
-          .as("ttr"))
+          .as("ttr")))
     // langs-sized (5 rows at any sf) — cut so the budget arithmetic's
     // THREE consumers (u, total, u-sum) reuse one materialization
-    // instead of re-running the corpus tokenize+aggregate each
+    // instead of re-running the aggregate each
     val lt = Lineage.cut(tok.groupBy("lang").agg(sum("n_tokens").as("t")))
     val u = Lineage.cut(lt.select(col("lang"),
       floor(sqrt(col("t").cast("double"))).as("u")))
@@ -1405,41 +1434,23 @@ object TextOps {
   private[rel] val LmMaxModelRows = 1 << 22
 
   /** Collect-once bounded materialization of the bigram-LM model
-    * tables (t15 and t25 share it) — the t22 discipline. Each table
-    * is pulled through `limit(cap+1).collect()`, so the
-    * corpus-exploded aggregate underneath it runs EXACTLY ONCE and
-    * the driver holds at most cap+1 rows no matter how large the
-    * corpus is; below the cap the model is exact (the limit drops
-    * nothing). The collected rows come back as LocalRelations, so the
-    * scoring joins broadcast them without re-planning the aggregate
-    * lineage (the round-9 guard probed the UNCACHED frames with
-    * `count()` and paid two extra corpus passes per query), and the
-    * vocabulary size falls out of the collected unigram count — the
-    * old single-row `vv` sub-aggregate pass is gone too. An
+    * tables, reporting an over-cap model as None — the probe half of
+    * the cost-based model-path switch BOTH LM consumers now run
+    * ([[lmPerplexity]] and [[pplBuckets]]; the old throwing variant
+    * that named the fallback in an error message is retired — the
+    * switch just takes it). Each table is pulled through
+    * `limit(cap+1).collect()`, so the corpus-exploded aggregate
+    * underneath it runs EXACTLY ONCE and the driver holds at most
+    * cap+1 rows no matter how large the corpus is; below the cap the
+    * model is exact (the limit drops nothing) and this collect IS the
+    * fast path's training work — nothing is wasted. The collected
+    * rows come back as LocalRelations, so the scoring joins broadcast
+    * them without re-planning the aggregate lineage, and the
+    * vocabulary size falls out of the collected unigram count. An
     * adversarial corpus (e.g. no-space text, one giant token per
     * doc → every adjacent pair unique) makes `big` grow LINEARLY with
-    * the corpus: that fails fast here naming
-    * [[lmPerplexityDistributed]], the fallback that keeps the model
-    * distributed, instead of OOMing the driver mid-collect. */
-  private[rel] def lmCollectModel(s: SparkSession, big: DataFrame,
-      uni: DataFrame, maxRows: Int = LmMaxModelRows)
-      : (DataFrame, DataFrame, Long) =
-    lmTryCollectModel(s, big, uni, maxRows).getOrElse(
-      throw new IllegalArgumentException(
-        s"requirement failed: bigram-LM model table exceeds $maxRows " +
-          "rows — the model is not Heaps'-bounded for this corpus, so " +
-          "holding it on the driver would grow with the data; use " +
-          "graft.rel.TextOps.lmPerplexityDistributed, which keeps the " +
-          "(w1,w2,c2)/(tok,c1) tables as DataFrames and scores via " +
-          "shuffle joins on the token keys"))
-
-  /** [[lmCollectModel]] that reports an over-cap model as None instead
-    * of throwing — the probe half of [[lmPerplexity]]'s cost-based
-    * switch. Each `limit(cap+1).collect()` is itself the cheapest
-    * exact size estimate available: it runs the model aggregate once
-    * (the fast path's entire training work — nothing is wasted below
-    * the cap) and materializes at most cap+1 rows on the driver no
-    * matter how large the corpus is. */
+    * the corpus: that lands on None here and the caller plans the
+    * distributed shuffle-join scorer instead. */
   private[rel] def lmTryCollectModel(s: SparkSession, big: DataFrame,
       uni: DataFrame, maxRows: Int = LmMaxModelRows)
       : Option[(DataFrame, DataFrame, Long)] = {
@@ -1508,8 +1519,8 @@ object TextOps {
     }
   }
 
-  /** The distributed-model variant of [[lmPerplexity]] — the escape
-    * hatch [[lmCollectModel]]'s guard names. Identical trainer and
+  /** The distributed-model variant of [[lmPerplexity]] — the slow
+    * side of the cost-based switch. Identical trainer and
     * scoring arithmetic, but the (w1,w2,c2)/(tok,c1) model tables
     * stay DataFrames end to end: scoring is two shuffle joins on the
     * token keys ((w1,w2), then w1) plus a broadcast of the single-row

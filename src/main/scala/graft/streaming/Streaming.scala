@@ -193,19 +193,24 @@ object Streaming {
     * final stateful-operator row count (after the last watermark
     * advance — i.e. AFTER eviction ran). StreamingSpec pins the
     * watermark-bounded-state claim on these numbers. */
-  private[graft] final case class DrainStats(inputRows: Long, stateRows: Long)
+  private[graft] final case class DrainStats(inputRows: Long,
+      stateRows: Long, stateRowsRemoved: Long = 0L)
 
   private[graft] def drainStats(
       q: org.apache.spark.sql.streaming.StreamingQuery): DrainStats = {
     val progress = q.recentProgress
     // state rows from the LAST batch that reported stateful operators:
     // AvailableNow appends a final empty batch to advance the watermark
-    // and run eviction, so this is the post-eviction footprint
+    // and run eviction, so this is the post-eviction footprint.
+    // (Caveat: the HDFS-backed store can over-report numRowsTotal in
+    // the first batches after a checkpoint RESTART — eviction proofs
+    // should use stateRowsRemoved, which counts actual removals.)
     val stateRows = progress.reverse
       .find(_.stateOperators.nonEmpty)
       .map(_.stateOperators.map(_.numRowsTotal).sum)
       .getOrElse(0L)
-    DrainStats(progress.map(_.numInputRows).sum, stateRows)
+    val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    DrainStats(progress.map(_.numInputRows).sum, stateRows, removed)
   }
 
   /** The layout-mismatch guard shared by the streamed registry
@@ -955,14 +960,40 @@ object Streaming {
     * delete tombstone flag, payload. */
   final case class CdcVersion(k: Long, seq: Long, del: Boolean, qty: Double)
   /** Per-key retained state: the highest-seq version seen so far.
-    * Tombstones are RETAINED (never `state.remove()`d): a removed
-    * tombstone would let a late out-of-order version OLDER than the
-    * delete resurrect the key on arrival — the state must remember
-    * how far the key's history has been applied. Production retention:
-    * at 100 TB the tombstone set is bounded by the live-key count, and
-    * a deployment that can bound disorder (e.g. by source semantics)
-    * evicts via GroupStateTimeout after the disorder horizon; this
-    * gate keeps NoTimeout because the drain is finite. */
+    * Tombstones are retained because a removed tombstone would let a
+    * late out-of-order version OLDER than the delete resurrect the
+    * key on arrival — the state must remember how far the key's
+    * history has been applied. Retention policy, both implemented in
+    * [[cdcUpdates]]:
+    *
+    *  - NoTimeout (the p29b gate's finite drain): tombstones retained
+    *    for the run — exact under ARBITRARY disorder.
+    *  - `tombstoneHorizonSeq = Some(H)` (the unbounded-production
+    *    shape, [[cdcUpdatesEvicting]]): the changelog's seq becomes
+    *    the stream's EVENT TIME (1 seq = 1s on a synthetic axis), the
+    *    watermark delay is H seq-units, and a tombstone registers an
+    *    EventTimeTimeout at its own event time — it is evicted once
+    *    the watermark (= global seq frontier − H) passes its seq.
+    *    THE HORIZON RULE: exactness holds iff delivery disorder is
+    *    bounded by H seq-units behind the frontier. A version ≤ H
+    *    behind still meets the retained tombstone (timeouts never
+    *    fire before the watermark passes) and cannot resurrect; a
+    *    version > H behind is DROPPED by the watermark's late-event
+    *    filter — it can never resurrect the key either, because by
+    *    the time the tombstone is evicted every older version is by
+    *    construction beyond-horizon and filtered. Eviction is
+    *    therefore unconditionally resurrection-safe; what the bound
+    *    sacrifices is beyond-horizon versions of ANY key (dropped,
+    *    exactly like every watermarked stateful op in this engine).
+    *    State = live keys + at most the horizon's worth of
+    *    tombstones. Event-time (not processing-time) timeouts are
+    *    load-bearing twice over: the horizon is a DATA property so
+    *    the rule survives backfills/replays at any speed, and
+    *    ProcessingTimeTimeout's shouldRunAnotherBatch=always would
+    *    keep an AvailableNow drain scheduling batches forever.
+    *    Both rule halves + the state bound are spec-pinned in
+    *    StreamingSpec. Live keys never time out — they ARE the
+    *    snapshot. */
   final case class CdcState(lastSeq: Long, del: Boolean, qty: Double)
   /** One emitted row per key per batch: the key's new snapshot. */
   final case class CdcUpdate(k: Long, last_seq: Long, del: Boolean,
@@ -1002,6 +1033,61 @@ object Streaming {
       }
   }
 
+  /** [[CdcVersion]] with the seq mapped onto a synthetic event-time
+    * axis (1 seq = 1 s since the epoch) so the watermark machinery
+    * can express the disorder horizon — see [[CdcState]]'s rule. */
+  final case class CdcVersionTs(k: Long, seq: Long, del: Boolean,
+      qty: Double, ev: java.sql.Timestamp)
+
+  /** The horizon-evicting variant of [[cdcUpdates]] — same fold, but
+    * tombstoned keys register an EventTimeTimeout at their own event
+    * time and are evicted once the watermark (global seq frontier −
+    * horizon) passes it. The caller must have applied
+    * `withWatermark("ev", "<horizon> seconds")` to `log` — the
+    * watermark's late filter is PART of the semantics (it is what
+    * makes eviction resurrection-safe; see [[CdcState]]). */
+  private[graft] def cdcUpdatesEvicting(log: Dataset[CdcVersionTs])
+      : Dataset[CdcUpdate] = {
+    implicit val stEnc = Encoders.product[CdcState]
+    implicit val upEnc = Encoders.product[CdcUpdate]
+    implicit val keyEnc = Encoders.scalaLong
+    log.groupByKey(_.k)
+      .mapGroupsWithState[CdcState, CdcUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, versions: Iterator[CdcVersionTs],
+         state: GroupState[CdcState]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed this tombstone's event time: every
+            // version that could still arrive for it is beyond-horizon
+            // and will be late-filtered, so removal cannot resurrect
+            // anything. Re-emitting the final tombstone row is
+            // idempotent under the snapshot's max_by(last_seq) fold.
+            val last = state.get
+            state.remove()
+            CdcUpdate(k, last.lastSeq, last.del, last.qty)
+          } else {
+            var best = state.getOption.getOrElse(
+              CdcState(Long.MinValue, del = true, qty = 0.0))
+            versions.foreach { v =>
+              if (v.seq > best.lastSeq) best = CdcState(v.seq, v.del, v.qty)
+            }
+            state.update(best)
+            // timeouts clear on every invocation with data: an
+            // un-delete (higher-seq 'U') leaves no stale timeout, a
+            // re-delete re-arms at the NEW tombstone's event time.
+            // setTimeoutTimestamp must stay above the current
+            // watermark (a within-horizon tombstone always is; the
+            // max guards the boundary batch where the row passed the
+            // previous batch's filter but the watermark just moved)
+            if (best.del) {
+              state.setTimeoutTimestamp(math.max(best.lastSeq * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            CdcUpdate(k, best.lastSeq, best.del, best.qty)
+          }
+      }
+  }
+
   def cdcStreamed(s: SparkSession, dir: String): DataFrame =
     cdcDrained(s, dir)._1
 
@@ -1019,9 +1105,18 @@ object Streaming {
     * tempdir discipline. */
   private[graft] def cdcDrained(s: SparkSession, dir: String,
       checkpoint: Option[String] = None,
-      outRoot: Option[String] = None): (DataFrame, DrainStats) = {
+      outRoot: Option[String] = None,
+      tombstoneHorizonSeq: Option[Long] = None): (DataFrame, DrainStats) = {
     import org.apache.spark.sql.streaming.Trigger
     implicit val verEnc = Encoders.product[CdcVersion]
+    // the checkpoint and the committed-output directory are ONE unit
+    // of durable state: a caller checkpoint with a fresh temp outRoot
+    // would recover offsets (drain zero rows) against an output with
+    // no _commit_ markers and die with a misleading layout error
+    require(checkpoint.isEmpty == outRoot.isEmpty,
+      "cdcDrained: checkpoint and outRoot must be passed together — " +
+        "recovered offsets are only meaningful against the same run's " +
+        "committed output")
     val tmpOut = outRoot.isEmpty
     val out = outRoot.getOrElse(
       java.nio.file.Files.createTempDirectory("p29b-out").toString)
@@ -1031,16 +1126,25 @@ object Streaming {
     // while both other engines default it to an upsert. Key/seq/
     // payload follow the changelog PK contract (non-null), which the
     // orders derivation satisfies by construction.
-    val log = ordersStream(s, dir).select(
-        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
-        coalesce(col("o_orderstatus") === "F", lit(false)).as("del"),
-        col("o_totalprice").as("qty"))
-      .as[CdcVersion]
+    val logCols = ordersStream(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+      coalesce(col("o_orderstatus") === "F", lit(false)).as("del"),
+      col("o_totalprice").as("qty"))
+    val updates = tombstoneHorizonSeq match {
+      case Some(h) =>
+        implicit val tsEnc = Encoders.product[CdcVersionTs]
+        cdcUpdatesEvicting(logCols
+          .withColumn("ev", timestamp_seconds(col("seq")))
+          .withWatermark("ev", s"$h seconds")
+          .as[CdcVersionTs])
+      case None =>
+        cdcUpdates(logCols.as[CdcVersion])
+    }
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
       try {
-        val w0 = cdcUpdates(log).toDF().writeStream
+        val w0 = updates.toDF().writeStream
           .foreachBatch { (df: org.apache.spark.sql.Dataset[
               org.apache.spark.sql.Row], id: Long) =>
             // AvailableNow can deliver a trailing empty batch — skip

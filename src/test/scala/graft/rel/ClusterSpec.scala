@@ -143,21 +143,56 @@ class ClusterSpec extends SparkSpec {
     assert(byS.values.sum == nDocs)
     assert(byS.getOrElse("train", 0L) >
       byS.getOrElse("val", 0L) + byS.getOrElse("test", 0L))
-    // the contrast that justifies the operator: the SAME hash keyed on
-    // doc_id instead of canonical_id scatters at least one cluster's
-    // members across splits on this fixture — eval-set contamination
-    val naiveBucket = conv(substring(
-      md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-      .cast("long") % 100
-    val naiveLeaky = split
-      .withColumn("nsplit",
-        when(naiveBucket < 90, "train").when(naiveBucket < 95, "val")
-          .otherwise("test"))
-      .groupBy("canonical_id")
-      .agg(countDistinct("nsplit").as("ns"))
-      .filter(col("ns") > 1).count()
-    assert(naiveLeaky > 0L,
-      "fixture has no cluster the naive split would scatter — " +
-        "the contrast is vacuous; strengthen the fixture")
+    // the contrast that justifies the operator, on a CRAFTED fixture
+    // (not the shared sf corpus, whose md5-bucket luck a testdata
+    // regeneration could change): one near-dup pair whose doc_ids are
+    // CHOSEN to hash across the 90/95 split boundaries, so the naive
+    // doc_id-keyed split provably scatters the cluster while the
+    // cluster-keyed split provably does not
+    import spark.implicits._
+    def naiveBucketOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(6).map(b => f"${b & 0xff}%02x").mkString
+      (BigInt(hex, 16) % 100).toLong
+    }
+    val trainId = (1L to 1000L).find(naiveBucketOf(_) < 90).get
+    val testId = (1L to 1000L).find(naiveBucketOf(_) >= 95).get
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val crafted = java.nio.file.Files.createTempDirectory("d22fix").toString
+    try {
+      ((1L to 30L).filterNot(i => i == trainId || i == testId)
+        .map(i => (i, s"filler$i w$i x$i y$i z$i q$i r$i s$i")) ++
+        Seq((trainId, dup), (testId, dup)))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$crafted/documents.parquet")
+      val cSplit = Cluster.clusterSplit(spark, crafted)
+      // the planted pair IS one cluster, and the cluster-keyed split
+      // keeps it whole...
+      val pairSplits = cSplit
+        .filter(col("doc_id").isin(trainId, testId))
+        .select("canonical_id", "split").distinct().collect()
+      assert(pairSplits.map(_.getLong(0)).distinct.length == 1,
+        s"planted near-dup pair did not cluster: ${pairSplits.toSeq}")
+      assert(pairSplits.length == 1,
+        s"cluster-keyed split scattered the planted cluster: ${pairSplits.toSeq}")
+      // ...while the naive doc_id-keyed split provably scatters it
+      val naiveBucket = conv(substring(
+        md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long") % 100
+      val naiveLeaky = cSplit
+        .withColumn("nsplit",
+          when(naiveBucket < 90, "train").when(naiveBucket < 95, "val")
+            .otherwise("test"))
+        .groupBy("canonical_id")
+        .agg(countDistinct("nsplit").as("ns"))
+        .filter(col("ns") > 1).count()
+      assert(naiveLeaky > 0L,
+        "naive split failed to scatter the deterministically planted " +
+          "boundary-straddling cluster")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(crafted)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 }

@@ -454,7 +454,7 @@ class PlanSpec extends SparkSpec {
     // aggregates with count(), re-running the corpus tokenize/explode
     // twice per query (the round's only bench regression). The
     // collect-once design evaluates each model aggregate exactly once
-    // (inside lmCollectModel's bounded collect, one job per table) and
+    // (inside lmTryCollectModel's bounded collect, one job per table) and
     // hands the scorer LocalRelations — so the SCORING plan here must
     // contain exactly one documents scan, the two model tables as
     // LocalTableScans behind broadcast joins, and exactly one
@@ -477,7 +477,7 @@ class PlanSpec extends SparkSpec {
     // TrainingDataOpsSpec pins row-for-row equality with broadcast
     // globally off; this pins the DEFAULT-CONFIG registry plan so a
     // future "optimization" cannot silently collect the model tables
-    // to the driver (a LocalTableScan is lmCollectModel's signature —
+    // to the driver (a LocalTableScan is lmTryCollectModel's signature —
     // the exact thing these fallbacks exist to avoid). The model may
     // legitimately arrive at the join via a BroadcastExchange over the
     // distributed aggregate at gate scale — that is the planner sizing

@@ -293,6 +293,71 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin measurably shrinks the widest reduce task on a hot key") {
+    // the 100 TB claim behind saltedJoin ("widest task shrinks by
+    // ~saltBuckets") as a MEASUREMENT, not an argument: every fact row
+    // carries ONE key, so the unsalted shuffle_hash join funnels the
+    // whole fact side through a single reduce task (widest task ≈ n),
+    // while the salted plan routes rows over 8 (key, salt) sub-keys.
+    // Widths are per-task shuffle-read record counts from the task
+    // metrics. AQE partition coalescing is off for the measurement —
+    // it would merge the salted buckets back into one TINY task at
+    // this fixture size and hide the routing being measured (at real
+    // scale each bucket exceeds the advisory size and stays its own
+    // task).
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    val maxRead = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          maxRead.getAndAccumulate(m.shuffleReadMetrics.recordsRead, Math.max _)
+        }
+        ()
+      }
+    }
+    def widest(df: org.apache.spark.sql.DataFrame, expected: Long): Long = {
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      spark.sparkContext.addSparkListener(l)
+      maxRead.set(0L)
+      try {
+        assert(df.count() == expected, "join lost/duplicated rows")
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        maxRead.get
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val n = 40000L
+      // ~99.5% of rows on ONE hot key (a literal key would constant-
+      // fold the equi-join away), the rest spread over 4 cold keys
+      val fact = spark.range(n)
+        .select(when(col("id") < n - 200L, 0L).otherwise(col("id") % 4)
+          .as("k"), col("id").as("uid"))
+      val dim = spark.range(4).select(col("id").as("k"), lit("d").as("v"))
+      val unsalted =
+        widest(fact.join(dim.hint("shuffle_hash"), Seq("k")), n)
+      val salted = widest(ScaleOps.saltedJoin(fact, dim, "k", 8), n)
+      assert(unsalted >= n - 200L,
+        s"unsalted hot-key join did not funnel (widest=$unsalted, n=$n)")
+      // 8 salts over 16 partitions: typically n/8 per task; 3x covers
+      // an unlucky 2-bucket hash collision without weakening the claim
+      assert(salted * 3 <= unsalted,
+        s"salting did not shrink the widest task: $unsalted -> $salted")
+      info(s"widest reduce task: unsalted=$unsalted salted=$salted " +
+        s"(n=$n, saltBuckets=8)")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("cdcApply: latest version wins, deletes don't resurrect; equals the window plan") {
     import spark.implicits._
     val crafted = Seq(

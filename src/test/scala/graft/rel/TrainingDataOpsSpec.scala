@@ -648,7 +648,9 @@ class TrainingDataOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("lmguard").toString
     spark.range(100)
       .select(col("id").as("doc_id"),
-        concat(lit("aa"), col("id"), lit(" bb"), col("id")).as("text"))
+        concat(lit("aa"), col("id"), lit(" bb"), col("id")).as("text"),
+        // two langs so t25's tercile machinery below has real groups
+        when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val switched = TextOps.lmPerplexity(spark, dir, maxModelRows = 8)
     // the switched plan is the distributed one: model stays in-plan,
@@ -665,24 +667,25 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(collected.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
     assert(switched.collect().toSeq == collected.collect().toSeq)
-    // t25's shared collect (no distributed twin of the lang-bucketed
-    // scorer) still fails LOUDLY rather than OOMing the driver
-    val (uni, _, big) = {
-      val toks = Tables.documents(spark, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      val u = toks.select(explode(col("ts")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1"))
-      val bi = toks.select(col("doc_id"),
-        explode(arrays_zip(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
-      (u, bi, bi.select(col("bg.0").as("w1"), col("bg.1").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
-    }
-    val e = intercept[IllegalArgumentException] {
-      TextOps.lmCollectModel(spark, big, uni, maxRows = 8)
-    }
-    assert(e.getMessage.contains("lmPerplexityDistributed"), e.getMessage)
+    // t25 takes the SAME cost-based switch (the old loud guard is
+    // retired): over the budget the tercile scorer plans the
+    // distributed model — nothing collected to the driver — and the
+    // buckets are identical to the collect path's. nocut keeps the
+    // scoring subtree visible through the per-doc Lineage.cut (which
+    // would otherwise collapse both paths to the same LogicalRDD scan)
+    sys.props("graft.lineage.nocut") = "true"
+    try {
+      val switchedPlan = TextOps.pplBuckets(spark, dir, maxModelRows = 8)
+        .queryExecution.executedPlan.toString
+      assert(!switchedPlan.contains("LocalTableScan"),
+        "t25's over-budget model was still collected to the driver")
+      assert(TextOps.pplBuckets(spark, dir)
+          .queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "t25's under-budget model left the collect-and-broadcast path")
+    } finally sys.props.remove("graft.lineage.nocut")
+    assert(TextOps.pplBuckets(spark, dir, maxModelRows = 8).collect().toSeq ==
+      TextOps.pplBuckets(spark, dir).collect().toSeq,
+      "t25's two model paths disagree on the buckets")
     // and the REAL corpus is comfortably under the real cap (the
     // switch never leaves the collect path on the gate fixtures)
     assert(TextOps.lmPerplexity(spark, sfDir).collect().nonEmpty)

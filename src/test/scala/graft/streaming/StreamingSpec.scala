@@ -912,10 +912,98 @@ class StreamingSpec extends SparkSpec {
       assert(st3.inputRows == 0, "recovery rerun re-read committed input")
       assert(tuples(snap3) == tuples(snap2),
         "recovery-rerun snapshot diverged")
+      // the checkpoint/outRoot pairing guard (a caller checkpoint with
+      // a temp out would recover offsets against an output with no
+      // commit markers and die with a misleading layout error)
+      val mismatch = intercept[IllegalArgumentException] {
+        Streaming.cdcDrained(spark, root, ckpt, None)
+      }
+      assert(mismatch.getMessage.contains("together"), mismatch.getMessage)
     } finally {
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
+    }
+  }
+
+  test("p29b horizon rule: within-horizon disorder keeps exactness; past the " +
+    "horizon the tombstone is truly evicted and late versions cannot resurrect") {
+    import spark.implicits._
+    def write(src: String, rows: Seq[(Long, Long, String, Double)]): Unit =
+      rows.toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .coalesce(1).write.mode("append").parquet(src)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // ---- disorder ≤ horizon: exactness holds (no-resurrection +
+    // batch-parity). The horizon (in SEQ units — event time, so the
+    // rule is a data property, not a wall-clock one) dwarfs every seq
+    // gap in the fixture: nothing evicts, nothing late-filters.
+    val rootA = java.nio.file.Files.createTempDirectory("p29b_hA").toString
+    try {
+      val (ck, out) = (Some(s"$rootA/ckpt"), Some(s"$rootA/out"))
+      val horizon = Some(1000L)
+      write(s"$rootA/orders.parquet",
+        Seq((1L, 10L, "O", 1.0), (3L, 30L, "F", 3.0)))
+      Streaming.cdcDrained(spark, rootA, ck, out, horizon)
+      // the late pre-delete version arrives a DRAIN later — within
+      // the horizon, so the retained tombstone must block it
+      write(s"$rootA/orders.parquet",
+        Seq((3L, 25L, "O", 9.0), (4L, 40L, "O", 4.0)))
+      val (snap, _) = Streaming.cdcDrained(spark, rootA, ck, out, horizon)
+      assert(tuples(snap) == Seq((1L, 10L, 1.0), (4L, 40L, 4.0)),
+        s"within-horizon late version resurrected the key: ${tuples(snap)}")
+      val batchSnap = graft.rel.PipelineQueries.cdcApply(
+        spark.read.parquet(s"$rootA/orders.parquet").select(
+          col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+          when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+          col("o_totalprice").as("qty"))).orderBy("cust_key")
+      assert(tuples(batchSnap) == tuples(snap),
+        "horizon-evicting stream diverged from batch apply within the horizon")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(rootA)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
+    // ---- disorder > horizon: the tombstone is really REMOVED (the
+    // bounded-state half), and the beyond-horizon version is DROPPED
+    // by the watermark's late filter, so eviction cannot resurrect.
+    // horizon = 5 seq-units; all movement is on the seq axis — no
+    // sleeps, no wall clock.
+    val rootB = java.nio.file.Files.createTempDirectory("p29b_hB").toString
+    try {
+      val (ck, out) = (Some(s"$rootB/ckpt"), Some(s"$rootB/out"))
+      val horizon = Some(5L)
+      write(s"$rootB/orders.parquet",
+        Seq((1L, 10L, "O", 1.0), (3L, 30L, "F", 3.0)))
+      val (_, st1) = Streaming.cdcDrained(spark, rootB, ck, out, horizon)
+      // watermark = 30-5 = 25 < the tombstone's 30: still retained
+      assert(st1.stateRows == 2L && st1.stateRowsRemoved == 0L,
+        s"expected live k1 + k3 tombstone retained, got $st1")
+      // k5 at seq 50 pushes the watermark to 45 > 30: the tombstone's
+      // event-time timeout fires in this drain and REMOVES it from the
+      // store (stateRowsRemoved counts actual removals — numRowsTotal
+      // over-reports right after a checkpoint restart)
+      write(s"$rootB/orders.parquet", Seq((5L, 50L, "O", 5.0)))
+      val (_, st2) = Streaming.cdcDrained(spark, rootB, ck, out, horizon)
+      assert(st2.stateRowsRemoved == 1L,
+        s"tombstone not evicted past the horizon: $st2")
+      // the beyond-horizon late version (seq 25 < watermark 45) is
+      // late-filtered before the fold — no emission, no resurrection,
+      // nothing removed or re-created: eviction is resurrection-safe
+      // by construction
+      write(s"$rootB/orders.parquet", Seq((3L, 25L, "O", 9.0)))
+      val (snapB, st3) = Streaming.cdcDrained(spark, rootB, ck, out, horizon)
+      assert(st3.stateRowsRemoved == 0L,
+        s"unexpected state churn on the beyond-horizon version: $st3")
+      assert(Streaming.readCommitted(spark, out.get)
+          .filter(col("k") === 3L && col("last_seq") === 25L).isEmpty,
+        "beyond-horizon late version was not dropped by the late filter")
+      assert(tuples(snapB) == Seq((1L, 10L, 1.0), (5L, 50L, 5.0)),
+        s"post-eviction snapshot wrong: ${tuples(snapB)}")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(rootB)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 }
