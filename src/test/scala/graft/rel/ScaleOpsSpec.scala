@@ -293,6 +293,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomBuild/bloomMightContain: no false negatives, empty build filters everything") {
+    import spark.implicits._
+    val keys = spark.range(500).select((col("id") * 3).as("k"))
+    val bits = ScaleOps.bloomBuild(keys, col("k"), 1024L)
+    val probe = spark.range(1500).select(col("id").as("k"))
+      .filter(ScaleOps.bloomMightContain(bits, col("k")))
+      .as[Long].collect().toSet
+    // the Bloom contract: every true member passes (no false negatives)
+    assert((0L until 1500L by 3L).forall(probe.contains),
+      "bloom probe dropped a true member")
+    // and a filter built over an EMPTY input yields null bits → the
+    // probe is null → everything filters out (the d15 empty-batch case)
+    val emptyBits = ScaleOps.bloomBuild(keys.filter(col("k") < 0), col("k"), 1024L)
+    assert(spark.range(10).select(col("id").as("k"))
+        .filter(ScaleOps.bloomMightContain(emptyBits, col("k"))).isEmpty,
+      "empty bloom build must filter everything")
+  }
+
   test("saltedJoin measurably shrinks the widest reduce task on a hot key") {
     // the 100 TB claim behind saltedJoin ("widest task shrinks by
     // ~saltBuckets") as a MEASUREMENT, not an argument: every fact row
