@@ -1594,12 +1594,13 @@ object TextOps {
       .collect()
     // budget check: collected rows = distinct tokens + 1 sentinel row,
     // so a corpus with exactly maxVocab tokens is still within cap
-    require(all.length <= maxVocab + 1,
-      s"t22 training vocabulary exceeds $maxVocab distinct tokens — " +
-        "not Heaps'-bounded for this corpus; use " +
-        "graft.rel.TextOps.nbClassifierDistributed, which keeps the " +
-        "(tok,c0,c1) table as a DataFrame and scores via a shuffle " +
-        "join on the exploded token keys")
+    // COST-BASED switch (the t15b/t25 discipline, uniformly applied):
+    // an over-cap vocabulary means the corpus is not Heaps'-bounded,
+    // so the model cannot live on the driver — plan the distributed
+    // shuffle-join scorer instead of throwing. The bounded collect
+    // above IS the probe (≤ cap+2 driver rows at any corpus size);
+    // below the cap nothing is wasted — it is the training work.
+    if (all.length > maxVocab + 1) return nbClassifierDistributed(s, d)
     val sent = all.find(_.getString(0) == Sentinel).getOrElse(
       sys.error("t22: empty training half — no class priors"))
     val (n0, n1) = (sent.getLong(1), sent.getLong(2))

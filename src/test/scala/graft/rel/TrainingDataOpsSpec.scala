@@ -611,25 +611,29 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(conf.keys.map(_._2).toSet == Set(0L, 1L), conf.toString)
   }
 
-  test("t22 vocab guard: a non-Heaps corpus fails LOUDLY, never OOMs the driver") {
+  test("t22 vocab switch: a non-Heaps corpus plans the distributed model by itself") {
     import org.apache.spark.sql.functions._
     // pathological corpus: one UNIQUE token per doc, so the
     // "vocabulary" grows linearly with the corpus instead of
-    // Heaps'-law-bounded. The guarded collect must fail fast naming
-    // the distributed-model fallback — and because the collect is
-    // limit(cap+1)-bounded, the driver materializes at most cap+1
-    // rows no matter how large the corpus is.
+    // Heaps'-law-bounded. nbClassifier's bounded probe (limit(cap+2),
+    // ≤ cap+2 driver rows at any corpus size) detects this and
+    // switches to the distributed shuffle-join scorer on its own —
+    // the t15b/t25 discipline; the old throwing guard is retired.
     val dir = java.nio.file.Files.createTempDirectory("t22guard").toString
     spark.range(100)
       .select(col("id").as("doc_id"),
-        concat(lit("uniqtok"), col("id")).as("text"))
+        // half the docs carry the 'hash' class marker so BOTH class
+        // priors exist; the uniqtok suffix keeps the vocab linear
+        // id%4 so both classes land in the even-id TRAINING half too
+        concat(when(col("id") % 4 === 0, "hash ").otherwise("sort "),
+          lit("uniqtok"), col("id")).as("text"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val e = intercept[IllegalArgumentException] {
-      TextOps.nbClassifier(spark, dir, maxVocab = 8).collect()
-    }
-    assert(e.getMessage.contains("nbClassifierDistributed"), e.getMessage)
+    val switched = TextOps.nbClassifier(spark, dir, maxVocab = 8)
+    assert(switched.collect().toSeq ==
+      TextOps.nbClassifierDistributed(spark, dir).collect().toSeq,
+      "t22's over-cap switch diverged from the distributed scorer")
     // and the REAL corpus is comfortably under the real cap (the
-    // guard never fires on the gate fixtures)
+    // switch never leaves the collect path on the gate fixtures)
     assert(TextOps.nbClassifier(spark, sfDir).collect().nonEmpty)
   }
 
