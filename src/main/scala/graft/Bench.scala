@@ -211,7 +211,8 @@ object Bench {
     // the artifact ("attempts") so within-invocation spread is
     // auditable next to the calibration
     val iterative = Set("d07_dedup_clusters", "d14_dedup_materialize",
-      "d17_dup_weights", "d22_cluster_split", "q38_pagerank")
+      "d17_dup_weights", "d22_cluster_split", "d23_dedup_serve_stored",
+      "q38_pagerank")
     // streaming-trigger cells: each starts a real streaming query
     // (AvailableNow drain), whose fixed trigger/checkpoint overhead is
     // a per-attempt lottery the same way the iterative loops' rounds
@@ -223,7 +224,7 @@ object Bench {
     val streamingTrigger = Set("p12_stream_windowed",
       "p16_stream_attribution", "p17_stream_dedup", "p21_stream_sessions",
       "p23_exactly_once", "p24_stream_enrich", "p27_stream_curation",
-      "p27c_stream_neardup", "p29b_stream_cdc")
+      "p27c_stream_neardup", "p29b_stream_cdc", "p29c_stream_cdc_evicting")
     val traced = iterative ++ streamingTrigger
     val attemptLog =
       scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
@@ -356,6 +357,27 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + r4(v._1) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // CALIBRATION-NORMALIZED TOTAL: three rounds running, the
+    // cross-round totals delta has been window-dominated (r13's +9.6%
+    // arrived with loadavg 5.25 and cal_1t 2.10 vs a quiet ~1.6), so
+    // the artifact now carries the total scaled to a PINNED reference
+    // calibration: normalized_total = total * (RefCal1t / cal_1t).
+    // The single-thread spin is the cleanest ambient proxy the record
+    // has (pure CPU, no I/O, immune to plan changes); the rule and the
+    // pinned constant are documented in SCALE.md — cross-round
+    // comparisons should read normalized_total first and fall back to
+    // the raw value + env block for anything surprising.
+    val RefCal1t = 1.92 // quiet-window cal_1t on this machine (SCALE.md)
+    val normalizedTotal = if (cal1t > 0) total * (RefCal1t / cal1t) else total
+    // per-cell AMBIENT flag: a cell whose own attempts spread >1.5×
+    // within one invocation was measured under contention (identical
+    // plan, same JVM, minutes apart) — the min is still kept, but the
+    // flag marks the cell so a cross-round regression on it reads as
+    // weather until a quiet re-run says otherwise
+    val ambientSuspect = attemptLog.collect {
+      case (name, ts) if ts.size >= 2 && ts.min > 0 &&
+        ts.max / ts.min > 1.5 => name
+    }.toSeq.sorted
     val ioJson = sorted.map { case (k, v) =>
       "\"" + k + "\":{\"sw_mb\":" + r4(v._2 / 1e6) + ",\"sr_mb\":" +
         r4(v._3 / 1e6) + ",\"in_mb\":" + r4(v._4 / 1e6) + "}"
@@ -369,13 +391,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val envJson =
-      s"""{"cal_1t_sec":${r4(cal1t)},"cal_allcores_sec":${r4(calAll)},"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadavg())},"run_start_epoch_ms":$benchStartMs}"""
+      s"""{"cal_1t_sec":${r4(cal1t)},"cal_allcores_sec":${r4(calAll)},"cal_ref_1t_sec":$RefCal1t,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadavg())},"run_start_epoch_ms":$benchStartMs}"""
+    val ambientJson = ambientSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     // file artifact: everything (all timings + measured per-query I/O +
     // the machine calibration + per-cell attempt traces and attempt
     // START offsets — enough to adjudicate a contention burst from the
     // record alone)
     val fileLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"env":$envJson,"attempts":$attemptsJson,"starts":$startsJson,"revisited_regressions":$regressedJson,"io":$ioJson${only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")}}"""
+      s"""{"metric":"total","value":${r4(total)},"normalized_total":${r4(normalizedTotal)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"env":$envJson,"ambient_suspect":$ambientJson,"attempts":$attemptsJson,"starts":$startsJson,"revisited_regressions":$regressedJson,"io":$ioJson${only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")}}"""
     val artifactRef =
       try {
         java.nio.file.Files.write(
@@ -394,7 +417,7 @@ object Bench {
     println(s"""{"metric":"per_query","unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir"}""")
     val slowest = sorted.sortBy(-_._2._1).take(12).sortBy(_._1)
     println(
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${qJson(slowest)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"queries_shown":"slowest_12_of_${results.size}","full_artifact":"$artifactRef"}""")
+      s"""{"metric":"total","value":${r4(total)},"normalized_total":${r4(normalizedTotal)},"unit":"sec","queries":${qJson(slowest)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"queries_shown":"slowest_12_of_${results.size}","full_artifact":"$artifactRef"}""")
     spark.stop()
   }
 }

@@ -10,8 +10,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import java.nio.file.{Files, Paths}
 
 /** CLI batch entry point — the reference's `scip OUTPUT CONFIG
-  * PATHS...` (main.py:292-376) with a JSON config (the YAML surface
-  * re-expressed; Jackson ships with Spark).
+  * PATHS...` (main.py:292-376). The config may be the reference's own
+  * YAML (its actual query language, parsed by the offline subset
+  * parser in [[YamlConfig]] and key-normalized from the scip shape —
+  * a real scip_zarr.yml runs unconverted) or the same structure as
+  * JSON (Jackson ships with Spark). Below is the graft-flattened key
+  * shape both front-ends normalize to:
   *
   * Config shape (all stages optional except load/mask):
   * {{{
@@ -31,12 +35,13 @@ import java.nio.file.{Files, Paths}
   *   "export": {"format": "parquet", "coalesce": 1, "quantiles_csv": true} }
   * }}}
   *
-  * Usage: `runMain graft.pipeline.Cli OUTPUT_DIR CONFIG.json`
+  * Usage: `runMain graft.pipeline.Cli OUTPUT_DIR CONFIG.{json,yml}`
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Cli OUTPUT_DIR CONFIG.json [timing.json]")
+    require(args.length >= 2,
+      "usage: Cli OUTPUT_DIR CONFIG.{json,yml,yaml} [timing.json]")
     val Array(outputDir, configPath) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -59,7 +64,17 @@ object Cli {
   }
 
   def run(spark: SparkSession, outputDir: String, configPath: String): Unit = {
-    val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(configPath)))
+    // the reference's config IS a YAML file (main.py:119-138) —
+    // accept it unconverted next to the JSON spelling: .yml/.yaml
+    // goes through the offline subset parser + the scip-shape key
+    // normalizer (see YamlConfig); both land on the same JsonNode
+    // consumers below
+    val raw =
+      if (configPath.endsWith(".yml") || configPath.endsWith(".yaml"))
+        YamlConfig.parse(new String(
+          Files.readAllBytes(Paths.get(configPath)), "UTF-8"))
+      else new ObjectMapper().readTree(Files.readAllBytes(Paths.get(configPath)))
+    val root = YamlConfig.normalize(raw)
     val cfg = parseConfig(root)
     val source = loadSource(spark, root.get("load"))
     val exportNode = Option(root.get("export"))
@@ -199,7 +214,14 @@ object Cli {
             (0 until n.size()).map(n.get(_).asInt())).getOrElse(Seq.empty))
         case m => throw new IllegalArgumentException(s"unknown mask method: $m")
       }
-      MaskBranchConfig(Option(b.get("name")).map(_.asText()).getOrElse(b.get("method").asText()), method)
+      MaskBranchConfig(
+        Option(b.get("name")).map(_.asText()).getOrElse(b.get("method").asText()),
+        method,
+        // per-branch feature selection (the reference's per-branch
+        // feature_extraction map, normalized by YamlConfig); absent →
+        // the pipeline-level types
+        featureTypes = Option(b.get("feature_types")).filterNot(_.isNull)
+          .map(strings))
     }
 
     val maskFilters = Option(root.get("mask_filters")).toSeq.flatMap { mf =>

@@ -195,6 +195,59 @@ object Cluster {
       .orderBy("doc_id")
   }
 
+  /** d23's component-store root — per-process suffix so reruns can't
+    * green-wash against a stale layout (the s15/p18/p19 sink-fixture
+    * discipline). */
+  private lazy val storeRunId: String =
+    java.util.UUID.randomUUID().toString.take(8)
+  private[rel] def componentStorePath(d: String): String =
+    s"/tmp/graft-sink-fixtures/components_${new java.io.File(d).getName}" +
+      s"_$storeRunId"
+
+  /** d23's BUILD step: materialize the d07 component assignment ONCE
+    * as a stored table — the production shape [[dedupMaterialize]]'s
+    * scaladoc has always described but the self-contained gate queries
+    * couldn't show: d07/d14/d17/d22 each recompute the connected
+    * components because every gate run is its own cache scope (~10s
+    * of the sf0.1 bench total is that recomputation). A pipeline
+    * builds components once per corpus version and every consumer —
+    * survivorship, weights, splits, serving — reads the ASSIGNMENT
+    * (24-byte rows: doc_id, cluster_id, cluster_size), never the pair
+    * graph. The store is written id-bucket-partitioned nowhere on
+    * purpose: at 100 TB the assignment is ~1% of corpus bytes and
+    * consumers join it on doc_id, so the one id-keyed exchange at
+    * read time IS the floor (or zero with both sides bucketed via
+    * [[ScaleOps.writeBucketed]]). */
+  def buildComponentStore(spark: SparkSession, dir: String): String = {
+    val path = componentStorePath(dir)
+    nearDupClusters(spark, dir)
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** d23's SERVE step: [[dedupMaterialize]]'s exact survivorship
+    * output computed from the STORED assignment — the consumer plan
+    * contains NO component machinery (no star-round aggregates, no
+    * object serialization, no pair generation; PlanSpec pins exactly
+    * two parquet scans and zero aggregates), just the id-keyed join
+    * of the corpus against the stored 24-byte rows. This is what
+    * converts the CC build from a per-query cost into a once-per-
+    * corpus-version amortized one. */
+  def dedupServeStored(spark: SparkSession, dir: String,
+      storePath: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val asg = spark.read.parquet(storePath)
+    docs.join(asg.select("doc_id", "cluster_id", "cluster_size")
+        .hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+          .as("keep"),
+        (coalesce(col("cluster_size"), lit(1L)) - 1).as("n_dups"))
+      .orderBy("doc_id")
+  }
+
   /** Shared oracle prefix: the exact pair predicate closed transitively
     * with a recursive CTE, component id = min reachable node; `asg` =
     * (doc_id, cluster_id), `sizes` = per-cluster member count. */
@@ -308,6 +361,17 @@ object Cluster {
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
       clusterSplit(s, d)
+    },
+
+    // Stored-components SERVING — build the component assignment once
+    // (a stored table), then compute d14's exact survivorship from the
+    // STORE: the amortized production shape (see buildComponentStore /
+    // dedupServeStored). Gates against d14's oracle — the served
+    // answer must be bit-identical to the recompute-everything one —
+    // while PlanSpec pins that the serve plan has no component
+    // machinery left in it.
+    Q("d23_dedup_serve_stored", materializeOracle) { (s, d) =>
+      dedupServeStored(s, d, buildComponentStore(s, d))
     }
   )
 }

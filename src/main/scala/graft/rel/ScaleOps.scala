@@ -40,12 +40,26 @@ object ScaleOps {
   /** Build a Bloom filter over `key`'s values with Spark's NATIVE
     * `bloom_filter_agg` (the runtime-row-level-filtering aggregate):
     * map-side partial filters merge bitwise up the normal aggregate
-    * path. `expectedKeys` sizes the filter (8 bits/key, the engine's
-    * runtime-filter ratio → ~2% worst-case fpp at capacity, far less
-    * below it); callers size from the actual key count when that is
-    * cheap (a materialized batch, a small dim scan) — the conf-default
-    * 1M-key/1 MB filter costs a megabyte PER TASK in build buffers,
-    * probe literal, and deserialization, a measured 2.7× on d15.
+    * path. `expectedKeys` sizes the filter at an EXPLICIT 10 bits/key
+    * (the 3-arg constructor): ~1% worst-case fpp at capacity — the
+    * contract the q33/d15 fp audits were written against — where the
+    * 2-arg form's 8-bits/key engine default lands at ~2.1% and left
+    * the fp_bounded ≤ 0.03 audit only 1.4× of headroom. Callers size
+    * from the actual key count when that is cheap (a materialized
+    * batch, a small dim scan) — the conf-default 1M-key/1 MB filter
+    * costs a megabyte PER TASK in build buffers, probe literal, and
+    * deserialization, a measured 2.7× on d15.
+    *
+    * SIZING IS CAPPED, NOT UNBOUNDED: BloomFilterAggregate silently
+    * clamps to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * (default 4M keys) and `.maxNumBits` (default 64M bits), so past
+    * the caps the realized fpp would climb without any visible
+    * change. This builder fails LOUDLY at the cap instead — the
+    * caller must either raise the two confs (they are plain session
+    * confs; 10 bits/key at 100M keys is a 125 MB filter, still one
+    * broadcast-sized literal) or accept a documented larger fpp by
+    * pre-partitioning the key space.
+    *
     * Returns the serialized bits (null for an empty/all-null input —
     * [[bloomMightContain]] then yields null, i.e. filters everything,
     * the correct empty-build semantics). Keys enter the filter as
@@ -57,13 +71,33 @@ object ScaleOps {
   def bloomBuild(df: DataFrame, key: Column, expectedKeys: Long)
       : Array[Byte] = {
     require(expectedKeys > 0, "bloomBuild: expectedKeys must be positive")
+    val numBits = expectedKeys * BloomBitsPerKey
+    val conf = df.sparkSession.sessionState.conf
+    val maxItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    // the aggregate clamps silently; degrade loudly here instead so an
+    // over-cap build is a decision, not a quiet fpp regression
+    require(expectedKeys <= maxItems && numBits <= maxBits,
+      s"bloomBuild: $expectedKeys keys x $BloomBitsPerKey bits/key " +
+        s"exceeds the runtime-filter caps (maxNumItems=$maxItems, " +
+        s"maxNumBits=$maxBits) — BloomFilterAggregate would clamp " +
+        "silently and the realized fpp would rise unbounded; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits} " +
+        "for this session or partition the key space")
     import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
       .BloomFilterAggregate(GraftBridge.expression(xxhash64(key)),
-        expectedKeys)
+        Literal(expectedKeys), Literal(numBits))
       .toAggregateExpression()
     df.select(GraftBridge.column(agg)).head.getAs[Array[Byte]](0)
   }
+
+  /** Explicit bits/key for [[bloomBuild]]: 10 ≈ the ~1% fpp design
+    * point (k = ln2·bits/key ≈ 7 hashes) the fp audits assume. */
+  val BloomBitsPerKey: Long = 10L
 
   /** Probe of a [[bloomBuild]] filter via the native codegen'd
     * `might_contain` expression — unlike a Scala-UDF probe it stays

@@ -1091,6 +1091,55 @@ object Streaming {
   def cdcStreamed(s: SparkSession, dir: String): DataFrame =
     cdcDrained(s, dir)._1
 
+  /** p29c: the HORIZON-EVICTING CDC drain under the hash gate — the
+    * bounded-state production shape ([[cdcUpdatesEvicting]]) landing
+    * on the exact same snapshot as the batch fold (p29) and the
+    * NoTimeout stream (p29b), with eviction PROVABLY firing inside
+    * the gated run (`stateRowsRemoved > 0` is required, not assumed).
+    *
+    * Why exactness is unconditional here: an AvailableNow drain over
+    * a FileStreamSource with no maxFilesPerTrigger delivers the whole
+    * changelog in ONE data micro-batch, and the watermark consumed by
+    * a batch is computed from the PREVIOUS batch — so during the data
+    * batch it is the epoch and the late-event filter can drop
+    * nothing; delivery disorder is bounded by 0 ≤ H and the proved
+    * horizon rule (see [[CdcState]]) applies trivially. Eviction then
+    * runs in the trailing watermark-advance batch AvailableNow
+    * appends: every key whose retained state is a tombstone with
+    * seq < maxSeq − H times out and is removed.
+    *
+    * H comes from the DATA, not a constant: half the gap between the
+    * global max seq and the earliest final-tombstone seq, so at least
+    * that tombstone provably evicts at any sf while keys tombstoned
+    * near the frontier demonstrate the retained-within-horizon half
+    * of the rule. (A fixed H would silently stop evicting — or evict
+    * nothing — as the seq range grows with scale.) */
+  def cdcStreamedEvicting(s: SparkSession, dir: String): DataFrame = {
+    // bounded probe: per-key final op over the changelog — the same
+    // one-hash-aggregate shape as the batch fold, collapsed to 1 row
+    val fin = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        coalesce(col("o_orderstatus") === "F", lit(false))
+          .cast("long").as("del"))
+      .groupBy("k")
+      .agg(max("seq").as("last_seq"),
+        max_by(col("del"), col("seq")).as("del_last"))
+      .agg(max("last_seq").as("max_seq"),
+        min(when(col("del_last") === 1L, col("last_seq"))).as("min_tomb"))
+      .head()
+    val maxSeq = fin.getLong(0)
+    require(!fin.isNullAt(1),
+      "p29c: the changelog has no final tombstone — the eviction gate " +
+        "cannot demonstrate a removal on this corpus")
+    val h = math.max(1L, (maxSeq - fin.getLong(1)) / 2)
+    val (snap, st) = cdcDrained(s, dir, tombstoneHorizonSeq = Some(h))
+    require(st.stateRowsRemoved > 0,
+      s"p29c: horizon eviction (H=$h seq-units) removed zero state " +
+        "rows — the gate must exercise the eviction path, not just " +
+        "the fold")
+    snap
+  }
+
   /** p29b's drained body: orders-as-changelog file stream →
     * [[cdcUpdates]] state fold (Update mode) → foreachBatch with the
     * p23 marker-idempotent commit (Update-mode output needs an

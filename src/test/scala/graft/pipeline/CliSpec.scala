@@ -22,6 +22,61 @@ class CliSpec extends SparkSpec {
     assert(q.linesIterator.size > 1, q)
   }
 
+  test("yaml config in graft key shape runs the same pipeline as json") {
+    val out = Files.createTempDirectory("cli-yaml").toString
+    val config = Files.createTempFile("cli", ".yml")
+    Files.writeString(config,
+      """# graft-shape config, YAML spelling
+        |load:
+        |  format: synthetic
+        |  n: 6
+        |mask:
+        |  - name: circle
+        |    method: circle
+        |feature_extraction:
+        |  types: [regions, intensity]
+        |export:
+        |  coalesce: 1
+        |""".stripMargin)
+    Cli.run(spark, out, config.toString)
+    val features = spark.read.parquet(s"$out/features.0.parquet")
+    assert(features.count() == 6)
+    assert(features.columns.exists(_.startsWith("feat_")))
+  }
+
+  test("the reference's own scip_zarr.yml runs UNCONVERTED (scip key shape)") {
+    // the reference passes PATHS as CLI args (main.py: scip OUTPUT
+    // CONFIG PATHS...), so the only addition to the verbatim file is
+    // the load.paths key graft's config carries instead — every other
+    // byte, including the Python (?P<group>...) regex, the
+    // mask.methods/filters nesting, and the per-branch
+    // feature_extraction map, is the reference's own
+    val ref = Paths.get("/root/reference/test/data/scip_zarr.yml")
+    assume(Files.exists(ref) &&
+      Files.exists(Paths.get("/root/reference/test/data/test.zarr")))
+    val text = Files.readString(ref).replaceFirst(
+      "load:\n",
+      "load:\n  paths: [\"/root/reference/test/data/test.zarr\"]\n")
+    val config = Files.createTempFile("scip-zarr", ".yml")
+    Files.writeString(config, text)
+    val out = Files.createTempDirectory("cli-scip-yaml").toString
+    Cli.run(spark, out, config.toString)
+    // the reference config sets no coalesce → one object per
+    // partition (the {filename}.{partition}.parquet layout) — read
+    // them all
+    val features = spark.read.parquet(s"$out/features.*.parquet")
+    // the reference's own e2e expectation on this config+data
+    // (test/test_main.py): 10 rows, all four branch families present
+    assert(features.count() == 10)
+    val cols = features.columns
+    Seq("circle-1", "circle-2", "spot", "li").foreach(b =>
+      assert(cols.exists(_.contains(b)), s"branch $b missing: ${cols.take(20).mkString(",")}"))
+    // per-branch feature selection honored: li carries no bbox columns
+    assert(!cols.exists(_.contains("li_bbox")),
+      cols.filter(_.contains("bbox")).mkString(","))
+    assert(cols.exists(_.contains("circle-1_bbox")))
+  }
+
   test("czi source + cellpose segmentation + anndata export") {
     val dir = Files.createTempDirectory("cli-czi")
     val czi = dir.resolve("plate.czi").toString

@@ -588,4 +588,71 @@ class IncrementalCurationSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     ()
   }
+
+  // -- the round-13 hardening: the audit itself retries and diagnoses --
+
+  private val inv0: Map[String, Set[(String, Long)]] = Map(
+    "day=a" -> Set(("part-0-uuid1.parquet", 100L)),
+    "day=b" -> Set(("part-0-uuid2.parquet", 200L)))
+  // a genuine backfill of day=a: new write-unique part name
+  private val invRewritten: Map[String, Set[(String, Long)]] =
+    inv0 + ("day=a" -> Set(("part-0-uuid9.parquet", 104L)))
+
+  test("p28: a listing that lies once then heals keeps the flags at (1,1)") {
+    // first post-rewrite listing shows day=b perturbed (transient
+    // noise — the driver-flake shape); the re-list after the quiesce
+    // shows the true state. The audit must NOT let the lie stand.
+    val lying = Iterator(
+      invRewritten + ("day=b" -> Set(("part-0-TRANSIENT.parquet", 7L))),
+      invRewritten)
+    var quiesced = 0
+    val diags = scala.collection.mutable.ListBuffer.empty[String]
+    val flags = PipelineQueries.auditBackfill(
+      inv0, () => lying.next(), "day=a",
+      quiesce = () => { quiesced += 1; () }, diag = diags += _)
+    assert(flags == ((true, true)),
+      s"transient listing noise flipped the audit flags: $flags")
+    assert(quiesced == 1, "the retry must quiesce exactly once")
+    assert(diags.exists(_.contains("healed")),
+      s"the healed retry must be diagnosed on stderr: $diags")
+  }
+
+  test("p28: a persistent foreign rewrite reads 0 and prints its diff") {
+    // day=b was REALLY rewritten by someone else: both listings agree,
+    // the flag must read 0, and the exact differing entries must be
+    // printed so the driver log carries the mechanism
+    val foreign =
+      invRewritten + ("day=b" -> Set(("part-0-FOREIGN.parquet", 201L)))
+    val diags = scala.collection.mutable.ListBuffer.empty[String]
+    val flags = PipelineQueries.auditBackfill(
+      inv0, () => foreign, "day=a",
+      quiesce = () => (), diag = diags += _)
+    assert(flags == ((false, true)), s"foreign rewrite not detected: $flags")
+    assert(diags.exists(_.contains("PERSISTENT")),
+      s"persistent diff header missing: $diags")
+    assert(diags.exists(d => d.contains("day=b") &&
+        d.contains("part-0-uuid2.parquet") && d.contains("-(")),
+      s"removed entry not printed: $diags")
+    assert(diags.exists(d => d.contains("day=b") &&
+        d.contains("part-0-FOREIGN.parquet") && d.contains("+(")),
+      s"added entry not printed: $diags")
+  }
+
+  test("p28: an un-replaced target partition diagnoses itself") {
+    val diags = scala.collection.mutable.ListBuffer.empty[String]
+    val flags = PipelineQueries.auditBackfill(
+      inv0, () => inv0, "day=a", quiesce = () => (), diag = diags += _)
+    assert(flags == ((true, false)), flags)
+    assert(diags.exists(d => d.contains("day=a") && d.contains("NOT replaced")),
+      s"un-replaced target not diagnosed: $diags")
+  }
+
+  test("p28: stableInventory re-lists until two consecutive reads agree") {
+    val seq = Iterator(
+      inv0 + ("day=b" -> Set.empty[(String, Long)]), // racy first read
+      inv0, inv0)
+    val stable = PipelineQueries.stableInventory(
+      () => seq.next(), quiesce = () => ())
+    assert(stable == inv0, s"stabilized read wrong: $stable")
+  }
 }

@@ -632,4 +632,25 @@ class PlanSpec extends SparkSpec {
       s"d22 plan shape $d22 exceeds d14's $d14 — the split " +
         "should be a narrow projection over the same survivorship join")
   }
+
+  test("d23: the stored-components SERVE plan recomputes no components") {
+    // the amortization claim is a plan property: after the one-time
+    // build, a consumer reads the stored 24-byte assignment and joins
+    // it onto the corpus — zero aggregates (no star rounds, no size
+    // groupBy: sizes are STORED), zero object-boundary crossings (the
+    // CC flatMaps serialize to/from objects), exactly two parquet
+    // scans (corpus + store), one join
+    val store = Cluster.buildComponentStore(spark, sfDir)
+    val p = Cluster.dedupServeStored(spark, sfDir, store)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"serve plan aggregates — components/sizes recomputed:\n$p")
+    assert(!p.contains("SerializeFromObject") &&
+        !p.contains("MapPartitions"),
+      s"serve plan crosses the object boundary — CC machinery leaked:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"serve plan must scan exactly corpus + store:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"serve join degraded to sort-merge/cartesian:\n$p")
+  }
 }
