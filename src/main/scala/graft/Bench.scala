@@ -122,6 +122,23 @@ object Bench {
     // isolated from each other's persisted subplans and garbage
     // (observed d04 swinging 7s..30s with identical plans when GC debt
     // carried over)
+    // run-INTEGRATED calibration: one short spin sample (~0.1s, 1/20
+    // of the headline calibration's iterations) after every timed
+    // query. The single post-warmup snapshot proved to be a one-
+    // instant probe of a multi-minute window (round 14: snapshot
+    // 1.795, run median drifting as ambient shifted mid-run), so the
+    // normalization divides by the run's MEDIAN delivery instead —
+    // the median is robust to the handful of samples that land inside
+    // a neighbor's burst. ~20s of untimed overhead per invocation;
+    // never inside a query's timed span.
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def spin(iters: Long): Double = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42) System.err.println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double, Long, Long, Long) = {
@@ -141,6 +158,8 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val after = ioSnapshot()
+      // scaled ×20 to the headline calibration's iteration count
+      calSamples += spin(50000000L) * 20.0
       (ok, dt, after._1 - before._1, after._2 - before._2,
         after._3 - before._3)
     }
@@ -177,13 +196,6 @@ object Bench {
     // environment signature, not a plan one). Embedding the
     // calibration in the artifact makes cross-round drift diagnosable
     // FROM THE RECORD: if cal_1t moved, the machine moved.
-    def spin(iters: Long): Double = {
-      var x = 0x9E3779B97F4A7C15L; var i = 0L
-      val t0 = System.nanoTime()
-      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      if (x == 42) System.err.println("") // keep the loop un-eliminable
-      (System.nanoTime() - t0) / 1e9
-    }
     def loadavg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
@@ -368,7 +380,17 @@ object Bench {
     // comparisons should read normalized_total first and fall back to
     // the raw value + env block for anything surprising.
     val RefCal1t = 1.92 // quiet-window cal_1t on this machine (SCALE.md)
-    val normalizedTotal = if (cal1t > 0) total * (RefCal1t / cal1t) else total
+    // the run-integrated median (one sample per timed query) is the
+    // divisor when enough samples exist; the post-warmup snapshot is
+    // the fallback for tiny filtered probes
+    val calRunMed: Option[Double] =
+      if (calSamples.size >= 3) {
+        val s = calSamples.sorted
+        Some(s(s.size / 2))
+      } else None
+    val calEffective = calRunMed.getOrElse(cal1t)
+    val normalizedTotal =
+      if (calEffective > 0) total * (RefCal1t / calEffective) else total
     // per-cell AMBIENT flag: a cell whose own attempts spread >1.5×
     // within one invocation was measured under contention (identical
     // plan, same JVM, minutes apart) — the min is still kept, but the
@@ -391,7 +413,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val envJson =
-      s"""{"cal_1t_sec":${r4(cal1t)},"cal_allcores_sec":${r4(calAll)},"cal_ref_1t_sec":$RefCal1t,"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadavg())},"run_start_epoch_ms":$benchStartMs}"""
+      s"""{"cal_1t_sec":${r4(cal1t)},"cal_allcores_sec":${r4(calAll)},"cal_ref_1t_sec":$RefCal1t,"cal_run_med_1t_sec":${calRunMed.map(r4).getOrElse(-1.0)},"cal_run_n":${calSamples.size},"loadavg_start":${r4(loadStart)},"loadavg_end":${r4(loadavg())},"run_start_epoch_ms":$benchStartMs}"""
     val ambientJson = ambientSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     // file artifact: everything (all timings + measured per-query I/O +
     // the machine calibration + per-cell attempt traces and attempt

@@ -35,14 +35,26 @@ import java.nio.file.{Files, Paths}
   *   "export": {"format": "parquet", "coalesce": 1, "quantiles_csv": true} }
   * }}}
   *
-  * Usage: `runMain graft.pipeline.Cli OUTPUT_DIR CONFIG.{json,yml}`
+  * Usage: `runMain graft.pipeline.Cli OUTPUT_DIR CONFIG.{json,yml} [timing.json] [PATHS...]`
+  *
+  * PATHS are positional, after the config — the reference's own call
+  * shape (`scip OUTPUT CONFIG PATHS...`): when present they override
+  * the config's `load.paths`, so a verbatim scip invocation (whose
+  * YAML carries no paths at all) runs unchanged. The first argument
+  * after CONFIG ending in `.json` is the timing output (graft's
+  * addition — the reference spells it as a `--timing` option); image
+  * paths are files/directories (.zarr/.tif/.czi/dirs), never .json,
+  * so the rule is unambiguous in practice.
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Cli OUTPUT_DIR CONFIG.{json,yml,yaml} [timing.json]")
+      "usage: Cli OUTPUT_DIR CONFIG.{json,yml,yaml} [timing.json] [PATHS...]")
     val Array(outputDir, configPath) = args.take(2)
+    val rest = args.drop(2).toSeq
+    val timingPath = rest.find(_.endsWith(".json"))
+    val cliPaths = rest.filterNot(timingPath.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -54,16 +66,16 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     try {
-      run(spark, outputDir, configPath)
+      run(spark, outputDir, configPath, cliPaths)
       val runtime = (System.nanoTime() - t0) / 1e9
-      if (args.length > 2)
-        Export.timingJson(spark, args(2),
-          Map("output" -> outputDir, "config" -> configPath), runtime)
+      timingPath.foreach(tp => Export.timingJson(spark, tp,
+        Map("output" -> outputDir, "config" -> configPath), runtime))
       println(f"Full runtime $runtime%.2f s")
     } finally spark.stop()
   }
 
-  def run(spark: SparkSession, outputDir: String, configPath: String): Unit = {
+  def run(spark: SparkSession, outputDir: String, configPath: String,
+      cliPaths: Seq[String] = Nil): Unit = {
     // the reference's config IS a YAML file (main.py:119-138) —
     // accept it unconverted next to the JSON spelling: .yml/.yaml
     // goes through the offline subset parser + the scip-shape key
@@ -75,6 +87,18 @@ object Cli {
           Files.readAllBytes(Paths.get(configPath)), "UTF-8"))
       else new ObjectMapper().readTree(Files.readAllBytes(Paths.get(configPath)))
     val root = YamlConfig.normalize(raw)
+    // CLI-positional PATHS (the reference's shape — its configs carry
+    // no paths key) override/supply load.paths
+    if (cliPaths.nonEmpty) {
+      val load = root.get("load")
+      require(load != null && load.isObject, "config needs a load stage")
+      val arr = com.fasterxml.jackson.databind.node
+        .JsonNodeFactory.instance.arrayNode()
+      cliPaths.foreach(arr.add)
+      load.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .set[JsonNode]("paths", arr)
+      ()
+    }
     val cfg = parseConfig(root)
     val source = loadSource(spark, root.get("load"))
     val exportNode = Option(root.get("export"))

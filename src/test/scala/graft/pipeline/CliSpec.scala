@@ -45,22 +45,17 @@ class CliSpec extends SparkSpec {
   }
 
   test("the reference's own scip_zarr.yml runs UNCONVERTED (scip key shape)") {
-    // the reference passes PATHS as CLI args (main.py: scip OUTPUT
-    // CONFIG PATHS...), so the only addition to the verbatim file is
-    // the load.paths key graft's config carries instead — every other
-    // byte, including the Python (?P<group>...) regex, the
-    // mask.methods/filters nesting, and the per-branch
-    // feature_extraction map, is the reference's own
+    // the VERBATIM reference file — not a byte changed: the Python
+    // (?P<group>...) regex, the mask.methods/filters nesting, and the
+    // per-branch feature_extraction map are all the reference's own.
+    // The data path rides as a positional CLI arg, exactly the
+    // reference's call shape (scip OUTPUT CONFIG PATHS...)
     val ref = Paths.get("/root/reference/test/data/scip_zarr.yml")
     assume(Files.exists(ref) &&
       Files.exists(Paths.get("/root/reference/test/data/test.zarr")))
-    val text = Files.readString(ref).replaceFirst(
-      "load:\n",
-      "load:\n  paths: [\"/root/reference/test/data/test.zarr\"]\n")
-    val config = Files.createTempFile("scip-zarr", ".yml")
-    Files.writeString(config, text)
     val out = Files.createTempDirectory("cli-scip-yaml").toString
-    Cli.run(spark, out, config.toString)
+    Cli.run(spark, out, ref.toString,
+      cliPaths = Seq("/root/reference/test/data/test.zarr"))
     // the reference config sets no coalesce → one object per
     // partition (the {filename}.{partition}.parquet layout) — read
     // them all

@@ -1006,4 +1006,46 @@ class StreamingSpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("p29c: the gate body derives H from the data, evicts under the gate, " +
+    "and refuses a corpus that cannot demonstrate eviction") {
+    import spark.implicits._
+    def write(src: String, rows: Seq[(Long, Long, String, Double)]): Unit =
+      rows.toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    // a changelog WITH final tombstones well behind the frontier:
+    // the drain must land on the batch-apply snapshot AND have
+    // actually removed tombstone state (the in-body require)
+    val rootA = java.nio.file.Files.createTempDirectory("p29c_ok").toString
+    try {
+      write(s"$rootA/orders.parquet", Seq(
+        (1L, 10L, "F", 1.0), // deleted early — must evict
+        (2L, 20L, "O", 2.0),
+        (2L, 900L, "O", 2.5),
+        (3L, 950L, "O", 3.0)))
+      val snap = Streaming.cdcStreamedEvicting(spark, rootA)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(snap.toSeq == Seq((2L, 900L, 2.5), (3L, 950L, 3.0)),
+        s"evicting gate snapshot wrong: ${snap.toSeq}")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(rootA)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
+    // no final tombstone anywhere: the gate must refuse LOUDLY rather
+    // than report a vacuous green (eviction would never run)
+    val rootB = java.nio.file.Files.createTempDirectory("p29c_notomb").toString
+    try {
+      write(s"$rootB/orders.parquet",
+        Seq((1L, 10L, "O", 1.0), (2L, 20L, "O", 2.0)))
+      val e = intercept[IllegalArgumentException] {
+        Streaming.cdcStreamedEvicting(spark, rootB)
+      }
+      assert(e.getMessage.contains("no final tombstone"), e.getMessage)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(rootB)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
