@@ -57,6 +57,15 @@ object Masking {
   // ---- mask methods (C1-C6) --------------------------------------------
 
   sealed trait Method
+  /** The reference's `mask: null` config: the mask() fan-out never
+    * runs — events pass through VERBATIM as the single "no" branch
+    * (main.py:197-205, `images_dict = dict(no=images)`), and features
+    * compute from whatever masks the SEGMENTATION stage produced
+    * (its to_events already emits bbox-cropped per-cell events with
+    * mask/regions/backgrounds — segmentation/__init__.py:80-119).
+    * No border scrub, no bbox, no apply-mask: those belong to the
+    * mask stage the config turned off. */
+  case object NoOp extends Method
   case object Circle extends Method
   case object Otsu extends Method
   final case class Li(smooth: Seq[Double]) extends Method
@@ -69,6 +78,9 @@ object Masking {
   private[ops] def maskChannel(method: Method, x: Array[Float], h: Int, w: Int,
       c: Int = 0): (Array[Boolean], Int) =
     method match {
+      case NoOp =>
+        throw new IllegalStateException(
+          "NoOp never reaches maskChannel — branch/branchRecord pass through")
       case Circle =>
         // centered disk, radius min(h,w)/3 (masking/circle.py:4-26)
         val cy = h / 2; val cx = w / 2
@@ -384,6 +396,7 @@ object Masking {
     * single-pass path of Pipeline.run) */
   def branchRecord(method: Method, mainChannelIndex: Int,
       combinedIndices: Seq[Int])(e0: ImageEvent): ImageEvent = {
+    if (method == NoOp) return e0 // mask: null — pass-through (see NoOp)
     if (!e0.hasPixels) return e0
     val e1 = masksRecord(method)(e0)
     val e2 = scrubRecord(mainChannelIndex)(e1)
@@ -395,7 +408,8 @@ object Masking {
     * (masking/__init__.py:33-72): method → border scrub → bbox → apply */
   def branch(ds: Dataset[ImageEvent], method: Method, mainChannelIndex: Int,
       combinedIndices: Seq[Int] = null): Dataset[ImageEvent] =
-    applyMask(
+    if (method == NoOp) ds // mask: null — pass-through (see NoOp)
+    else applyMask(
       boundingBox(
         removeBorderRegions(createMasks(ds, method), mainChannelIndex)),
       combinedIndices)

@@ -223,11 +223,29 @@ object Cli {
     val channelNames = Option(load.get("channel_names")).map(strings)
       .getOrElse(Option(load.get("channels")).map(strings).getOrElse(Seq("ch0", "ch1", "ch2")))
 
-    val maskNode = root.get("mask")
-    require(maskNode != null && maskNode.size() > 0, "config needs >= 1 mask branch")
-    val branches = (0 until maskNode.size()).map { i =>
+    val maskNode = Option(root.get("mask")).filterNot(_.isNull).orNull
+    // the reference's `mask: null` config: ONE pass-through "no"
+    // branch (unprefixed features computed from the segmentation
+    // stage's masks — see Masking.NoOp). A mask-dependent feature set
+    // without a segmentation stage has no masks to read; the
+    // reference KeyErrors there, this fails with the reason.
+    val noMask = maskNode == null || maskNode.size() == 0
+    if (noMask) {
+      val types = Option(root.get("feature_extraction")).filterNot(_.isNull)
+        .flatMap(f => Option(f.get("types"))).map(strings)
+        .getOrElse(Seq("regions", "bbox", "shape", "intensity", "texture"))
+      require(root.hasNonNull("segment") || types.forall(_ == "raw"),
+        "mask: null needs a segmentation stage — its per-cell masks are " +
+          "what the \"no\" branch's shape/intensity/bbox features read " +
+          "(the reference's to_events contract); configure segment, a " +
+          "mask, or feature_extraction types [raw]")
+    }
+    val branches = if (noMask)
+      Seq(MaskBranchConfig("no", Masking.NoOp))
+    else (0 until maskNode.size()).map { i =>
       val b = maskNode.get(i)
       val method = b.get("method").asText() match {
+        case "none" | "no" => Masking.NoOp
         case "circle" => Masking.Circle
         case "threshold" | "otsu" => Masking.Otsu
         case "li" => Masking.Li(Option(b.get("smooth")).map(doubles).getOrElse(Seq(1.0)))

@@ -178,6 +178,13 @@ object YamlConfig {
     if (!isScipShape(root)) return root
     val out = F.objectNode()
 
+    // the reference's illumination_correction.key names the regex
+    // meta group the correction partitions on; graft's engine groups
+    // on the `group` column — rename that named group in the regex so
+    // the key travels (tiff_seg's `key: plate` over (?P<plate>...))
+    val illumKey: Option[String] = opt(root, "illumination_correction")
+      .flatMap(ic => opt(ic, "key")).map(_.asText()).filter(_ != "group")
+
     // load: kwargs.{regex,scenes} flatten up; channels/channel_names/
     // format/paths/n/kind pass through
     opt(root, "load").foreach { l =>
@@ -187,9 +194,12 @@ object YamlConfig {
       opt(l, "kwargs").foreach { kw =>
         // the reference's regexes are Python (named groups spelled
         // (?P<g>...)); Java wants (?<g>...) — translate so the file
-        // runs verbatim
+        // runs verbatim, and rename the illumination key's group to
+        // the engine's `group` column (see illumKey above)
         opt(kw, "regex").foreach { v =>
-          load.put("regex", v.asText().replace("(?P<", "(?<")); ()
+          var rx = v.asText().replace("(?P<", "(?<")
+          illumKey.foreach(k => rx = rx.replace(s"(?<$k>", "(?<group>"))
+          load.put("regex", rx); ()
         }
         opt(kw, "scenes").foreach(v => { load.set[JsonNode]("scenes", v); () })
       }

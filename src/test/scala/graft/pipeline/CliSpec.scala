@@ -72,6 +72,54 @@ class CliSpec extends SparkSpec {
     assert(cols.exists(_.contains("circle-1_bbox")))
   }
 
+  test("the reference's scip_tiff_seg.yml runs UNCONVERTED (mask: null => " +
+    "pass-through 'no' branch over segmentation masks)") {
+    // the second current-shape reference config: tiff scan →
+    // jones-2006 illumination keyed on the regex's plate group →
+    // cellpose segmentation → mask: null (the features read the
+    // SEGMENTATION's per-cell masks; columns go unprefixed — the
+    // reference's dict(no=images) branch) → shape+intensity
+    val ref = Paths.get("/root/reference/test/data/scip_tiff_seg.yml")
+    val tiffs = "/root/reference/test/data/tiffs"
+    assume(Files.exists(ref) && Files.exists(Paths.get(tiffs)))
+    val out = Files.createTempDirectory("cli-tiffseg-yaml").toString
+    Cli.run(spark, out, ref.toString, cliPaths = Seq(tiffs))
+    val features = spark.read.parquet(s"$out/features.*.parquet")
+    val rows = features.collect()
+    assert(rows.length >= 2, s"expected detected cells, got ${rows.length}")
+    val featCols = features.columns.filter(_.startsWith("feat_"))
+    // unprefixed branch naming (no branch token between feat_ and the
+    // stat): intensity columns carry the channel names, shape columns
+    // the _combined suffix
+    assert(featCols.exists(_.contains("DAPI")) &&
+      featCols.exists(_.contains("actin")),
+      featCols.take(10).mkString(","))
+    assert(featCols.exists(_.endsWith("_combined")))
+    assert(!featCols.exists(_.contains("_no_")),
+      "the \"no\" branch must not inject a prefix token")
+    assert(rows.exists(r => featCols.exists(c => r.getAs[Any](c) != null)))
+  }
+
+  test("mask: null without a segmentation stage is refused loudly") {
+    val config = Files.createTempFile("nomask", ".yml")
+    Files.writeString(config,
+      """load:
+        |  format: synthetic
+        |  n: 4
+        |mask:
+        |feature_extraction:
+        |  types: [shape, intensity]
+        |export:
+        |  coalesce: 1
+        |""".stripMargin)
+    val out = Files.createTempDirectory("cli-nomask").toString
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, out, config.toString)
+    }
+    assert(e.getMessage.contains("mask: null needs a segmentation"),
+      e.getMessage)
+  }
+
   test("czi source + cellpose segmentation + anndata export") {
     val dir = Files.createTempDirectory("cli-czi")
     val czi = dir.resolve("plate.czi").toString
