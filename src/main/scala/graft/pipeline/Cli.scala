@@ -219,6 +219,15 @@ object Cli {
   }
 
   def parseConfig(root: JsonNode): PipelineConfig = {
+    // the reference tree also carries PRE-RELEASE configs keyed
+    // loading:/masking: (repo-root scip_czi.yml etc.) that current
+    // scip itself rejects ("Config is incomplete", main.py:120-132)
+    // — name the problem instead of tripping over the missing keys
+    require(!(root.has("loading") || root.has("masking")),
+      "config uses the reference's pre-release key shape " +
+        "(loading:/masking:) which current scip also rejects — " +
+        "rename to load:/mask: (see test/data/scip_zarr.yml for the " +
+        "current shape)")
     val load = root.get("load")
     val channelNames = Option(load.get("channel_names")).map(strings)
       .getOrElse(Option(load.get("channels")).map(strings).getOrElse(Seq("ch0", "ch1", "ch2")))

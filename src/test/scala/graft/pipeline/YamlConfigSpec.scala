@@ -75,6 +75,16 @@ class YamlConfigSpec extends AnyFunSuite {
         (n.get(k).isObject && n.get(k).isEmpty), k))
   }
 
+  test("a pre-release loading:/masking: config is refused by name") {
+    val ref = Paths.get("/root/reference/scip_czi.yml")
+    assume(Files.exists(ref))
+    val n = YamlConfig.normalize(YamlConfig.parse(Files.readString(ref)))
+    val e = intercept[IllegalArgumentException] {
+      Cli.parseConfig(n)
+    }
+    assert(e.getMessage.contains("pre-release key shape"), e.getMessage)
+  }
+
   test("a graft-shape config passes through normalize untouched") {
     val n = YamlConfig.parse(
       """load:
