@@ -40,11 +40,11 @@ import java.nio.file.{Files, Paths}
   * PATHS are positional, after the config — the reference's own call
   * shape (`scip OUTPUT CONFIG PATHS...`): when present they override
   * the config's `load.paths`, so a verbatim scip invocation (whose
-  * YAML carries no paths at all) runs unchanged. The first argument
-  * after CONFIG ending in `.json` is the timing output (graft's
-  * addition — the reference spells it as a `--timing` option); image
-  * paths are files/directories (.zarr/.tif/.czi/dirs), never .json,
-  * so the rule is unambiguous in practice.
+  * YAML carries no paths at all) runs unchanged. The timing output is
+  * recognized ONLY as the first argument after CONFIG, and only when
+  * it ends in `.json` (graft's addition — the reference spells it as
+  * a `--timing` option); a `.json` among the later PATHS is an error,
+  * never a silently-claimed timing file.
   */
 object Cli {
 
@@ -53,8 +53,17 @@ object Cli {
       "usage: Cli OUTPUT_DIR CONFIG.{json,yml,yaml} [timing.json] [PATHS...]")
     val Array(outputDir, configPath) = args.take(2)
     val rest = args.drop(2).toSeq
-    val timingPath = rest.find(_.endsWith(".json"))
-    val cliPaths = rest.filterNot(timingPath.contains)
+    // the timing output is only recognized in the FIRST position after
+    // CONFIG (the documented usage). A .json among the LATER positional
+    // args used to be silently claimed as the timing file — dropped
+    // from load.paths AND clobbered on disk by Export.timingJson — so
+    // it is now an error instead (r14 advice).
+    val timingPath = rest.headOption.filter(_.endsWith(".json"))
+    val cliPaths = rest.drop(if (timingPath.isDefined) 1 else 0)
+    require(!cliPaths.exists(_.endsWith(".json")),
+      "a .json data path is not supported among positional PATHS (the " +
+        "timing output is only accepted directly after CONFIG): " +
+        cliPaths.filter(_.endsWith(".json")).mkString(", "))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -87,6 +96,15 @@ object Cli {
           Files.readAllBytes(Paths.get(configPath)), "UTF-8"))
       else new ObjectMapper().readTree(Files.readAllBytes(Paths.get(configPath)))
     val root = YamlConfig.normalize(raw)
+    // refuse the PRE-RELEASE key shape by name BEFORE the load-stage
+    // require below — a loading:-shaped config has no `load` node, and
+    // "config needs a load stage" would bury the actual problem
+    // (parseConfig re-checks for the paths-in-config entry route)
+    require(!(root.has("loading") || root.has("masking")),
+      "config uses the reference's pre-release key shape " +
+        "(loading:/masking:) which current scip also rejects — " +
+        "rename to load:/mask: (see test/data/scip_zarr.yml for the " +
+        "current shape)")
     // CLI-positional PATHS (the reference's shape — its configs carry
     // no paths key) override/supply load.paths
     if (cliPaths.nonEmpty) {

@@ -60,12 +60,30 @@ object YamlConfig {
   }
 
   /** An inline `[a, b, c]` list of scalars (the only flow form the
-    * config subset uses — no nested flow). */
+    * config subset uses — no nested flow). Items split on commas
+    * OUTSIDE quotes (the stripComment/keyColon scan discipline): a
+    * quoted scalar containing a comma (`[a, "b,c"]`) used to silently
+    * corrupt into two items. */
   private def inline(s: String): JsonNode =
     if (s.startsWith("[") && s.endsWith("]")) {
       val arr = F.arrayNode()
       val body = s.substring(1, s.length - 1).trim
-      if (body.nonEmpty) body.split(",").foreach(p => arr.add(scalar(p)))
+      if (body.nonEmpty) {
+        val items = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        var i = 0; var q: Char = 0
+        while (i < body.length) {
+          val c = body.charAt(i)
+          if (q != 0) { if (c == q) q = 0; cur += c }
+          else if (c == '"' || c == '\'') { q = c; cur += c }
+          else if (c == ',') { items += cur.result(); cur.clear() }
+          else cur += c
+          i += 1
+        }
+        require(q == 0, s"yaml: unterminated quote in flow list: [$body]")
+        items += cur.result()
+        items.foreach(p => arr.add(scalar(p)))
+      }
       arr
     } else scalar(s)
 

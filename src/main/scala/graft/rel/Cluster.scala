@@ -222,6 +222,11 @@ object Cluster {
     val path = componentStorePath(dir)
     nearDupClusters(spark, dir)
       .write.mode("overwrite").parquet(path)
+    // run-scoped fixture: JVM-exit cleanup (the p23/p27c sink-fixture
+    // discipline) — without it every Verify/Bench/PlanSpec invocation
+    // leaked a parquet copy of the assignment under its fresh UUID
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
     path
   }
 

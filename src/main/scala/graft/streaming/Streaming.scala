@@ -1131,7 +1131,18 @@ object Streaming {
     require(!fin.isNullAt(1),
       "p29c: the changelog has no final tombstone — the eviction gate " +
         "cannot demonstrate a removal on this corpus")
-    val h = math.max(1L, (maxSeq - fin.getLong(1)) / 2)
+    val minTomb = fin.getLong(1)
+    // with the earliest tombstone 0-1 seq behind the frontier, h clamps
+    // to 1 and the watermark (maxSeq - 1) only ever EQUALS the
+    // tombstone's timeout timestamp — no eviction can fire, and the
+    // in-body stateRowsRemoved require would misread a data property
+    // as an eviction bug. Name the data-limitation case up front
+    // instead (r14 advice).
+    require(minTomb < maxSeq - 1,
+      s"p29c: earliest final tombstone (seq=$minTomb) sits within 1 of " +
+        s"the changelog frontier (seq=$maxSeq) — the eviction gate " +
+        "cannot demonstrate a removal on this corpus")
+    val h = math.max(1L, (maxSeq - minTomb) / 2)
     val (snap, st) = cdcDrained(s, dir, tombstoneHorizonSeq = Some(h))
     require(st.stateRowsRemoved > 0,
       s"p29c: horizon eviction (H=$h seq-units) removed zero state " +
