@@ -54,6 +54,19 @@ for name, sql in sorted(oracle.items()):
     if sorted(got.columns) != sorted(exp.columns):
         print(f"SCHEMA   {name}: spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
         fail += 1; continue
+    # int-vs-float dtype divergence is a FAILURE even when the values
+    # compare equal: the driver's hasher stringifies, and "404463.0"
+    # (a HUGEINT sum rendered float64 by the pandas bridge) never
+    # hashes like "404463" (Spark's int64). check_dtype=False below
+    # hid exactly this for three rounds on p28 — cast the oracle SQL
+    # so both sides land on the same integer/floating family.
+    dtype_bad = [
+        (c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+        if {g[c].dtype.kind, e[c].dtype.kind} in ({'i', 'f'}, {'u', 'f'})]
+    if dtype_bad:
+        print(f"DTYPE    {name}: int-vs-float render divergence "
+              f"(driver hash would mismatch): {dtype_bad}")
+        fail += 1; continue
     gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
     es = e.sort_values(by=list(e.columns)).reset_index(drop=True)
     if len(gs) != len(es):
