@@ -48,22 +48,28 @@ import java.nio.file.{Files, Paths}
   */
 object Cli {
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: Cli OUTPUT_DIR CONFIG.{json,yml,yaml} [timing.json] [PATHS...]")
-    val Array(outputDir, configPath) = args.take(2)
-    val rest = args.drop(2).toSeq
-    // the timing output is only recognized in the FIRST position after
-    // CONFIG (the documented usage). A .json among the LATER positional
-    // args used to be silently claimed as the timing file — dropped
-    // from load.paths AND clobbered on disk by Export.timingJson — so
-    // it is now an error instead (r14 advice).
+  /** Split the positional args after CONFIG into (timing output,
+    * data paths). The timing output is only recognized in the FIRST
+    * position, and only when it ends in `.json`; a `.json` among the
+    * later PATHS is an error (it used to be silently claimed as the
+    * timing file — dropped from load.paths AND clobbered on disk by
+    * Export.timingJson). */
+  private[pipeline] def splitArgs(
+      rest: Seq[String]): (Option[String], Seq[String]) = {
     val timingPath = rest.headOption.filter(_.endsWith(".json"))
     val cliPaths = rest.drop(if (timingPath.isDefined) 1 else 0)
     require(!cliPaths.exists(_.endsWith(".json")),
       "a .json data path is not supported among positional PATHS (the " +
         "timing output is only accepted directly after CONFIG): " +
         cliPaths.filter(_.endsWith(".json")).mkString(", "))
+    (timingPath, cliPaths)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Cli OUTPUT_DIR CONFIG.{json,yml,yaml} [timing.json] [PATHS...]")
+    val Array(outputDir, configPath) = args.take(2)
+    val (timingPath, cliPaths) = splitArgs(args.drop(2).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))

@@ -159,6 +159,30 @@ class CliSpec extends SparkSpec {
       "YAML-front-end run diverged from the JSON-config run")
   }
 
+  test("positional-arg split: timing .json only in first position; a " +
+    "later .json data path is an error, never a silent timing claim") {
+    // no args: no timing, no paths
+    assert(Cli.splitArgs(Nil) == ((None, Nil)))
+    // first-position .json is the timing output
+    assert(Cli.splitArgs(Seq("t.json")) == ((Some("t.json"), Nil)))
+    assert(Cli.splitArgs(Seq("t.json", "/data/a.zarr", "/data/b.tif")) ==
+      ((Some("t.json"), Seq("/data/a.zarr", "/data/b.tif"))))
+    // plain paths pass through untouched
+    assert(Cli.splitArgs(Seq("/data/a.zarr")) ==
+      ((None, Seq("/data/a.zarr"))))
+    // a later .json used to be claimed as the timing file AND dropped
+    // from the data paths — now an error naming the offender
+    val e = intercept[IllegalArgumentException] {
+      Cli.splitArgs(Seq("/data/a.zarr", "oops.json"))
+    }
+    assert(e.getMessage.contains("oops.json"), e.getMessage)
+    // ...even when a legitimate timing file is also present
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.splitArgs(Seq("t.json", "/data/a.zarr", "oops.json"))
+    }
+    assert(e2.getMessage.contains("oops.json"), e2.getMessage)
+  }
+
   test("mask: null without a segmentation stage is refused loudly") {
     val config = Files.createTempFile("nomask", ".yml")
     Files.writeString(config,
