@@ -224,7 +224,7 @@ object Bench {
     // auditable next to the calibration
     val iterative = Set("d07_dedup_clusters", "d14_dedup_materialize",
       "d17_dup_weights", "d22_cluster_split", "d23_dedup_serve_stored",
-      "q38_pagerank")
+      "d24_dedup_serve_bucketed", "q38_pagerank")
     // streaming-trigger cells: each starts a real streaming query
     // (AvailableNow drain), whose fixed trigger/checkpoint overhead is
     // a per-attempt lottery the same way the iterative loops' rounds

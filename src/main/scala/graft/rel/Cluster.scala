@@ -154,14 +154,10 @@ object Cluster {
     // exchange per side and NO sort — the p11 full-outer discipline;
     // AQE still upgrades the (usually tiny) assignment side to a
     // broadcast at runtime
-    docs.join(asg.select("doc_id", "cluster_id", "cluster_size")
-        .hint("shuffle_hash"),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
-        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
-          .as("keep"),
-        (coalesce(col("cluster_size"), lit(1L)) - 1).as("n_dups"))
+    survivorship(docs.join(
+        asg.select("doc_id", "cluster_id", "cluster_size")
+          .hint("shuffle_hash"),
+        Seq("doc_id"), "left"))
       .orderBy("doc_id")
   }
 
@@ -230,6 +226,17 @@ object Cluster {
     path
   }
 
+  /** The survivorship projection every serve variant shares (d14
+    * recompute, d23 stored, d24 bucketed): a doc outside any cluster
+    * is its own canonical survivor. One definition so the three gates
+    * can never silently diverge. */
+  private def survivorship(joined: DataFrame): DataFrame =
+    joined.select(col("doc_id"),
+      coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+      (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+        .as("keep"),
+      (coalesce(col("cluster_size"), lit(1L)) - 1).as("n_dups"))
+
   /** d23's SERVE step: [[dedupMaterialize]]'s exact survivorship
     * output computed from the STORED assignment — the consumer plan
     * contains NO component machinery (no star-round aggregates, no
@@ -242,15 +249,38 @@ object Cluster {
       storePath: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val asg = spark.read.parquet(storePath)
-    docs.join(asg.select("doc_id", "cluster_id", "cluster_size")
-        .hint("shuffle_hash"),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
-        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
-          .as("keep"),
-        (coalesce(col("cluster_size"), lit(1L)) - 1).as("n_dups"))
+    survivorship(docs.join(
+        asg.select("doc_id", "cluster_id", "cluster_size")
+          .hint("shuffle_hash"),
+        Seq("doc_id"), "left"))
       .orderBy("doc_id")
+  }
+
+  /** d24: the serve join at its TRUE scale floor — ZERO exchanges.
+    * d23 still pays one id-keyed shuffle per consumer (its serve join
+    * co-partitions at read time); with BOTH the corpus and the stored
+    * assignment written bucketed by doc_id into the same bucket count
+    * ([[ScaleOps.writeBucketed]], the p14 discipline), the left
+    * SortMergeJoin runs entirely co-located and the serve plan
+    * contains no Exchange at all (PlanSpec pins it) — at 100 TB the
+    * corpus is bucketed once at ingest and every dedup-serving
+    * consumer after that is a zero-shuffle map-side pass. No
+    * presentation orderBy here for the same reason as p14: it would
+    * add the only Exchange in the plan, and the gate compare sorts
+    * rows itself. Gates against d14's oracle — the bucketed answer
+    * must be bit-identical to the recompute-everything one. */
+  private[graft] def dedupServeBucketed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val ct = s"d24_corpus_${base}_$storeRunId"
+    val at = s"d24_asg_${base}_$storeRunId"
+    ScaleOps.writeBucketed(
+      Tables.documents(spark, dir).select("doc_id"), ct, "doc_id", 8)
+    ScaleOps.writeBucketed(
+      nearDupClusters(spark, dir)
+        .select("doc_id", "cluster_id", "cluster_size"), at, "doc_id", 8)
+    survivorship(spark.table(ct).hint("merge")
+      .join(spark.table(at).hint("merge"), Seq("doc_id"), "left"))
   }
 
   /** Shared oracle prefix: the exact pair predicate closed transitively
@@ -377,6 +407,16 @@ object Cluster {
     // machinery left in it.
     Q("d23_dedup_serve_stored", materializeOracle) { (s, d) =>
       dedupServeStored(s, d, buildComponentStore(s, d))
+    },
+
+    // Bucketed SERVING — d23 taken to its zero-shuffle floor: corpus
+    // and assignment both bucketed by doc_id, the serve join runs
+    // co-located with NO Exchange anywhere in the plan (PlanSpec),
+    // and the answer is bit-identical to d14's recompute (same
+    // oracle). The 100 TB reading: bucket the corpus once at ingest
+    // and dedup-serving consumers stop shuffling entirely.
+    Q("d24_dedup_serve_bucketed", materializeOracle) { (s, d) =>
+      dedupServeBucketed(s, d)
     }
   )
 }

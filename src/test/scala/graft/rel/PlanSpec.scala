@@ -653,4 +653,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
       s"serve join degraded to sort-merge/cartesian:\n$p")
   }
+
+  test("d24: the bucketed SERVE plan runs with ZERO Exchange") {
+    // the scale floor: both sides bucketed by doc_id into the same
+    // count, so the left SortMergeJoin is co-located — no Exchange
+    // anywhere (the p14 pin, now on the dedup-serving consumer), and
+    // still none of the component machinery d23's pin excludes
+    val p = Cluster.dedupServeBucketed(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"d24 bucketed serve shuffled:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"serve plan aggregates — components/sizes recomputed:\n$p")
+    assert(!p.contains("SerializeFromObject") &&
+        !p.contains("MapPartitions"),
+      s"serve plan crosses the object boundary — CC machinery leaked:\n$p")
+  }
 }
