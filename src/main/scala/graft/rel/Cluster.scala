@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over the near-dup pair graph —
@@ -34,44 +34,49 @@ object Cluster {
       s"node $u has $n near-dup neighbors (> $MaxDegree) — dedup exact " +
         "duplicates first (d01) or tighten the pair threshold before clustering")
 
+  /** [[checkDegree]] as a codegen expression (r15): the same loud
+    * ceiling, raised BEFORE the per-node emission is built — evaluated
+    * even for nodes whose emission set would be empty, exactly like
+    * the old per-row `require`. Returns the deduplicated emission
+    * array when within bounds. */
+  private def guardedEmit(u: Column, ns: Column, emit: Column): Column =
+    when(size(ns) > MaxDegree, raise_error(format_string(
+      "node %s has %s near-dup neighbors (> %s) — dedup exact " +
+        "duplicates first (d01) or tighten the pair threshold before " +
+        "clustering", u, size(ns), lit(MaxDegree))))
+      .otherwise(array_distinct(emit))
+
   /** One large-star round: every node links its strictly-larger
     * neighbors to the minimum of its closed neighborhood. The output
-    * is NOT deduplicated — the small-star round that always follows
-    * dedups in its own neighbor-set fold, saving one (u,v) shuffle per
-    * round (duplicates only fatten its collect_list transiently, and
-    * the degree guard stays conservative: dup-counting can only trip
-    * it earlier). */
-  private def largeStar(spark: SparkSession, edges: DataFrame): DataFrame = {
-    import spark.implicits._
+    * is NOT deduplicated across nodes — the caller's fused
+    * dedup+fixpoint aggregate handles that (see
+    * [[connectedComponents]]). r15: the per-node fold is pure codegen
+    * (array_min / filter / array_distinct / explode) instead of a
+    * Dataset flatMap — no object (de)serialization boundary in the
+    * per-round hot path (guide §4: built-ins over closures). */
+  private def largeStar(spark: SparkSession, edges: DataFrame): DataFrame =
     edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .groupBy("u").agg(collect_list("v").as("ns"))
-      .as[(Long, Seq[Long])]
-      .flatMap { case (u, ns) =>
-        checkDegree(u, ns.length)
-        val m = math.min(u, ns.min)
-        val seen = new java.util.HashSet[Long]()
-        ns.iterator.filter(v => v > u && seen.add(v)).map(v => (v, m))
-      }
-      .toDF("u", "v")
-  }
+      .select(least(col("u"), array_min(col("ns"))).as("m"),
+        explode(guardedEmit(col("u"), col("ns"),
+          filter(col("ns"), v => v > col("u")))).as("x"))
+      .select(col("x").as("u"), col("m").as("v"))
 
   /** One small-star round: every node links its smaller-or-equal
-    * neighbors (and itself) to their collective minimum. */
-  private def smallStar(spark: SparkSession, edges: DataFrame): DataFrame = {
-    import spark.implicits._
+    * neighbors (and itself) to their collective minimum. Output is
+    * deduplicated per node but NOT across nodes — the caller's fused
+    * aggregate dedups (see [[connectedComponents]]). */
+  private def smallStar(spark: SparkSession, edges: DataFrame): DataFrame =
     edges.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .groupBy("u").agg(collect_list("v").as("ns"))
-      .as[(Long, Seq[Long])]
-      .flatMap { case (u, ns) =>
-        checkDegree(u, ns.length)
-        val m = ns.min
-        (ns.iterator ++ Iterator.single(u)).filter(_ != m)
-          .toSet[Long].iterator.map(v => (v, m))
-      }
-      .toDF("u", "v").distinct()
-  }
+      .select(col("u"), col("ns"), array_min(col("ns")).as("m"))
+      .select(col("m"),
+        explode(guardedEmit(col("u"), col("ns"),
+          filter(concat(col("ns"), array(col("u"))),
+            x => x =!= col("m")))).as("x"))
+      .select(col("x").as("u"), col("m").as("v"))
 
   /** Connected components of an undirected edge list. Input: one row
     * per edge (u, v), u ≠ v, either orientation, duplicates allowed.
@@ -91,16 +96,24 @@ object Cluster {
     // loud guard against a logic regression, not a tuning knob
     val maxRounds = 50
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(spark, largeStar(spark, edges)).localCheckpoint()
-      // fixpoint test: both sides are distinct by construction, so the
-      // edge sets are equal ⟺ their symmetric difference is empty —
-      // ONE job per round (unionAll + count-by-edge + take(1)) on the
-      // already-checkpointed tables, not count() + anti-join.
-      converged = next.unionByName(edges)
-        .groupBy("u", "v").agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1)
-        .isEmpty
-      edges = next
+      val raw = smallStar(spark, largeStar(spark, edges))
+      // r15 (guide §2.3/§2.4): smallStar's cross-node dedup and the
+      // fixpoint test fold into ONE side-tagged aggregate. Group the
+      // raw next edges (side 1) with the previous distinct set (side
+      // 0) by (u, v): a group seen only on one side (min == max) is in
+      // the symmetric difference — any such row means not converged —
+      // and the max==1 groups ARE the deduplicated next edge set. This
+      // replaces the old separate distinct() exchange AND the old
+      // union+count-by-edge convergence job (which re-shuffled both
+      // edge sets once more per round) with a single exchange; the
+      // fixpoint test itself becomes a narrow scan of the checkpointed
+      // aggregate.
+      val tagged = raw.select(col("u"), col("v"), lit(1).as("s"))
+        .unionByName(edges.select(col("u"), col("v"), lit(0).as("s")))
+        .groupBy("u", "v").agg(min("s").as("mn"), max("s").as("mx"))
+        .localCheckpoint()
+      converged = tagged.filter(col("mn") === col("mx")).isEmpty
+      edges = tagged.filter(col("mx") === 1).select("u", "v")
       rounds += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")

@@ -888,18 +888,30 @@ object RelQueries {
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
         .transform(Lineage.cut)
       val n = deg.count()
-      val nodes = deg.select(col("src").as("node"))
-      var rank = nodes.withColumn("rank", lit(1.0 / n))
+      // r15 (guide §2.4/§3.1): the deg join is LOOP-INVARIANT — pay it
+      // once, not once per power iteration; the pre-joined edge table
+      // is repartitioned by dst and checkpointed, so every iteration's
+      // groupBy("node"=dst) reuses that partitioning (localCheckpoint
+      // preserves outputPartitioning) and plans with NO Exchange. The
+      // rank table (one row per node) is explicitly broadcast — the
+      // iteration body is a broadcast hash join + an exchange-free
+      // aggregate, zero per-iteration shuffles of the edge table.
+      val undW = Lineage.cut(und.join(deg, Seq("src"))
+        .repartition(col("dst")))
+      // the old per-iteration `nodes LEFT JOIN contrib` re-attach is a
+      // provable no-op on a symmetric edge list: every node in deg is
+      // a dst of some und row (und holds both orientations), so
+      // contrib's group set IS the node set and the coalesce-to-0
+      // dangling-node branch can never fire — dropped outright.
+      var rank = deg.select(col("src").as("node"))
+        .withColumn("rank", lit(1.0 / n))
       for (i <- 1 to 10) {
-        val contrib = und
-          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-          .join(deg, Seq("src"))
+        val next = undW
+          .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
           .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
           .groupBy("node").agg(sum(col("c")).as("in"))
-        val next = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(0.15 / n) + lit(0.85) * coalesce(col("in"), lit(0.0)))
-              .as("rank"))
+            (lit(0.15 / n) + lit(0.85) * col("in")).as("rank"))
         // lineage cut every OTHER round: the plan between cuts stays
         // bounded at two joined iterations while halving the eager
         // materialization jobs (the rank state is tiny — the cut is

@@ -1230,9 +1230,15 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$idxPath/tombstones")
     // the reference result BEFORE compacting: tombstone serve over the
-    // appended layout (s22's shape)
+    // appended layout (s22's shape). r15: materialized — nQueries·k
+    // rows — because the equivalence audit below consumes it TWICE
+    // (exceptAll each way); uncut, the whole tombstone-serve subplan
+    // (probe collect + pruned scan + anti-join + top-k) re-executed
+    // per audit leg (guide §5: persist is right exactly when reuse
+    // beats recompute — 50 rows vs 2 extra serve executions).
     val viaTombstones = serveIvfIndex(spark, e, idxPath, cents,
       nQueries, k, nProbe, tombstones = Some(s"$idxPath/tombstones"))
+      .localCheckpoint()
     // COMPACT: stored-layout-only fold into version 2 — no corpus
     // read, no retrain; the anti-join is per-cell (both sides are
     // cell-partitioned on disk) with the tombstone side broadcast
@@ -1244,8 +1250,12 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$idxPath/v2/centroids")
+    // r15: materialized for the same reason — consumed by BOTH
+    // equivalence legs below AND returned into the annContract
+    // recall/dedup audit (three full re-executions of the v2 serve
+    // subplan without the cut; nQueries·k rows with it).
     val annV2 = serveIvfIndex(spark, e, s"$idxPath/v2", cents,
-      nQueries, k, nProbe)
+      nQueries, k, nProbe).localCheckpoint()
     // post-compaction serve ≡ tombstone serve, row for row (same
     // cents ⇒ same probe cells; same survivor candidate set; same
     // float op order ⇒ bit-identical cosines). Evaluated BEFORE the
@@ -1712,64 +1722,86 @@ object Similarity {
   private[rel] def kmeansClusterStats(spark: SparkSession, dir: String,
       k: Int, iters: Int,
       shape: DataFrame => DataFrame = identity): (Long, Int, Seq[Double]) = {
+    import spark.implicits._
     val e = shape(Tables.embeddings(spark, dir))
-    val u = e.select(col("vec_id"), unitUdf(col("embedding")).as("u")).cache()
+    // r15 (guide §1.2 step 1, §2.3): ONE corpus pass per Lloyd round.
+    // The old loop cached a per-round assignment frame and ran TWO
+    // aggregate jobs over it — a posexplode'd (cluster, dim) hash-agg
+    // (a dim× row explosion) plus a per-cluster count/WCSS agg. All
+    // three per-round statistics (per-dim sums, counts, WCSS) now fold
+    // through one treeAggregate whose per-task state is k·(d+2)
+    // doubles: nothing shuffles at all (the k·d partials combine at
+    // the driver — the s11/SQ8 bounded-driver-state class), the
+    // per-round cache write/read disappears, and the assignment loop
+    // is a plain JVM loop instead of a UDF boundary. Float contract
+    // unchanged: same element order per vector, double accumulation —
+    // only cross-row summation ORDER differs, the same partition-
+    // dependence the old groupBy sum had (SimilaritySpec pins
+    // first-round WCSS invariance to 1e-9 relative).
+    val vecs = e.select(col("embedding")).as[Array[Float]].rdd
+      .map(unit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic hash-ordered seeds (the trainingSample draw):
       // k spread unit vectors, partition-invariant
       var centroids: Array[Array[Double]] =
         trainingSample(e, k).map(_.map(_.toDouble))
+      val dim = centroids(0).length
       val wcssHist = scala.collection.mutable.ArrayBuffer.empty[Double]
       var lastCounts: Array[Long] = Array.fill(k)(0L)
       var nTotal = 0L
       var it = 0
       while (it < iters) {
         val bc = spark.sparkContext.broadcast(centroids)
-        val assignUdf = udf { (v: Array[Float]) =>
-          val cs = bc.value
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < cs.length) {
-            var dd = 0.0; var j = 0
-            while (j < v.length) {
-              val d = v(j) - cs(c)(j); dd += d * d; j += 1
+        val (sums, counts, wcssAcc) = vecs.treeAggregate(
+          (Array.fill(k)(new Array[Double](dim)), new Array[Long](k),
+            new Array[Double](1)))(
+          seqOp = { case ((s, c, w), v) =>
+            val cs = bc.value
+            var best = 0; var bestD = Double.MaxValue; var ci = 0
+            while (ci < cs.length) {
+              var dd = 0.0; var j = 0
+              while (j < v.length) {
+                val d = v(j) - cs(ci)(j); dd += d * d; j += 1
+              }
+              if (dd < bestD) { bestD = dd; best = ci }
+              ci += 1
             }
-            if (dd < bestD) { bestD = dd; best = c }
-            c += 1
-          }
-          (best, bestD)
-        }
-        val a = u.select(col("u"), assignUdf(col("u")).as("a"))
-          .select(col("u"), col("a._1").as("c"), col("a._2").as("d2"))
-          .cache()
-        // centroid numerators: (cluster, dim)-keyed hash-agg — partial
-        // aggregation bounds every partition's shuffle output at k·d
-        val sums = a
-          .select(col("c"), posexplode(col("u")).as(Seq("dim", "x")))
-          .groupBy("c", "dim").agg(sum(col("x").cast("double")).as("sx"))
-          .collect()
-        val stats = a.groupBy("c")
-          .agg(count(lit(1)).as("n"), sum("d2").as("w"))
-          .collect()
-        a.unpersist()
+            val sb = s(best)
+            var j = 0
+            while (j < v.length) { sb(j) += v(j); j += 1 }
+            c(best) += 1
+            w(0) += bestD
+            (s, c, w)
+          },
+          combOp = { case ((s1, c1, w1), (s2, c2, w2)) =>
+            var ci = 0
+            while (ci < k) {
+              val a = s1(ci); val b = s2(ci); var j = 0
+              while (j < dim) { a(j) += b(j); j += 1 }
+              c1(ci) += c2(ci); ci += 1
+            }
+            w1(0) += w2(0)
+            (s1, c1, w1)
+          })
         bc.destroy()
-        val counts = Array.fill(k)(0L)
-        var wcss = 0.0
-        stats.foreach { r =>
-          counts(r.getInt(0)) = r.getLong(1); wcss += r.getDouble(2)
-        }
         val next = centroids.map(_.clone())
-        sums.foreach { r =>
-          val c = r.getInt(0)
-          if (counts(c) > 0) next(c)(r.getInt(1)) = r.getDouble(2) / counts(c)
+        var ci = 0
+        while (ci < k) {
+          if (counts(ci) > 0) {
+            var j = 0
+            while (j < dim) { next(ci)(j) = sums(ci)(j) / counts(ci); j += 1 }
+          }
+          ci += 1
         }
-        wcssHist += wcss
+        wcssHist += wcssAcc(0)
         lastCounts = counts
         nTotal = counts.sum
         centroids = next
         it += 1
       }
       (nTotal, lastCounts.count(_ > 0), wcssHist.toSeq)
-    } finally u.unpersist()
+    } finally vecs.unpersist()
   }
 
   val all: Seq[Q] = Seq(
