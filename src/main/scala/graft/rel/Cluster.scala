@@ -105,14 +105,18 @@ object Cluster {
       // and the max==1 groups ARE the deduplicated next edge set. This
       // replaces the old separate distinct() exchange AND the old
       // union+count-by-edge convergence job (which re-shuffled both
-      // edge sets once more per round) with a single exchange; the
-      // fixpoint test itself becomes a narrow scan of the checkpointed
-      // aggregate.
+      // edge sets once more per round) with a single exchange — and
+      // the fixpoint test rides the SAME job: a CollectMetrics
+      // (observe) node counts the symmetric-difference rows while the
+      // checkpoint materializes, so each round is ONE Spark job, not
+      // checkpoint + a separate convergence scan.
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$rounds")
       val tagged = raw.select(col("u"), col("v"), lit(1).as("s"))
         .unionByName(edges.select(col("u"), col("v"), lit(0).as("s")))
         .groupBy("u", "v").agg(min("s").as("mn"), max("s").as("mx"))
+        .observe(obs, count(when(col("mn") === col("mx"), 1)).as("diff"))
         .localCheckpoint()
-      converged = tagged.filter(col("mn") === col("mx")).isEmpty
+      converged = obs.get("diff").asInstanceOf[Long] == 0L
       edges = tagged.filter(col("mx") === 1).select("u", "v")
       rounds += 1
     }
@@ -139,15 +143,26 @@ object Cluster {
     * cost — band buckets shuffle 8-byte hashes instead of shingle
     * strings. The oracle closes over the exact predicate either way.
     */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashNearDup(spark, dir, 0.8)
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    nearDupAssignment(spark, dir).orderBy("doc_id")
+
+  /** [[nearDupClusters]] WITHOUT the presentation sort — what every
+    * downstream consumer (survivorship join, weights, split, stores)
+    * reads (r15): they all re-key on doc_id or write to a store, so
+    * sorting the assignment first was a wasted range exchange + sort
+    * in d14/d17/d22/d23/d24 (guide §2.4). d07 itself keeps the sorted
+    * form. The pair input likewise arrives unsorted
+    * ([[Dedup.minhashNearDupPairs]]) — the CC initial distinct
+    * re-shuffles it anyway. */
+  private[rel] def nearDupAssignment(spark: SparkSession,
+      dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(spark, dir, 0.8)
       .select(col("da").as("u"), col("db").as("v"))
     val asg = connectedComponents(spark, pairs)
     val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     // component count ≪ doc count: broadcast the size table
     asg.join(broadcast(sizes), Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id")
   }
 
   /** Apply the clustering — the dedup MATERIALIZATION step a pipeline
@@ -162,7 +177,7 @@ object Cluster {
     * survivorship. */
   def dedupMaterialize(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id")
-    val asg = nearDupClusters(spark, dir)
+    val asg = nearDupAssignment(spark, dir)
     // shuffle_hash, not the planner's default sort-merge: one id-keyed
     // exchange per side and NO sort — the p11 full-outer discipline;
     // AQE still upgrades the (usually tiny) assignment side to a
@@ -229,7 +244,7 @@ object Cluster {
     * [[ScaleOps.writeBucketed]]). */
   def buildComponentStore(spark: SparkSession, dir: String): String = {
     val path = componentStorePath(dir)
-    nearDupClusters(spark, dir)
+    nearDupAssignment(spark, dir)
       .write.mode("overwrite").parquet(path)
     // run-scoped fixture: JVM-exit cleanup (the p23/p27c sink-fixture
     // discipline) — without it every Verify/Bench/PlanSpec invocation
@@ -290,7 +305,7 @@ object Cluster {
     ScaleOps.writeBucketed(
       Tables.documents(spark, dir).select("doc_id"), ct, "doc_id", 8)
     ScaleOps.writeBucketed(
-      nearDupClusters(spark, dir)
+      nearDupAssignment(spark, dir)
         .select("doc_id", "cluster_id", "cluster_size"), at, "doc_id", 8)
     survivorship(spark.table(ct).hint("merge")
       .join(spark.table(at).hint("merge"), Seq("doc_id"), "left"))
@@ -379,7 +394,7 @@ object Cluster {
     // id-keyed left join back onto the corpus.
     Q("d17_dup_weights", weightsOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id")
-      val asg = nearDupClusters(s, d)
+      val asg = nearDupAssignment(s, d)
       docs.join(asg.select("doc_id", "cluster_id", "cluster_size")
           .hint("shuffle_hash"),
           Seq("doc_id"), "left")

@@ -300,13 +300,22 @@ object Dedup {
     common.toDouble / (a.length + bSet.size - common)
   }
 
-  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    minhashNearDupPairs(spark, dir, threshold).orderBy("da", "db")
+
+  /** [[minhashNearDup]] WITHOUT the presentation sort — the input the
+    * clustering tier consumes (r15): connected components immediately
+    * re-shuffles the pairs by node, so sorting them first was a wasted
+    * range exchange + sort in every CC-family query (guide §2.4: an
+    * orderBy used only to make output deterministic). d04 itself keeps
+    * the sorted form. */
+  private[rel] def minhashNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val jaccardOfTexts = udf { (ta: String, tb: String) => exactJaccard(ta, tb) }
     lshCandidatesWithTexts(spark, Tables.documents(spark, dir))
       .select(col("da"), col("db"),
         jaccardOfTexts(col("text_a"), col("text_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("da", "db")
   }
 
   /** Measured MinHash estimator-accuracy contract — the "sketch health
