@@ -105,18 +105,20 @@ object Cluster {
       // and the max==1 groups ARE the deduplicated next edge set. This
       // replaces the old separate distinct() exchange AND the old
       // union+count-by-edge convergence job (which re-shuffled both
-      // edge sets once more per round) with a single exchange — and
-      // the fixpoint test rides the SAME job: a CollectMetrics
-      // (observe) node counts the symmetric-difference rows while the
-      // checkpoint materializes, so each round is ONE Spark job, not
-      // checkpoint + a separate convergence scan.
-      val obs = new org.apache.spark.sql.Observation(s"cc_round_$rounds")
+      // edge sets once more per round) with a single exchange; the
+      // fixpoint test is then a NARROW scan of the checkpointed
+      // aggregate (no shuffle, reads block-manager blocks).
+      // (A Dataset.observe CollectMetrics would fold even that scan
+      // into the checkpoint job, but observe() lazily initializes the
+      // session's non-serializable ObservationManager, after which ANY
+      // later closure capturing the shared SparkSession fails task
+      // serialization — q39's typed Aggregator did. Measured and
+      // reverted; the narrow scan is the safe shape.)
       val tagged = raw.select(col("u"), col("v"), lit(1).as("s"))
         .unionByName(edges.select(col("u"), col("v"), lit(0).as("s")))
         .groupBy("u", "v").agg(min("s").as("mn"), max("s").as("mx"))
-        .observe(obs, count(when(col("mn") === col("mx"), 1)).as("diff"))
         .localCheckpoint()
-      converged = obs.get("diff").asInstanceOf[Long] == 0L
+      converged = tagged.filter(col("mn") === col("mx")).isEmpty
       edges = tagged.filter(col("mx") === 1).select("u", "v")
       rounds += 1
     }
