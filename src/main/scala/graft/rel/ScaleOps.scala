@@ -18,12 +18,27 @@ object ScaleOps {
     * is joined on the same key by every downstream query (the
     * pre-shuffle is paid once at ingest, not per query). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+    // run-scoped hygiene (the d23/p18/p23 sink-fixture discipline):
+    // demo tables are per-JVM-named so reruns can't green-wash, which
+    // also means every invocation would otherwise leak a parquet copy
+    // under ./spark-warehouse forever (measured: 64 leaked p14/d24
+    // table dirs before this). The files must outlive every read in
+    // THIS session, so deletion is registered for JVM exit, not done
+    // eagerly; the in-memory catalog dies with the session anyway.
+    val spark = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .deleteOnExit(loc)
+    ()
+  }
 
   /** Equi-join two same-bucketed tables on their bucket key. With both
     * sides bucketed by `key` into the same count, the planner emits a
