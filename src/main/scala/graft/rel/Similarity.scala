@@ -1247,9 +1247,20 @@ object Similarity {
         Seq("cell", "nid"), "left_anti")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$idxPath/v2/index")
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxPath/v2/centroids")
+    // the stored centroids carry over VERBATIM (no retrain — probe
+    // routing unchanged), so v2's centroid table is a byte-for-byte
+    // filesystem copy of v1's, not a Spark write job: compaction
+    // forwards the file, the same way a segment merge forwards its
+    // unchanged metadata. (Nothing in this query reads it back —
+    // serveIvfIndex gets `cents` in-memory — but the stored-layout
+    // contract says every index version ships its centroid table.)
+    val cfs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2Cent = new org.apache.hadoop.fs.Path(s"$idxPath/v2/centroids")
+    cfs.delete(v2Cent, true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      cfs, new org.apache.hadoop.fs.Path(s"$idxPath/centroids"),
+      cfs, v2Cent, false, spark.sparkContext.hadoopConfiguration)
     // r15: materialized for the same reason — consumed by BOTH
     // equivalence legs below AND returned into the annContract
     // recall/dedup audit (three full re-executions of the v2 serve

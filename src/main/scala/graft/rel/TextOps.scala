@@ -1086,8 +1086,21 @@ object TextOps {
       def side(tag: String, df: DataFrame) =
         df.select(lit(tag).as("path"), col("doc_id"),
           col("n_bigrams"), col("nll"))
-      side("collect", lmPerplexity(s, d))
-        .unionAll(side("distributed", lmPerplexity(s, d, maxModelRows = 4)))
+      // BOTH switch sides train over the same corpus, and neither plan
+      // dedupes the scan+tokenize subtree across its own join branches
+      // — uncut, the documents table is re-read and re-tokenized ~7×
+      // inside this one query (collect side: 2 model probes + scoring;
+      // distributed side: vv + the 3-way join's branches). Materialize
+      // the (doc_id, ts) frame ONCE and hand it to both sides
+      // (guide §5: in-query reuse of a shared subplan — same rows,
+      // same partitioning, so every downstream aggregate sees its
+      // input in the identical order and results stay bit-identical).
+      // Lineage.cut keeps the full lineage visible in plan audits.
+      val toks = Lineage.cut(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts")))
+      side("collect", lmPerplexity(s, d, toksOverride = Some(toks)))
+        .unionAll(side("distributed",
+          lmPerplexity(s, d, maxModelRows = 4, toksOverride = Some(toks))))
         .orderBy("path", "doc_id")
     },
 
@@ -1473,11 +1486,16 @@ object TextOps {
   }
 
   /** Shared t15 trainer lineage over the documents table:
-    * (uni (tok, c1), bi (doc_id, w1, w2), big (w1, w2, c2)). */
-  private def lmFrames(s: SparkSession, d: String)
+    * (uni (tok, c1), bi (doc_id, w1, w2), big (w1, w2, c2)).
+    * `toksOverride` lets a caller that plans the trainer MORE THAN
+    * ONCE over the same corpus (t15b runs both switch sides) hand in
+    * a pre-materialized (doc_id, ts) frame, so the parquet scan +
+    * tokenize pass is paid once instead of once per subplan leg. */
+  private def lmFrames(s: SparkSession, d: String,
+      toksOverride: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    val toks = toksOverride.getOrElse(Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("ts")))
     val uni = toks.select(explode(col("ts")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     val bi = toks.filter(size(col("ts")) >= 2)
@@ -1502,8 +1520,9 @@ object TextOps {
     * aggregate pass the switch costs there buys the plan that wins in
     * exactly that regime. No human fallback step remains. */
   private[rel] def lmPerplexity(s: SparkSession, d: String,
-      maxModelRows: Int = LmMaxModelRows): DataFrame = {
-    val (uni, bi, big) = lmFrames(s, d)
+      maxModelRows: Int = LmMaxModelRows,
+      toksOverride: Option[DataFrame] = None): DataFrame = {
+    val (uni, bi, big) = lmFrames(s, d, toksOverride)
     lmTryCollectModel(s, big, uni, maxModelRows) match {
       case Some((bigL, uniL, v)) =>
         bi.join(broadcast(bigL), Seq("w1", "w2"))
@@ -1515,7 +1534,7 @@ object TextOps {
             round(avg(col("nll")), 4).as("nll"))
           .orderBy("doc_id")
       case None =>
-        lmPerplexityDistributed(s, d)
+        lmPerplexityDistributed(s, d, toksOverride)
     }
   }
 
@@ -1531,9 +1550,9 @@ object TextOps {
     * exploded bigram frame where the collect path has none, which is
     * why it is the fallback, not the default. Spec-pinned equal to
     * [[lmPerplexity]] on the gate corpus (TrainingDataOpsSpec). */
-  private[rel] def lmPerplexityDistributed(s: SparkSession, d: String)
-      : DataFrame = {
-    val (uni, bi, big) = lmFrames(s, d)
+  private[rel] def lmPerplexityDistributed(s: SparkSession, d: String,
+      toksOverride: Option[DataFrame] = None): DataFrame = {
+    val (uni, bi, big) = lmFrames(s, d, toksOverride)
     val vv = uni.agg(count(lit(1)).as("v"))
     bi.join(big, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))

@@ -108,14 +108,28 @@ object Streaming {
     * the glob would match no part-file there and silently drain zero
     * rows. Schema comes from a batch probe of the same path (so any
     * session conf the caller sets first, e.g. nanosAsLong, applies). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]
+
   private def tableStream(s: SparkSession, dir: String, name: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val path = s"$dir/$name"
-    val batchSchema = s.read.parquet(path).schema
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val isDirLayout = hPath
+    val status = hPath
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(hPath).isDirectory
+      .getFileStatus(hPath)
+    val isDirLayout = status.isDirectory
+    // the batch probe re-lists and re-reads the parquet footers on
+    // EVERY drain construction — pure per-query fixed cost for a
+    // static table (10 streamed registry cells × 2-4 bench attempts
+    // each probe the same testdata files). Memoize per (path, mtime,
+    // len): the status (already fetched for the layout check) keys the
+    // cache, so an in-place rewrite of the table — a new mtime —
+    // re-probes instead of serving a stale schema. Metadata-only; the
+    // drain still reads every data row from the files.
+    val key = (path, status.getModificationTime, status.getLen)
+    val batchSchema = schemaCache.computeIfAbsent(key,
+      _ => s.read.parquet(path).schema)
     val rdr0 = s.readStream.schema(batchSchema)
     val rdr = maxFilesPerTrigger.fold(rdr0)(n =>
       rdr0.option("maxFilesPerTrigger", n.toString))
@@ -163,13 +177,26 @@ object Streaming {
     val events = eventsStream(s, dir)
     val name = "p12_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = windowedTypeCounts(events)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // one state-store instance per shuffle partition, and the windowed
+    // aggregate commits every instance per micro-batch: the same
+    // bounded-drain scoping p16/p17/p21/p27/p29 already apply (p12 was
+    // the one streamed cell still paying 32 store instances for a
+    // windows×types-bounded aggregate). Same restore-after-termination
+    // race note as attributionJoinStreamed.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try windowedTypeCounts(events)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      catch { case e: Throwable =>
+        s.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+      }
     try {
-      q.awaitTermination()
+      try q.awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // layout-mismatch guard on the SOURCE side: a mismatched file
       // listing drains zero INPUT rows — that is the error state. The
       // OUTPUT being empty is not (it just mirrors an empty input
@@ -587,9 +614,19 @@ object Streaming {
     * upstream classes; enrichment itself is pure. */
   def enrichStreamed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val cur = graft.rel.PipelineQueries.scd2History(s, dir)
-      .filter(col("is_current") === 1L)
-      .select(col("user_id"), col("attr").as("cur_attr"), col("version"))
+    // the static dim side is re-planned (and its broadcast rebuilt)
+    // EVERY micro-batch — so uncut, the whole SCD2-history subplan
+    // (p22's window + joins) re-executes once per batch of the drain.
+    // Materialize the current-version slice ONCE (dimension-sized:
+    // one row per current user); the topology stays a stream-static
+    // broadcast join, each batch just rebroadcasts the materialized
+    // rows instead of recomputing history. Production shape unchanged
+    // — a real deployment reads its dim table from storage, it does
+    // not re-derive SCD2 per micro-batch.
+    val cur = graft.rel.Lineage.cut(
+      graft.rel.PipelineQueries.scd2History(s, dir)
+        .filter(col("is_current") === 1L)
+        .select(col("user_id"), col("attr").as("cur_attr"), col("version")))
     val obs = eventsStream(s, dir)
       .filter(col("event_type") === "purchase" &&
         col("event_id").isNotNull && col("user_id").isNotNull &&
