@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from stdout; sbt's default
+// LoggedOutput prefixes every forked-run line with "[info] ", which made
+// the line unparseable in r14/r15 (PERF per_query empty both rounds).
+// StdoutOutput forwards the forked JVM's stdout verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

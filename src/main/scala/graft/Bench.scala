@@ -447,9 +447,18 @@ object Bench {
           s"WRITE_FAILED:$outPath"
       }
     println(s"""{"metric":"per_query","unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir"}""")
+    // r16 driver-contract fix (VERDICT r15 item 2): the FINAL stdout line
+    // is one JSON object with the FULL per-query map — the r14/r15 drivers
+    // could not build a per-query table from the slowest-12 summary that
+    // used to stand here (PERF per_query was empty both rounds). The
+    // compact slowest-12 summary still prints, one line earlier, so any
+    // small tail capture keeps a whole line; bench_full.json remains the
+    // lossless record (attempts/starts/io/env).
     val slowest = sorted.sortBy(-_._2._1).take(12).sortBy(_._1)
     println(
-      s"""{"metric":"total","value":${r4(total)},"normalized_total":${r4(normalizedTotal)},"unit":"sec","queries":${qJson(slowest)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"queries_shown":"slowest_12_of_${results.size}","full_artifact":"$artifactRef"}""")
+      s"""{"metric":"total_summary","value":${r4(total)},"normalized_total":${r4(normalizedTotal)},"unit":"sec","queries":${qJson(slowest)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"queries_shown":"slowest_12_of_${results.size}","full_artifact":"$artifactRef"}""")
     spark.stop()
+    println(
+      s"""{"metric":"total","value":${r4(total)},"normalized_total":${r4(normalizedTotal)},"unit":"sec","queries":${qJson(sorted)},"sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"full_artifact":"$artifactRef"}""")
   }
 }

@@ -889,15 +889,31 @@ object RelQueries {
         .transform(Lineage.cut)
       val n = deg.count()
       // r15 (guide §2.4/§3.1): the deg join is LOOP-INVARIANT — pay it
-      // once, not once per power iteration; the pre-joined edge table
-      // is repartitioned by dst and checkpointed, so every iteration's
-      // groupBy("node"=dst) reuses that partitioning (localCheckpoint
-      // preserves outputPartitioning) and plans with NO Exchange. The
-      // rank table (one row per node) is explicitly broadcast — the
-      // iteration body is a broadcast hash join + an exchange-free
-      // aggregate, zero per-iteration shuffles of the edge table.
+      // once, not once per power iteration.
+      // r16 (VERDICT r15 item 4, guide §3.1): the r15 shape broadcast
+      // the FULL rank table every iteration — O(nodes) and fine on the
+      // gate corpus, but a 10×-repeated corpus-scale broadcast (and a
+      // driver collect) at 100 TB. The broadcast is now GATED on the
+      // session's own autoBroadcastJoinThreshold using the node count n
+      // (already computed): each rank row is a short node string + a
+      // double, conservatively 64 bytes.
+      //  - small node set (gate corpus): the r15 plan exactly — edges
+      //    pre-joined with deg, repartitioned by dst, checkpointed, so
+      //    the iteration is a broadcast hash join + an aggregate that
+      //    reuses the dst partitioning: ZERO per-iteration exchange.
+      //  - large node set: scale-safe co-partitioned shape — edges
+      //    partitioned by SRC and never moved again; each iteration
+      //    shuffles only the small, changing rank table into that
+      //    partitioning (Exchange on rank, none on edges) and pays the
+      //    unavoidable narrow (dst, contrib) aggregate exchange.
+      val bcastThrStr = s.conf.get("spark.sql.autoBroadcastJoinThreshold",
+        "10MB")
+      // plain numbers (incl. "-1" = disabled) don't parse as byte strings
+      val bcastThr = scala.util.Try(bcastThrStr.trim.toLong).getOrElse(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bcastThrStr))
+      val useBcast = bcastThr > 0 && n * 64L <= bcastThr
       val undW = Lineage.cut(und.join(deg, Seq("src"))
-        .repartition(col("dst")))
+        .repartition(if (useBcast) col("dst") else col("src")))
       // the old per-iteration `nodes LEFT JOIN contrib` re-attach is a
       // provable no-op on a symmetric edge list: every node in deg is
       // a dst of some und row (und holds both orientations), so
@@ -906,8 +922,9 @@ object RelQueries {
       var rank = deg.select(col("src").as("node"))
         .withColumn("rank", lit(1.0 / n))
       for (i <- 1 to 10) {
+        val rankAsSrc = rank.withColumnRenamed("node", "src")
         val next = undW
-          .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
+          .join(if (useBcast) broadcast(rankAsSrc) else rankAsSrc, Seq("src"))
           .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
           .groupBy("node").agg(sum(col("c")).as("in"))
           .select(col("node"),

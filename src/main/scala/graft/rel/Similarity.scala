@@ -1258,9 +1258,13 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v2Cent = new org.apache.hadoop.fs.Path(s"$idxPath/v2/centroids")
     cfs.delete(v2Cent, true)
-    org.apache.hadoop.fs.FileUtil.copy(
+    // require: nothing in-query reads v2/centroids back, so a silently
+    // failed copy would ship a v2 index with no centroid table and the
+    // stored-layout breach would go unnoticed (r15 advice)
+    require(org.apache.hadoop.fs.FileUtil.copy(
       cfs, new org.apache.hadoop.fs.Path(s"$idxPath/centroids"),
-      cfs, v2Cent, false, spark.sparkContext.hadoopConfiguration)
+      cfs, v2Cent, false, spark.sparkContext.hadoopConfiguration),
+      s"s23: v2 centroid copy to $v2Cent failed")
     // r15: materialized for the same reason — consumed by BOTH
     // equivalence legs below AND returned into the annContract
     // recall/dedup audit (three full re-executions of the v2 serve

@@ -106,8 +106,14 @@ object Streaming {
     * pathGlobFilter over its parent, while a Spark-written DIRECTORY
     * `<name>` (part-files inside) streams from the directory itself —
     * the glob would match no part-file there and silently drain zero
-    * rows. Schema comes from a batch probe of the same path (so any
-    * session conf the caller sets first, e.g. nanosAsLong, applies). */
+    * rows. Schema comes from a batch probe of the same path. The probe
+    * is memoized JVM-wide and FIRST-PROBE-WINS: schema-affecting
+    * session confs are NOT part of the key, so a caller that needs a
+    * conf-dependent schema (only nanosAsLong today) must set it before
+    * the FIRST probe of that path — [[eventsStream]] does, and it is
+    * the only events-path prober; docs/orders have no nanos columns.
+    * Unbounded, but keyed by distinct (path, mtime, len) of a handful
+    * of static test tables. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), org.apache.spark.sql.types.StructType]
 
@@ -124,12 +130,28 @@ object Streaming {
     // static table (10 streamed registry cells × 2-4 bench attempts
     // each probe the same testdata files). Memoize per (path, mtime,
     // len): the status (already fetched for the layout check) keys the
-    // cache, so an in-place rewrite of the table — a new mtime —
-    // re-probes instead of serving a stale schema. Metadata-only; the
-    // drain still reads every data row from the files.
+    // cache, so a FILE-layout in-place rewrite — a new mtime — re-probes
+    // instead of serving a stale schema. For a DIRECTORY layout the
+    // top-level mtime only changes when direct children are created or
+    // deleted — a rewrite confined to nested partition subdirs would be
+    // missed; the streamed tables are all flat Spark-written dirs, so
+    // the invalidation matches the layouts that exist. Metadata-only;
+    // the drain still reads every data row from the files.
+    // Plain get → probe OUTSIDE the map lock → putIfAbsent (r15 advice):
+    // computeIfAbsent would hold the CHM bin lock across a Spark job, so
+    // concurrent first-probes of colliding keys (parallel test suites)
+    // serialize behind a footer read. A racing duplicate probe is
+    // harmless — both compute the same schema; first insert wins.
     val key = (path, status.getModificationTime, status.getLen)
-    val batchSchema = schemaCache.computeIfAbsent(key,
-      _ => s.read.parquet(path).schema)
+    val batchSchema = {
+      val cached = schemaCache.get(key)
+      if (cached != null) cached
+      else {
+        val probed = s.read.parquet(path).schema
+        val prior = schemaCache.putIfAbsent(key, probed)
+        if (prior != null) prior else probed
+      }
+    }
     val rdr0 = s.readStream.schema(batchSchema)
     val rdr = maxFilesPerTrigger.fold(rdr0)(n =>
       rdr0.option("maxFilesPerTrigger", n.toString))

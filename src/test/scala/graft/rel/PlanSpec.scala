@@ -668,4 +668,31 @@ class PlanSpec extends SparkSpec {
         !p.contains("MapPartitions"),
       s"serve plan crosses the object boundary — CC machinery leaked:\n$p")
   }
+
+  test("q38: rank broadcast is size-gated — the fallback keeps edges in " +
+      "place and never broadcasts the rank table") {
+    // r16 (VERDICT r15 item 4): the per-iteration broadcast(rank) is
+    // O(nodes); at corpus scale the gate must flip to the co-partitioned
+    // shape (edges partitioned by src, only the small rank table moves).
+    // Pin BOTH properties: (a) with broadcasts disabled the uncut
+    // 10-iteration lineage contains ZERO BroadcastExchange, and (b) the
+    // fallback computes the identical result (round(rank, 6) absorbs
+    // any aggregation-order float drift at this scale).
+    val default = SparkEntry.queries("q38_pagerank")(spark, sfDir)
+      .collect().toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sys.props("graft.lineage.nocut") = "true"
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q38_pagerank")(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"fallback iteration body broadcasts — O(nodes) at scale:\n${p.take(4000)}")
+      assert(df.collect().toSeq == default,
+        "fallback path result diverges from the broadcast path")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      sys.props.remove("graft.lineage.nocut")
+    }
+  }
 }
