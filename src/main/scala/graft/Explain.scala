@@ -28,6 +28,14 @@ object Explain {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // audit alternate plan shapes (e.g. q38's size-gated broadcast
+    // fallback): comma-separated k=v session confs applied before any
+    // query is built
+    sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").foreach(_.split(',')
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val full = args.drop(1).toSeq != Seq("all") && args.length > 1
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -73,6 +73,24 @@ object Pipeline {
       cfg: PipelineConfig): DataFrame =
     runPrepared(spark, prepare(spark, source, cfg), cfg)
 
+  /** [[run]] fused straight into the registry's digest reduction
+    * (r16): for a per-record config (no population filter /
+    * normalization) the wide feature row is never materialized as a
+    * PLANNED schema — the single fused map emits (keys..., row_digest,
+    * schema_digest) directly via [[graft.rel.Digest.fusedDigester]],
+    * collapsing the several-hundred-column encoder + ~5-nodes-per-
+    * column digest projection Catalyst was measured spending ~2.3 s/
+    * cell planning (p01). Aggregate-bearing configs fall back to the
+    * wide path + [[graft.rel.Digest.rows]] — same result either way
+    * (the committed goldens gate both). */
+  def runDigested(spark: SparkSession, source: Dataset[ImageEvent],
+      cfg: PipelineConfig, keyCols: Seq[String]): DataFrame = {
+    val ds = prepare(spark, source, cfg)
+    if (!cfg.populationFilter && !cfg.normalize)
+      fusedBranches(ds, cfg, digestKeys = Some(keyCols))
+    else graft.rel.Digest.rows(runPrepared(spark, ds, cfg), keyCols)
+  }
+
   /** every pre-branch stage (repartition → project → illumination →
     * segment → sample → mask filters) — exposed so export-time extras
     * (Cli's quantiles CSV) compute from the SAME processed stream the
@@ -132,20 +150,44 @@ object Pipeline {
       // parent, joined on the stable event UID
       val multiConsumer = cfg.branches.length > 1 || includeRaw(cfg)
       val parent = if (multiConsumer) ds.cache() else ds
-      val branchTables = cfg.branches.map { b =>
+      def buildBranch(b: MaskBranchConfig): DataFrame = {
         var branch = Masking.branch(parent, b.method, cfg.mainChannelIndex, cfg.combinedIndices)
         if (cfg.populationFilter) branch = PopulationFilter(spark, branch)
         if (cfg.normalize) branch = Normalization.normalize(spark, branch)
         Features.extract(branch, cfg.channelNames,
           b.featureTypes.getOrElse(cfg.featureTypes), branchPrefix(b))
-      } ++ (if (includeRaw(cfg)) {
-        // the reference's raw branch rides through the same per-branch
-        // loop (filter + normalization) WITHOUT any masking
+      }
+      // the reference's raw branch rides through the same per-branch
+      // loop (filter + normalization) WITHOUT any masking
+      def buildRaw(): DataFrame = {
         var raw = parent
         if (cfg.populationFilter) raw = PopulationFilter(spark, raw)
         if (cfg.normalize) raw = Normalization.normalize(spark, raw)
-        Seq(Features.extract(raw, cfg.channelNames, Seq("raw"), "raw"))
-      } else Nil)
+        Features.extract(raw, cfg.channelNames, Seq("raw"), "raw")
+      }
+      val thunks: Seq[() => DataFrame] =
+        cfg.branches.map(b => () => buildBranch(b)) ++
+          (if (includeRaw(cfg)) Seq(() => buildRaw()) else Nil)
+      // r16 (guide §2.6): every aggregate-bearing chain BLOCKS the
+      // driver on its stats jobs (population-filter head, normalization
+      // extent collect) — the chains are independent, so build them
+      // concurrently instead of serializing 2×(chains) small jobs.
+      // The shared parent is materialized FIRST so concurrent first
+      // jobs cannot compute its partitions twice (the block manager
+      // dedupes storage, not computation). Per-chain results are
+      // unchanged: each chain's aggregates see the same cached parent.
+      val branchTables =
+        if (thunks.length <= 1) thunks.map(_())
+        else {
+          parent.count()
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(thunks.length, 4))
+          try thunks.map(t => pool.submit(
+            new java.util.concurrent.Callable[DataFrame] {
+              def call(): DataFrame = t()
+            })).map(_.get())
+          finally pool.shutdown()
+        }
       branchTables.reduceLeft { (a, b) =>
         a.join(b.drop("meta_group"), // group is branch-invariant; keep one copy
           a("meta_path") === b("meta_path") && a("meta_idx") === b("meta_idx") &&
@@ -159,8 +201,9 @@ object Pipeline {
     * may select its own feature types (the reference's per-branch
     * feature_extraction map) */
   private def fusedBranches(ds: org.apache.spark.sql.Dataset[ImageEvent],
-      cfg: PipelineConfig): DataFrame = {
-    import org.apache.spark.sql.types.StructType
+      cfg: PipelineConfig,
+      digestKeys: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
     val perBranch = cfg.branches.map { b =>
       val types = b.featureTypes.getOrElse(cfg.featureTypes)
       val names = Features.featureNames(cfg.channelNames, types)
@@ -180,29 +223,60 @@ object Pipeline {
       Features.renamed(n, "raw", isLoaderMeta = false),
       org.apache.spark.sql.types.DoubleType))
     val sch = StructType(metaFields ++ featFields)
-    val enc = org.apache.spark.sql.Encoders.row(sch)
     val mainCh = cfg.mainChannelIndex
     val combined = cfg.combinedIndices
     val channelNames = cfg.channelNames
     val rawLayout =
       if (rawNames.nonEmpty) Some(Features.layout(channelNames, Seq("raw")))
       else None
-    ds.map({ e =>
+    // the shared per-record wide-row assembly (meta ++ every branch's
+    // feature cells, in schema field order)
+    def rowCells(e: ImageEvent): Array[Any] = {
       val cells = perBranch.iterator.flatMap { case (b, lay, _) =>
         val be = Masking.branchRecord(b.method, mainCh, combined)(e)
         Features.featureCells(be, channelNames, lay)
       }.toArray ++ rawLayout.toArray.flatMap { lay =>
         Features.featureCells(e, channelNames, lay)
       }
-      org.apache.spark.sql.Row.fromSeq(
-        Seq[Any](e.path, e.idx, e.group, e.id) ++ cells)
-    })(enc)
+      (Array[Any](e.path, e.idx, e.group, e.id) ++ cells)
+    }
+    digestKeys match {
+      case None =>
+        val enc = org.apache.spark.sql.Encoders.row(sch)
+        ds.map({ e =>
+          org.apache.spark.sql.Row.fromSeq(rowCells(e).toSeq)
+        })(enc)
+      case Some(keys) =>
+        // fused digest (r16): the wide row exists only as a transient
+        // Array inside the map — the PLANNED schema is keys+2 strings,
+        // so Catalyst never analyzes the wide encoder or a per-column
+        // digest projection (see Digest.fusedDigester)
+        val (schemaDigest, digestFn) = graft.rel.Digest.fusedDigester(sch)
+        val byName = sch.fieldNames.zipWithIndex.toMap
+        val keyIdx = keys.map(byName(_)).toArray
+        val outSch = StructType(
+          keys.map(StructField(_, StringType)) ++ Seq(
+            StructField("row_digest", StringType),
+            StructField("schema_digest", StringType)))
+        val enc = org.apache.spark.sql.Encoders.row(outSch)
+        ds.map({ e =>
+          val all = rowCells(e)
+          // cast-to-string key semantics of Digest.rows (null stays
+          // null; int/long/string render identically to Spark's cast)
+          val ks = keyIdx.map { i =>
+            val v = all(i); if (v == null) null else v.toString
+          }
+          org.apache.spark.sql.Row.fromSeq(
+            ks.toSeq ++ Seq(digestFn(all), schemaDigest))
+        })(enc).orderBy(keys.map(col): _*)
+    }
   }
 
   /** the reference's own e2e shape (test/data/scip_zarr.yml): synthetic
     * events through two identical circle branches + li + spot, full
     * feature set — used by the e2e spec and the flagship entry. */
-  def referenceShape(spark: SparkSession, nEvents: Int = 10): DataFrame = {
+  def referenceShape(spark: SparkSession, nEvents: Int = 10,
+      digestKeys: Option[Seq[String]] = None): DataFrame = {
     val cfg = PipelineConfig(
       channelNames = Seq("ch0", "ch1", "ch2"),
       mainChannelIndex = 0,
@@ -213,6 +287,10 @@ object Pipeline {
         MaskBranchConfig("spot", Masking.Spot(5))),
       normalize = false,
       featureTypes = Seq("regions", "bbox", "shape", "intensity", "texture"))
-    run(spark, Synthetic.conftest(spark, nEvents), cfg)
+    digestKeys match {
+      case Some(k) => runDigested(spark, Synthetic.conftest(spark, nEvents),
+        cfg, k)
+      case None => run(spark, Synthetic.conftest(spark, nEvents), cfg)
+    }
   }
 }

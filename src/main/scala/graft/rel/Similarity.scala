@@ -591,7 +591,7 @@ object Similarity {
     * retrieval the quantizer must run on the sphere, where L2 cell
     * assignment and cosine ranking agree (‖a-b‖² = 2-2cos for unit
     * vectors; FAISS uses spherical k-means for IP/cosine likewise) */
-  private[rel] def unit(v: Array[Float]): Array[Float] = {
+  private[graft] def unit(v: Array[Float]): Array[Float] = {
     var s = 0.0; var j = 0
     while (j < v.length) { s += v(j).toDouble * v(j); j += 1 }
     val n = math.sqrt(s)
@@ -660,7 +660,7 @@ object Similarity {
     * one call that scales with corpus size. [[nearestCells]]'s
     * tuple-build + full sort is fine for the per-QUERY nProbe path but
     * pure GC pressure when nProbe == 1 on every corpus row. */
-  private[rel] def nearestCell(v: Array[Float],
+  private[graft] def nearestCell(v: Array[Float],
       centroids: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < centroids.length) {
@@ -769,25 +769,43 @@ object Similarity {
     * bounded sample, assign, persist the cell-partitioned index and
     * the centroid table (the stored-layout contract both the append
     * and serve paths depend on — one definition so it cannot drift). */
-  private def buildIvfIndex(spark: SparkSession, corpus: DataFrame,
+  /** Run independent Spark actions concurrently from the driver
+    * (guide §2.6): actions are only sequential because callers invoke
+    * them sequentially — overlapping lets the second job's tasks
+    * backfill the first's straggler tail. Only for actions with NO
+    * data dependency and disjoint write targets. A failure in either
+    * propagates loudly (ExecutionException from Future.get). */
+  private def runConcurrently(fs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = f()
+    })).foreach(_.get())
+    finally pool.shutdown()
+  }
+
+  private[graft] def buildIvfIndex(spark: SparkSession, corpus: DataFrame,
       idxPath: String, nList: Int): Unit = {
     import spark.implicits._
     val sample = trainingSample(corpus, 4096)
     val centroids = kmeansCentroids(sample, nList, iters = 8)
     val bcBuild = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Array[Float]) => nearestCell(unit(v), bcBuild.value) }
-    corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        assignUdf(col("embedding")).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$idxPath/index")
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxPath/centroids")
+    // two independent writes (index tree, centroid table) — overlapped,
+    // see runConcurrently; shared by s15/s18/s22/s23
+    runConcurrently(
+      () => corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          assignUdf(col("embedding")).as("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$idxPath/index"),
+      () => centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$idxPath/centroids"))
   }
 
   /** Read the STORED centroid table back (the serve/append paths must
     * never touch the training-time in-memory centroids). */
-  private def readStoredCentroids(spark: SparkSession, idxPath: String,
+  private[graft] def readStoredCentroids(spark: SparkSession, idxPath: String,
       nList: Int): Array[Array[Double]] = {
     import spark.implicits._
     val served = spark.read.parquet(s"$idxPath/centroids")
@@ -807,9 +825,17 @@ object Similarity {
     * the probed cells, and a broadcast anti-join drops deleted rows
     * BEFORE scoring — serve-side delete cost is O(tombstones in the
     * probed cells), never a corpus-wide mask. */
-  private def serveIvfIndex(spark: SparkSession, e: DataFrame,
-      idxPath: String, cents: Array[Array[Double]], nQueries: Int, k: Int,
-      nProbe: Int, tombstones: Option[String] = None): DataFrame = {
+  /** The (queries-with-probe-cells cut, collected probe-cell set) a
+    * serve needs — split out so a caller that serves the SAME query
+    * set against two index versions with the SAME centroids (s23's
+    * pre/post-compaction equivalence) derives it once: the probe set
+    * is a pure function of (queries, cents, nProbe), so recomputing
+    * it per serve was two redundant jobs per invocation (r16,
+    * guide §5 reuse-over-recompute — same rows, same cut, so both
+    * serves also see identical candidate order). */
+  private[graft] def serveProbe(spark: SparkSession, e: DataFrame,
+      cents: Array[Array[Double]], nQueries: Int, nProbe: Int)
+      : (DataFrame, Seq[Int]) = {
     import spark.implicits._
     val bcServe = spark.sparkContext.broadcast(cents)
     val probeUdf = udf { (v: Array[Float]) =>
@@ -819,8 +845,16 @@ object Similarity {
         explode(probeUdf(col("embedding"))).as("cell")))
     // the probe-cell set is ≤ nQueries·nProbe ints — collected so the
     // index read carries a STATIC partition predicate
-    val probedCells = queries.select("cell").distinct()
-      .as[Int].collect().sorted
+    (queries, queries.select("cell").distinct().as[Int].collect()
+      .sorted.toSeq)
+  }
+
+  private[graft] def serveIvfIndex(spark: SparkSession, e: DataFrame,
+      idxPath: String, cents: Array[Array[Double]], nQueries: Int, k: Int,
+      nProbe: Int, tombstones: Option[String] = None,
+      sharedProbe: Option[(DataFrame, Seq[Int])] = None): DataFrame = {
+    val (queries, probedCells) = sharedProbe.getOrElse(
+      serveProbe(spark, e, cents, nQueries, nProbe))
     val idx0 = spark.read.parquet(s"$idxPath/index")
       .filter(col("cell").isInCollection(probedCells.toSeq))
     val idx = tombstones.fold(idx0) { tp =>
@@ -1105,7 +1139,7 @@ object Similarity {
     * expressed over a caller-supplied id column so the tombstone
     * write, the result audit, and the rebuild leg share ONE
     * definition (the s17 filterPredOn discipline). */
-  private[rel] def deletePredOn(id: org.apache.spark.sql.Column)
+  private[graft] def deletePredOn(id: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = id % 7 === 0
 
   /** Index DELETE via tombstones (s22) — the mutation every serving
@@ -1142,7 +1176,7 @@ object Similarity {
     * append would — the tombstone lands in the same cell its index
     * row lives in, which is what makes the serve-side anti-join a
     * per-cell (never corpus-wide) operation. */
-  private def buildDeleteLayout(spark: SparkSession, e: DataFrame,
+  private[graft] def buildDeleteLayout(spark: SparkSession, e: DataFrame,
       idxPath: String, nList: Int): Array[Array[Double]] = {
     buildIvfIndex(spark, e, idxPath, nList)
     val cents = readStoredCentroids(spark, idxPath, nList)
@@ -1221,14 +1255,23 @@ object Similarity {
     val bcC = spark.sparkContext.broadcast(cents)
     val assignStored = udf { (v: Array[Float]) =>
       nearestCell(unit(v), bcC.value) }
-    batch.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        assignStored(col("embedding")).as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$idxPath/index")
-    e.filter(deletePredOn(col("vec_id")))
-      .select(col("vec_id").as("nid"),
-        assignStored(col("embedding")).as("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$idxPath/tombstones")
+    // the s18 append and the s22 tombstone write are INDEPENDENT jobs
+    // (different target dirs, both reading the corpus + stored
+    // centroids) — submit them concurrently so the second backfills
+    // the first's task tail (guide §2.6); the lifecycle order the cell
+    // demonstrates (build → append → delete → fold) is a DATA
+    // dependency chain, and both of these precede the fold either way
+    runConcurrently(
+      () => batch.select(col("vec_id").as("nid"),
+          col("embedding").as("ne"),
+          assignStored(col("embedding")).as("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$idxPath/index"),
+      () => e.filter(deletePredOn(col("vec_id")))
+        .select(col("vec_id").as("nid"),
+          assignStored(col("embedding")).as("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$idxPath/tombstones"))
     // the reference result BEFORE compacting: tombstone serve over the
     // appended layout (s22's shape). r15: materialized — nQueries·k
     // rows — because the equivalence audit below consumes it TWICE
@@ -1236,8 +1279,14 @@ object Similarity {
     // (probe collect + pruned scan + anti-join + top-k) re-executed
     // per audit leg (guide §5: persist is right exactly when reuse
     // beats recompute — 50 rows vs 2 extra serve executions).
+    // r16: the query-probe set is derived ONCE and shared with the v2
+    // serve below — both serves run the same queries against the same
+    // stored centroids, so (queries cut, probed cells) is identical by
+    // construction and recomputing it per serve was two redundant jobs.
+    val probe = serveProbe(spark, e, cents, nQueries, nProbe)
     val viaTombstones = serveIvfIndex(spark, e, idxPath, cents,
-      nQueries, k, nProbe, tombstones = Some(s"$idxPath/tombstones"))
+      nQueries, k, nProbe, tombstones = Some(s"$idxPath/tombstones"),
+      sharedProbe = Some(probe))
       .localCheckpoint()
     // COMPACT: stored-layout-only fold into version 2 — no corpus
     // read, no retrain; the anti-join is per-cell (both sides are
@@ -1270,7 +1319,7 @@ object Similarity {
     // recall/dedup audit (three full re-executions of the v2 serve
     // subplan without the cut; nQueries·k rows with it).
     val annV2 = serveIvfIndex(spark, e, s"$idxPath/v2", cents,
-      nQueries, k, nProbe).localCheckpoint()
+      nQueries, k, nProbe, sharedProbe = Some(probe)).localCheckpoint()
     // post-compaction serve ≡ tombstone serve, row for row (same
     // cents ⇒ same probe cells; same survivor candidate set; same
     // float op order ⇒ bit-identical cosines). Evaluated BEFORE the
