@@ -9,10 +9,10 @@ class ReferenceE2eSpec extends SparkSpec {
 
   test("scip_zarr.yml shape on test.zarr: 10 rows, all branch families") {
     assume(Files.exists(Paths.get("/root/reference/test/data/test.zarr")))
-    // the raw wide feature table (the registry entry wraps this in the
-    // per-row digest for the driver's value gate)
-    val df = graft.rel.PipelineQueries.digestables
-      .find(_._1 == "p07_reference_e2e").get._2(spark, sfDir)
+    // the raw wide feature table (the registry entry fuses the per-row
+    // digest into its map since r16 — the spec asserts on the WIDE
+    // view, shared via p07Wide so the two cannot drift)
+    val df = graft.rel.PipelineQueries.p07Wide(spark)
     val rows = df.collect()
     // limit -1 => every input event appears (test_main expected_n=10)
     assert(rows.length == 10)
