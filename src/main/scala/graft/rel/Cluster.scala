@@ -304,11 +304,14 @@ object Cluster {
     val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val ct = s"d24_corpus_${base}_$storeRunId"
     val at = s"d24_asg_${base}_$storeRunId"
-    ScaleOps.writeBucketed(
-      Tables.documents(spark, dir).select("doc_id"), ct, "doc_id", 8)
-    ScaleOps.writeBucketed(
-      nearDupAssignment(spark, dir)
-        .select("doc_id", "cluster_id", "cluster_size"), at, "doc_id", 8)
+    // the corpus-side bucketed write is independent of the (expensive)
+    // CC assignment build feeding the other — overlapped (guide §2.6):
+    // the tiny corpus write rides inside the assignment build's tail
+    ScaleOps.writeBucketedConcurrently(
+      (() => Tables.documents(spark, dir).select("doc_id"),
+        ct, "doc_id", 8),
+      (() => nearDupAssignment(spark, dir)
+        .select("doc_id", "cluster_id", "cluster_size"), at, "doc_id", 8))
     survivorship(spark.table(ct).hint("merge")
       .join(spark.table(at).hint("merge"), Seq("doc_id"), "left"))
   }

@@ -783,6 +783,20 @@ object Similarity {
     finally pool.shutdown()
   }
 
+  /** [[runConcurrently]] for two independent value-producing actions. */
+  private def par2[A, B](fa: () => A, fb: () => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val ja = pool.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = fa()
+      })
+      val jb = pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = fb()
+      })
+      (ja.get(), jb.get())
+    } finally pool.shutdown()
+  }
+
   private[graft] def buildIvfIndex(spark: SparkSession, corpus: DataFrame,
       idxPath: String, nList: Int): Unit = {
     import spark.implicits._
@@ -1284,18 +1298,22 @@ object Similarity {
     // stored centroids, so (queries cut, probed cells) is identical by
     // construction and recomputing it per serve was two redundant jobs.
     val probe = serveProbe(spark, e, cents, nQueries, nProbe)
-    val viaTombstones = serveIvfIndex(spark, e, idxPath, cents,
-      nQueries, k, nProbe, tombstones = Some(s"$idxPath/tombstones"),
-      sharedProbe = Some(probe))
-      .localCheckpoint()
-    // COMPACT: stored-layout-only fold into version 2 — no corpus
-    // read, no retrain; the anti-join is per-cell (both sides are
-    // cell-partitioned on disk) with the tombstone side broadcast
-    spark.read.parquet(s"$idxPath/index")
-      .join(broadcast(spark.read.parquet(s"$idxPath/tombstones")),
-        Seq("cell", "nid"), "left_anti")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$idxPath/v2/index")
+    // the reference serve reads (index, tombstones) and the COMPACT
+    // fold reads the same two stored trees to WRITE v2 — no data
+    // dependency between them, so they overlap (guide §2.6); the fold:
+    // stored-layout-only rewrite into version 2 — no corpus read, no
+    // retrain; the anti-join is per-cell (both sides cell-partitioned
+    // on disk) with the tombstone side broadcast
+    val (viaTombstones, _) = par2(
+      () => serveIvfIndex(spark, e, idxPath, cents,
+        nQueries, k, nProbe, tombstones = Some(s"$idxPath/tombstones"),
+        sharedProbe = Some(probe))
+        .localCheckpoint(),
+      () => spark.read.parquet(s"$idxPath/index")
+        .join(broadcast(spark.read.parquet(s"$idxPath/tombstones")),
+          Seq("cell", "nid"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$idxPath/v2/index"))
     // the stored centroids carry over VERBATIM (no retrain — probe
     // routing unchanged), so v2's centroid table is a byte-for-byte
     // filesystem copy of v1's, not a Spark write job: compaction
@@ -1318,16 +1336,19 @@ object Similarity {
     // equivalence legs below AND returned into the annContract
     // recall/dedup audit (three full re-executions of the v2 serve
     // subplan without the cut; nQueries·k rows with it).
-    val annV2 = serveIvfIndex(spark, e, s"$idxPath/v2", cents,
-      nQueries, k, nProbe, sharedProbe = Some(probe)).localCheckpoint()
+    // the v2 serve and the completeness audit both read only v2 (+ the
+    // corpus count) — independent, overlapped (guide §2.6)
+    val (annV2, complete) = par2(
+      () => serveIvfIndex(spark, e, s"$idxPath/v2", cents,
+        nQueries, k, nProbe, sharedProbe = Some(probe)).localCheckpoint(),
+      () => spark.read.parquet(s"$idxPath/v2/index").count() ==
+        e.filter(!deletePredOn(col("vec_id"))).count())
     // post-compaction serve ≡ tombstone serve, row for row (same
     // cents ⇒ same probe cells; same survivor candidate set; same
     // float op order ⇒ bit-identical cosines). Evaluated BEFORE the
     // tombstone drop below — the reference plan reads that table.
     val compactEquiv = annV2.exceptAll(viaTombstones).isEmpty &&
       viaTombstones.exceptAll(annV2).isEmpty
-    val complete = spark.read.parquet(s"$idxPath/v2/index").count() ==
-      e.filter(!deletePredOn(col("vec_id"))).count()
     // fold complete → the tombstone table is DROPPED (its information
     // now lives in the v2 row set); serving v2 needs no anti-join
     val fs = new org.apache.hadoop.fs.Path(idxPath)
