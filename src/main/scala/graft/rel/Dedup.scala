@@ -1084,12 +1084,28 @@ object Dedup {
       dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val truth = jaccardPairs(spark, docs, D21TruthJ)
-      .select("da", "db")
-      // tiny by construction; feeds two broadcast joins — materialize
-      // once so the shingle-bucket aggregate doesn't run per subtree
-      .transform(Lineage.cut)
-    val sigs = minhashSignatures(spark, docs)
+    // r16 (guide §5 + §2.6): (a) the signature table feeds BOTH join
+    // legs below ("sa" and "sb") — uncut, the corpus is tokenized and
+    // minhashed TWICE inside the one measurement job; materialize it
+    // once (corpus-bounded narrow rows: doc_id + 64-long sig).
+    // (b) the exact-Jaccard ground truth and the signatures are
+    // INDEPENDENT corpus passes — compute the two cuts concurrently so
+    // the second job backfills the first's task tail. Both are
+    // deterministic per doc, so results are bit-identical.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (truth, sigs) =
+      try {
+        val jt = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = jaccardPairs(spark, docs, D21TruthJ)
+            .select("da", "db")
+            // tiny by construction; feeds two broadcast joins
+            .transform(Lineage.cut)
+        })
+        val js = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = Lineage.cut(minhashSignatures(spark, docs))
+        })
+        (jt.get(), js.get())
+      } finally pool.shutdown()
     val withA = sigs.as("sa")
       .join(broadcast(truth), col("da") === col("sa.doc_id"))
       .select(col("da"), col("db"), col("sa.sig").as("siga"))
